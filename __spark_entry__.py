@@ -1,10 +1,12 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+The driver's verify runs ``entry(spark)`` as a smoke check, runs each
+``queries()[name]`` at sf=0.01 and compares it against the matching
+``oracle_sql()[name]`` via DuckDB (row-count + schema + order-insensitive
+value-hash → CORRECTNESS_r{N}.json).
+
+Implemented query surface lives in flink_cep_task_spark.plans.*; this file
+only adapts it to the driver's calling convention.
 """
 
 from __future__ import annotations
@@ -14,25 +16,44 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 
+def _configure(spark: SparkSession) -> SparkSession:
+    """Apply engine-required session conf to the driver's SparkSession."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass  # static conf on some builds; sources.tables handles both shapes
+    return spark
+
+
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query: single-pass multi-rule CEP evaluation (tumbling +
+    sliding + global windows, SUM/AVG/MIN/MAX, threshold gates) over
+    /root/testdata/sf0.001 events."""
+    from flink_cep_task_spark.plans.cep_queries import ALL_RULES
+    from flink_cep_task_spark.plans.cep import evaluate_rules_on_events
+
+    _configure(spark)
+    return evaluate_rules_on_events(spark, "/root/testdata/sf0.001", ALL_RULES)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from flink_cep_task_spark.plans.cep_queries import CEP_QUERIES
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    for name, (fn, _sql) in CEP_QUERIES.items():
+        out[name] = _wrap(fn)
+    return out
+
+
+def _wrap(fn):
+    def call(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return fn(_configure(spark), sf_dir)
+
+    return call
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from flink_cep_task_spark.plans.cep_queries import CEP_QUERIES
+
+    return {name: sql for name, (_fn, sql) in CEP_QUERIES.items() if sql is not None}

@@ -1,0 +1,96 @@
+"""ANSI-SQL (DuckDB-dialect-safe) oracle generator for CEP rule evaluation.
+
+For a given rule set over the driver's `events` table, emits SQL computing
+exactly what plans.cep.evaluate_rules_on_events computes — same epoch
+arithmetic, same exact-decimal aggregation, same rounding — so a DuckDB run
+hash-matches the Spark result. Used by __spark_entry__.oracle_sql() and the
+pytest parity harness.
+
+Portability contract (kept in lockstep with operators/windows.py):
+  * timestamps → epoch seconds via floor(epoch(ts)) == Spark CAST(ts AS LONG)
+  * measures aggregated as DECIMAL(18,2) (exact, order-independent)
+  * final value CAST to DOUBLE, compared unrounded in HAVING, rounded(4)
+    in the projection
+"""
+
+from __future__ import annotations
+
+from flink_cep_task_spark.rules import Rule
+
+# tag/measure name → SQL expression over the raw `events` view; mirror of
+# sources.tables.events_to_metrics.
+TAG_SQL = {
+    "t_event_type": "event_type",
+    "t_user": "CAST(user_id AS VARCHAR)",
+}
+MEASURE_SQL = {
+    "value": "CAST(value AS DECIMAL(18,2))",
+}
+
+TS_S = "CAST(floor(epoch(ts)) AS BIGINT)"
+
+
+def _compact(rules: list[Rule]) -> list[Rule]:
+    """Python mirror of rules.compact_rules + ACTIVE filter."""
+    latest: dict[int, Rule] = {}
+    for r in sorted(rules, key=lambda r: r.seq):
+        latest[r.rule_id] = r
+    return [r for r in latest.values() if r.rule_state == "ACTIVE"]
+
+
+def _value_sql(r: Rule) -> str:
+    m = MEASURE_SQL[r.agg_field]
+    if r.agg_type == "SUM":
+        return f"CAST(sum({m}) AS DOUBLE)"
+    if r.agg_type == "AVG":
+        return f"CAST(sum({m}) AS DOUBLE) / count({m})"
+    if r.agg_type == "MIN":
+        return f"CAST(min({m}) AS DOUBLE)"
+    return f"CAST(max({m}) AS DOUBLE)"
+
+
+def _rule_sql(r: Rule, events: str = "events") -> str:
+    gexpr = " || '_' || ".join(TAG_SQL[k] for k in r.grouping_keys)
+    group_id = f"concat('{r.rule_id}_', {gexpr})"
+    val = _value_sql(r)
+    having = f"{val} {r.limit_op} CAST('{r.limit}' AS DOUBLE)"
+    head = (
+        f"SELECT CAST({r.rule_id} AS INTEGER) AS rule_id, {group_id} AS group_id"
+    )
+    tail = (
+        f"'{r.agg_type}' AS agg_type, round({val}, 4) AS agg_value"
+    )
+    if r.window_type == "tumbling":
+        size = r.window_minutes * 60
+        ws = f"(({TS_S}) // {size}) * {size}"
+        return (
+            f"{head}, {ws} AS window_start, {ws} + {size} AS window_end, {tail} "
+            f"FROM {events} GROUP BY group_id, window_start HAVING {having}"
+        )
+    if r.window_type == "sliding":
+        size = r.window_minutes * 60
+        slide = r.window_slide_minutes * 60
+        return (
+            f"{head}, w.window_start AS window_start, w.window_start + {size} AS window_end, {tail} "
+            f"FROM (SELECT *, {TS_S} AS ts_s FROM {events}) e, "
+            f"LATERAL (SELECT unnest(generate_series(((e.ts_s - {size}) // {slide} + 1) * {slide}, "
+            f"(e.ts_s // {slide}) * {slide}, {slide})) AS window_start) w "
+            f"GROUP BY group_id, w.window_start HAVING {having}"
+        )
+    # global window: one unbounded window per group (AllWindowAssigner.java:23-30)
+    return (
+        f"{head}, CAST(NULL AS BIGINT) AS window_start, CAST(NULL AS BIGINT) AS window_end, {tail} "
+        f"FROM {events} GROUP BY group_id HAVING {having}"
+    )
+
+
+def cep_oracle_sql(rules: list[Rule], events: str = "events") -> str:
+    """UNION ALL of per-rule SQL over the compacted ACTIVE rule set.
+
+    (The Spark engine evaluates all rules in one pass; SQL has no
+    rules-as-data construct, so the oracle expands per rule.)
+    """
+    active = _compact(rules)
+    if not active:
+        raise ValueError("no active rules")
+    return "\nUNION ALL\n".join(_rule_sql(r, events) for r in active)

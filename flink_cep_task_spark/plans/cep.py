@@ -1,0 +1,43 @@
+"""End-to-end CEP rule evaluation plans (SURVEY.md §3.3 Spark replacement).
+
+The whole reference data path —
+
+  parse → rule match fan-out → keyBy(groupId) → window assign → fold →
+  trigger fire → threshold → emit
+  (CEPTaskRunner.java:31-50, PartitionEngine.java, CEPEngine.java,
+   Window.java, TriggerCenter.java)
+
+— collapses to one declarative DataFrame plan:
+
+  metrics × broadcast(active rules) → group_id → explode(window starts)
+  → groupBy(rule_id, group_id, window).agg → HAVING filter → enriched rows
+
+evaluated here in batch; streaming/pipeline.py runs the same plan inside
+Structured Streaming with watermarks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from flink_cep_task_spark.operators.fanout import fanout_rules
+from flink_cep_task_spark.operators.windows import evaluate_windows
+from flink_cep_task_spark.rules import Rule, compact_rules, rules_df
+from flink_cep_task_spark.sources.tables import events_to_metrics, load_table
+
+
+def evaluate_rules(spark: SparkSession, metrics: DataFrame, rules: list[Rule]) -> DataFrame:
+    """Evaluate a rule changelog against schemaless Metric rows.
+
+    Single-pass multi-rule evaluation: ALL rules (any mix of window types,
+    aggregates, grouping keys) run in one plan — one broadcast join, one
+    explode, one shuffle/aggregation — rather than a per-rule driver loop.
+    """
+    compacted = compact_rules(rules_df(spark, rules))
+    return evaluate_windows(fanout_rules(metrics, compacted))
+
+
+def evaluate_rules_on_events(spark: SparkSession, sf_dir: str, rules: list[Rule]) -> DataFrame:
+    """Rule evaluation over the driver's typed `events` table."""
+    metrics = events_to_metrics(load_table(spark, sf_dir, "events"))
+    return evaluate_rules(spark, metrics, rules)

@@ -1,0 +1,98 @@
+"""Named CEP rule sets + the (spark_query, oracle_sql) registry entries.
+
+Each entry exercises a distinct slice of the operator inventory
+(SURVEY.md §2) over the driver's `events` table. Thresholds are tuned so
+results are non-trivial at sf0.01 (some windows pass, some are gated).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from flink_cep_task_spark.oracle import cep_oracle_sql
+from flink_cep_task_spark.plans.cep import evaluate_rules, evaluate_rules_on_events
+from flink_cep_task_spark.rules import Rule
+from flink_cep_task_spark.sources.jsonline import metric_to_json, parse_metric_lines
+from flink_cep_task_spark.sources.tables import events_to_metrics, load_table
+
+# --- rule sets -----------------------------------------------------------
+
+R_TUMBLING_SUM = Rule(
+    rule_id=1, window_type="tumbling", window_minutes=1440,
+    grouping_keys=("t_event_type",), agg_type="SUM", agg_field="value",
+    limit_op=">", limit="500",
+)
+R_SLIDING_AVG = Rule(
+    rule_id=2, window_type="sliding", window_minutes=2880, window_slide_minutes=1440,
+    grouping_keys=("t_event_type",), agg_type="AVG", agg_field="value",
+    limit_op=">", limit="48",
+)
+R_GLOBAL_MAX = Rule(
+    rule_id=3, window_type="global",
+    grouping_keys=("t_user",), agg_type="MAX", agg_field="value",
+    limit_op=">=", limit="150",
+)
+R_TUMBLING_MIN = Rule(
+    rule_id=4, window_type="tumbling", window_minutes=240,
+    grouping_keys=("t_event_type",), agg_type="MIN", agg_field="value",
+    limit_op="<", limit="50",
+)
+R_MULTIKEY_SUM = Rule(
+    rule_id=5, window_type="tumbling", window_minutes=10080,
+    grouping_keys=("t_event_type", "t_user"), agg_type="SUM", agg_field="value",
+    limit_op=">", limit="100",
+)
+
+ALL_RULES = [R_TUMBLING_SUM, R_SLIDING_AVG, R_GLOBAL_MAX, R_TUMBLING_MIN, R_MULTIKEY_SUM]
+
+# lifecycle changelog (B2): rule 10 is upserted twice (last wins), rule 11
+# is added then DELETEd, rule 12 arrives PAUSEd — only rule 10 v2 runs.
+LIFECYCLE_CHANGELOG = [
+    Rule(rule_id=10, window_type="tumbling", window_minutes=1440,
+         grouping_keys=("t_event_type",), agg_type="SUM", agg_field="value",
+         limit_op=">", limit="100", seq=0),
+    Rule(rule_id=11, window_type="tumbling", window_minutes=1440,
+         grouping_keys=("t_user",), agg_type="AVG", agg_field="value",
+         limit_op=">", limit="0", seq=1),
+    Rule(rule_id=12, rule_state="PAUSE", window_type="global",
+         grouping_keys=("t_event_type",), agg_type="MAX", agg_field="value",
+         limit_op=">", limit="0", seq=2),
+    Rule(rule_id=10, window_type="tumbling", window_minutes=2880,
+         grouping_keys=("t_event_type",), agg_type="SUM", agg_field="value",
+         limit_op=">", limit="1000", seq=3),
+    Rule(rule_id=11, rule_state="DELETE", seq=4),
+]
+
+# --- query callables (driver contract: (spark, sf_dir) -> DataFrame) -----
+
+
+def _rule_query(rules: list[Rule]):
+    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return evaluate_rules_on_events(spark, sf_dir, rules)
+
+    return q
+
+
+def q_jsonline_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events → reference-format JSON lines → schemaless parse (P1/P2) →
+    rule evaluation. Proves the JSON ingest path computes identically to the
+    typed path (same oracle as cep_tumbling_sum)."""
+    ev = events_to_metrics(load_table(spark, sf_dir, "events"))
+    lines = ev.select(
+        metric_to_json(ev.event_time, ev.tags, ev.metrics).alias("value")
+    )
+    metrics = parse_metric_lines(lines)
+    return evaluate_rules(spark, metrics, [R_TUMBLING_SUM])
+
+
+CEP_QUERIES: dict[str, tuple] = {
+    # name -> (callable, oracle_sql | None)
+    "cep_tumbling_sum": (_rule_query([R_TUMBLING_SUM]), cep_oracle_sql([R_TUMBLING_SUM])),
+    "cep_sliding_avg": (_rule_query([R_SLIDING_AVG]), cep_oracle_sql([R_SLIDING_AVG])),
+    "cep_global_max": (_rule_query([R_GLOBAL_MAX]), cep_oracle_sql([R_GLOBAL_MAX])),
+    "cep_tumbling_min": (_rule_query([R_TUMBLING_MIN]), cep_oracle_sql([R_TUMBLING_MIN])),
+    "cep_multikey_sum": (_rule_query([R_MULTIKEY_SUM]), cep_oracle_sql([R_MULTIKEY_SUM])),
+    "cep_multi_rule": (_rule_query(ALL_RULES), cep_oracle_sql(ALL_RULES)),
+    "cep_rule_lifecycle": (_rule_query(LIFECYCLE_CHANGELOG), cep_oracle_sql(LIFECYCLE_CHANGELOG)),
+    "cep_jsonline_roundtrip": (q_jsonline_roundtrip, cep_oracle_sql([R_TUMBLING_SUM])),
+}

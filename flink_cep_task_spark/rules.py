@@ -1,0 +1,147 @@
+"""Rule parsing, validation, and lifecycle compaction.
+
+A *rule* is a query-as-data document: (grouping tags, window spec,
+aggregate, threshold). Reference: Rule.java:12-24, wire sample
+resources/rules:1, lifecycle handling PartitionEngine.java:54-63.
+
+Design (SURVEY.md §3.2): rules live in a small DataFrame. Instead of the
+reference's per-task mutable BroadcastState map, we *compact* the rule
+changelog declaratively — last writer (highest seq) wins per rule_id,
+DELETE tombstones drop the rule — and broadcast-join the compacted ACTIVE
+set against the metric stream each batch. Rule updates therefore take
+effect at the next micro-batch boundary, fixing reference quirk Q6 (stale
+rule captured per group, CEPEngine.java:55-64).
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from flink_cep_task_spark.schemas import (
+    AGG_TYPES,
+    LIMIT_OPS,
+    RULE_SCHEMA,
+    RULE_STATES,
+)
+
+
+@dataclass(frozen=True)
+class Rule:
+    """Validated engine-internal rule (snake_case mirror of Rule.java:12-24)."""
+
+    rule_id: int
+    rule_state: str = "ACTIVE"
+    window_type: str = "tumbling"  # tumbling | sliding | anything-else ⇒ global (CEPEngine.java:75-81)
+    window_minutes: int | None = None
+    window_slide_minutes: int | None = None
+    grouping_keys: tuple[str, ...] = field(default_factory=tuple)
+    agg_type: str = "SUM"
+    agg_field: str = "value"
+    limit_op: str = ">"
+    limit: str = "0"  # decimal as string to stay exact
+    seq: int = 0
+
+    def __post_init__(self) -> None:
+        if self.rule_state not in RULE_STATES:
+            raise ValueError(f"bad ruleState {self.rule_state!r}")
+        if self.rule_state == "DELETE":
+            return  # tombstones need only rule_id + state
+        if self.agg_type not in AGG_TYPES:
+            raise ValueError(f"bad aggregatorFunctionType {self.agg_type!r}")
+        if self.limit_op not in LIMIT_OPS:
+            raise ValueError(f"bad limitOperatorType {self.limit_op!r}")
+        if self.window_type == "tumbling" and not self.window_minutes:
+            raise ValueError("tumbling rule requires windowMinutes")
+        if self.window_type == "sliding" and not (self.window_minutes and self.window_slide_minutes):
+            raise ValueError("sliding rule requires windowMinutes and windowSlideMinute")
+
+    @classmethod
+    def from_wire(cls, doc: dict, seq: int = 0) -> "Rule":
+        """Parse one reference-format JSON rule document (Rule.java:12-24).
+
+        Lenient like the reference's fastjson parse (CEPTaskRunner.java:54-56):
+        groupingKeyNames may be an array or a bare string; windowType other
+        than tumbling/sliding means a global window (CEPEngine.java:75-81).
+        """
+        gk = doc.get("groupingKeyNames") or []
+        if isinstance(gk, str):
+            gk = [gk]
+        wt = doc.get("windowType") or "global"
+        if wt not in ("tumbling", "sliding"):
+            wt = "global"
+        return cls(
+            rule_id=int(doc["ruleId"]),
+            rule_state=str(doc.get("ruleState", "ACTIVE")),
+            window_type=wt,
+            window_minutes=doc.get("windowMinutes"),
+            window_slide_minutes=doc.get("windowSlideMinute"),
+            grouping_keys=tuple(gk),
+            agg_type=str(doc.get("aggregatorFunctionType", "SUM")),
+            agg_field=str(doc.get("aggregateFieldName", "value")),
+            limit_op=str(doc.get("limitOperatorType", ">")),
+            limit=str(doc.get("limit", "0")),
+            seq=seq,
+        )
+
+    def as_row(self) -> tuple:
+        from decimal import Decimal
+
+        return (
+            self.rule_id,
+            self.rule_state,
+            self.window_type,
+            self.window_minutes,
+            self.window_slide_minutes,
+            list(self.grouping_keys),
+            self.agg_type,
+            self.agg_field,
+            self.limit_op,
+            Decimal(self.limit),
+            self.seq,
+        )
+
+
+def parse_rule_lines(lines: list[str]) -> list[Rule]:
+    """Parse JSON-lines rule documents; bad lines are dropped like the
+    reference's parse-error→null→filter path (CEPTaskRunner.java:54-56,40)."""
+    out: list[Rule] = []
+    for i, line in enumerate(lines):
+        line = line.strip()
+        if not line:
+            continue
+        try:
+            out.append(Rule.from_wire(json.loads(line), seq=i))
+        except (ValueError, KeyError, TypeError, json.JSONDecodeError):
+            continue
+    return out
+
+
+def rules_df(spark: SparkSession, rules: list[Rule]) -> DataFrame:
+    """Materialize rules as the internal rule-table DataFrame."""
+    return spark.createDataFrame([r.as_row() for r in rules], RULE_SCHEMA)
+
+
+def compact_rules(changelog: DataFrame) -> DataFrame:
+    """Last-writer-wins compaction of a rule changelog, dropping DELETEs.
+
+    Replaces BroadcastState upsert/remove (PartitionEngine.java:54-63):
+    for each rule_id keep the highest-seq version; a DELETE tombstone
+    removes the rule entirely. Pure DataFrame ops — at scale this is a tiny
+    aggregation over the (small) rule table, never a bottleneck.
+    """
+    w = Window.partitionBy("rule_id").orderBy(F.col("seq").desc())
+    return (
+        changelog.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+        .filter(F.col("rule_state") != "DELETE")
+    )
+
+
+def active_rules(compacted: DataFrame) -> DataFrame:
+    """ACTIVE rules only — PAUSE rules stop matching (Rule.java:63-66)."""
+    return compacted.filter(F.col("rule_state") == "ACTIVE")

@@ -1,0 +1,71 @@
+"""JSON-line metric/rule parsing — the engine's schemaless ingest path.
+
+Reference semantics (CEPTaskRunner.java:59-72): each line is a JSON object;
+key "eventTime" is epoch millis; keys carrying the tag marker are string
+tags; every other key is an integer measure; a line that fails to parse
+becomes null and is filtered out (P1/P2 in SURVEY.md §2).
+
+Spark-first design: the whole transform is built-in expressions — two
+`from_json` passes into MapType plus `map_filter` — no Python UDF. Works
+identically on batch DataFrames and streaming DataFrames (socket/kafka
+`value` column).
+
+Divergence (Q7, documented): the reference tags any key *containing* the
+substring "t_" (so "host_name" would be a tag); we use the saner
+startswith("t_") prefix test. Measures accept any numeric, not only ints.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from flink_cep_task_spark.schemas import MEASURE_DECIMAL
+
+TAG_PREFIX = "t_"
+EVENT_TIME_KEY = "eventTime"
+
+
+def parse_metric_lines(lines: DataFrame, value_col: str = "value") -> DataFrame:
+    """Parse a DataFrame of JSON lines into Metric rows.
+
+    Output schema: event_time TIMESTAMP, tags MAP<STRING,STRING>,
+    metrics MAP<STRING,DECIMAL(18,2)>. Unparseable lines are dropped
+    (PERMISSIVE from_json yields null maps → filtered), matching the
+    reference's parse-error→null→filter pipeline (CEPTaskRunner.java:33-34).
+    """
+    raw = F.col(value_col)
+    as_map = F.from_json(raw, "map<string,string>")
+    tags = F.map_filter(as_map, lambda k, _: k.startswith(TAG_PREFIX))
+    # try_cast everywhere: under ANSI SQL (Spark 4 default) a plain cast
+    # THROWS on malformed input; the reference's contract is bad-value →
+    # null → dropped (CEPTaskRunner.java:68-70).
+    measures = F.map_filter(
+        as_map,
+        lambda k, v: (~k.startswith(TAG_PREFIX))
+        & (k != EVENT_TIME_KEY)
+        & v.try_cast(MEASURE_DECIMAL).isNotNull(),
+    )
+    metrics = F.transform_values(measures, lambda _, v: v.try_cast(MEASURE_DECIMAL))
+    event_time = F.timestamp_millis(
+        F.try_element_at(as_map, F.lit(EVENT_TIME_KEY)).try_cast("long")
+    )
+    return (
+        lines.select(
+            event_time.alias("event_time"),
+            tags.alias("tags"),
+            metrics.alias("metrics"),
+        )
+        .filter(F.col("event_time").isNotNull())
+        .filter(F.size("tags") + F.size("metrics") > 0)
+    )
+
+
+def metric_to_json(event_time: Column, tags: Column, metrics: Column) -> Column:
+    """Inverse bridge (testing aid): Metric row → reference-format JSON line."""
+    merged = F.map_concat(
+        F.create_map(F.lit(EVENT_TIME_KEY), (event_time.cast("double") * 1000).cast("long").cast("string")),
+        tags,
+        F.transform_values(metrics, lambda _, v: v.cast("string")),
+    )
+    return F.to_json(merged)

@@ -1,0 +1,72 @@
+"""Batch parquet sources for the driver's test tables (TESTDATA.md).
+
+Handles the one env-specific wrinkle: the `events` table stores
+TIMESTAMP(NANOS) which Spark's parquet reader only accepts as LONG
+(spark.sql.legacy.parquet.nanosAsLong=true, set in session.py); we convert
+nanos → TimestampType (microsecond truncation, matching how a
+microsecond-precision engine reads the same file).
+
+Also provides the typed→schemaless bridge `events_to_metrics`: the driver's
+fixed-schema `events` table re-expressed as the engine's native Metric shape
+(event_time, tags MAP, metrics MAP) — reference Metric.java:10-23 and the
+`t_` tag convention of CEPTaskRunner.java:59-72.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flink_cep_task_spark.schemas import MEASURE_DECIMAL
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one test table; normalizes the events nanos-timestamp column."""
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        # TIMESTAMP(NANOS) read as raw nanos; truncate to micros. Integer
+        # division keeps this exact and deterministic across the cluster.
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def register_views(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES) -> None:
+    """Register all test tables as temp views (mirrors the oracle's setup)."""
+    for name in names:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def events_to_metrics(events: DataFrame) -> DataFrame:
+    """Typed events table → schemaless Metric rows (parity bridge).
+
+    Tag/measure mapping (documented contract, used by oracle SQL too):
+      tags:    t_event_type ← event_type, t_user ← CAST(user_id AS STRING)
+      metrics: value ← value, k ← props JSON field "k"
+    The `t_` prefix follows the reference's tag naming convention
+    (CEPTaskRunner.java:66 uses a `t_` substring test; we use the same
+    prefix spelling, divergence Q7 documented in SURVEY.md §2.1).
+    """
+    return events.select(
+        F.col("ts").alias("event_time"),
+        F.create_map(
+            F.lit("t_event_type"), F.col("event_type"),
+            F.lit("t_user"), F.col("user_id").cast("string"),
+        ).alias("tags"),
+        F.create_map(
+            F.lit("value"), F.col("value").cast(MEASURE_DECIMAL),
+            F.lit("k"), F.get_json_object("props", "$.k").cast(MEASURE_DECIMAL),
+        ).alias("metrics"),
+    )
