@@ -38,12 +38,9 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    from flink_cep_task_spark.plans.cep_queries import CEP_QUERIES
+    from flink_cep_task_spark.registry import all_queries
 
-    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
-    for name, (fn, _sql) in CEP_QUERIES.items():
-        out[name] = _wrap(fn)
-    return out
+    return {name: _wrap(fn) for name, (fn, _sql) in all_queries().items()}
 
 
 def _wrap(fn):
@@ -54,6 +51,6 @@ def _wrap(fn):
 
 
 def oracle_sql() -> dict[str, str]:
-    from flink_cep_task_spark.plans.cep_queries import CEP_QUERIES
+    from flink_cep_task_spark.registry import all_queries
 
-    return {name: sql for name, (_fn, sql) in CEP_QUERIES.items() if sql is not None}
+    return {name: sql for name, (_fn, sql) in all_queries().items() if sql is not None}

@@ -1,0 +1,214 @@
+"""Analytic operators over the events stream table: ranking window
+functions, sessionization, pivot, set operations, as-of join.
+
+These are the "operators the reference does NOT have" (SURVEY.md §2) that a
+user of a streaming rule engine reaches for next; each is expressed as a
+declarative plan with a deterministic cross-engine oracle.
+
+Determinism notes:
+  * every window ORDER BY carries event_id as the final tiebreak,
+  * every window frame is explicit ROWS (Spark's default RANGE frame treats
+    order-key peers differently from DuckDB's ROWS),
+  * timestamps flow as epoch-second BIGINTs (second truncation applied
+    before ordering so both engines sort identically).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from flink_cep_task_spark.sources.tables import load_table
+
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+SESSION_GAP_S = 1800
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return e.withColumn("ts_s", F.col("ts").cast("long"))
+
+
+# --- top-k per group (rank window function) ------------------------------
+
+def topk_users_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 users by total value within each event_type. Aggregation
+    shrinks data before the window sort — the window runs over ~|users×types|
+    rows, not raw events, so the rank is never the scale bottleneck."""
+    e = _events(spark, sf_dir)
+    per_user = e.groupBy("event_type", "user_id").agg(
+        F.round(F.sum(F.col("value").cast("decimal(18,2)")).cast("double"), 2).alias("total_value")
+    )
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("total_value").desc(), F.col("user_id")
+    )
+    return (
+        per_user.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("event_type", "user_id", "total_value", "rnk")
+    )
+
+
+TOPK_SQL = """
+SELECT event_type, user_id, total_value, rnk FROM (
+  SELECT event_type, user_id, total_value,
+         row_number() OVER (PARTITION BY event_type ORDER BY total_value DESC, user_id) AS rnk
+  FROM (
+    SELECT event_type, user_id,
+           round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_value
+    FROM events GROUP BY event_type, user_id
+  )
+) WHERE rnk <= 3
+"""
+
+
+# --- sessionization (gap-based sessions via lag + running sum) -----------
+
+def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap>30min starts a new session. lag + running-sum over a per-user
+    window — the batch equivalent of a streaming session window; partitions
+    by user so it scales horizontally with no global sort."""
+    e = _events(spark, sf_dir)
+    order = [F.col("ts_s"), F.col("event_id")]
+    w = Window.partitionBy("user_id").orderBy(*order)
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    prev = F.lag("ts_s").over(w)
+    is_new = F.when(prev.isNull() | (F.col("ts_s") - prev > SESSION_GAP_S), 1).otherwise(0)
+    return (
+        e.withColumn("new_s", is_new)
+        .withColumn("session_id", F.sum("new_s").over(wrun))
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.max("ts_s") - F.min("ts_s")).alias("duration_s"),
+        )
+    )
+
+
+SESSION_SQL = f"""
+WITH ordered AS (
+  SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s FROM events
+), flagged AS (
+  SELECT user_id, event_id, ts_s,
+    CASE WHEN lag(ts_s) OVER w IS NULL
+           OR ts_s - lag(ts_s) OVER w > {SESSION_GAP_S} THEN 1 ELSE 0 END AS new_s
+  FROM ordered
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts_s, event_id)
+), sessions AS (
+  SELECT user_id, ts_s,
+    CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts_s, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+  FROM flagged
+)
+SELECT user_id, session_id, count(*) AS n_events,
+       max(ts_s) - min(ts_s) AS duration_s
+FROM sessions GROUP BY user_id, session_id
+"""
+
+
+# --- pivot (dynamic columns from data values) ----------------------------
+
+def pivot_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """user × event_type count matrix. Explicit pivot value list keeps the
+    plan static (no driver-side distinct pre-pass) — required practice at
+    scale."""
+    e = _events(spark, sf_dir)
+    out = (
+        e.groupBy("user_id")
+        .pivot("event_type", EVENT_TYPES)
+        .agg(F.count(F.lit(1)))
+    )
+    cols = [F.col("user_id")] + [
+        F.coalesce(F.col(t), F.lit(0)).cast("long").alias(f"n_{t}") for t in EVENT_TYPES
+    ]
+    return out.select(*cols)
+
+
+PIVOT_SQL = """
+SELECT user_id,
+  {cols}
+FROM events GROUP BY user_id
+""".format(
+    cols=",\n  ".join(
+        f"CAST(count(*) FILTER (WHERE event_type = '{t}') AS BIGINT) AS n_{t}"
+        for t in EVENT_TYPES
+    )
+)
+
+
+# --- set operations ------------------------------------------------------
+
+def users_purchase_no_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _events(spark, sf_dir)
+    purchasers = e.filter(F.col("event_type") == "purchase").select("user_id").distinct()
+    errorers = e.filter(F.col("event_type") == "error").select("user_id").distinct()
+    return purchasers.exceptAll(errorers)
+
+
+EXCEPT_SQL = """
+SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+EXCEPT
+SELECT DISTINCT user_id FROM events WHERE event_type = 'error'
+"""
+
+
+def users_purchase_and_signup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _events(spark, sf_dir)
+    a = e.filter(F.col("event_type") == "purchase").select("user_id").distinct()
+    b = e.filter(F.col("event_type") == "signup").select("user_id").distinct()
+    return a.intersect(b)
+
+
+INTERSECT_SQL = """
+SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+INTERSECT
+SELECT DISTINCT user_id FROM events WHERE event_type = 'signup'
+"""
+
+
+# --- as-of join (most recent prior event) --------------------------------
+
+def asof_last_click_before_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For each purchase, the user's most recent click at-or-before it.
+
+    Spark-first as-of join: tag the union stream, carry the last click
+    timestamp forward with last(ignorenulls) over a per-user ordered window
+    — one shuffle on user_id, no range-join blow-up. (The classic
+    alternative, per-row correlated subquery, is O(n²); this is O(n log n)
+    per partition.)"""
+    e = _events(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts_s"), F.col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    click_ts = F.last(
+        F.when(F.col("event_type") == "click", F.col("ts_s")), ignorenulls=True
+    ).over(w)
+    return (
+        e.withColumn("last_click_ts_s", click_ts)
+        .filter(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", "ts_s", "last_click_ts_s")
+    )
+
+
+ASOF_SQL = """
+SELECT event_id, user_id, ts_s, last_click_ts_s FROM (
+  SELECT event_id, user_id, event_type, ts_s,
+    last_value(CASE WHEN event_type = 'click' THEN ts_s END IGNORE NULLS)
+      OVER (PARTITION BY user_id ORDER BY ts_s, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_click_ts_s
+  FROM (SELECT event_id, user_id, event_type,
+               CAST(floor(epoch(ts)) AS BIGINT) AS ts_s FROM events)
+) WHERE event_type = 'purchase'
+"""
+
+
+ANALYTICS_QUERIES: dict[str, tuple] = {
+    "topk_users_per_type": (topk_users_per_type, TOPK_SQL),
+    "sessionize_events": (sessionize, SESSION_SQL),
+    "pivot_event_counts": (pivot_event_counts, PIVOT_SQL),
+    "users_purchase_no_error": (users_purchase_no_error, EXCEPT_SQL),
+    "users_purchase_and_signup": (users_purchase_and_signup, INTERSECT_SQL),
+    "asof_last_click_before_purchase": (asof_last_click_before_purchase, ASOF_SQL),
+}

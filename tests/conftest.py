@@ -52,6 +52,14 @@ def assert_parity(spark_df, ddb_con, oracle_sql: str, float_tol: float = 1e-9) -
     assert list(left.columns) == list(right.columns), (
         f"schema mismatch: spark={list(left.columns)} oracle={list(right.columns)}"
     )
+    # dtype *kind* must agree (int vs float vs object) — a value-identical
+    # result can still hash-mismatch in the driver if one engine returns
+    # int64 and the other float64 (e.g. DuckDB windowed sum → HUGEINT).
+    for col in left.columns:
+        lk, rk = left[col].dtype.kind, right[col].dtype.kind
+        if {lk, rk} <= {"i", "u"}:
+            continue
+        assert lk == rk, f"dtype kind mismatch on {col}: spark={left[col].dtype} oracle={right[col].dtype}"
     assert len(left) == len(right), f"row count mismatch: spark={len(left)} oracle={len(right)}"
     for col in left.columns:
         lv, rv = left[col].tolist(), right[col].tolist()
