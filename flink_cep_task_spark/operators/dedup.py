@@ -1,0 +1,353 @@
+"""Deduplication operators over `documents`: exact, MinHash-LSH, SimHash,
+and exact n-gram Jaccard.
+
+Scale design (the point of each variant):
+  * exact        — one shuffle on the normalized-text key; at 100 TB use the
+                   md5 of the normalized text as the shuffle key so the
+                   exchange moves 16-byte keys, not document bodies.
+  * minhash_lsh  — signatures are 16 min-aggregates over exploded shingles
+                   (single pass); banding turns the quadratic pair search
+                   into an equi-join on (band, signature) — the only join
+                   fan-in is genuinely-colliding buckets.
+  * simhash      — 60-bit signature from 60 sum-aggregates (one pass, no
+                   bit-explode); banding into 6×10-bit chunks makes the
+                   candidate join exact for hamming ≤ 5 (pigeonhole), so no
+                   brute-force pair scan ever runs in Spark.
+  * ngram_jaccard— exact inverted-index join on shared shingles: candidate
+                   pairs are only those sharing ≥1 shingle.
+
+Every hash is the portable md5-60bit (functions/hashing.py), so the DuckDB
+oracles replicate results bit-for-bit. The oracle for simhash intentionally
+uses the O(n²) brute-force pair scan — it validates that Spark's banded
+join loses nothing.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from flink_cep_task_spark.functions.hashing import h64, h64_sql
+from flink_cep_task_spark.operators.text import norm_text, tokens
+
+SHINGLE = 3
+NUM_PERMS = 16
+BANDS = 4          # 4 rows per band
+ROWS_PER_BAND = NUM_PERMS // BANDS
+MINHASH_TAU = 0.5
+JACCARD_TAU = 0.5
+SIMHASH_BITS = 60
+SIMHASH_CHUNKS = 6          # 10-bit chunks ⇒ lossless for hamming ≤ 5
+SIMHASH_MAX_HAMMING = SIMHASH_CHUNKS - 1
+CHUNK_BITS = SIMHASH_BITS // SIMHASH_CHUNKS
+
+
+# --- exact dedup ---------------------------------------------------------
+
+def _norm(c: Column) -> Column:
+    # strip non-alphanumerics, collapse whitespace: near-identical bodies
+    # that differ only in punctuation/spacing collapse together.
+    return F.trim(F.regexp_replace(F.regexp_replace(norm_text(c), r"[^a-z0-9\s]", ""), r"\s+", " "))
+
+
+def dedup_exact(documents: DataFrame) -> DataFrame:
+    """Each doc mapped to the min doc_id sharing its normalized text."""
+    d = documents.select("doc_id", _norm(F.col("text")).alias("norm"))
+    w = Window.partitionBy("norm")
+    return d.select(
+        "doc_id",
+        F.min("doc_id").over(w).alias("canonical_id"),
+        (F.col("doc_id") != F.min("doc_id").over(w)).alias("is_duplicate"),
+    )
+
+
+DEDUP_EXACT_SQL = """
+SELECT doc_id,
+       min(doc_id) OVER (PARTITION BY norm) AS canonical_id,
+       doc_id <> min(doc_id) OVER (PARTITION BY norm) AS is_duplicate
+FROM (SELECT doc_id,
+             trim(regexp_replace(regexp_replace(lower(trim(text)), '[^a-z0-9\\s]', '', 'g'), '\\s+', ' ', 'g')) AS norm
+      FROM documents)
+"""
+
+
+# --- shared shingle extraction ------------------------------------------
+
+def shingles(documents: DataFrame) -> DataFrame:
+    """(doc_id, shingle) — DISTINCT word-3-gram shingles per document."""
+    words = tokens(F.col("text"))
+    grams = F.when(
+        F.size(words) >= SHINGLE,
+        F.transform(
+            F.sequence(F.lit(1), F.size(words) - (SHINGLE - 1)),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(words, i + k) for k in range(SHINGLE)]
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return documents.select(
+        "doc_id", F.explode(F.array_distinct(grams)).alias("shingle")
+    )
+
+
+SHINGLES_CTE = """
+sh AS (
+  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+  FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS w FROM documents),
+       LATERAL (SELECT unnest(generate_series(1, len(w) - 2)) AS i) s
+)
+"""
+
+
+def _pair_jaccard(sh: DataFrame, candidates: DataFrame, tau: float) -> DataFrame:
+    """Exact Jaccard for candidate (doc_a < doc_b) pairs from shingle sets."""
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.withColumnRenamed("doc_id", "doc_a")
+    b = sh.withColumnRenamed("doc_id", "doc_b")
+    inter = (
+        candidates.join(a, "doc_a")
+        .join(b, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb"), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_common").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("n_common")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= tau)
+        .select("doc_a", "doc_b", "n_common", "jaccard")
+    )
+
+
+# --- MinHash + LSH banding ----------------------------------------------
+
+def minhash_signatures(documents: DataFrame) -> DataFrame:
+    """16 minhash values per doc in ONE aggregation pass (no perm explode)."""
+    sh = shingles(documents)
+    aggs = [
+        F.min(h64(F.concat(F.lit(f"{p}:"), F.col("shingle")))).alias(f"mh{p}")
+        for p in range(NUM_PERMS)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def dedup_minhash_lsh(documents: DataFrame) -> DataFrame:
+    """LSH-candidate pairs verified with exact Jaccard ≥ 0.5."""
+    sig = minhash_signatures(documents)
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat_ws(
+                    "_",
+                    *[F.col(f"mh{b * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)],
+                ).alias("sig"),
+            )
+            for b in range(BANDS)
+        ]
+    )
+    banded = sig.select("doc_id", F.explode(band_structs).alias("bs")).select(
+        "doc_id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig")
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    return _pair_jaccard(shingles(documents), cand, MINHASH_TAU)
+
+
+def _minhash_sql() -> str:
+    mh_aggs = ",\n    ".join(
+        "min({h}) AS mh{p}".format(h=h64_sql("'" + str(p) + ":' || shingle"), p=p)
+        for p in range(NUM_PERMS)
+    )
+    band_rows = "\n  UNION ALL\n".join(
+        f"  SELECT doc_id, {b} AS band, "
+        + " || '_' || ".join(
+            f"CAST(mh{b * ROWS_PER_BAND + r} AS VARCHAR)" for r in range(ROWS_PER_BAND)
+        )
+        + " AS sig FROM sig"
+        for b in range(BANDS)
+    )
+    return f"""
+WITH {SHINGLES_CTE.strip()},
+sig AS (
+  SELECT doc_id,
+    {mh_aggs}
+  FROM sh GROUP BY doc_id
+),
+banded AS (
+{band_rows}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS n_common
+  FROM cand c
+  JOIN sh sa ON sa.doc_id = c.doc_a
+  JOIN sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+  GROUP BY c.doc_a, c.doc_b
+)
+SELECT i.doc_a, i.doc_b, CAST(i.n_common AS BIGINT) AS n_common,
+       round(CAST(i.n_common AS DOUBLE) / (za.n + zb.n - i.n_common), 6) AS jaccard
+FROM inter i
+JOIN sizes za ON za.doc_id = i.doc_a
+JOIN sizes zb ON zb.doc_id = i.doc_b
+WHERE round(CAST(i.n_common AS DOUBLE) / (za.n + zb.n - i.n_common), 6) >= {MINHASH_TAU}
+"""
+
+
+# --- exact n-gram Jaccard (inverted index) -------------------------------
+
+def dedup_ngram_jaccard(documents: DataFrame) -> DataFrame:
+    """All pairs with Jaccard ≥ 0.5 — exact, via shared-shingle join."""
+    sh = shingles(documents)
+    a = sh.withColumnRenamed("doc_id", "doc_a")
+    b = sh.withColumnRenamed("doc_id", "doc_b")
+    cand = (
+        a.join(b, ["shingle"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    return _pair_jaccard(sh, cand, JACCARD_TAU)
+
+
+NGRAM_JACCARD_SQL = f"""
+WITH {SHINGLES_CTE.strip()},
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT i.doc_a, i.doc_b, CAST(i.n_common AS BIGINT) AS n_common,
+       round(CAST(i.n_common AS DOUBLE) / (za.n + zb.n - i.n_common), 6) AS jaccard
+FROM inter i
+JOIN sizes za ON za.doc_id = i.doc_a
+JOIN sizes zb ON zb.doc_id = i.doc_b
+WHERE round(CAST(i.n_common AS DOUBLE) / (za.n + zb.n - i.n_common), 6) >= {JACCARD_TAU}
+"""
+
+
+# --- SimHash -------------------------------------------------------------
+
+def simhash_signatures(documents: DataFrame) -> DataFrame:
+    """60-bit simhash per doc: one aggregation with 60 signed-sum columns
+    (term frequency naturally weights repeated tokens)."""
+    toks = documents.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("tok")
+    ).withColumn("th", h64(F.col("tok")))
+    bit_aggs = [
+        F.sum(
+            F.when(F.shiftright(F.col("th"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{i}")
+        for i in range(SIMHASH_BITS)
+    ]
+    per_doc = toks.groupBy("doc_id").agg(*bit_aggs)
+    sim = reduce(
+        lambda acc, i: acc
+        + F.when(F.col(f"b{i}") > 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0).cast("long")),
+        range(SIMHASH_BITS),
+        F.lit(0).cast("long"),
+    )
+    return per_doc.select("doc_id", sim.alias("simhash"))
+
+
+def dedup_simhash(documents: DataFrame) -> DataFrame:
+    """Near-dup pairs with hamming(simhash) ≤ 5 via 6-chunk banded join —
+    exact by pigeonhole (≤5 differing bits can't touch all 6 chunks)."""
+    sig = simhash_signatures(documents)
+    chunk_structs = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("chunk_id"),
+                F.shiftright(F.col("simhash"), j * CHUNK_BITS)
+                .bitwiseAND(F.lit((1 << CHUNK_BITS) - 1))
+                .alias("chunk"),
+            )
+            for j in range(SIMHASH_CHUNKS)
+        ]
+    )
+    chunked = sig.select("doc_id", "simhash", F.explode(chunk_structs).alias("c")).select(
+        "doc_id", "simhash", F.col("c.chunk_id").alias("chunk_id"), F.col("c.chunk").alias("chunk")
+    )
+    a, b = chunked.alias("a"), chunked.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.chunk_id") == F.col("b.chunk_id"))
+            & (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("sim_a"),
+            F.col("b.simhash").alias("sim_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))).cast("int")
+    return (
+        cand.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= SIMHASH_MAX_HAMMING)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+def _simhash_sql() -> str:
+    th = h64_sql("tok")
+    bit_sums = ",\n    ".join(
+        f"sum(CASE WHEN (th >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS b{i}"
+        for i in range(SIMHASH_BITS)
+    )
+    sim_expr = " + ".join(
+        f"CASE WHEN b{i} > 0 THEN CAST(1 AS BIGINT) << {i} ELSE CAST(0 AS BIGINT) END"
+        for i in range(SIMHASH_BITS)
+    )
+    # brute-force O(n²) pair scan: the point of the oracle is to prove the
+    # Spark banded join is lossless.
+    return f"""
+WITH toks AS (
+  SELECT doc_id, {th} AS th
+  FROM (SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS tok
+        FROM documents)
+),
+bits AS (
+  SELECT doc_id,
+    {bit_sums}
+  FROM toks GROUP BY doc_id
+),
+sig AS (SELECT doc_id, {sim_expr} AS simhash FROM bits)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_MAX_HAMMING}
+"""
+
+
+MINHASH_LSH_SQL = _minhash_sql()
+SIMHASH_SQL = _simhash_sql()

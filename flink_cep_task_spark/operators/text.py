@@ -1,0 +1,157 @@
+"""Text-analysis operators over the `documents` table: tokenization stats,
+quality scoring, language-ID heuristic, document fingerprinting.
+
+All hot-path expressions are built-in Catalyst functions (split/transform/
+filter/aggregate higher-order functions) — zero Python UDFs, so the whole
+stage stays in whole-stage codegen and scales linearly with document count.
+Shared normalization/tokenization lives here and is reused by dedup.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from flink_cep_task_spark.functions.hashing import h64
+
+STOPWORDS = ("the", "a")
+
+# deterministic marker vocabularies for the language-ID heuristic; scoring
+# is marker-token counting (the real-world analog is char-n-gram profiles —
+# same plan shape, richer tables).
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "de": ("stream", "window", "gross"),
+    "en": ("the", "a", "fast"),
+    "es": ("batch", "scan", "rapido"),
+    "fr": ("table", "join", "vite"),
+    "zh": ("spark", "row", "kuai"),
+}
+
+
+def norm_text(c: Column) -> Column:
+    """Canonical text form shared by all text/dedup operators."""
+    return F.lower(F.trim(c))
+
+
+def tokens(c: Column) -> Column:
+    return F.split(norm_text(c), r"\s+")
+
+
+def text_stats(documents: DataFrame) -> DataFrame:
+    """Per-document token/char statistics + a deterministic quality score.
+
+    quality = min(1, n_tokens/100) * (1 - stopword_ratio): a stand-in for
+    the usual length/stopword gating used to filter LLM training text.
+    """
+    t = norm_text(F.col("text"))
+    toks = tokens(F.col("text"))
+    n_tokens = F.size(toks)
+    n_stop = F.size(F.filter(toks, lambda x: x.isin(*STOPWORDS)))
+    alpha_len = F.length(F.regexp_replace(t, r"\s", ""))
+    punct_len = F.length(F.regexp_replace(t, r"[a-z0-9\s]", ""))
+    stop_ratio = n_stop.cast("double") / n_tokens
+    quality = F.least(F.lit(1.0), n_tokens.cast("double") / 100.0) * (F.lit(1.0) - stop_ratio)
+    return documents.select(
+        "doc_id",
+        n_tokens.cast("long").alias("n_tokens"),
+        n_stop.cast("long").alias("n_stopwords"),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        F.round(alpha_len.cast("double") / n_tokens, 6).alias("avg_token_len"),
+        F.round(punct_len.cast("double") / F.length(t), 6).alias("punct_ratio"),
+        F.round(quality, 6).alias("quality_score"),
+    )
+
+
+TEXT_STATS_SQL = f"""
+SELECT doc_id,
+  CAST(len(toks) AS BIGINT) AS n_tokens,
+  CAST(len(list_filter(toks, x -> x IN ({", ".join("'" + s + "'" for s in STOPWORDS)}))) AS BIGINT) AS n_stopwords,
+  round(CAST(len(list_filter(toks, x -> x IN ({", ".join("'" + s + "'" for s in STOPWORDS)}))) AS DOUBLE) / len(toks), 6) AS stopword_ratio,
+  round(CAST(length(regexp_replace(t, '\\s', '', 'g')) AS DOUBLE) / len(toks), 6) AS avg_token_len,
+  round(CAST(length(regexp_replace(t, '[a-z0-9\\s]', '', 'g')) AS DOUBLE) / length(t), 6) AS punct_ratio,
+  round(least(1.0, CAST(len(toks) AS DOUBLE) / 100.0)
+        * (1.0 - CAST(len(list_filter(toks, x -> x IN ({", ".join("'" + s + "'" for s in STOPWORDS)}))) AS DOUBLE) / len(toks)), 6) AS quality_score
+FROM (SELECT doc_id, lower(trim(text)) AS t,
+             regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+      FROM documents)
+"""
+
+
+def lang_id(documents: DataFrame) -> DataFrame:
+    """Marker-token language scoring; argmax with alphabetical tie-break."""
+    toks = tokens(F.col("text"))
+
+    def marker_count(markers: tuple[str, ...]):
+        # NB a default-arg lambda (lambda x, m=...) would be mis-read by
+        # PySpark as a two-argument HOF lambda — close over markers instead.
+        return F.size(F.filter(toks, lambda x: x.isin(*markers)))
+
+    scores = {lang: marker_count(markers) for lang, markers in sorted(LANG_MARKERS.items())}
+    best = F.greatest(*scores.values())
+    pred = F.lit(None).cast("string")
+    # first (alphabetical) language reaching the max wins — build the CASE
+    # in reverse so earlier langs take precedence.
+    for lang in sorted(LANG_MARKERS, reverse=True):
+        pred = F.when(scores[lang] == best, F.lit(lang)).otherwise(pred)
+    out = documents.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        pred.alias("pred_lang"),
+        *[scores[lang].cast("long").alias(f"score_{lang}") for lang in sorted(LANG_MARKERS)],
+    )
+    return out
+
+
+def _lang_score_sql(markers: tuple[str, ...]) -> str:
+    inlist = ", ".join(f"'{m}'" for m in markers)
+    return f"len(list_filter(toks, x -> x IN ({inlist})))"
+
+
+LANG_ID_SQL = (
+    "SELECT doc_id, lang AS labeled_lang,\n  CASE "
+    + " ".join(
+        f"WHEN {_lang_score_sql(LANG_MARKERS[lang])} = "
+        + "greatest("
+        + ", ".join(_lang_score_sql(LANG_MARKERS[lg]) for lg in sorted(LANG_MARKERS))
+        + f") THEN '{lang}'"
+        for lang in sorted(LANG_MARKERS)
+    )
+    + " END AS pred_lang,\n  "
+    + ",\n  ".join(
+        f"CAST({_lang_score_sql(LANG_MARKERS[lang])} AS BIGINT) AS score_{lang}"
+        for lang in sorted(LANG_MARKERS)
+    )
+    + "\nFROM (SELECT doc_id, lang, regexp_split_to_array(lower(trim(text)), '\\s+') AS toks FROM documents)"
+)
+
+
+def doc_fingerprint(documents: DataFrame, gram: int = 5) -> DataFrame:
+    """Rolling-hash fingerprint: min 60-bit hash over character n-grams
+    (1-permutation MinHash — the winnowing primitive), plus distinct-gram
+    count. Entirely built-in expressions: substring grid via transform over
+    a sequence."""
+    t = norm_text(F.col("text"))
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length(t) - (gram - 1), F.lit(0))),
+        lambda i: F.substring(t, i, gram),
+    )
+    distinct = F.array_distinct(grams)
+    hashes = F.transform(distinct, h64)
+    return documents.select(
+        "doc_id",
+        F.array_min(hashes).alias("fingerprint"),
+        F.size(distinct).cast("long").alias("n_distinct_grams"),
+    )
+
+
+DOC_FINGERPRINT_SQL = """
+SELECT doc_id,
+  min(CAST(concat('0x', substr(md5(g), 1, 15)) AS BIGINT)) AS fingerprint,
+  CAST(count(DISTINCT g) AS BIGINT) AS n_distinct_grams
+FROM (
+  SELECT doc_id, substr(t, i, 5) AS g
+  FROM (SELECT doc_id, lower(trim(text)) AS t FROM documents),
+       LATERAL (SELECT unnest(generate_series(1, greatest(length(t) - 4, 0))) AS i) s
+)
+GROUP BY doc_id
+"""

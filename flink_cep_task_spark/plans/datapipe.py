@@ -1,0 +1,40 @@
+"""Registry: LLM-data-pipeline queries (dedup / text / similarity /
+multimodal) over documents + embeddings."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from flink_cep_task_spark.operators import dedup as D
+from flink_cep_task_spark.operators import multimodal as M
+from flink_cep_task_spark.operators import similarity as S
+from flink_cep_task_spark.operators import text as T
+from flink_cep_task_spark.sources.tables import load_table
+
+
+def _docs(fn):
+    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return fn(load_table(spark, sf_dir, "documents"))
+
+    return q
+
+
+def _embs(fn):
+    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return fn(load_table(spark, sf_dir, "embeddings"))
+
+    return q
+
+
+DATAPIPE_QUERIES: dict[str, tuple] = {
+    "text_stats": (_docs(T.text_stats), T.TEXT_STATS_SQL),
+    "lang_id": (_docs(T.lang_id), T.LANG_ID_SQL),
+    "doc_fingerprint": (_docs(T.doc_fingerprint), T.DOC_FINGERPRINT_SQL),
+    "dedup_exact": (_docs(D.dedup_exact), D.DEDUP_EXACT_SQL),
+    "dedup_minhash_lsh": (_docs(D.dedup_minhash_lsh), D.MINHASH_LSH_SQL),
+    "dedup_ngram_jaccard": (_docs(D.dedup_ngram_jaccard), D.NGRAM_JACCARD_SQL),
+    "dedup_simhash": (_docs(D.dedup_simhash), D.SIMHASH_SQL),
+    "knn_bruteforce": (_embs(S.knn_bruteforce), S.KNN_SQL),
+    "ann_lsh": (_embs(S.ann_lsh), S.ANN_LSH_SQL),
+    "media_feature_stats": (_docs(M.media_feature_stats), M.MEDIA_FEATURES_SQL),
+}

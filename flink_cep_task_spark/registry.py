@@ -15,10 +15,11 @@ from pyspark.sql import DataFrame, SparkSession
 def all_queries() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]:
     from flink_cep_task_spark.plans.analytics import ANALYTICS_QUERIES
     from flink_cep_task_spark.plans.cep_queries import CEP_QUERIES
+    from flink_cep_task_spark.plans.datapipe import DATAPIPE_QUERIES
     from flink_cep_task_spark.plans.tpch import TPCH_QUERIES
 
     merged: dict[str, tuple] = {}
-    for reg in (CEP_QUERIES, TPCH_QUERIES, ANALYTICS_QUERIES):
+    for reg in (CEP_QUERIES, TPCH_QUERIES, ANALYTICS_QUERIES, DATAPIPE_QUERIES):
         overlap = merged.keys() & reg.keys()
         if overlap:
             raise ValueError(f"duplicate query names: {overlap}")
