@@ -1,0 +1,166 @@
+"""Structured Streaming execution of the CEP rule pipeline.
+
+Replaces the reference's runtime machinery 1:1 (SURVEY.md §3.3):
+
+  socket/file line stream      → spark.readStream (S1)
+  parseMetric map+filter       → sources.jsonline.parse_metric_lines (P1/P2)
+  broadcast rule state         → stream-static broadcast join per micro-batch
+                                 (B1-B3; rule table re-resolved each batch, so
+                                 rule CRUD takes effect at the next trigger —
+                                 the deliberate fix of reference quirk Q6)
+  keyBy + WindowAssigner/state → groupBy(group_id, window(...)) on the state
+                                 store (K1, W0-W5)
+  TriggerCenter timer thread   → event-time watermark (T1-T3; fixes the
+                                 wall-clock firing defect Q4 — windows fire
+                                 when the WATERMARK passes their end, results
+                                 are never silently lost)
+  Window.result + threshold    → agg + HAVING filter (A1-A3)
+  print sink                   → any writeStream sink (O1)
+  restart strategy             → checkpointLocation (R1/R2)
+
+Window sizes are rule data, but Structured Streaming's state-store eviction
+needs literal `window()` durations — so rules are grouped by their
+(window_type, size, slide) spec and each spec group becomes one windowed
+aggregation; the spec streams union into a single append-mode stream.
+Global-window rules (no window end — reference AllWindowAssigner never
+fires, Q5) become a separate UPDATE-mode aggregation that emits per batch.
+
+At scale: each spec group shuffles on (rule_id, group_id, window) — state is
+hash-partitioned across executors; watermark bounds state size; no
+driver-side loops anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flink_cep_task_spark.operators.fanout import fanout_rules
+from flink_cep_task_spark.operators.windows import apply_threshold
+from flink_cep_task_spark.rules import Rule, compact_rules, rules_df
+from flink_cep_task_spark.sources.jsonline import parse_metric_lines
+
+DEFAULT_WATERMARK = "10 minutes"
+
+
+def metrics_stream_from_text(spark: SparkSession, path: str, max_files_per_trigger: int = 1) -> DataFrame:
+    """JSON-lines file stream → Metric rows (dev/test stand-in for the
+    reference's socket 9999; swap for kafka in production)."""
+    lines = (
+        spark.readStream.option("maxFilesPerTrigger", max_files_per_trigger)
+        .text(path)
+    )
+    return parse_metric_lines(lines, value_col="value")
+
+
+def _window_specs(rules: list[Rule]) -> dict[tuple, list[Rule]]:
+    active: dict[int, Rule] = {}
+    for r in sorted(rules, key=lambda r: r.seq):
+        active[r.rule_id] = r
+    groups: dict[tuple, list[Rule]] = {}
+    for r in active.values():
+        if r.rule_state != "ACTIVE":
+            continue
+        key = (r.window_type, r.window_minutes, r.window_slide_minutes)
+        groups.setdefault(key, []).append(r)
+    return groups
+
+
+def _agg_and_gate(grouped, extra_cols: list) -> DataFrame:
+    agg = grouped.agg(
+        F.sum("agg_input").alias("__sum"),
+        F.count("agg_input").alias("__cnt"),
+        F.min("agg_input").alias("__min"),
+        F.max("agg_input").alias("__max"),
+    )
+    value = (
+        F.when(F.col("agg_type") == "SUM", F.col("__sum").cast("double"))
+        .when(F.col("agg_type") == "AVG", F.col("__sum").cast("double") / F.col("__cnt"))
+        .when(F.col("agg_type") == "MIN", F.col("__min").cast("double"))
+        .otherwise(F.col("__max").cast("double"))
+    )
+    gated = apply_threshold(agg.withColumn("agg_value", value))
+    return gated.select(
+        "rule_id",
+        "group_id",
+        *extra_cols,
+        "agg_type",
+        F.round("agg_value", 4).alias("agg_value"),
+    )
+
+
+def build_streaming_cep(
+    metrics: DataFrame,
+    spark: SparkSession,
+    rules: list[Rule],
+    watermark: str = DEFAULT_WATERMARK,
+) -> tuple[DataFrame | None, DataFrame | None]:
+    """(windowed_stream, global_stream) from a streaming Metric DataFrame.
+
+    windowed_stream: append-mode; one row per closed (rule, group, window)
+    passing its threshold, schema identical to the batch engine's output.
+    global_stream: update-mode running aggregates for global-window rules.
+    """
+    compacted = compact_rules(rules_df(spark, rules))
+    wm = metrics.withWatermark("event_time", watermark)
+    fanned = fanout_rules(wm, compacted)
+
+    windowed_parts: list[DataFrame] = []
+    global_part: DataFrame | None = None
+    for (wtype, minutes, slide), specs in _window_specs(rules).items():
+        ids = [r.rule_id for r in specs]
+        part = fanned.filter(F.col("rule_id").isin(ids))
+        if wtype == "global":
+            grouped = part.groupBy("rule_id", "group_id", "agg_type", "limit_op", "limit")
+            g = _agg_and_gate(
+                grouped,
+                [
+                    F.lit(None).cast("long").alias("window_start"),
+                    F.lit(None).cast("long").alias("window_end"),
+                ],
+            )
+            global_part = g if global_part is None else global_part.unionByName(g)
+            continue
+        dur = f"{minutes} minutes"
+        win = (
+            F.window("event_time", dur)
+            if wtype == "tumbling"
+            else F.window("event_time", dur, f"{slide} minutes")
+        )
+        grouped = part.groupBy(
+            "rule_id", "group_id", win.alias("w"), "agg_type", "limit_op", "limit"
+        )
+        windowed_parts.append(
+            _agg_and_gate(
+                grouped,
+                [
+                    F.col("w.start").cast("long").alias("window_start"),
+                    F.col("w.end").cast("long").alias("window_end"),
+                ],
+            )
+        )
+
+    windowed = None
+    if windowed_parts:
+        windowed = windowed_parts[0]
+        for p in windowed_parts[1:]:
+            windowed = windowed.unionByName(p)
+    return windowed, global_part
+
+
+def run_to_memory(
+    stream: DataFrame,
+    name: str,
+    output_mode: str,
+    checkpoint_dir: str,
+) -> None:
+    """Drain a finite stream into an in-memory table (availableNow)."""
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

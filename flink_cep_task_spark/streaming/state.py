@@ -1,0 +1,161 @@
+"""First-event-aligned tumbling windows — reference compat mode (quirk Q3).
+
+The reference's TumblingWindowAssigner aligns each group's windows to that
+group's FIRST-SEEN event timestamp, not to the epoch
+(TumblingWindowAssigner.java:23-46: begin = t - (t - t0) % size, where t0
+is the group's first event). The engine default is epoch alignment (SQL/
+Flink-SQL standard, operators/windows.py); this module provides the compat
+semantics for users migrating window-for-window.
+
+Batch: two-pass dataflow — min(event_time) over the group seeds t0, then
+bucket arithmetic. One extra window-function pass, no extra shuffle beyond
+the group partitioning.
+
+Streaming: applyInPandasWithState keyed by group, state = (t0, open window
+partials); windows emit when the batch's observed max event time passes
+their end (event-time-ish trigger; a production deployment would prefer the
+epoch-aligned default which gets true watermark semantics for free).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+SECONDS_PER_MINUTE = 60
+
+
+def first_event_aligned_tumbling(
+    df: DataFrame,
+    group_cols: list[str],
+    ts_col: str = "event_time",
+    window_minutes: int = 2,
+    value_col: str = "agg_input",
+) -> DataFrame:
+    """Batch compat: per-group tumbling windows aligned to the group's first
+    event (millisecond precision, like the reference).
+
+    Returns (group columns…, window_start_ms, window_end_ms, sum/cnt/min/max)
+    with begin = t0 + floor((t - t0)/size)*size — identical bucketing to
+    TumblingWindowAssigner.createWindowIfNecessary for in-order data, and
+    well-defined (no inverted windows) for events before t0, which the
+    reference mishandles (TumblingWindowAssigner.java:36-38).
+    """
+    size_ms = window_minutes * SECONDS_PER_MINUTE * 1000
+    ts_ms = (F.col(ts_col).cast("double") * 1000).cast("long")
+    w = Window.partitionBy(*group_cols)
+    t0 = F.min(ts_ms).over(w)
+    start = t0 + F.floor((ts_ms - t0) / size_ms) * size_ms
+    return (
+        df.withColumn("window_start_ms", start)
+        .withColumn("window_end_ms", start + size_ms)
+        .groupBy(*group_cols, "window_start_ms", "window_end_ms")
+        .agg(
+            F.sum(value_col).alias("agg_sum"),
+            F.count(value_col).alias("agg_cnt"),
+            F.min(value_col).alias("agg_min"),
+            F.max(value_col).alias("agg_max"),
+        )
+    )
+
+
+STATE_SCHEMA = "t0 LONG, starts ARRAY<LONG>, sums ARRAY<DOUBLE>, cnts ARRAY<LONG>"
+OUTPUT_SCHEMA = (
+    "group_id STRING, window_start_ms LONG, window_end_ms LONG, "
+    "agg_sum DOUBLE, agg_cnt LONG"
+)
+
+
+def streaming_first_event_tumbling(
+    metrics: DataFrame,
+    window_minutes: int,
+    group_col: str = "group_id",
+    ts_col: str = "event_time",
+    value_col: str = "agg_input",
+) -> DataFrame:
+    """Streaming compat: per-group first-event-aligned tumbling SUM/COUNT via
+    applyInPandasWithState.
+
+    State per group: (t0, open windows' starts + partial sums/counts).
+    A window emits once the group observes an event at/after its end — the
+    reference's semantics minus its wall-clock defect (Q4). Trailing windows
+    flush on state timeout when the stream goes idle.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    size_ms = window_minutes * SECONDS_PER_MINUTE * 1000
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            t0, starts, sums, cnts = state.get
+            state.remove()
+            if starts:
+                yield pd.DataFrame(
+                    {
+                        "group_id": [key[0]] * len(starts),
+                        "window_start_ms": starts,
+                        "window_end_ms": [s + size_ms for s in starts],
+                        "agg_sum": sums,
+                        "agg_cnt": cnts,
+                    }
+                )
+            return
+
+        if state.exists:
+            t0, starts, sums, cnts = state.get
+            open_w = dict(zip(starts, zip(sums, cnts)))
+        else:
+            t0, open_w = None, {}
+
+        max_ts = None
+        for pdf in pdfs:
+            ts_ms = (pdf[ts_col].astype("int64") // 1_000_000).to_numpy()
+            vals = pdf[value_col].astype("float64").to_numpy()
+            for t, v in sorted(zip(ts_ms.tolist(), vals.tolist())):
+                if t0 is None:
+                    t0 = t
+                start = t0 + ((t - t0) // size_ms) * size_ms
+                s, c = open_w.get(start, (0.0, 0))
+                open_w[start] = (s + v, c + 1)
+                max_ts = t if max_ts is None else max(max_ts, t)
+
+        closed: dict[int, tuple[float, int]] = {}
+        if max_ts is not None:
+            for s in list(open_w):
+                if s + size_ms <= max_ts:
+                    closed[s] = open_w.pop(s)
+        state.update(
+            (
+                t0,
+                list(open_w.keys()),
+                [v[0] for v in open_w.values()],
+                [v[1] for v in open_w.values()],
+            )
+        )
+        state.setTimeoutDuration(60_000)
+        if closed:
+            starts_out = sorted(closed)
+            yield pd.DataFrame(
+                {
+                    "group_id": [key[0]] * len(starts_out),
+                    "window_start_ms": starts_out,
+                    "window_end_ms": [s + size_ms for s in starts_out],
+                    "agg_sum": [closed[s][0] for s in starts_out],
+                    "agg_cnt": [closed[s][1] for s in starts_out],
+                }
+            )
+
+    return metrics.groupBy(group_col).applyInPandasWithState(
+        update,
+        outputStructType=OUTPUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )

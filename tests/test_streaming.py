@@ -1,0 +1,179 @@
+"""Streaming e2e: the Structured Streaming CEP pipeline must produce the
+same results as the batch engine, rule updates must take effect across
+restarts (compaction), and the stateful compat operator must work."""
+
+from __future__ import annotations
+
+import json
+import uuid
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from flink_cep_task_spark.plans.cep import evaluate_rules
+from flink_cep_task_spark.rules import Rule
+from flink_cep_task_spark.sources.jsonline import parse_metric_lines
+from flink_cep_task_spark.streaming.pipeline import (
+    build_streaming_cep,
+    metrics_stream_from_text,
+    run_to_memory,
+)
+
+FLUSH_TAG = "zzz_flush"
+
+
+def _write_chunks(tmp_path, events: list[dict], n_chunks: int = 4) -> str:
+    """Write events as ordered JSON-lines chunk files + two watermark-pusher
+    files (append-mode windows only emit once the watermark passes them, and
+    the watermark advances at micro-batch boundaries — so the pusher needs
+    its own trailing batches)."""
+    src = tmp_path / f"stream-{uuid.uuid4().hex[:8]}"
+    src.mkdir()
+    chunk = max(1, len(events) // n_chunks)
+    max_t = max(e["eventTime"] for e in events)
+    for i in range(0, len(events), chunk):
+        (src / f"{i:08d}.json").write_text(
+            "\n".join(json.dumps(e) for e in events[i : i + chunk])
+        )
+    for j, off in enumerate([86_400_000, 86_500_000]):
+        (src / f"zz_flush_{j}.json").write_text(
+            json.dumps({"eventTime": max_t + off, "t_g": FLUSH_TAG, "m": 0})
+        )
+    return str(src)
+
+
+def _events(n=200, step_s=30, base_ms=1_700_000_000_000) -> list[dict]:
+    return [
+        {
+            "eventTime": base_ms + i * step_s * 1000,
+            "t_g": f"g{i % 3}",
+            "m": (i * 7) % 50,
+        }
+        for i in range(n)
+    ]
+
+
+RULES = [
+    Rule(rule_id=1, window_type="tumbling", window_minutes=5,
+         grouping_keys=("t_g",), agg_type="SUM", agg_field="m",
+         limit_op=">", limit="50"),
+    Rule(rule_id=2, window_type="sliding", window_minutes=10,
+         window_slide_minutes=5, grouping_keys=("t_g",), agg_type="AVG",
+         agg_field="m", limit_op=">", limit="20"),
+]
+
+
+def test_streaming_matches_batch(spark, tmp_path):
+    """Append-mode streaming output == batch engine output on the same data
+    (excluding the watermark-pusher group)."""
+    events = _events()
+    src = _write_chunks(tmp_path, events)
+    metrics = metrics_stream_from_text(spark, src, max_files_per_trigger=1)
+    windowed, global_s = build_streaming_cep(metrics, spark, RULES, watermark="1 minute")
+    assert global_s is None
+    name = f"out_{uuid.uuid4().hex[:8]}"
+    run_to_memory(windowed, name, "append", str(tmp_path / "ckpt"))
+    got = (
+        spark.table(name)
+        .filter(~F.col("group_id").contains(FLUSH_TAG))
+        .collect()
+    )
+
+    batch_metrics = parse_metric_lines(
+        spark.createDataFrame([(json.dumps(e),) for e in events], ["value"])
+    )
+    expected = evaluate_rules(spark, batch_metrics, RULES).collect()
+
+    key = lambda r: (r.rule_id, r.group_id, r.window_start, r.window_end, r.agg_type, r.agg_value)
+    assert sorted(map(key, got)) == sorted(map(key, expected))
+    assert len(got) > 0
+
+
+def test_streaming_global_update_mode(spark, tmp_path):
+    """Global-window rules emit running aggregates in update mode (fixes
+    reference quirk Q5 — AllWindowAssigner windows never fire)."""
+    g_rule = Rule(rule_id=3, window_type="global", grouping_keys=("t_g",),
+                  agg_type="MAX", agg_field="m", limit_op=">=", limit="0")
+    events = _events(60)
+    src = _write_chunks(tmp_path, events, n_chunks=2)
+    metrics = metrics_stream_from_text(spark, src, max_files_per_trigger=1)
+    windowed, global_s = build_streaming_cep(metrics, spark, [g_rule], watermark="1 minute")
+    assert windowed is None
+    name = f"glob_{uuid.uuid4().hex[:8]}"
+    run_to_memory(global_s, name, "update", str(tmp_path / "ckpt_g"))
+    # keep the LAST update per group: final state must equal the batch result
+    final = {
+        r.group_id: r.agg_value
+        for r in spark.table(name).collect()  # updates arrive in batch order;
+        # later rows overwrite earlier in this dict
+        if not r.group_id.endswith(FLUSH_TAG)
+    }
+    batch_metrics = parse_metric_lines(
+        spark.createDataFrame([(json.dumps(e),) for e in events], ["value"])
+    )
+    expected = {
+        r.group_id: r.agg_value
+        for r in evaluate_rules(spark, batch_metrics, [g_rule]).collect()
+    }
+    assert final == expected
+
+
+def test_rule_update_across_restart(spark, tmp_path):
+    """Reference quirk Q6 fix: a rule upsert (higher seq) changes behavior at
+    the next run over the same source — the per-batch rule re-join always
+    uses the compacted latest rule set."""
+    events = _events(60)
+    src = _write_chunks(tmp_path, events, n_chunks=2)
+    loose = [RULES[0]]
+    strict = [RULES[0], Rule(rule_id=1, window_type="tumbling", window_minutes=5,
+                             grouping_keys=("t_g",), agg_type="SUM", agg_field="m",
+                             limit_op=">", limit="10000", seq=5)]
+    out_loose = f"r1_{uuid.uuid4().hex[:8]}"
+    out_strict = f"r2_{uuid.uuid4().hex[:8]}"
+    m1 = metrics_stream_from_text(spark, src)
+    w1, _ = build_streaming_cep(m1, spark, loose, watermark="1 minute")
+    run_to_memory(w1, out_loose, "append", str(tmp_path / "c1"))
+    m2 = metrics_stream_from_text(spark, src)
+    w2, _ = build_streaming_cep(m2, spark, strict, watermark="1 minute")
+    run_to_memory(w2, out_strict, "append", str(tmp_path / "c2"))
+    n_loose = spark.table(out_loose).filter(~F.col("group_id").contains(FLUSH_TAG)).count()
+    n_strict = spark.table(out_strict).filter(~F.col("group_id").contains(FLUSH_TAG)).count()
+    assert n_loose > 0
+    assert n_strict == 0  # compacted seq=5 limit of 10000 suppresses everything
+
+
+def test_streaming_first_event_tumbling_state(spark, tmp_path):
+    """applyInPandasWithState compat operator: first-event-aligned windows
+    close as later events arrive (reference Q3 semantics, watermark-free)."""
+    from flink_cep_task_spark.streaming.state import streaming_first_event_tumbling
+
+    base = 1_700_000_000_500  # deliberately NOT minute-aligned
+    events = [
+        {"eventTime": base, "t_g": "x", "m": 5},
+        {"eventTime": base + 10_000, "t_g": "x", "m": 7},
+        {"eventTime": base + 125_000, "t_g": "x", "m": 1},  # closes window 1 (2min)
+        {"eventTime": base + 300_000, "t_g": "x", "m": 2},  # closes window 2
+    ]
+    src = tmp_path / "state-src"
+    src.mkdir()
+    for i, e in enumerate(events):
+        (src / f"{i:04d}.json").write_text(json.dumps(e))
+    lines = spark.readStream.option("maxFilesPerTrigger", 1).text(str(src))
+    metrics = parse_metric_lines(lines).select(
+        "event_time",
+        F.element_at("tags", "t_g").alias("group_id"),
+        F.element_at("metrics", "m").cast("double").alias("agg_input"),
+    )
+    out = streaming_first_event_tumbling(metrics, window_minutes=2)
+    name = f"st_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.format("memory").queryName(name).outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_state"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    rows = {r.window_start_ms: r for r in spark.table(name).collect()}
+    assert base in rows, f"first window missing: {list(rows)}"
+    assert rows[base].window_end_ms == base + 120_000
+    assert rows[base].agg_sum == 12.0 and rows[base].agg_cnt == 2
