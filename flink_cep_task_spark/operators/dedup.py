@@ -13,8 +13,10 @@ Scale design (the point of each variant):
                    bit-explode); banding into 6×10-bit chunks makes the
                    candidate join exact for hamming ≤ 5 (pigeonhole), so no
                    brute-force pair scan ever runs in Spark.
-  * ngram_jaccard— exact inverted-index join on shared shingles: candidate
-                   pairs are only those sharing ≥1 shingle.
+  * ngram_jaccard— inverted-index join on shared shingles with a
+                   document-frequency cap: candidates must share ≥1 RARE
+                   shingle (df ≤ cap), killing the k² pair blow-up of hot
+                   boilerplate shingles; Jaccard verify stays exact.
 
 Every hash is the portable md5-60bit (functions/hashing.py), so the DuckDB
 oracles replicate results bit-for-bit. The oracle for simhash intentionally
@@ -54,9 +56,13 @@ def _norm(c: Column) -> Column:
 
 
 def dedup_exact(documents: DataFrame) -> DataFrame:
-    """Each doc mapped to the min doc_id sharing its normalized text."""
-    d = documents.select("doc_id", _norm(F.col("text")).alias("norm"))
-    w = Window.partitionBy("norm")
+    """Each doc mapped to the min doc_id sharing its normalized text.
+
+    The shuffle key is md5(normalized text) — a fixed 32-byte key — so the
+    exchange moves hashes, not document bodies (the 100 TB-safe form; md5
+    collisions are negligible at any realistic corpus size)."""
+    d = documents.select("doc_id", F.md5(_norm(F.col("text"))).alias("k"))
+    w = Window.partitionBy("k")
     return d.select(
         "doc_id",
         F.min("doc_id").over(w).alias("canonical_id"),
@@ -66,10 +72,10 @@ def dedup_exact(documents: DataFrame) -> DataFrame:
 
 DEDUP_EXACT_SQL = """
 SELECT doc_id,
-       min(doc_id) OVER (PARTITION BY norm) AS canonical_id,
-       doc_id <> min(doc_id) OVER (PARTITION BY norm) AS is_duplicate
+       min(doc_id) OVER (PARTITION BY k) AS canonical_id,
+       doc_id <> min(doc_id) OVER (PARTITION BY k) AS is_duplicate
 FROM (SELECT doc_id,
-             trim(regexp_replace(regexp_replace(lower(trim(text)), '[^a-z0-9\\s]', '', 'g'), '\\s+', ' ', 'g')) AS norm
+             md5(trim(regexp_replace(regexp_replace(lower(trim(text)), '[^a-z0-9\\s]', '', 'g'), '\\s+', ' ', 'g'))) AS k
       FROM documents)
 """
 
@@ -133,7 +139,10 @@ def _pair_jaccard(sh: DataFrame, candidates: DataFrame, tau: float) -> DataFrame
 
 def minhash_signatures(documents: DataFrame) -> DataFrame:
     """16 minhash values per doc in ONE aggregation pass (no perm explode)."""
-    sh = shingles(documents)
+    return _minhash_from_shingles(shingles(documents))
+
+
+def _minhash_from_shingles(sh: DataFrame) -> DataFrame:
     aggs = [
         F.min(h64(F.concat(F.lit(f"{p}:"), F.col("shingle")))).alias(f"mh{p}")
         for p in range(NUM_PERMS)
@@ -142,8 +151,13 @@ def minhash_signatures(documents: DataFrame) -> DataFrame:
 
 
 def dedup_minhash_lsh(documents: DataFrame) -> DataFrame:
-    """LSH-candidate pairs verified with exact Jaccard ≥ 0.5."""
-    sig = minhash_signatures(documents)
+    """LSH-candidate pairs verified with exact Jaccard ≥ 0.5.
+
+    The shingle DataFrame is computed once and persisted — it feeds both the
+    signature aggregation and the exact-Jaccard verification, and the
+    explode+distinct it contains is the expensive part of the plan."""
+    sh = shingles(documents).persist()
+    sig = _minhash_from_shingles(sh)
     band_structs = F.array(
         *[
             F.struct(
@@ -171,7 +185,7 @@ def dedup_minhash_lsh(documents: DataFrame) -> DataFrame:
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    return _pair_jaccard(shingles(documents), cand, MINHASH_TAU)
+    return _pair_jaccard(sh, cand, MINHASH_TAU)
 
 
 def _minhash_sql() -> str:
@@ -221,11 +235,30 @@ WHERE round(CAST(i.n_common AS DOUBLE) / (za.n + zb.n - i.n_common), 6) >= {MINH
 
 # --- exact n-gram Jaccard (inverted index) -------------------------------
 
+NGRAM_DF_CAP = 64  # shingles shared by more docs than this generate no candidates
+
+
 def dedup_ngram_jaccard(documents: DataFrame) -> DataFrame:
-    """All pairs with Jaccard ≥ 0.5 — exact, via shared-shingle join."""
-    sh = shingles(documents)
-    a = sh.withColumnRenamed("doc_id", "doc_a")
-    b = sh.withColumnRenamed("doc_id", "doc_b")
+    """All candidate pairs with Jaccard ≥ 0.5 via shared-shingle inverted
+    index, with a document-frequency cap on candidate-generating shingles.
+
+    A shingle appearing in k documents contributes k² candidate pairs; hot
+    boilerplate shingles are quadratic scale-killers while carrying no
+    discriminative signal (any pair at Jaccard ≥ 0.5 shares many rare
+    shingles too). Shingles with df > NGRAM_DF_CAP are excluded from
+    candidate GENERATION only — the Jaccard verification still uses the full
+    shingle sets, so reported similarity values are exact. This is the
+    standard prefix-filter/stop-shingle pruning for set-similarity joins."""
+    sh = shingles(documents).persist()
+    rare = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("__df"))
+        .filter(F.col("__df") <= NGRAM_DF_CAP)
+        .select("shingle")
+    )
+    capped = sh.join(rare, "shingle")
+    a = capped.withColumnRenamed("doc_id", "doc_a")
+    b = capped.withColumnRenamed("doc_id", "doc_b")
     cand = (
         a.join(b, ["shingle"])
         .filter(F.col("doc_a") < F.col("doc_b"))
@@ -237,11 +270,19 @@ def dedup_ngram_jaccard(documents: DataFrame) -> DataFrame:
 
 NGRAM_JACCARD_SQL = f"""
 WITH {SHINGLES_CTE.strip()},
+rare AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= {NGRAM_DF_CAP}),
+capped AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN rare USING (shingle)),
 sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM capped a JOIN capped b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+),
 inter AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
-  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-  GROUP BY a.doc_id, b.doc_id
+  SELECT c.doc_a, c.doc_b, count(*) AS n_common
+  FROM cand c
+  JOIN sh sa ON sa.doc_id = c.doc_a
+  JOIN sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+  GROUP BY c.doc_a, c.doc_b
 )
 SELECT i.doc_a, i.doc_b, CAST(i.n_common AS BIGINT) AS n_common,
        round(CAST(i.n_common AS DOUBLE) / (za.n + zb.n - i.n_common), 6) AS jaccard

@@ -53,14 +53,20 @@ def fanout_rules(metrics: DataFrame, rules: DataFrame) -> DataFrame:
     )
     fanned = metrics.join(F.broadcast(r), on=contains, how="inner")
     # group id `ruleId_v1_v2…` (PartitionEngine.java:72-81). Tag values are
-    # non-null post-containment-filter.
-    group_id = F.concat_ws(
-        "_",
-        F.col("rule_id").cast("string"),
-        F.array_join(
-            F.transform(F.col("grouping_keys"), lambda k: F.element_at(F.col("tags"), k)),
+    # non-null post-containment-filter. A rule with NO grouping keys gets
+    # the bare ruleId (the reference's StringBuilder never appends), not a
+    # trailing underscore — kept in lockstep with oracle.py.
+    group_id = F.when(
+        F.size("grouping_keys") == 0, F.col("rule_id").cast("string")
+    ).otherwise(
+        F.concat_ws(
             "_",
-        ),
+            F.col("rule_id").cast("string"),
+            F.array_join(
+                F.transform(F.col("grouping_keys"), lambda k: F.element_at(F.col("tags"), k)),
+                "_",
+            ),
+        )
     )
     # the measure this rule aggregates; missing measure → null, which SQL
     # aggregation ignores (deliberate fix of reference quirk Q1 where a

@@ -131,16 +131,24 @@ def doc_fingerprint(documents: DataFrame, gram: int = 5) -> DataFrame:
     count. Entirely built-in expressions: substring grid via transform over
     a sequence."""
     t = norm_text(F.col("text"))
-    grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.length(t) - (gram - 1), F.lit(0))),
-        lambda i: F.substring(t, i, gram),
+    # guard texts shorter than the gram size: sequence(1, 0) would default
+    # to step -1 and yield [1, 0] (a phantom gram), while the oracle's
+    # generate_series(1, 0) is empty — emit no grams, and drop the doc like
+    # the oracle's LATERAL unnest does.
+    grams = F.when(
+        F.length(t) >= gram,
+        F.transform(
+            F.sequence(F.lit(1), F.length(t) - (gram - 1)),
+            lambda i: F.substring(t, i, gram),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    d = documents.select("doc_id", F.array_distinct(grams).alias("__g")).filter(
+        F.size("__g") > 0
     )
-    distinct = F.array_distinct(grams)
-    hashes = F.transform(distinct, h64)
-    return documents.select(
+    return d.select(
         "doc_id",
-        F.array_min(hashes).alias("fingerprint"),
-        F.size(distinct).cast("long").alias("n_distinct_grams"),
+        F.array_min(F.transform(F.col("__g"), h64)).alias("fingerprint"),
+        F.size("__g").cast("long").alias("n_distinct_grams"),
     )
 
 

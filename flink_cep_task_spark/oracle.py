@@ -50,8 +50,13 @@ def _value_sql(r: Rule) -> str:
 
 
 def _rule_sql(r: Rule, events: str = "events") -> str:
-    gexpr = " || '_' || ".join(TAG_SQL[k] for k in r.grouping_keys)
-    group_id = f"concat('{r.rule_id}_', {gexpr})"
+    # no grouping keys ⇒ bare ruleId group (reference PartitionEngine.java:
+    # 72-81 appends nothing; mirror of fanout.py group_id).
+    if r.grouping_keys:
+        gexpr = " || '_' || ".join(TAG_SQL[k] for k in r.grouping_keys)
+        group_id = f"concat('{r.rule_id}_', {gexpr})"
+    else:
+        group_id = f"'{r.rule_id}'"
     val = _value_sql(r)
     having = f"{val} {r.limit_op} CAST('{r.limit}' AS DOUBLE)"
     head = (

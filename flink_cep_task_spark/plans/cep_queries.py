@@ -43,6 +43,15 @@ R_MULTIKEY_SUM = Rule(
     limit_op=">", limit="100",
 )
 
+R_UNGROUPED_AVG = Rule(
+    # no grouping keys: every event lands in ONE group whose id is the bare
+    # ruleId (PartitionEngine.java:72-81 appends nothing when the key list
+    # is empty; Rule.from_wire defaults groupingKeyNames to empty).
+    rule_id=6, window_type="tumbling", window_minutes=2880,
+    grouping_keys=(), agg_type="AVG", agg_field="value",
+    limit_op=">", limit="50",
+)
+
 ALL_RULES = [R_TUMBLING_SUM, R_SLIDING_AVG, R_GLOBAL_MAX, R_TUMBLING_MIN, R_MULTIKEY_SUM]
 
 # lifecycle changelog (B2): rule 10 is upserted twice (last wins), rule 11
@@ -95,4 +104,5 @@ CEP_QUERIES: dict[str, tuple] = {
     "cep_multi_rule": (_rule_query(ALL_RULES), cep_oracle_sql(ALL_RULES)),
     "cep_rule_lifecycle": (_rule_query(LIFECYCLE_CHANGELOG), cep_oracle_sql(LIFECYCLE_CHANGELOG)),
     "cep_jsonline_roundtrip": (q_jsonline_roundtrip, cep_oracle_sql([R_TUMBLING_SUM])),
+    "cep_ungrouped_agg": (_rule_query([R_UNGROUPED_AVG]), cep_oracle_sql([R_UNGROUPED_AVG])),
 }

@@ -34,8 +34,12 @@ def parse_metric_lines(lines: DataFrame, value_col: str = "value") -> DataFrame:
     (PERMISSIVE from_json yields null maps → filtered), matching the
     reference's parse-error→null→filter pipeline (CEPTaskRunner.java:33-34).
     """
-    raw = F.col(value_col)
-    as_map = F.from_json(raw, "map<string,string>")
+    # Materialize the parsed map ONCE in its own projection: downstream
+    # expressions reference the column, not four copies of from_json —
+    # guaranteeing a single parse per row instead of leaning on Catalyst
+    # subexpression elimination.
+    parsed = lines.select(F.from_json(F.col(value_col), "map<string,string>").alias("__m"))
+    as_map = F.col("__m")
     tags = F.map_filter(as_map, lambda k, _: k.startswith(TAG_PREFIX))
     # try_cast everywhere: under ANSI SQL (Spark 4 default) a plain cast
     # THROWS on malformed input; the reference's contract is bad-value →
@@ -51,7 +55,7 @@ def parse_metric_lines(lines: DataFrame, value_col: str = "value") -> DataFrame:
         F.try_element_at(as_map, F.lit(EVENT_TIME_KEY)).try_cast("long")
     )
     return (
-        lines.select(
+        parsed.select(
             event_time.alias("event_time"),
             tags.alias("tags"),
             metrics.alias("metrics"),
