@@ -148,11 +148,26 @@ def build_streaming_cep(
     return windowed, global_part
 
 
+def await_stream(query, timeout_s: float = 180.0) -> None:
+    """awaitTermination with a hard deadline: a query that does not reach a
+    terminal state in time is STOPPED and the wait raises, so a regression
+    that re-introduces a non-terminating stream fails fast instead of
+    hanging the suite."""
+    if not query.awaitTermination(timeout_s):
+        query.stop()
+        raise TimeoutError(
+            f"streaming query {query.name!r} still running after {timeout_s}s"
+        )
+    # surface any exception the query died with
+    query.awaitTermination()
+
+
 def run_to_memory(
     stream: DataFrame,
     name: str,
     output_mode: str,
     checkpoint_dir: str,
+    timeout_s: float = 180.0,
 ) -> None:
     """Drain a finite stream into an in-memory table (availableNow)."""
     q = (
@@ -163,4 +178,4 @@ def run_to_memory(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination()
+    await_stream(q, timeout_s)

@@ -77,35 +77,62 @@ def streaming_first_event_tumbling(
     group_col: str = "group_id",
     ts_col: str = "event_time",
     value_col: str = "agg_input",
+    watermark: str = "10 minutes",
 ) -> DataFrame:
     """Streaming compat: per-group first-event-aligned tumbling SUM/COUNT via
     applyInPandasWithState.
 
     State per group: (t0, open windows' starts + partial sums/counts).
-    A window emits once the group observes an event at/after its end — the
-    reference's semantics minus its wall-clock defect (Q4). Trailing windows
-    flush on state timeout when the stream goes idle.
+    A window emits when the group observes an event at/after its end (the
+    reference's data-driven close, minus its wall-clock defect Q4), or when
+    the event-time WATERMARK passes its end (EventTimeTimeout) — so idle
+    groups flush without spinning empty micro-batches. A processing-time
+    timeout here would never reach a terminal state under
+    trigger(availableNow): every invocation re-arms a wall-clock timer and
+    the query spins forever waiting on it. Event-time timeouts advance only
+    with data, so a drained source means a terminal query.
     """
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     size_ms = window_minutes * SECONDS_PER_MINUTE * 1000
 
+    def emit(key: tuple, closed: dict[int, tuple[float, int]]) -> pd.DataFrame:
+        starts_out = sorted(closed)
+        return pd.DataFrame(
+            {
+                "group_id": [key[0]] * len(starts_out),
+                "window_start_ms": starts_out,
+                "window_end_ms": [s + size_ms for s in starts_out],
+                "agg_sum": [closed[s][0] for s in starts_out],
+                "agg_cnt": [closed[s][1] for s in starts_out],
+            }
+        )
+
+    def save(state: GroupState, t0, open_w: dict, wm: int) -> None:
+        state.update(
+            (
+                t0,
+                list(open_w.keys()),
+                [v[0] for v in open_w.values()],
+                [v[1] for v in open_w.values()],
+            )
+        )
+        if open_w:
+            # flush the earliest open window when the watermark passes its
+            # end; timestamps must be strictly later than the watermark.
+            state.setTimeoutTimestamp(max(min(open_w) + size_ms, wm + 1))
+
     def update(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
+        wm = state.getCurrentWatermarkMs()
         if state.hasTimedOut:
             t0, starts, sums, cnts = state.get
-            state.remove()
-            if starts:
-                yield pd.DataFrame(
-                    {
-                        "group_id": [key[0]] * len(starts),
-                        "window_start_ms": starts,
-                        "window_end_ms": [s + size_ms for s in starts],
-                        "agg_sum": sums,
-                        "agg_cnt": cnts,
-                    }
-                )
+            open_w = dict(zip(starts, zip(sums, cnts)))
+            closed = {s: open_w.pop(s) for s in list(open_w) if s + size_ms <= wm}
+            save(state, t0, open_w, wm)  # t0 persists: alignment is forever
+            if closed:
+                yield emit(key, closed)
             return
 
         if state.exists:
@@ -126,36 +153,19 @@ def streaming_first_event_tumbling(
                 open_w[start] = (s + v, c + 1)
                 max_ts = t if max_ts is None else max(max_ts, t)
 
-        closed: dict[int, tuple[float, int]] = {}
-        if max_ts is not None:
-            for s in list(open_w):
-                if s + size_ms <= max_ts:
-                    closed[s] = open_w.pop(s)
-        state.update(
-            (
-                t0,
-                list(open_w.keys()),
-                [v[0] for v in open_w.values()],
-                [v[1] for v in open_w.values()],
-            )
-        )
-        state.setTimeoutDuration(60_000)
+        # close on data (a later event proves the window's span is over) OR
+        # on watermark (late events below it are dropped upstream anyway).
+        horizon = wm if max_ts is None else max(max_ts, wm)
+        closed = {s: open_w.pop(s) for s in list(open_w) if s + size_ms <= horizon}
+        save(state, t0, open_w, wm)
         if closed:
-            starts_out = sorted(closed)
-            yield pd.DataFrame(
-                {
-                    "group_id": [key[0]] * len(starts_out),
-                    "window_start_ms": starts_out,
-                    "window_end_ms": [s + size_ms for s in starts_out],
-                    "agg_sum": [closed[s][0] for s in starts_out],
-                    "agg_cnt": [closed[s][1] for s in starts_out],
-                }
-            )
+            yield emit(key, closed)
 
-    return metrics.groupBy(group_col).applyInPandasWithState(
+    wm_stream = metrics.withWatermark(ts_col, watermark)
+    return wm_stream.groupBy(group_col).applyInPandasWithState(
         update,
         outputStructType=OUTPUT_SCHEMA,
         stateStructType=STATE_SCHEMA,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )

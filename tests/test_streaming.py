@@ -5,6 +5,8 @@ restarts (compaction), and the stateful compat operator must work."""
 from __future__ import annotations
 
 import json
+import os
+import time
 import uuid
 
 import pytest
@@ -15,6 +17,7 @@ from flink_cep_task_spark.plans.cep import evaluate_rules
 from flink_cep_task_spark.rules import Rule
 from flink_cep_task_spark.sources.jsonline import parse_metric_lines
 from flink_cep_task_spark.streaming.pipeline import (
+    await_stream,
     build_streaming_cep,
     metrics_stream_from_text,
     run_to_memory,
@@ -27,19 +30,28 @@ def _write_chunks(tmp_path, events: list[dict], n_chunks: int = 4) -> str:
     """Write events as ordered JSON-lines chunk files + two watermark-pusher
     files (append-mode windows only emit once the watermark passes them, and
     the watermark advances at micro-batch boundaries — so the pusher needs
-    its own trailing batches)."""
+    its own trailing batches).
+
+    Spark's file source orders files by MODIFICATION TIME, not name — files
+    written within the same mtime tick can arrive out of order and be
+    dropped as late by the watermark. Stamp strictly increasing mtimes so
+    arrival order is deterministic."""
     src = tmp_path / f"stream-{uuid.uuid4().hex[:8]}"
     src.mkdir()
     chunk = max(1, len(events) // n_chunks)
     max_t = max(e["eventTime"] for e in events)
+    paths = []
     for i in range(0, len(events), chunk):
-        (src / f"{i:08d}.json").write_text(
-            "\n".join(json.dumps(e) for e in events[i : i + chunk])
-        )
+        p = src / f"{i:08d}.json"
+        p.write_text("\n".join(json.dumps(e) for e in events[i : i + chunk]))
+        paths.append(p)
     for j, off in enumerate([86_400_000, 86_500_000]):
-        (src / f"zz_flush_{j}.json").write_text(
-            json.dumps({"eventTime": max_t + off, "t_g": FLUSH_TAG, "m": 0})
-        )
+        p = src / f"zz_flush_{j}.json"
+        p.write_text(json.dumps({"eventTime": max_t + off, "t_g": FLUSH_TAG, "m": 0}))
+        paths.append(p)
+    base = time.time() - len(paths) - 10
+    for k, p in enumerate(paths):
+        os.utime(p, (base + k, base + k))
     return str(src)
 
 
@@ -157,8 +169,11 @@ def test_streaming_first_event_tumbling_state(spark, tmp_path):
     ]
     src = tmp_path / "state-src"
     src.mkdir()
+    t_base = time.time() - 60
     for i, e in enumerate(events):
-        (src / f"{i:04d}.json").write_text(json.dumps(e))
+        p = src / f"{i:04d}.json"
+        p.write_text(json.dumps(e))
+        os.utime(p, (t_base + i, t_base + i))
     lines = spark.readStream.option("maxFilesPerTrigger", 1).text(str(src))
     metrics = parse_metric_lines(lines).select(
         "event_time",
@@ -172,7 +187,7 @@ def test_streaming_first_event_tumbling_state(spark, tmp_path):
         .option("checkpointLocation", str(tmp_path / "ckpt_state"))
         .trigger(availableNow=True).start()
     )
-    q.awaitTermination()
+    await_stream(q, 120)
     rows = {r.window_start_ms: r for r in spark.table(name).collect()}
     assert base in rows, f"first window missing: {list(rows)}"
     assert rows[base].window_end_ms == base + 120_000
