@@ -82,6 +82,88 @@ def _rule_query(rules: list[Rule]):
     return q
 
 
+def q_live_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING parity query: the events table is replayed as a JSON-line
+    file stream through the LIVE rule engine (per-micro-batch rule refresh +
+    dynamic-window stateful operator, streaming/live.py), drained with
+    availableNow, and the append-mode output is returned as a batch
+    DataFrame. Hash-matches the same DuckDB oracle as the batch engine —
+    the correctness gate covers the streaming path end-to-end.
+    """
+    import os
+    import tempfile
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from flink_cep_task_spark.streaming.live import RuleFileStore, build_live_cep
+    from flink_cep_task_spark.streaming.pipeline import (
+        await_stream,
+        metrics_stream_from_text,
+    )
+
+    rules = [r for r in ALL_RULES + [R_UNGROUPED_AVG] if r.window_type != "global"]
+    work = tempfile.mkdtemp(prefix="live_cep_")
+    src = os.path.join(work, "src")
+
+    ev = events_to_metrics(load_table(spark, sf_dir, "events"))
+    lines = ev.select(metric_to_json(ev.event_time, ev.tags, ev.metrics).alias("value"))
+    lines.coalesce(1).write.mode("overwrite").text(src)
+
+    # two trailing watermark-pusher files: wm advances at batch N's end,
+    # so the final real windows flush via event-time timeout in batch N+1.
+    # The pusher must clear the LARGEST epoch-aligned window end — the
+    # biggest rule window is 7 days, so max_event + 40 days is safely past
+    # every window end plus the watermark delay. Their own far-future
+    # windows never pass a threshold with value 0 except via their flush
+    # groups, which are filtered below.
+    max_ms = ev.agg(F.max((F.col("event_time").cast("double") * 1000).cast("long"))).first()[0]
+    base = None
+    for j in range(2):
+        p = os.path.join(src, f"zz_flush_{j}.json")
+        with open(p, "w") as f:
+            import json as _json
+
+            f.write(_json.dumps({
+                "eventTime": max_ms + 40 * 86_400_000 + j * 60_000,
+                "t_event_type": "zz_flush", "t_user": "zz", "value": 0,
+            }))
+        if base is None:
+            base = os.path.getmtime(p)
+        os.utime(p, (base + 10 + j, base + 10 + j))
+
+    store = RuleFileStore(os.path.join(work, "rules.json"))
+    for r in rules:
+        store.upsert({
+            "ruleId": r.rule_id, "windowType": r.window_type,
+            "windowMinutes": r.window_minutes,
+            "windowSlideMinute": r.window_slide_minutes,
+            "groupingKeyNames": list(r.grouping_keys),
+            "aggregatorFunctionType": r.agg_type,
+            "aggregateFieldName": r.agg_field,
+            "limitOperatorType": r.limit_op, "limit": float(r.limit),
+        })
+
+    # one file per trigger: the data file is batch 1, each flush file its
+    # own batch — event-time timeouts fire during batch N+1 based on the
+    # watermark committed at batch N's end.
+    metrics = metrics_stream_from_text(spark, src, max_files_per_trigger=1)
+    out = build_live_cep(metrics, spark, store.path, watermark="1 minute")
+    name = f"live_cep_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.format("memory").queryName(name).outputMode("append")
+        .option("checkpointLocation", os.path.join(work, "ckpt"))
+        .trigger(availableNow=True).start()
+    )
+    await_stream(q, 600)
+    return spark.table(name).filter(~F.col("group_id").contains("zz_flush"))
+
+
+LIVE_STREAMING_RULES = [
+    r for r in ALL_RULES + [R_UNGROUPED_AVG] if r.window_type != "global"
+]
+
+
 def q_jsonline_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events → reference-format JSON lines → schemaless parse (P1/P2) →
     rule evaluation. Proves the JSON ingest path computes identically to the
@@ -105,4 +187,5 @@ CEP_QUERIES: dict[str, tuple] = {
     "cep_rule_lifecycle": (_rule_query(LIFECYCLE_CHANGELOG), cep_oracle_sql(LIFECYCLE_CHANGELOG)),
     "cep_jsonline_roundtrip": (q_jsonline_roundtrip, cep_oracle_sql([R_TUMBLING_SUM])),
     "cep_ungrouped_agg": (_rule_query([R_UNGROUPED_AVG]), cep_oracle_sql([R_UNGROUPED_AVG])),
+    "cep_live_streaming": (q_live_streaming, cep_oracle_sql(LIVE_STREAMING_RULES)),
 }

@@ -125,6 +125,86 @@ def rules_df(spark: SparkSession, rules: list[Rule]) -> DataFrame:
     return spark.createDataFrame([r.as_row() for r in rules], RULE_SCHEMA)
 
 
+def parse_rule_lines_df(lines: DataFrame, value_col: str = "value") -> DataFrame:
+    """DataFrame-native wire-format rule parse (P3/P4) — the engine-side
+    twin of ``parse_rule_lines`` for rule streams/tables that live in files.
+
+    Mirrors the reference's lenient fastjson parse (CEPTaskRunner.java:54-56,
+    Rule.java:12-24) entirely with built-in expressions:
+      * limitOperatorType arrives as a symbol (">", "<=", …) and is kept
+        symbolic (LimitOperatorType.fromString, Rule.java:99-107);
+        unknown symbols drop the rule.
+      * groupingKeyNames may be a JSON array OR a bare string — parsed
+        twice (array + string) and coalesced.
+      * windowType other than tumbling/sliding ⇒ global
+        (CEPEngine.java:75-81).
+      * a bad line/doc ⇒ null ⇒ filtered (parse-error→null→filter,
+        CEPTaskRunner.java:40), including structurally-invalid rules
+        (tumbling without windowMinutes etc. — Rule.__post_init__ twins).
+
+    Output: internal RULE_SCHEMA columns, ready for compact_rules.
+    """
+    from flink_cep_task_spark.schemas import RULE_WIRE_SCHEMA
+
+    v = F.col(value_col)
+    parsed = lines.select(
+        F.from_json(v, RULE_WIRE_SCHEMA).alias("r"),
+        # fallback parse: groupingKeyNames as a bare string (the array
+        # variant in RULE_WIRE_SCHEMA nulls out on a string value).
+        F.from_json(v, "struct<groupingKeyNames:string>")["groupingKeyNames"].alias("gk_str"),
+    )
+    r = F.col("r")
+    state = F.coalesce(r["ruleState"], F.lit("ACTIVE"))
+    wt_raw = r["windowType"]
+    wt = F.when(wt_raw.isin("tumbling", "sliding"), wt_raw).otherwise(F.lit("global"))
+    gk = F.coalesce(
+        r["groupingKeyNames"],
+        F.when(F.col("gk_str").isNotNull(), F.array(F.col("gk_str"))),
+        F.array().cast("array<string>"),
+    )
+    agg_type = F.coalesce(r["aggregatorFunctionType"], F.lit("SUM"))
+    limit_op = F.coalesce(r["limitOperatorType"], F.lit(">"))
+    is_delete = state == "DELETE"
+    out = parsed.select(
+        r["ruleId"].alias("rule_id"),
+        state.alias("rule_state"),
+        wt.alias("window_type"),
+        r["windowMinutes"].alias("window_minutes"),
+        r["windowSlideMinute"].alias("window_slide_minutes"),
+        gk.alias("grouping_keys"),
+        agg_type.alias("agg_type"),
+        F.coalesce(r["aggregateFieldName"], F.lit("value")).alias("agg_field"),
+        limit_op.alias("limit_op"),
+        F.coalesce(r["limit"], F.lit(0).cast("decimal(18,4)")).alias("limit"),
+        F.coalesce(r["seq"], F.lit(0).cast("long")).alias("seq"),
+        is_delete.alias("__del"),
+    )
+    valid = (
+        F.col("rule_id").isNotNull()
+        & F.col("rule_state").isin(*RULE_STATES)
+        & (
+            F.col("__del")
+            | (
+                F.col("agg_type").isin(*AGG_TYPES)
+                & F.col("limit_op").isin(*LIMIT_OPS)
+                & (
+                    (F.col("window_type") == "global")
+                    | (
+                        (F.col("window_type") == "tumbling")
+                        & F.col("window_minutes").isNotNull()
+                    )
+                    | (
+                        (F.col("window_type") == "sliding")
+                        & F.col("window_minutes").isNotNull()
+                        & F.col("window_slide_minutes").isNotNull()
+                    )
+                )
+            )
+        )
+    )
+    return out.filter(valid).drop("__del")
+
+
 def compact_rules(changelog: DataFrame) -> DataFrame:
     """Last-writer-wins compaction of a rule changelog, dropping DELETEs.
 

@@ -55,6 +55,10 @@ RULE_WIRE_SCHEMA = StructType(
         StructField("aggregateFieldName", StringType(), True),
         StructField("limitOperatorType", StringType(), True),
         StructField("limit", DecimalType(18, 4), True),
+        # not in the reference wire format: optional explicit changelog
+        # position for file-based rule stores (absent ⇒ 0; the reference
+        # orders upserts by socket arrival, CEPTaskRunner.java:37-41).
+        StructField("seq", LongType(), True),
     ]
 )
 

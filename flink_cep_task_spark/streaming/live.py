@@ -1,0 +1,288 @@
+"""LIVE rule stream: rule CRUD takes effect mid-run, in the SAME streaming
+query — the reference's defining feature (second socket → broadcast state →
+processBroadcastElement upsert, CEPTaskRunner.java:37-45,
+PartitionEngine.java:54-63).
+
+Spark has no broadcast-*stream* primitive, so the rule channel is modeled
+as a **mutable rule table at a fixed file path** joined stream-static into
+the metric stream. Two measured facts about Spark's stream-static join make
+this correct (probed, not assumed):
+
+  1. the static side's file CONTENT is re-read on every micro-batch
+     (the physical plan re-executes; nothing caches row data), but
+  2. the file LISTING is captured once at plan time — new files are
+     invisible, and lines that START beyond a file's original byte length
+     are dropped by the line reader.
+
+Hence the store keeps the ENTIRE rule changelog as ONE JSON array on ONE
+line of ONE file, atomically replaced on every upsert/delete: the line
+reader always consumes line 1 to its true end, so growth is safe, and the
+in-plan parse+compaction (parse_rule_lines_df → compact_rules) re-resolves
+the ACTIVE rule set every micro-batch. A rule change therefore takes effect
+at the next trigger — the Spark-idiomatic equivalent of Flink's broadcast
+state upsert, and strictly better than the reference's quirk Q6 (rules
+captured per group at first sight, never invalidated, CEPEngine.java:55-64).
+
+Windowing: rules are data, so window sizes are COLUMNS — the built-in
+`F.window()` (literal durations) cannot express them. A single
+applyInPandasWithState operator keyed by (rule_id, group_id) — the
+reference's keyBy (CEPTaskRunner.java:46) — maintains per-window partial
+aggregates (sum/cnt/min/max: O(1) state per window, never raw rows), closes
+windows when the group's own data passes the window end (the reference's
+data-driven fire, minus its wall-clock defect Q4) or when the event-time
+watermark does, and applies the threshold with the rule config CURRENT at
+fire time. Late rows below the watermark are dropped upstream.
+
+Scale: state is hash-partitioned by (rule_id, group_id) — the same shuffle
+key the batch engine groups on; per-key state is a handful of floats per
+open window; the rule table is KBs and broadcast. No driver-side loops.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+from decimal import ROUND_HALF_UP, Decimal
+from typing import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flink_cep_task_spark.operators.fanout import fanout_rules
+from flink_cep_task_spark.rules import compact_rules, parse_rule_lines_df
+
+SECONDS_PER_MINUTE = 60
+
+# partials are integer CENTS (measures are DECIMAL(18,2) engine-wide):
+# integer accumulation is exact and order-independent, so the final doubles
+# are bit-identical to the batch engine's decimal-sum-cast-double — live
+# streaming results hash-match the same DuckDB oracle as the batch plans.
+LIVE_STATE_SCHEMA = (
+    "max_ts LONG, agg_type STRING, limit_op STRING, lim DOUBLE, "
+    "wkeys ARRAY<STRING>, sums ARRAY<LONG>, cnts ARRAY<LONG>, "
+    "mins ARRAY<LONG>, maxs ARRAY<LONG>"
+)
+LIVE_OUTPUT_SCHEMA = (
+    "rule_id INT, group_id STRING, window_start LONG, window_end LONG, "
+    "agg_type STRING, agg_value DOUBLE"
+)
+
+
+class RuleFileStore:
+    """Rule changelog as one single-line JSON-array file, atomically
+    replaced on every change — the live engine's control channel.
+
+    Wire format per entry = the reference's rule JSON (Rule.java:12-24)
+    plus an explicit `seq` so last-writer-wins compaction is deterministic
+    (the reference relies on socket arrival order)."""
+
+    def __init__(self, path: str):
+        self.path = path
+        self._log: list[dict] = []
+        self._seq = 0
+        self._flush()
+
+    def upsert(self, doc: dict) -> None:
+        """Add/replace a rule (ruleState ACTIVE/PAUSE) by ruleId."""
+        self._append(doc)
+
+    def delete(self, rule_id: int) -> None:
+        """Tombstone a rule (PartitionEngine.java:60-61 state.remove)."""
+        self._append({"ruleId": rule_id, "ruleState": "DELETE"})
+
+    def _append(self, doc: dict) -> None:
+        self._seq += 1
+        self._log.append({**doc, "seq": self._seq})
+        self._flush()
+
+    def _flush(self) -> None:
+        # atomic single-line replace: readers see either the old or the new
+        # complete changelog, never a torn write.
+        d = os.path.dirname(self.path) or "."
+        fd, tmp = tempfile.mkstemp(dir=d, prefix=".rules-")
+        with os.fdopen(fd, "w") as f:
+            f.write(json.dumps(self._log))
+        os.replace(tmp, self.path)
+
+
+def rules_from_store(spark: SparkSession, path: str) -> DataFrame:
+    """Static-side rule table: single-line JSON array → exploded wire docs
+    → internal rule rows. Re-executed (and the file re-READ) every
+    micro-batch when joined against a stream."""
+    # from_json to array<string> captures each array element's RAW JSON
+    # text (Jackson object-as-string), handing parse_rule_lines_df one wire
+    # doc per row.
+    docs = spark.read.text(path).select(
+        F.explode(F.from_json(F.col("value"), "array<string>")).alias("value")
+    )
+    return parse_rule_lines_df(docs)
+
+
+def _round_half_up(v: float, digits: int) -> float:
+    """Match Spark's F.round (BigDecimal HALF_UP on the double's shortest
+    decimal repr) — Python's built-in round is banker's and can differ at
+    exact midpoints."""
+    q = Decimal(1).scaleb(-digits)
+    return float(Decimal(repr(v)).quantize(q, rounding=ROUND_HALF_UP))
+
+
+def _assign_starts(wtype: str, ts_s: int, size_s: int, slide_s: int) -> list[int]:
+    """Epoch-aligned covering window starts (seconds) — the Python twin of
+    operators/windows.assign_windows arithmetic (same bucketing, so the
+    live engine's windows equal the batch engine's)."""
+    if wtype == "tumbling":
+        return [(ts_s // size_s) * size_s]
+    first = ((ts_s - size_s) // slide_s + 1) * slide_s
+    last = (ts_s // slide_s) * slide_s
+    return list(range(first, last + 1, slide_s)) if first <= last else []
+
+
+def live_cep_windows(
+    fanned: DataFrame,
+    round_digits: int = 4,
+) -> DataFrame:
+    """Dynamic-window stateful aggregation over rule-stamped metric rows.
+
+    Input must be a STREAMING DataFrame with a watermark on event_time and
+    the fanout_rules output columns. Global-window rules have no window end
+    and never fire in this append-mode operator (reference quirk Q5 — its
+    AllWindowAssigner windows also never fire); route them to the
+    update-mode path in streaming/pipeline.py instead.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        rule_id, group_id = key
+        wm_ms = state.getCurrentWatermarkMs()
+        wm_s = wm_ms // 1000
+
+        if state.exists:
+            max_ts, agg_type, limit_op, lim, wkeys, sums, cnts, mins, maxs = state.get
+            open_w = {
+                k: [sums[i], cnts[i], mins[i], maxs[i]] for i, k in enumerate(wkeys)
+            }
+        else:
+            max_ts, agg_type, limit_op, lim, open_w = None, None, None, None, {}
+
+        if not state.hasTimedOut:
+            for pdf in pdfs:
+                ts_s = (pdf["event_time"].astype("int64") // 1_000_000_000).to_numpy()
+                cents = pd.to_numeric(pdf["agg_cents"], errors="coerce").to_numpy(dtype="float64")
+                # rule config rides on every row; latest batch wins (mid-
+                # stream upserts change the threshold for yet-unfired windows)
+                last = pdf.iloc[-1]
+                agg_type = str(last["agg_type"])
+                limit_op = str(last["limit_op"])
+                lim = float(last["limit"])
+                wtype = str(last["window_type"])
+                size_s = int(last["window_minutes"]) * SECONDS_PER_MINUTE
+                slide_m = last["window_slide_minutes"]
+                slide_s = (
+                    int(slide_m) * SECONDS_PER_MINUTE if pd.notna(slide_m) else size_s
+                )
+                for t, c in zip(ts_s.tolist(), cents.tolist()):
+                    if pd.isna(c):
+                        continue  # missing measure: SQL null semantics (Q1 fix)
+                    v = int(c)
+                    for start in _assign_starts(wtype, t, size_s, slide_s):
+                        k = f"{start}:{size_s}"
+                        w = open_w.get(k)
+                        if w is None:
+                            open_w[k] = [v, 1, v, v]
+                        else:
+                            w[0] += v
+                            w[1] += 1
+                            w[2] = min(w[2], v)
+                            w[3] = max(w[3], v)
+                    max_ts = t if max_ts is None else max(max_ts, t)
+
+        # close = data-driven (a later event of THIS group passed the end,
+        # reference Trigger semantics minus wall-clock Q4) OR watermark.
+        horizon = wm_s if max_ts is None else max(max_ts, wm_s)
+        fired = []
+        for k in sorted(open_w):
+            start_s, size_s = (int(x) for x in k.split(":"))
+            end_s = start_s + size_s
+            if end_s <= horizon:
+                s, c, mn, mx = open_w.pop(k)
+                # cents → double exactly as the batch engine does it
+                # (decimal sum cast double, then /count for AVG)
+                value = {
+                    "SUM": s / 100.0,
+                    "AVG": (s / 100.0) / c,
+                    "MIN": mn / 100.0,
+                    "MAX": mx / 100.0,
+                }[agg_type]
+                ok = {
+                    "=": value == lim,
+                    "!=": value != lim,
+                    ">": value > lim,
+                    ">=": value >= lim,
+                    "<": value < lim,
+                    "<=": value <= lim,
+                }[limit_op]
+                if ok:
+                    fired.append((int(rule_id), group_id, start_s, end_s,
+                                  agg_type, _round_half_up(value, round_digits)))
+
+        keys = sorted(open_w)
+        state.update(
+            (
+                max_ts,
+                agg_type,
+                limit_op,
+                lim,
+                keys,
+                [open_w[k][0] for k in keys],
+                [open_w[k][1] for k in keys],
+                [open_w[k][2] for k in keys],
+                [open_w[k][3] for k in keys],
+            )
+        )
+        if keys:
+            min_end_ms = min(
+                (int(k.split(":")[0]) + int(k.split(":")[1])) for k in keys
+            ) * 1000
+            state.setTimeoutTimestamp(max(min_end_ms, wm_ms + 1))
+        if fired:
+            yield pd.DataFrame(
+                fired,
+                columns=[
+                    "rule_id", "group_id", "window_start", "window_end",
+                    "agg_type", "agg_value",
+                ],
+            )
+
+    windowed = fanned.filter(F.col("window_type") != "global")
+    return windowed.groupBy("rule_id", "group_id").applyInPandasWithState(
+        update,
+        outputStructType=LIVE_OUTPUT_SCHEMA,
+        stateStructType=LIVE_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+
+
+def build_live_cep(
+    metrics: DataFrame,
+    spark: SparkSession,
+    rule_store_path: str,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Full live pipeline: metric stream × per-batch-refreshed rule table →
+    dynamic-window stateful CEP. Output schema matches the batch engine
+    (evaluate_windows), so streaming results are directly comparable."""
+    rules = rules_from_store(spark, rule_store_path)
+    compacted = compact_rules(rules)
+    wm = metrics.withWatermark("event_time", watermark)
+    fanned = fanout_rules(wm, compacted).withColumn(
+        # DECIMAL(18,2) × 100 → exact integer cents (see LIVE_STATE_SCHEMA)
+        "agg_cents",
+        (F.col("agg_input") * 100).cast("long"),
+    )
+    return live_cep_windows(fanned)

@@ -1,0 +1,199 @@
+"""LIVE rule stream tests — the reference's defining feature: rule CRUD
+takes effect mid-run in the SAME streaming query (CEPTaskRunner.java:37-45,
+PartitionEngine.java:54-63), modeled as a per-micro-batch-refreshed rule
+table + dynamic-window stateful operator (streaming/live.py)."""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+
+from pyspark.sql import functions as F
+
+from flink_cep_task_spark.plans.cep import evaluate_rules
+from flink_cep_task_spark.rules import Rule, compact_rules
+from flink_cep_task_spark.sources.jsonline import parse_metric_lines
+from flink_cep_task_spark.streaming.live import (
+    RuleFileStore,
+    build_live_cep,
+    rules_from_store,
+)
+from flink_cep_task_spark.streaming.pipeline import (
+    await_stream,
+    metrics_stream_from_text,
+)
+from tests.test_streaming import FLUSH_TAG, _events, _write_chunks
+
+R1_WIRE = {
+    "ruleId": 1, "ruleState": "ACTIVE", "windowType": "tumbling",
+    "windowMinutes": 5, "groupingKeyNames": ["t_g"],
+    "aggregatorFunctionType": "SUM", "aggregateFieldName": "m",
+    "limitOperatorType": ">", "limit": 50,
+}
+R2_WIRE = {
+    "ruleId": 2, "ruleState": "ACTIVE", "windowType": "sliding",
+    "windowMinutes": 10, "windowSlideMinute": 5, "groupingKeyNames": ["t_g"],
+    "aggregatorFunctionType": "AVG", "aggregateFieldName": "m",
+    "limitOperatorType": ">", "limit": 20,
+}
+R1_RULE = Rule(rule_id=1, window_type="tumbling", window_minutes=5,
+               grouping_keys=("t_g",), agg_type="SUM", agg_field="m",
+               limit_op=">", limit="50")
+R2_RULE = Rule(rule_id=2, window_type="sliding", window_minutes=10,
+               window_slide_minutes=5, grouping_keys=("t_g",), agg_type="AVG",
+               agg_field="m", limit_op=">", limit="20")
+
+
+def test_rule_file_store_compaction(spark, tmp_path):
+    """Store upserts/deletes → in-plan parse + compaction resolves the
+    latest ACTIVE rule set (BroadcastState upsert/remove twin)."""
+    store = RuleFileStore(str(tmp_path / "rules.json"))
+    store.upsert(R1_WIRE)
+    store.upsert(R2_WIRE)
+    store.upsert({**R1_WIRE, "limit": 999})      # upsert: last writer wins
+    store.upsert({**R2_WIRE, "ruleState": "PAUSE"})
+    store.delete(2)                               # tombstone wins over PAUSE
+    compacted = compact_rules(rules_from_store(spark, store.path)).collect()
+    assert len(compacted) == 1
+    assert compacted[0].rule_id == 1
+    assert float(compacted[0].limit) == 999.0
+
+
+def test_live_cep_matches_batch(spark, tmp_path):
+    """With a static rule set, the live engine's append output equals the
+    batch engine's result on the same data — dynamic-window state op,
+    watermark flush, threshold gate all included."""
+    events = _events()
+    src = _write_chunks(tmp_path, events)
+    store = RuleFileStore(str(tmp_path / "rules.json"))
+    store.upsert(R1_WIRE)
+    store.upsert(R2_WIRE)
+
+    metrics = metrics_stream_from_text(spark, src, max_files_per_trigger=1)
+    out = build_live_cep(metrics, spark, store.path, watermark="1 minute")
+    name = f"live_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.format("memory").queryName(name).outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_live"))
+        .trigger(availableNow=True).start()
+    )
+    await_stream(q, 180)
+    got = (
+        spark.table(name)
+        .filter(~F.col("group_id").contains(FLUSH_TAG))
+        .collect()
+    )
+
+    batch_metrics = parse_metric_lines(
+        spark.createDataFrame([(json.dumps(e),) for e in events], ["value"])
+    )
+    expected = evaluate_rules(spark, batch_metrics, [R1_RULE, R2_RULE]).collect()
+
+    key = lambda r: (r.rule_id, r.group_id, r.window_start, r.window_end,
+                     r.agg_type, r.agg_value)
+    assert sorted(map(key, got)) == sorted(map(key, expected))
+    assert len(got) > 0
+
+
+def _await_rows(spark, name: str, predicate, timeout_s: float = 60.0):
+    """Poll a memory sink until `predicate(rows)` holds."""
+    deadline = time.time() + timeout_s
+    while time.time() < deadline:
+        rows = spark.table(name).collect()
+        if predicate(rows):
+            return rows
+        time.sleep(0.5)
+    raise TimeoutError(f"memory table {name} never satisfied predicate")
+
+
+def test_rule_midstream_upsert_and_delete(spark, tmp_path):
+    """THE live-rules scenario, one continuous query:
+
+      phase A: rule 1 active, events flow        → rule-1 windows fire
+      mid-run: upsert rule 7 + DELETE rule 1     → same run, no restart
+      phase B: more events flow                  → rule-7 windows fire for
+                                                   phase-B events ONLY;
+                                                   rule 1 stops matching,
+                                                   its in-flight window
+                                                   still flushes (strictly
+                                                   better than reference Q6,
+                                                   which leaks it forever)
+    """
+    base_ms = 1_700_000_040_000  # multiple of 120000 ⇒ 2-min epoch aligned
+    mk = lambda i: {"eventTime": base_ms + i * 60_000, "t_g": "g0", "m": 1}
+    src = tmp_path / f"mid-{uuid.uuid4().hex[:8]}"
+    src.mkdir()
+    t0 = time.time() - 120
+
+    def write_file(idx: int, doc: dict) -> None:
+        p = src / f"{idx:04d}.json"
+        p.write_text(json.dumps(doc))
+        os.utime(p, (t0 + idx, t0 + idx))
+
+    store = RuleFileStore(str(tmp_path / "rules.json"))
+    r1 = {"ruleId": 1, "windowType": "tumbling", "windowMinutes": 2,
+          "groupingKeyNames": ["t_g"], "aggregatorFunctionType": "SUM",
+          "aggregateFieldName": "m", "limitOperatorType": ">", "limit": 0}
+    store.upsert(r1)
+
+    for i in range(4):                      # phase A: minutes 0..3
+        write_file(i, mk(i))
+
+    metrics = metrics_stream_from_text(spark, str(src), max_files_per_trigger=1)
+    out = build_live_cep(metrics, spark, store.path, watermark="0 seconds")
+    name = f"mid_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.format("memory").queryName(name).outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_mid"))
+        .trigger(processingTime="500 milliseconds").start()
+    )
+    try:
+        # rule-1 window [base, base+2min) closes when the minute-2 event
+        # arrives; wait for it, then for the full phase A to be ingested.
+        _await_rows(spark, name, lambda rows: any(r.rule_id == 1 for r in rows))
+
+        def ingested(n: int) -> bool:
+            return sum(p["numInputRows"] for p in q.recentProgress) >= n
+
+        deadline = time.time() + 60
+        while not ingested(4) and time.time() < deadline:
+            time.sleep(0.5)
+        assert ingested(4), "phase A not fully ingested"
+
+        # ---- mid-stream rule CRUD: same run, no restart ----
+        r7 = {"ruleId": 7, "windowType": "tumbling", "windowMinutes": 2,
+              "groupingKeyNames": ["t_g"], "aggregatorFunctionType": "MIN",
+              "aggregateFieldName": "m", "limitOperatorType": "<", "limit": 999}
+        store.upsert(r7)
+        store.delete(1)
+
+        for i in range(4):                  # phase B: minutes 4..7
+            write_file(4 + i, mk(4 + i))
+        # two watermark pushers: wm advances at batch N's end, timeouts
+        # fire in batch N+1
+        write_file(8, {"eventTime": base_ms + 12_000_000, "t_g": FLUSH_TAG, "m": 0})
+        write_file(9, {"eventTime": base_ms + 12_060_000, "t_g": FLUSH_TAG, "m": 0})
+
+        rows = _await_rows(
+            spark, name,
+            lambda rows: sum(1 for r in rows if r.rule_id == 7
+                             and FLUSH_TAG not in r.group_id) >= 2,
+            timeout_s=90,
+        )
+    finally:
+        q.stop()
+
+    base_s = base_ms // 1000
+    r1_rows = {(r.window_start - base_s, r.window_end - base_s, r.agg_value)
+               for r in rows if r.rule_id == 1}
+    r7_rows = {(r.window_start - base_s, r.window_end - base_s, r.agg_value)
+               for r in rows if r.rule_id == 7 and FLUSH_TAG not in r.group_id}
+    # rule 1 saw ONLY phase A (deleted before phase B): windows [0,2) and
+    # [2,4) minutes, SUM=2 each ([2,4) flushed by watermark after delete).
+    assert {(s, e) for s, e, _ in r1_rows} == {(0, 120), (120, 240)}
+    assert all(v == 2.0 for _s, _e, v in r1_rows)
+    # rule 7 saw ONLY phase B: windows [4,6) and [6,8) minutes, MIN=1.
+    assert {(s, e) for s, e, _ in r7_rows} == {(240, 360), (360, 480)}
+    assert all(v == 1.0 for _s, _e, v in r7_rows)
