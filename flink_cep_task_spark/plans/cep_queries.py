@@ -11,7 +11,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from flink_cep_task_spark.oracle import cep_oracle_sql
 from flink_cep_task_spark.plans.cep import evaluate_rules, evaluate_rules_on_events
-from flink_cep_task_spark.rules import Rule
+from flink_cep_task_spark.rules import Rule, parse_rule_lines
 from flink_cep_task_spark.sources.jsonline import metric_to_json, parse_metric_lines
 from flink_cep_task_spark.sources.tables import events_to_metrics, load_table
 
@@ -163,6 +163,53 @@ LIVE_STREAMING_RULES = [
     r for r in ALL_RULES + [R_UNGROUPED_AVG] if r.window_type != "global"
 ]
 
+# Raw wire-format rule lines, exactly as they'd arrive on the reference's
+# rule socket (resources/rules:1 shape): symbolic limitOperatorType
+# (Rule.java:99-107), groupingKeyNames as array OR bare string, unknown
+# windowType ⇒ global (CEPEngine.java:75-81), bad lines dropped
+# (CEPTaskRunner.java:54-56,40), last-writer-wins upsert by seq.
+WIRE_RULE_LINES = [
+    '{"ruleId": 21, "ruleState": "ACTIVE", "windowType": "tumbling",'
+    ' "windowMinutes": 1440, "groupingKeyNames": ["t_event_type"],'
+    ' "aggregatorFunctionType": "SUM", "aggregateFieldName": "value",'
+    ' "limitOperatorType": ">", "limit": 800, "seq": 1}',
+    # bare-string groupingKeyNames + symbolic <=
+    '{"ruleId": 22, "windowType": "sliding", "windowMinutes": 2880,'
+    ' "windowSlideMinute": 1440, "groupingKeyNames": "t_event_type",'
+    ' "aggregatorFunctionType": "AVG", "aggregateFieldName": "value",'
+    ' "limitOperatorType": "<=", "limit": 48, "seq": 2}',
+    # unknown windowType ⇒ global
+    '{"ruleId": 23, "windowType": "lifetime", "groupingKeyNames": ["t_user"],'
+    ' "aggregatorFunctionType": "MAX", "aggregateFieldName": "value",'
+    ' "limitOperatorType": ">=", "limit": 150, "seq": 3}',
+    "this line is not JSON {",                       # parse error → dropped
+    '{"ruleId": 24, "windowType": "tumbling",'
+    ' "aggregatorFunctionType": "SUM", "seq": 4}',   # no windowMinutes → dropped
+    '{"ruleId": 25, "windowType": "tumbling", "windowMinutes": 60,'
+    ' "aggregatorFunctionType": "SUM", "limitOperatorType": "~", "seq": 5}',  # bad op → dropped
+    # upsert of 21: later seq wins (limit 500 replaces 800)
+    '{"ruleId": 21, "ruleState": "ACTIVE", "windowType": "tumbling",'
+    ' "windowMinutes": 1440, "groupingKeyNames": ["t_event_type"],'
+    ' "aggregatorFunctionType": "SUM", "aggregateFieldName": "value",'
+    ' "limitOperatorType": ">", "limit": 500, "seq": 6}',
+]
+
+
+def q_rules_from_wire(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3/P4 through the correctness gate: raw wire JSON rule lines are
+    parsed IN-PLAN (parse_rule_lines_df — symbolic ops, bare-string keys,
+    bad-line drop), compacted, and evaluated against events. The oracle is
+    generated from the Python parser's view of the same lines, so the two
+    parsers and the evaluation are pinned against each other."""
+    from flink_cep_task_spark.operators.fanout import fanout_rules
+    from flink_cep_task_spark.operators.windows import evaluate_windows
+    from flink_cep_task_spark.rules import compact_rules, parse_rule_lines_df
+
+    lines_df = spark.createDataFrame([(l,) for l in WIRE_RULE_LINES], ["value"])
+    rules = compact_rules(parse_rule_lines_df(lines_df))
+    metrics = events_to_metrics(load_table(spark, sf_dir, "events"))
+    return evaluate_windows(fanout_rules(metrics, rules))
+
 
 def q_jsonline_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events → reference-format JSON lines → schemaless parse (P1/P2) →
@@ -188,4 +235,8 @@ CEP_QUERIES: dict[str, tuple] = {
     "cep_jsonline_roundtrip": (q_jsonline_roundtrip, cep_oracle_sql([R_TUMBLING_SUM])),
     "cep_ungrouped_agg": (_rule_query([R_UNGROUPED_AVG]), cep_oracle_sql([R_UNGROUPED_AVG])),
     "cep_live_streaming": (q_live_streaming, cep_oracle_sql(LIVE_STREAMING_RULES)),
+    "cep_rules_from_wire": (
+        q_rules_from_wire,
+        cep_oracle_sql(parse_rule_lines(WIRE_RULE_LINES)),
+    ),
 }

@@ -66,6 +66,9 @@ class Rule:
         Lenient like the reference's fastjson parse (CEPTaskRunner.java:54-56):
         groupingKeyNames may be an array or a bare string; windowType other
         than tumbling/sliding means a global window (CEPEngine.java:75-81).
+        An explicit "seq" in the doc overrides the caller's (file-based rule
+        stores carry it; socket arrival order supplies it otherwise) — kept
+        in lockstep with parse_rule_lines_df.
         """
         gk = doc.get("groupingKeyNames") or []
         if isinstance(gk, str):
@@ -73,6 +76,7 @@ class Rule:
         wt = doc.get("windowType") or "global"
         if wt not in ("tumbling", "sliding"):
             wt = "global"
+        seq = int(doc.get("seq", seq))
         return cls(
             rule_id=int(doc["ruleId"]),
             rule_state=str(doc.get("ruleState", "ACTIVE")),

@@ -53,6 +53,71 @@ def metrics_stream_from_text(spark: SparkSession, path: str, max_files_per_trigg
     return parse_metric_lines(lines, value_col="value")
 
 
+def metrics_stream_from_socket(
+    spark: SparkSession, host: str = "127.0.0.1", port: int = 9999
+) -> DataFrame:
+    """The reference's metric channel 1:1 — line stream from a TCP socket
+    (env.socketTextStream(host, 9999), CEPTaskRunner.java:31) → Metric rows.
+    Dev/demo only, like the reference: the socket source is not replayable,
+    so exactly-once recovery needs the file/kafka sources instead."""
+    lines = (
+        spark.readStream.format("socket")
+        .option("host", host)
+        .option("port", port)
+        .load()
+    )
+    return parse_metric_lines(lines, value_col="value")
+
+
+def rules_stream_from_socket(
+    spark: SparkSession, host: str = "127.0.0.1", port: int = 8888
+) -> DataFrame:
+    """The reference's rule channel (socket 8888, CEPTaskRunner.java:37) —
+    wire-format rule JSON lines parsed in-plan. For the live engine's
+    per-batch refresh semantics, rules usually live in a RuleFileStore
+    (streaming/live.py); this source exists for socket-workflow parity."""
+    from flink_cep_task_spark.rules import parse_rule_lines_df
+
+    lines = (
+        spark.readStream.format("socket")
+        .option("host", host)
+        .option("port", port)
+        .load()
+    )
+    return parse_rule_lines_df(lines)
+
+
+def metric_source(spark: SparkSession, kind: str, **opts) -> DataFrame:
+    """One source API over the metric ingest path: file / socket / kafka —
+    every variant lands in parse_metric_lines, so the engine downstream is
+    source-agnostic (SURVEY.md §1.4).
+
+      metric_source(spark, "file", path=..., max_files_per_trigger=1)
+      metric_source(spark, "socket", host=..., port=9999)
+      metric_source(spark, "kafka", servers=..., topic=...)
+    """
+    if kind == "file":
+        return metrics_stream_from_text(
+            spark, opts["path"], opts.get("max_files_per_trigger", 1)
+        )
+    if kind == "socket":
+        return metrics_stream_from_socket(
+            spark, opts.get("host", "127.0.0.1"), opts.get("port", 9999)
+        )
+    if kind == "kafka":
+        # requires the spark-sql-kafka connector on the classpath (not
+        # bundled here); the value column is the same JSON line format.
+        lines = (
+            spark.readStream.format("kafka")
+            .option("kafka.bootstrap.servers", opts["servers"])
+            .option("subscribe", opts["topic"])
+            .load()
+            .selectExpr("CAST(value AS STRING) AS value")
+        )
+        return parse_metric_lines(lines, value_col="value")
+    raise ValueError(f"unknown metric source kind {kind!r}")
+
+
 def _window_specs(rules: list[Rule]) -> dict[tuple, list[Rule]]:
     active: dict[int, Rule] = {}
     for r in sorted(rules, key=lambda r: r.seq):

@@ -1,0 +1,70 @@
+"""Wire-format rule ingestion (P3/P4): the Python parser, the DataFrame
+parser, and their agreement — pinned against the reference's lenient
+fastjson semantics (CEPTaskRunner.java:54-56, Rule.java:99-107)."""
+
+from __future__ import annotations
+
+import pytest
+
+from flink_cep_task_spark.plans.cep_queries import WIRE_RULE_LINES
+from flink_cep_task_spark.rules import (
+    Rule,
+    compact_rules,
+    parse_rule_lines,
+    parse_rule_lines_df,
+)
+
+
+def test_python_parser_semantics():
+    rules = parse_rule_lines(WIRE_RULE_LINES)
+    by_id_seq = {(r.rule_id, r.seq): r for r in rules}
+    # bad JSON, missing windowMinutes, bad operator symbol → dropped
+    assert len(rules) == 4
+    assert {r.rule_id for r in rules} == {21, 22, 23}
+    # bare-string groupingKeyNames → singleton list
+    assert by_id_seq[(22, 2)].grouping_keys == ("t_event_type",)
+    # symbolic operator preserved
+    assert by_id_seq[(22, 2)].limit_op == "<="
+    # unknown windowType ⇒ global (CEPEngine.java:75-81)
+    assert by_id_seq[(23, 3)].window_type == "global"
+    # explicit seq from the doc
+    assert (21, 6) in by_id_seq and by_id_seq[(21, 6)].limit == "500"
+
+
+def test_from_wire_defaults_and_delete():
+    r = Rule.from_wire({"ruleId": 9})
+    assert r.window_type == "global" and r.grouping_keys == ()
+    assert r.agg_type == "SUM" and r.limit_op == ">"
+    d = Rule.from_wire({"ruleId": 9, "ruleState": "DELETE"})
+    assert d.rule_state == "DELETE"
+    with pytest.raises(ValueError):
+        Rule.from_wire({"ruleId": 9, "limitOperatorType": "~"})
+    with pytest.raises(ValueError):
+        Rule.from_wire({"ruleId": 9, "windowType": "tumbling"})  # no size
+
+
+def test_df_parser_agrees_with_python(spark):
+    """Both parsers produce the same rule rows for the same wire lines."""
+    lines_df = spark.createDataFrame([(l,) for l in WIRE_RULE_LINES], ["value"])
+    df_rules = {
+        (r.rule_id, r.seq, r.rule_state, r.window_type, r.window_minutes,
+         r.window_slide_minutes, tuple(r.grouping_keys), r.agg_type,
+         r.agg_field, r.limit_op, float(r.limit))
+        for r in parse_rule_lines_df(lines_df).collect()
+    }
+    py_rules = {
+        (r.rule_id, r.seq, r.rule_state, r.window_type, r.window_minutes,
+         r.window_slide_minutes, tuple(r.grouping_keys), r.agg_type,
+         r.agg_field, r.limit_op, float(r.limit))
+        for r in parse_rule_lines(WIRE_RULE_LINES)
+    }
+    assert df_rules == py_rules
+
+
+def test_df_parser_compaction(spark):
+    lines = WIRE_RULE_LINES + ['{"ruleId": 22, "ruleState": "DELETE", "seq": 7}']
+    lines_df = spark.createDataFrame([(l,) for l in lines], ["value"])
+    compacted = compact_rules(parse_rule_lines_df(lines_df)).collect()
+    assert {r.rule_id for r in compacted} == {21, 23}
+    lim = {r.rule_id: float(r.limit) for r in compacted}
+    assert lim[21] == 500.0  # seq-6 upsert won
