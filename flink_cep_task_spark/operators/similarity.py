@@ -6,11 +6,17 @@ Two paths:
     stream once over all vectors. The scan side never shuffles; per-pair
     work is a zip_with/aggregate fold (built-in higher-order functions,
     JVM-side). This is the 100 TB-safe exact baseline: cost = |Q| × scan.
-  * ann_lsh — random-hyperplane LSH: 8 sign-bits per vector from
-    deterministic ±1 hyperplanes, bucket equi-join on the 8-bit signature,
-    exact cosine only within buckets. Turns the |Q|×N pair space into
-    per-bucket collisions; the bucketing is the classic SimHash-for-cosine
-    scheme.
+  * ann_lsh — MULTI-TABLE random-hyperplane LSH: N_TABLES independent
+    signature tables of BITS_PER_TABLE sign-bits each; a pair is a
+    candidate if it collides in ANY table (recall compounds across
+    tables: p_hit = 1-(1-p^b)^T), exact cosine only on candidates.
+    Each (table, signature) bucket's data side is capped at BUCKET_CAP
+    rows (deterministic lowest-vec_id), so the bucket join's fan-out is
+    bounded by |Q|×T×CAP no matter how skewed the vector distribution —
+    the single-table/8-bit variant degenerated toward all-pairs at large
+    N (256 buckets ⇒ N/256 per bucket). Band width should grow with
+    log2(N): 12 bits suits ~1e5-1e7 vectors; at 1e9 raise to 16-20 so
+    expected bucket occupancy stays O(cap).
 
 Cross-engine determinism: float components are widened to DOUBLE then cast
 to DECIMAL(9,6); dot products/norms-squared are exact decimal sums (order
@@ -31,7 +37,10 @@ from pyspark.sql.window import Window
 N_QUERIES = 10       # query set = vec_id < 10
 TOP_K = 5
 DIM = 64
-N_PLANES = 8
+N_TABLES = 4         # independent LSH tables (OR-amplification for recall)
+BITS_PER_TABLE = 12  # sign-bits per table (AND-amplification for precision)
+N_PLANES = N_TABLES * BITS_PER_TABLE
+BUCKET_CAP = 256     # max data-side rows considered per (table, signature)
 
 VDEC = "decimal(9,6)"
 ACC = "decimal(28,12)"
@@ -126,33 +135,75 @@ def _plane_weights() -> list[list[int]]:
 PLANES = _plane_weights()
 
 
-def _signature(v: Column) -> Column:
+def _table_signature(v: Column, t: int) -> Column:
+    """BITS_PER_TABLE sign-bits for table t (planes t*B .. t*B+B-1)."""
     bits = []
-    for p in range(N_PLANES):
-        w = F.array(*[F.lit(x).cast(VDEC) for x in PLANES[p]])
+    for b in range(BITS_PER_TABLE):
+        w = F.array(*[F.lit(x).cast(VDEC) for x in PLANES[t * BITS_PER_TABLE + b]])
         s = _dot(v, w)
         bits.append(F.when(s > 0, F.lit("1")).otherwise(F.lit("0")))
     return F.concat(*bits)
 
 
+def _bucketed(base: DataFrame) -> DataFrame:
+    """(vec_id, table, sig): one row per vector per LSH table."""
+    sigs = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("table"),
+                _table_signature(F.col("v"), t).alias("sig"),
+            )
+            for t in range(N_TABLES)
+        ]
+    )
+    return base.select("vec_id", F.explode(sigs).alias("ts")).select(
+        "vec_id", F.col("ts.table").alias("table"), F.col("ts.sig").alias("sig")
+    )
+
+
 def ann_lsh(embeddings: DataFrame) -> DataFrame:
-    """Approximate top-5: exact cosine restricted to same-LSH-bucket
-    candidates. May return <5 rows per query (sparse buckets) — by design;
-    the oracle replicates the same bucketing so results still hash-match."""
-    base = _with_norm(embeddings).withColumn("sig", _signature(F.col("v")))
+    """Approximate top-5 cosine: candidates = pairs colliding in ≥1 of the
+    N_TABLES signature tables (data side capped at BUCKET_CAP rows per
+    bucket, lowest vec_id first — deterministic, mirrored in the oracle),
+    then exact cosine + rank on candidates only. May return <5 rows per
+    query (sparse buckets) — by design; the oracle replicates the same
+    bucketing so results hash-match.
+
+    Scale shape: the bucketed self-join's fan-out is bounded by
+    |Q| × N_TABLES × BUCKET_CAP; the base scan is touched once for
+    signatures and once (id-equi-join) to fetch candidate vectors."""
+    base = _with_norm(embeddings)
+    buckets = _bucketed(base)
+    capped = buckets.withColumn(
+        "bucket_rank",
+        F.row_number().over(
+            Window.partitionBy("table", "sig").orderBy("vec_id")
+        ),
+    ).filter(F.col("bucket_rank") <= BUCKET_CAP)
+    qb = buckets.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "table", "sig"
+    )
+    cand = (
+        capped.join(
+            F.broadcast(qb),
+            ["table", "sig"],
+        )
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"))
+        .distinct()
+    )
     q = base.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("v").alias("qv"),
         F.col("nrm").alias("qn"),
-        F.col("sig").alias("qsig"),
     )
-    cand = base.join(
-        F.broadcast(q),
-        (F.col("sig") == F.col("qsig")) & (F.col("vec_id") != F.col("query_id")),
+    pairs = (
+        cand.join(base.withColumnRenamed("vec_id", "neighbor_id"), "neighbor_id")
+        .join(F.broadcast(q), "query_id")
     )
     cos = F.round(_dot(F.col("qv"), F.col("v")).cast("double") / (F.col("qn") * F.col("nrm")), 6)
-    ranked = cand.select(
-        "query_id", F.col("vec_id").alias("neighbor_id"), cos.alias("cosine")
+    ranked = pairs.select(
+        "query_id", "neighbor_id", cos.alias("cosine")
     ).withColumn(
         "rnk",
         F.row_number().over(
@@ -176,18 +227,25 @@ WITH flat AS (
 ),
 w(p, i, wt) AS (VALUES {values}),
 sigbits AS (
-  SELECT f.vec_id, w.p,
+  SELECT f.vec_id, w.p // {BITS_PER_TABLE} AS tbl, w.p,
          CASE WHEN sum(f.v * w.wt) > 0 THEN '1' ELSE '0' END AS bit
   FROM flat f JOIN w ON w.i = f.i
   GROUP BY f.vec_id, w.p
 ),
 sigs AS (
-  SELECT vec_id, string_agg(bit, '' ORDER BY p) AS sig FROM sigbits GROUP BY vec_id
+  SELECT vec_id, tbl, string_agg(bit, '' ORDER BY p) AS sig
+  FROM sigbits GROUP BY vec_id, tbl
+),
+capped AS (
+  SELECT vec_id, tbl, sig FROM (
+    SELECT *, row_number() OVER (PARTITION BY tbl, sig ORDER BY vec_id) AS brk
+    FROM sigs
+  ) WHERE brk <= {BUCKET_CAP}
 ),
 norms AS (SELECT vec_id, sqrt(CAST(sum(v * v) AS DOUBLE)) AS nrm FROM flat GROUP BY vec_id),
 cand AS (
-  SELECT q.vec_id AS query_id, d.vec_id AS neighbor_id
-  FROM sigs q JOIN sigs d ON q.sig = d.sig AND d.vec_id <> q.vec_id
+  SELECT DISTINCT q.vec_id AS query_id, d.vec_id AS neighbor_id
+  FROM sigs q JOIN capped d ON q.tbl = d.tbl AND q.sig = d.sig AND d.vec_id <> q.vec_id
   WHERE q.vec_id < {N_QUERIES}
 ),
 dots AS (

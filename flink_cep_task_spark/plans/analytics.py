@@ -19,6 +19,10 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from flink_cep_task_spark.sources.tables import load_table
+from flink_cep_task_spark.streaming.ops import (
+    SESSION_WINDOW_SQL as _SESSION_WINDOW_SQL,
+    session_window_agg as _session_window_agg,
+)
 
 EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
 SESSION_GAP_S = 1800
@@ -207,6 +211,9 @@ SELECT event_id, user_id, ts_s, last_click_ts_s FROM (
 ANALYTICS_QUERIES: dict[str, tuple] = {
     "topk_users_per_type": (topk_users_per_type, TOPK_SQL),
     "sessionize_events": (sessionize, SESSION_SQL),
+    # native F.session_window variant (same plan runs in Structured
+    # Streaming — streaming/ops.py); oracle is gaps-and-islands SQL
+    "session_window_agg": (_session_window_agg, _SESSION_WINDOW_SQL),
     "pivot_event_counts": (pivot_event_counts, PIVOT_SQL),
     "users_purchase_no_error": (users_purchase_no_error, EXCEPT_SQL),
     "users_purchase_and_signup": (users_purchase_and_signup, INTERSECT_SQL),

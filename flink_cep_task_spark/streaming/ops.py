@@ -1,0 +1,124 @@
+"""Streaming-native operators beyond the CEP core: session windows and
+within-watermark deduplication — the Structured Streaming twins of the
+batch `sessionize_events` / `dedup_exact` plans.
+
+The reference has no session windows or dedup (SURVEY.md §2 "operators the
+reference does NOT have"); these are north-star additions mapped to the
+built-in primitives:
+
+  * F.session_window — gap-merged event-time sessions; streaming state is
+    per (user, open session), evicted when the watermark passes a session's
+    end. Batch and streaming share the SAME plan shape, so results agree.
+  * dropDuplicatesWithinWatermark — keyed first-wins dedup whose state is
+    bounded by the watermark delay (the 100 TB-safe form of streaming
+    exact dedup: state holds only keys younger than the delay, instead of
+    every key ever seen).
+
+All event times are truncated to whole seconds before sessionizing so the
+gap comparison is integer arithmetic — identical in Spark and the DuckDB
+gaps-and-islands oracle (sub-second timestamps would make the two engines
+split sessions differently at exact-gap boundaries).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flink_cep_task_spark.operators.dedup import _norm
+
+SESSION_GAP = "30 minutes"
+SESSION_GAP_S = 1800
+
+
+def session_window_agg_df(
+    events: DataFrame,
+    ts_col: str = "ts_sec",
+    user_col: str = "user_id",
+    gap: str = SESSION_GAP,
+) -> DataFrame:
+    """Gap-merged sessions via the native F.session_window — one plan for
+    batch AND streaming input (streaming needs a watermark upstream).
+
+    Output: user_id, session_start (first event, epoch s), session_end
+    (last event + gap, epoch s), n_events.
+    """
+    return (
+        events.groupBy(F.session_window(F.col(ts_col), gap).alias("w"), F.col(user_col))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            user_col,
+            F.col("w.start").cast("long").alias("session_start"),
+            F.col("w.end").cast("long").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+def session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch driver query over `events` (oracle: gaps-and-islands SQL).
+
+    F.session_window merges an event into the current session iff its
+    timestamp is strictly before the session's end (= last event + gap),
+    so a new session starts when the gap is >= 30 min — mirrored by the
+    >= in the oracle's lag comparison."""
+    from flink_cep_task_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.timestamp_seconds(F.col("ts").cast("long")).alias("ts_sec"),
+    )
+    return session_window_agg_df(ev)
+
+
+SESSION_WINDOW_SQL = f"""
+WITH ordered AS (
+  SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s FROM events
+), flagged AS (
+  SELECT user_id, ts_s,
+    CASE WHEN lag(ts_s) OVER w IS NULL
+           OR ts_s - lag(ts_s) OVER w >= {SESSION_GAP_S} THEN 1 ELSE 0 END AS new_s
+  FROM ordered
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts_s, event_id)
+), sessions AS (
+  SELECT user_id, ts_s,
+    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts_s
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM flagged
+)
+SELECT user_id, min(ts_s) AS session_start,
+       max(ts_s) + {SESSION_GAP_S} AS session_end,
+       count(*) AS n_events
+FROM sessions GROUP BY user_id, sid
+"""
+
+
+def sessionize_stream(
+    events: DataFrame,
+    ts_col: str = "event_time",
+    user_col: str = "user_id",
+    gap: str = SESSION_GAP,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming session windows: append-mode, sessions emit when the
+    watermark passes their end (state evicted then — bounded by the number
+    of OPEN sessions, not history)."""
+    trunc = events.select(
+        F.col(user_col),
+        F.timestamp_seconds(F.col(ts_col).cast("long")).alias("ts_sec"),
+    ).withWatermark("ts_sec", watermark)
+    return session_window_agg_df(trunc, ts_col="ts_sec", user_col=user_col, gap=gap)
+
+
+def dedup_exact_stream(
+    docs: DataFrame,
+    text_col: str = "text",
+    ts_col: str = "event_time",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming exact dedup: first document per normalized-text md5 key
+    within the watermark horizon survives (dropDuplicatesWithinWatermark —
+    state holds only keys younger than the delay; the batch twin is
+    operators/dedup.dedup_exact)."""
+    keyed = docs.withColumn("k", F.md5(_norm(F.col(text_col))))
+    return keyed.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(["k"])

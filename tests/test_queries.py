@@ -10,18 +10,16 @@ from tests.conftest import SF_DIR, assert_parity
 
 QUERIES = all_queries()
 WITH_ORACLE = sorted(n for n, (_f, sql) in QUERIES.items() if sql is not None)
-ROWS_ONLY = sorted(n for n, (_f, sql) in QUERIES.items() if sql is None)
+
+
+def test_every_query_has_an_oracle():
+    """The whole registered surface is oracle-checked — no rows-only
+    entries. If a future genuinely-non-SQL-expressible operator lands,
+    give it a dedicated behavioral test instead of a vacuous run-check."""
+    assert WITH_ORACLE == sorted(QUERIES)
 
 
 @pytest.mark.parametrize("name", WITH_ORACLE)
 def test_query_matches_oracle(spark, ddb, name):
     fn, sql = QUERIES[name]
     assert_parity(fn(spark, SF_DIR), ddb, sql)
-
-
-@pytest.mark.parametrize("name", ROWS_ONLY)
-def test_rows_only_query_runs(spark, name):
-    fn, _ = QUERIES[name]
-    df = fn(spark, SF_DIR)
-    assert df.count() >= 0
-    assert len(df.schema) > 0

@@ -1,0 +1,122 @@
+"""Streaming session windows + within-watermark dedup: the streaming
+variants must agree with their batch twins on the same data."""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+
+from pyspark.sql import functions as F
+
+from flink_cep_task_spark.operators.dedup import dedup_exact
+from flink_cep_task_spark.sources.jsonline import parse_metric_lines
+from flink_cep_task_spark.streaming.ops import (
+    dedup_exact_stream,
+    session_window_agg_df,
+    sessionize_stream,
+)
+from flink_cep_task_spark.streaming.pipeline import await_stream
+
+
+def _write_ordered(dirpath, docs: list[str]) -> None:
+    t0 = time.time() - 60
+    for i, content in enumerate(docs):
+        p = dirpath / f"{i:04d}.json"
+        p.write_text(content)
+        os.utime(p, (t0 + i, t0 + i))
+
+
+def test_streaming_sessionize_matches_batch(spark, tmp_path):
+    base_ms = 1_700_000_000_000
+    # u1: two sessions (gap 45 min between event 2 and 3); u2: one session
+    events = [
+        {"eventTime": base_ms, "t_user": "u1", "m": 0},
+        {"eventTime": base_ms + 10 * 60_000, "t_user": "u1", "m": 0},
+        {"eventTime": base_ms + 55 * 60_000, "t_user": "u1", "m": 0},
+        {"eventTime": base_ms + 5 * 60_000, "t_user": "u2", "m": 0},
+    ]
+    flush = [
+        {"eventTime": base_ms + 86_400_000, "t_user": "zz_flush", "m": 0},
+        {"eventTime": base_ms + 86_460_000, "t_user": "zz_flush", "m": 0},
+    ]
+    src = tmp_path / "sess-src"
+    src.mkdir()
+    _write_ordered(src, [json.dumps(e) for e in events + flush])
+
+    lines = spark.readStream.option("maxFilesPerTrigger", 1).text(str(src))
+    metrics = parse_metric_lines(lines).select(
+        "event_time", F.element_at("tags", "t_user").alias("user_id")
+    )
+    out = sessionize_stream(metrics, watermark="1 minute")
+    name = f"sess_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.format("memory").queryName(name).outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_sess"))
+        .trigger(availableNow=True).start()
+    )
+    await_stream(q, 120)
+    got = {
+        (r.user_id, r.session_start, r.session_end, r.n_events)
+        for r in spark.table(name).collect()
+        if r.user_id != "zz_flush"
+    }
+
+    batch_ev = spark.createDataFrame(
+        [(e["t_user"], e["eventTime"] // 1000) for e in events],
+        ["user_id", "ts_raw"],
+    ).select("user_id", F.timestamp_seconds(F.col("ts_raw")).alias("ts_sec"))
+    expected = {
+        (r.user_id, r.session_start, r.session_end, r.n_events)
+        for r in session_window_agg_df(batch_ev).collect()
+    }
+    assert got == expected
+    assert len(got) == 3  # u1 × 2 sessions + u2 × 1
+
+
+def test_streaming_dedup_matches_batch(spark, tmp_path):
+    base_ms = 1_700_000_000_000
+    texts = {
+        0: "the quick brown fox",
+        1: "lazy dogs sleep",
+        2: "The  quick brown fox!",   # dup of 0 after normalization
+        3: "entirely different text",
+        4: "lazy dogs sleep",          # dup of 1
+    }
+    docs = [
+        {"eventTime": base_ms + i * 60_000, "doc_id": i, "text": t}
+        for i, t in texts.items()
+    ]
+    src = tmp_path / "dedup-src"
+    src.mkdir()
+    _write_ordered(src, [json.dumps(d) for d in docs])
+
+    stream = (
+        spark.readStream.schema("eventTime long, doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+        .select(
+            F.timestamp_millis(F.col("eventTime")).alias("event_time"),
+            "doc_id",
+            "text",
+        )
+    )
+    out = dedup_exact_stream(stream, watermark="1 minute")
+    name = f"dd_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.format("memory").queryName(name).outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_dd"))
+        .trigger(availableNow=True).start()
+    )
+    await_stream(q, 120)
+    survivors = {r.doc_id for r in spark.table(name).collect()}
+
+    # batch twin: survivors = canonical (lowest doc_id per normalized text)
+    batch_docs = spark.createDataFrame(
+        [(i, t) for i, t in texts.items()], ["doc_id", "text"]
+    )
+    canonical = {
+        r.canonical_id for r in dedup_exact(batch_docs).collect()
+    }
+    assert survivors == canonical == {0, 1, 3}
