@@ -32,7 +32,12 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from flink_cep_task_spark.functions.hashing import h64, h64_sql
+from flink_cep_task_spark.functions.hashing import (
+    h64,
+    h64_sql,
+    perm_hash,
+    perm_hash_sql,
+)
 from flink_cep_task_spark.operators.text import norm_text, tokens
 
 SHINGLE = 3
@@ -143,11 +148,14 @@ def minhash_signatures(documents: DataFrame) -> DataFrame:
 
 
 def _minhash_from_shingles(sh: DataFrame) -> DataFrame:
+    """ONE md5 per shingle + 16 Carter-Wegman integer permutations (instead
+    of 16 md5 calls per shingle — the string hash dominated the stage)."""
+    hashed = sh.withColumn("__h", h64(F.col("shingle")))
     aggs = [
-        F.min(h64(F.concat(F.lit(f"{p}:"), F.col("shingle")))).alias(f"mh{p}")
+        F.min(perm_hash(F.col("__h"), p)).alias(f"mh{p}")
         for p in range(NUM_PERMS)
     ]
-    return sh.groupBy("doc_id").agg(*aggs)
+    return hashed.groupBy("doc_id").agg(*aggs)
 
 
 def dedup_minhash_lsh(documents: DataFrame) -> DataFrame:
@@ -190,7 +198,7 @@ def dedup_minhash_lsh(documents: DataFrame) -> DataFrame:
 
 def _minhash_sql() -> str:
     mh_aggs = ",\n    ".join(
-        "min({h}) AS mh{p}".format(h=h64_sql("'" + str(p) + ":' || shingle"), p=p)
+        "min({h}) AS mh{p}".format(h=perm_hash_sql("h", p), p=p)
         for p in range(NUM_PERMS)
     )
     band_rows = "\n  UNION ALL\n".join(
@@ -206,7 +214,8 @@ WITH {SHINGLES_CTE.strip()},
 sig AS (
   SELECT doc_id,
     {mh_aggs}
-  FROM sh GROUP BY doc_id
+  FROM (SELECT doc_id, {h64_sql("shingle")} AS h FROM sh)
+  GROUP BY doc_id
 ),
 banded AS (
 {band_rows}

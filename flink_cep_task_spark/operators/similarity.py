@@ -270,3 +270,114 @@ SELECT query_id, neighbor_id, cosine, rnk FROM (
 
 
 ANN_LSH_SQL = _ann_sql()
+
+
+# --- embedding-cosine near-duplicate pairs --------------------------------
+
+# the synthetic embeddings are near-orthogonal random vectors (max pair
+# cosine ≈ 0.42 at sf0.01), so the demonstration threshold is 0.3 to keep
+# the result non-trivial; a production near-dup pass would use 0.9+ — the
+# plan is threshold-independent.
+COSINE_DUP_TAU = 0.3
+
+
+def dedup_embedding_cosine(embeddings: DataFrame) -> DataFrame:
+    """Near-duplicate VECTOR pairs: cosine ≥ 0.9, candidates restricted to
+    pairs colliding in ≥1 LSH table (same multi-table bucketing + per-
+    bucket cap as ann_lsh — truly similar vectors collide with high
+    probability, and the self-join is bounded per bucket instead of N²).
+    The embedding analog of dedup_minhash_lsh: bucket, verify exactly,
+    emit (vec_a, vec_b, cosine)."""
+    base = _with_norm(embeddings)
+    buckets = _bucketed(base)
+    capped = buckets.withColumn(
+        "bucket_rank",
+        F.row_number().over(Window.partitionBy("table", "sig").orderBy("vec_id")),
+    ).filter(F.col("bucket_rank") <= BUCKET_CAP)
+    a, b = capped.alias("a"), capped.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.table") == F.col("b.table"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
+        .distinct()
+    )
+    pairs = (
+        cand.join(
+            base.select(
+                F.col("vec_id").alias("vec_a"),
+                F.col("v").alias("va"),
+                F.col("nrm").alias("na"),
+            ),
+            "vec_a",
+        )
+        .join(
+            base.select(
+                F.col("vec_id").alias("vec_b"),
+                F.col("v").alias("vb"),
+                F.col("nrm").alias("nb"),
+            ),
+            "vec_b",
+        )
+    )
+    cos = F.round(_dot(F.col("va"), F.col("vb")).cast("double") / (F.col("na") * F.col("nb")), 6)
+    return (
+        pairs.withColumn("cosine", cos)
+        .filter(F.col("cosine") >= COSINE_DUP_TAU)
+        .select("vec_a", "vec_b", "cosine")
+    )
+
+
+def _cosine_dup_sql() -> str:
+    values = ", ".join(
+        f"({p}, {i + 1}, {PLANES[p][i]})" for p in range(N_PLANES) for i in range(DIM)
+    )
+    return f"""
+WITH flat AS (
+  SELECT vec_id, i, CAST(CAST(x AS DOUBLE) AS DECIMAL(9,6)) AS v
+  FROM (SELECT vec_id, unnest(embedding) AS x,
+               generate_subscripts(embedding, 1) AS i FROM embeddings)
+),
+w(p, i, wt) AS (VALUES {values}),
+sigbits AS (
+  SELECT f.vec_id, w.p // {BITS_PER_TABLE} AS tbl, w.p,
+         CASE WHEN sum(f.v * w.wt) > 0 THEN '1' ELSE '0' END AS bit
+  FROM flat f JOIN w ON w.i = f.i
+  GROUP BY f.vec_id, w.p
+),
+sigs AS (
+  SELECT vec_id, tbl, string_agg(bit, '' ORDER BY p) AS sig
+  FROM sigbits GROUP BY vec_id, tbl
+),
+capped AS (
+  SELECT vec_id, tbl, sig FROM (
+    SELECT *, row_number() OVER (PARTITION BY tbl, sig ORDER BY vec_id) AS brk
+    FROM sigs
+  ) WHERE brk <= {BUCKET_CAP}
+),
+norms AS (SELECT vec_id, sqrt(CAST(sum(v * v) AS DOUBLE)) AS nrm FROM flat GROUP BY vec_id),
+cand AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM capped a JOIN capped b
+    ON a.tbl = b.tbl AND a.sig = b.sig AND a.vec_id < b.vec_id
+),
+dots AS (
+  SELECT c.vec_a, c.vec_b, CAST(sum(fa.v * fb.v) AS DOUBLE) AS dt
+  FROM cand c
+  JOIN flat fa ON fa.vec_id = c.vec_a
+  JOIN flat fb ON fb.vec_id = c.vec_b AND fb.i = fa.i
+  GROUP BY c.vec_a, c.vec_b
+)
+SELECT vec_a, vec_b, cosine FROM (
+  SELECT d.vec_a, d.vec_b, round(d.dt / (na.nrm * nb.nrm), 6) AS cosine
+  FROM dots d
+  JOIN norms na ON na.vec_id = d.vec_a
+  JOIN norms nb ON nb.vec_id = d.vec_b
+) WHERE cosine >= {COSINE_DUP_TAU}
+"""
+
+
+COSINE_DUP_SQL = _cosine_dup_sql()

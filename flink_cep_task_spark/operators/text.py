@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from flink_cep_task_spark.functions.hashing import h64
+from flink_cep_task_spark.functions.hashing import gram_hash, gram_hash_sql
 
 STOPWORDS = ("the", "a")
 
@@ -125,11 +125,44 @@ LANG_ID_SQL = (
 )
 
 
+BPE_TOKEN_RE = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
+
+
+def token_counts(documents: DataFrame) -> DataFrame:
+    """Token counting two ways (LLM-pipeline budget estimation):
+    whitespace tokens and a BPE-ish regex segmentation (letter runs, digit
+    runs, single punctuation — the pre-tokenization split GPT-style BPE
+    vocabularies assume). Pure Catalyst regexp_extract_all, linear scan."""
+    t = norm_text(F.col("text"))
+    ws = F.size(tokens(F.col("text")))
+    bpe = F.size(F.regexp_extract_all(t, F.lit(BPE_TOKEN_RE), 0))
+    return documents.select(
+        "doc_id",
+        ws.cast("long").alias("n_ws_tokens"),
+        bpe.cast("long").alias("n_bpe_tokens"),
+        F.length(t).cast("long").alias("n_chars"),
+        F.round(bpe.cast("double") / ws, 6).alias("bpe_per_ws_token"),
+    )
+
+
+TOKEN_COUNTS_SQL = f"""
+SELECT doc_id,
+  CAST(len(regexp_split_to_array(t, '\\s+')) AS BIGINT) AS n_ws_tokens,
+  CAST(len(regexp_extract_all(t, '{BPE_TOKEN_RE}')) AS BIGINT) AS n_bpe_tokens,
+  CAST(length(t) AS BIGINT) AS n_chars,
+  round(CAST(len(regexp_extract_all(t, '{BPE_TOKEN_RE}')) AS DOUBLE)
+        / len(regexp_split_to_array(t, '\\s+')), 6) AS bpe_per_ws_token
+FROM (SELECT doc_id, lower(trim(text)) AS t FROM documents)
+"""
+
+
 def doc_fingerprint(documents: DataFrame, gram: int = 5) -> DataFrame:
-    """Rolling-hash fingerprint: min 60-bit hash over character n-grams
+    """Rolling-hash fingerprint: min hash over character n-grams
     (1-permutation MinHash — the winnowing primitive), plus distinct-gram
     count. Entirely built-in expressions: substring grid via transform over
-    a sequence."""
+    a sequence; the per-gram hash is the polynomial code-point hash
+    (functions/hashing.gram_hash) — one md5 PER GRAM made the string hash
+    the whole stage's cost."""
     t = norm_text(F.col("text"))
     # guard texts shorter than the gram size: sequence(1, 0) would default
     # to step -1 and yield [1, 0] (a phantom gram), while the oracle's
@@ -147,14 +180,16 @@ def doc_fingerprint(documents: DataFrame, gram: int = 5) -> DataFrame:
     )
     return d.select(
         "doc_id",
-        F.array_min(F.transform(F.col("__g"), h64)).alias("fingerprint"),
+        F.array_min(F.transform(F.col("__g"), lambda g: gram_hash(g, gram))).alias(
+            "fingerprint"
+        ),
         F.size("__g").cast("long").alias("n_distinct_grams"),
     )
 
 
-DOC_FINGERPRINT_SQL = """
+DOC_FINGERPRINT_SQL = f"""
 SELECT doc_id,
-  min(CAST(concat('0x', substr(md5(g), 1, 15)) AS BIGINT)) AS fingerprint,
+  min({gram_hash_sql("g", 5)}) AS fingerprint,
   CAST(count(DISTINCT g) AS BIGINT) AS n_distinct_grams
 FROM (
   SELECT doc_id, substr(t, i, 5) AS g

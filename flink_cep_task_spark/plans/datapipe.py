@@ -34,7 +34,9 @@ DATAPIPE_QUERIES: dict[str, tuple] = {
     "dedup_minhash_lsh": (_docs(D.dedup_minhash_lsh), D.MINHASH_LSH_SQL),
     "dedup_ngram_jaccard": (_docs(D.dedup_ngram_jaccard), D.NGRAM_JACCARD_SQL),
     "dedup_simhash": (_docs(D.dedup_simhash), D.SIMHASH_SQL),
+    "token_counts": (_docs(T.token_counts), T.TOKEN_COUNTS_SQL),
     "knn_bruteforce": (_embs(S.knn_bruteforce), S.KNN_SQL),
     "ann_lsh": (_embs(S.ann_lsh), S.ANN_LSH_SQL),
+    "dedup_embedding_cosine": (_embs(S.dedup_embedding_cosine), S.COSINE_DUP_SQL),
     "media_feature_stats": (_docs(M.media_feature_stats), M.MEDIA_FEATURES_SQL),
 }
