@@ -13,10 +13,10 @@ Scale design (the point of each variant):
                    bit-explode); banding into 6×10-bit chunks makes the
                    candidate join exact for hamming ≤ 5 (pigeonhole), so no
                    brute-force pair scan ever runs in Spark.
-  * ngram_jaccard— inverted-index join on shared shingles with a
-                   document-frequency cap: candidates must share ≥1 RARE
-                   shingle (df ≤ cap), killing the k² pair blow-up of hot
-                   boilerplate shingles; Jaccard verify stays exact.
+  * ngram_jaccard— EXACT set-similarity join via positional prefix
+                   filtering: only rarest-first prefixes of each document
+                   generate candidates (hot boilerplate shingles sort to
+                   the suffix and never join); full-set verify.
 
 Every hash is the portable md5-60bit (functions/hashing.py), so the DuckDB
 oracles replicate results bit-for-bit. The oracle for simhash intentionally
@@ -27,6 +27,8 @@ join loses nothing.
 from __future__ import annotations
 
 from functools import reduce
+
+import pandas as pd
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -113,14 +115,64 @@ sh AS (
 """
 
 
+def _make_shingle_udf():
+    """DISTINCT word-3-gram 60-bit hashes per document in one Arrow batch —
+    the Catalyst transform/array_distinct/concat chain is interpreted per
+    element and dominated the stage. Python md5[:15 hex] == h64 exactly,
+    and the tokenization mirrors tokens(): split lowercased+trimmed text on
+    whitespace runs."""
+    import hashlib as _hl
+    import re as _re
+
+    @F.pandas_udf("array<long>")
+    def sh_hashes(texts: pd.Series) -> pd.Series:
+        ws = _re.compile(r"\s+")
+        out = []
+        for t in texts:
+            toks = ws.split(t.strip().lower())
+            if len(toks) >= SHINGLE:
+                grams = {
+                    " ".join(toks[i : i + SHINGLE])
+                    for i in range(len(toks) - SHINGLE + 1)
+                }
+                out.append(
+                    [int(_hl.md5(g.encode()).hexdigest()[:15], 16) for g in grams]
+                )
+            else:
+                out.append([])
+        return pd.Series(out)
+
+    return sh_hashes
+
+
+def shingles_hashed(documents: DataFrame) -> DataFrame:
+    """(doc_id, sh BIGINT) — shingles hashed to portable 60-bit ints at the
+    source, so every downstream join/shuffle/aggregation moves 8-byte keys
+    instead of ~20-char strings (the set algebra is identical modulo md5
+    collisions, which are negligible)."""
+    udf = _make_shingle_udf()
+    return documents.select(
+        "doc_id", F.explode(udf(F.col("text"))).alias("sh")
+    )
+
+
+SHINGLES_HASHED_CTE = (
+    SHINGLES_CTE.strip()
+    + f""",
+shh AS (SELECT doc_id, {h64_sql("shingle")} AS sh FROM sh)
+"""
+)
+
+
 def _pair_jaccard(sh: DataFrame, candidates: DataFrame, tau: float) -> DataFrame:
-    """Exact Jaccard for candidate (doc_a < doc_b) pairs from shingle sets."""
+    """Exact Jaccard for candidate (doc_a < doc_b) pairs from hashed
+    shingle sets (columns: doc_id, sh)."""
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = sh.withColumnRenamed("doc_id", "doc_a")
     b = sh.withColumnRenamed("doc_id", "doc_b")
     inter = (
         candidates.join(a, "doc_a")
-        .join(b, ["doc_b", "shingle"])
+        .join(b, ["doc_b", "sh"])
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
@@ -144,27 +196,26 @@ def _pair_jaccard(sh: DataFrame, candidates: DataFrame, tau: float) -> DataFrame
 
 def minhash_signatures(documents: DataFrame) -> DataFrame:
     """16 minhash values per doc in ONE aggregation pass (no perm explode)."""
-    return _minhash_from_shingles(shingles(documents))
+    return _minhash_from_shingles(shingles_hashed(documents))
 
 
 def _minhash_from_shingles(sh: DataFrame) -> DataFrame:
     """ONE md5 per shingle + 16 Carter-Wegman integer permutations (instead
     of 16 md5 calls per shingle — the string hash dominated the stage)."""
-    hashed = sh.withColumn("__h", h64(F.col("shingle")))
     aggs = [
-        F.min(perm_hash(F.col("__h"), p)).alias(f"mh{p}")
+        F.min(perm_hash(F.col("sh"), p)).alias(f"mh{p}")
         for p in range(NUM_PERMS)
     ]
-    return hashed.groupBy("doc_id").agg(*aggs)
+    return sh.groupBy("doc_id").agg(*aggs)
 
 
 def dedup_minhash_lsh(documents: DataFrame) -> DataFrame:
     """LSH-candidate pairs verified with exact Jaccard ≥ 0.5.
 
-    The shingle DataFrame is computed once and persisted — it feeds both the
-    signature aggregation and the exact-Jaccard verification, and the
-    explode+distinct it contains is the expensive part of the plan."""
-    sh = shingles(documents).persist()
+    The hashed-shingle DataFrame is computed once and persisted — it feeds
+    both the signature aggregation and the exact-Jaccard verification, and
+    the explode+distinct it contains is the expensive part of the plan."""
+    sh = shingles_hashed(documents).persist()
     sig = _minhash_from_shingles(sh)
     band_structs = F.array(
         *[
@@ -198,7 +249,7 @@ def dedup_minhash_lsh(documents: DataFrame) -> DataFrame:
 
 def _minhash_sql() -> str:
     mh_aggs = ",\n    ".join(
-        "min({h}) AS mh{p}".format(h=perm_hash_sql("h", p), p=p)
+        "min({h}) AS mh{p}".format(h=perm_hash_sql("sh", p), p=p)
         for p in range(NUM_PERMS)
     )
     band_rows = "\n  UNION ALL\n".join(
@@ -210,11 +261,11 @@ def _minhash_sql() -> str:
         for b in range(BANDS)
     )
     return f"""
-WITH {SHINGLES_CTE.strip()},
+WITH {SHINGLES_HASHED_CTE.strip()},
 sig AS (
   SELECT doc_id,
     {mh_aggs}
-  FROM (SELECT doc_id, {h64_sql("shingle")} AS h FROM sh)
+  FROM shh
   GROUP BY doc_id
 ),
 banded AS (
@@ -225,12 +276,12 @@ cand AS (
   FROM banded a JOIN banded b
     ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
 ),
-sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+sizes AS (SELECT doc_id, count(*) AS n FROM shh GROUP BY doc_id),
 inter AS (
   SELECT c.doc_a, c.doc_b, count(*) AS n_common
   FROM cand c
-  JOIN sh sa ON sa.doc_id = c.doc_a
-  JOIN sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+  JOIN shh sa ON sa.doc_id = c.doc_a
+  JOIN shh sb ON sb.doc_id = c.doc_b AND sb.sh = sa.sh
   GROUP BY c.doc_a, c.doc_b
 )
 SELECT i.doc_a, i.doc_b, CAST(i.n_common AS BIGINT) AS n_common,
@@ -244,32 +295,34 @@ WHERE round(CAST(i.n_common AS DOUBLE) / (za.n + zb.n - i.n_common), 6) >= {MINH
 
 # --- exact n-gram Jaccard (inverted index) -------------------------------
 
-NGRAM_DF_CAP = 64  # shingles shared by more docs than this generate no candidates
-
-
 def dedup_ngram_jaccard(documents: DataFrame) -> DataFrame:
-    """All candidate pairs with Jaccard ≥ 0.5 via shared-shingle inverted
-    index, with a document-frequency cap on candidate-generating shingles.
+    """ALL pairs with Jaccard ≥ 0.5 — exact, via positional prefix
+    filtering (Chaudhuri/Bayardo set-similarity join).
 
-    A shingle appearing in k documents contributes k² candidate pairs; hot
-    boilerplate shingles are quadratic scale-killers while carrying no
-    discriminative signal (any pair at Jaccard ≥ 0.5 shares many rare
-    shingles too). Shingles with df > NGRAM_DF_CAP are excluded from
-    candidate GENERATION only — the Jaccard verification still uses the full
-    shingle sets, so reported similarity values are exact. This is the
-    standard prefix-filter/stop-shingle pruning for set-similarity joins."""
-    sh = shingles(documents).persist()
-    rare = (
-        sh.groupBy("shingle")
-        .agg(F.count(F.lit(1)).alias("__df"))
-        .filter(F.col("__df") <= NGRAM_DF_CAP)
-        .select("shingle")
+    A naive inverted-index join produces k² candidate pairs per shingle of
+    document frequency k — hot boilerplate shingles make that quadratic.
+    Prefix filter: order every document's shingles by GLOBAL df (rarest
+    first, sh tiebreak); a pair with Jaccard ≥ τ must have overlap
+    ≥ ⌈τ·|A|⌉, and two sets with that much overlap necessarily share an
+    element inside their first |A|-⌈τ·|A|⌉+1 shingles. So only PREFIXES
+    join — hot shingles sort to the ends of documents and almost never
+    generate candidates — and verification over the full sets keeps the
+    result exact (no df-cap loss)."""
+    sh = shingles_hashed(documents).persist()
+    dfreq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("__df"))
+    w_doc = Window.partitionBy("doc_id").orderBy("__df", "sh")
+    ranked = (
+        sh.join(dfreq, "sh")
+        .withColumn("__rn", F.row_number().over(w_doc))
+        .withColumn("__n", F.count(F.lit(1)).over(Window.partitionBy("doc_id")))
     )
-    capped = sh.join(rare, "shingle")
-    a = capped.withColumnRenamed("doc_id", "doc_a")
-    b = capped.withColumnRenamed("doc_id", "doc_b")
+    prefix = ranked.filter(
+        F.col("__rn") <= F.col("__n") - F.ceil(F.lit(JACCARD_TAU) * F.col("__n")) + 1
+    ).select("doc_id", "sh")
+    a = prefix.withColumnRenamed("doc_id", "doc_a")
+    b = prefix.withColumnRenamed("doc_id", "doc_b")
     cand = (
-        a.join(b, ["shingle"])
+        a.join(b, ["sh"])
         .filter(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b")
         .distinct()
@@ -278,19 +331,28 @@ def dedup_ngram_jaccard(documents: DataFrame) -> DataFrame:
 
 
 NGRAM_JACCARD_SQL = f"""
-WITH {SHINGLES_CTE.strip()},
-rare AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= {NGRAM_DF_CAP}),
-capped AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN rare USING (shingle)),
-sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+WITH {SHINGLES_HASHED_CTE.strip()},
+dfreq AS (SELECT sh, count(*) AS df FROM shh GROUP BY sh),
+ranked AS (
+  SELECT shh.doc_id, shh.sh,
+         row_number() OVER (PARTITION BY shh.doc_id ORDER BY d.df, shh.sh) AS rn,
+         count(*) OVER (PARTITION BY shh.doc_id) AS n
+  FROM shh JOIN dfreq d USING (sh)
+),
+prefix AS (
+  SELECT doc_id, sh FROM ranked
+  WHERE rn <= n - CAST(ceil({JACCARD_TAU} * n) AS BIGINT) + 1
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM shh GROUP BY doc_id),
 cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM capped a JOIN capped b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  FROM prefix a JOIN prefix b ON a.sh = b.sh AND a.doc_id < b.doc_id
 ),
 inter AS (
   SELECT c.doc_a, c.doc_b, count(*) AS n_common
   FROM cand c
-  JOIN sh sa ON sa.doc_id = c.doc_a
-  JOIN sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+  JOIN shh sa ON sa.doc_id = c.doc_a
+  JOIN shh sb ON sb.doc_id = c.doc_b AND sb.sh = sa.sh
   GROUP BY c.doc_a, c.doc_b
 )
 SELECT i.doc_a, i.doc_b, CAST(i.n_common AS BIGINT) AS n_common,

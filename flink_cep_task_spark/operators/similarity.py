@@ -18,17 +18,26 @@ Two paths:
     log2(N): 12 bits suits ~1e5-1e7 vectors; at 1e9 raise to 16-20 so
     expected bucket occupancy stays O(cap).
 
-Cross-engine determinism: float components are widened to DOUBLE then cast
-to DECIMAL(9,6); dot products/norms-squared are exact decimal sums (order
-independent — safe under any partitioning), only the final sqrt/division is
-double. Ranking orders by the ROUNDED cosine with vec_id tie-break, so both
-engines rank identically. Hyperplane weights are derived from md5 in Python
-and inlined as literals on BOTH sides.
+Cross-engine determinism AND speed: float components are widened to DOUBLE,
+quantized to DECIMAL(9,6), then scaled ×10⁶ into exact 64-bit INTEGERS —
+every dot product / norm-squared is an integer sum (order-independent, so
+safe under any partitioning, and plain long arithmetic in whole-stage
+codegen instead of JVM BigDecimal, which made the signature stage the
+bench hotspot). |component|·10⁶ < 2^24 ⇒ a 64-dim dot ≤ 2^54 — exact in
+int64 AND in the double conversions both engines apply afterwards. Only
+the final sqrt/division is floating point, with identical operand values
+and operation order in Spark and DuckDB. Ranking orders by the ROUNDED
+cosine with vec_id tie-break, so both engines rank identically.
+Hyperplane weights are ±1 literals derived from md5 in Python and inlined
+on BOTH sides.
 """
 
 from __future__ import annotations
 
 import hashlib
+
+import numpy as np
+import pandas as pd
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -43,29 +52,39 @@ N_PLANES = N_TABLES * BITS_PER_TABLE
 BUCKET_CAP = 256     # max data-side rows considered per (table, signature)
 
 VDEC = "decimal(9,6)"
-ACC = "decimal(28,12)"
+SCALE = 1_000_000          # DECIMAL(9,6) → exact integer micro-units
+SCALE2 = float(SCALE) ** 2  # de-scaling for dot products of two vectors
 
 
-def _vec_dec(c: Column) -> Column:
-    return F.transform(c, lambda x: x.cast("double").cast(VDEC))
+def _vec_int(c: Column) -> Column:
+    """float array → exact micro-unit int64 array (via the DECIMAL(9,6)
+    quantization, so the integer IS the decimal times 10⁶)."""
+    return F.transform(
+        c, lambda x: (x.cast("double").cast(VDEC) * SCALE).cast("long")
+    )
 
 
-def _dot(a: Column, b: Column) -> Column:
-    # merge must return exactly the accumulator type; decimal + grows
-    # precision by 1, so cast back (lossless: |sum| < 10^16 here).
+def _idot(a: Column, b: Column) -> Column:
+    """Exact integer dot product of two micro-unit vectors."""
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y),
-        F.lit(0).cast(ACC),
-        lambda acc, x: (acc + x).cast(ACC),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def _cosine(va: Column, vb: Column, na: Column, nb: Column) -> Column:
+    return F.round(
+        (_idot(va, vb).cast("double") / F.lit(SCALE2)) / (na * nb), 6
     )
 
 
 def _with_norm(df: DataFrame) -> DataFrame:
-    v = _vec_dec(F.col("embedding"))
+    v = _vec_int(F.col("embedding"))
     return df.select(
         "vec_id",
         v.alias("v"),
-        F.sqrt(_dot(v, v).cast("double")).alias("nrm"),
+        F.sqrt(_idot(v, v).cast("double") / F.lit(SCALE2)).alias("nrm"),
     )
 
 
@@ -76,7 +95,7 @@ def knn_bruteforce(embeddings: DataFrame) -> DataFrame:
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), F.col("nrm").alias("qn")
     )
     pairs = base.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
-    cos = F.round(_dot(F.col("qv"), F.col("v")).cast("double") / (F.col("qn") * F.col("nrm")), 6)
+    cos = _cosine(F.col("qv"), F.col("v"), F.col("qn"), F.col("nrm"))
     ranked = pairs.select(
         "query_id", F.col("vec_id").alias("neighbor_id"), cos.alias("cosine")
     ).withColumn(
@@ -90,16 +109,23 @@ def knn_bruteforce(embeddings: DataFrame) -> DataFrame:
     )
 
 
-KNN_SQL = f"""
-WITH flat AS (
-  SELECT vec_id, i, CAST(CAST(x AS DOUBLE) AS DECIMAL(9,6)) AS v
+_FLAT_CTE = """flat AS (
+  SELECT vec_id, i,
+         CAST(CAST(CAST(x AS DOUBLE) AS DECIMAL(9,6)) * 1000000 AS BIGINT) AS v
   FROM (SELECT vec_id, unnest(embedding) AS x,
                generate_subscripts(embedding, 1) AS i FROM embeddings)
-),
-norms AS (SELECT vec_id, sqrt(CAST(sum(v * v) AS DOUBLE)) AS nrm FROM flat GROUP BY vec_id),
+)"""
+_NORMS_CTE = f"""norms AS (
+  SELECT vec_id, sqrt(CAST(sum(v * v) AS DOUBLE) / {SCALE2!r}) AS nrm
+  FROM flat GROUP BY vec_id
+)"""
+
+KNN_SQL = f"""
+WITH {_FLAT_CTE},
+{_NORMS_CTE},
 dots AS (
   SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
-         CAST(sum(a.v * b.v) AS DOUBLE) AS dt
+         CAST(sum(a.v * b.v) AS DOUBLE) / {SCALE2!r} AS dt
   FROM flat a JOIN flat b ON a.i = b.i AND b.vec_id <> a.vec_id
   WHERE a.vec_id < {N_QUERIES}
   GROUP BY a.vec_id, b.vec_id
@@ -135,29 +161,36 @@ def _plane_weights() -> list[list[int]]:
 PLANES = _plane_weights()
 
 
-def _table_signature(v: Column, t: int) -> Column:
-    """BITS_PER_TABLE sign-bits for table t (planes t*B .. t*B+B-1)."""
-    bits = []
-    for b in range(BITS_PER_TABLE):
-        w = F.array(*[F.lit(x).cast(VDEC) for x in PLANES[t * BITS_PER_TABLE + b]])
-        s = _dot(v, w)
-        bits.append(F.when(s > 0, F.lit("1")).otherwise(F.lit("0")))
-    return F.concat(*bits)
+def _make_sigs_udf():
+    """All N_PLANES sign-bits in ONE Arrow-vectorized numpy matmul —
+    48 interpreted higher-order-function dots per row made the signature
+    stage the bench hotspot; int64 matmul is exact (|dot| < 2^54), so the
+    signs — and therefore every bucket — are bit-identical to the
+    per-plane integer dots the DuckDB oracle computes."""
+    planes_t = np.array(PLANES, dtype=np.int64).T  # (DIM, N_PLANES)
+
+    @F.pandas_udf("array<string>")
+    def sigs(vs: pd.Series) -> pd.Series:
+        m = np.array(vs.tolist(), dtype=np.int64)          # (B, DIM)
+        bits = (m @ planes_t) > 0                          # (B, N_PLANES)
+        chars = np.where(bits, "1", "0")
+        out = [
+            [
+                "".join(row[t * BITS_PER_TABLE : (t + 1) * BITS_PER_TABLE])
+                for t in range(N_TABLES)
+            ]
+            for row in chars
+        ]
+        return pd.Series(out)
+
+    return sigs
 
 
 def _bucketed(base: DataFrame) -> DataFrame:
     """(vec_id, table, sig): one row per vector per LSH table."""
-    sigs = F.array(
-        *[
-            F.struct(
-                F.lit(t).alias("table"),
-                _table_signature(F.col("v"), t).alias("sig"),
-            )
-            for t in range(N_TABLES)
-        ]
-    )
-    return base.select("vec_id", F.explode(sigs).alias("ts")).select(
-        "vec_id", F.col("ts.table").alias("table"), F.col("ts.sig").alias("sig")
+    sigs = _make_sigs_udf()
+    return base.select(
+        "vec_id", F.posexplode(sigs(F.col("v"))).alias("table", "sig")
     )
 
 
@@ -201,7 +234,7 @@ def ann_lsh(embeddings: DataFrame) -> DataFrame:
         cand.join(base.withColumnRenamed("vec_id", "neighbor_id"), "neighbor_id")
         .join(F.broadcast(q), "query_id")
     )
-    cos = F.round(_dot(F.col("qv"), F.col("v")).cast("double") / (F.col("qn") * F.col("nrm")), 6)
+    cos = _cosine(F.col("qv"), F.col("v"), F.col("qn"), F.col("nrm"))
     ranked = pairs.select(
         "query_id", "neighbor_id", cos.alias("cosine")
     ).withColumn(
@@ -220,11 +253,7 @@ def _ann_sql() -> str:
         f"({p}, {i + 1}, {PLANES[p][i]})" for p in range(N_PLANES) for i in range(DIM)
     )
     return f"""
-WITH flat AS (
-  SELECT vec_id, i, CAST(CAST(x AS DOUBLE) AS DECIMAL(9,6)) AS v
-  FROM (SELECT vec_id, unnest(embedding) AS x,
-               generate_subscripts(embedding, 1) AS i FROM embeddings)
-),
+WITH {_FLAT_CTE},
 w(p, i, wt) AS (VALUES {values}),
 sigbits AS (
   SELECT f.vec_id, w.p // {BITS_PER_TABLE} AS tbl, w.p,
@@ -242,14 +271,14 @@ capped AS (
     FROM sigs
   ) WHERE brk <= {BUCKET_CAP}
 ),
-norms AS (SELECT vec_id, sqrt(CAST(sum(v * v) AS DOUBLE)) AS nrm FROM flat GROUP BY vec_id),
+{_NORMS_CTE},
 cand AS (
   SELECT DISTINCT q.vec_id AS query_id, d.vec_id AS neighbor_id
   FROM sigs q JOIN capped d ON q.tbl = d.tbl AND q.sig = d.sig AND d.vec_id <> q.vec_id
   WHERE q.vec_id < {N_QUERIES}
 ),
 dots AS (
-  SELECT c.query_id, c.neighbor_id, CAST(sum(a.v * b.v) AS DOUBLE) AS dt
+  SELECT c.query_id, c.neighbor_id, CAST(sum(a.v * b.v) AS DOUBLE) / {SCALE2!r} AS dt
   FROM cand c
   JOIN flat a ON a.vec_id = c.query_id
   JOIN flat b ON b.vec_id = c.neighbor_id AND b.i = a.i
@@ -323,7 +352,7 @@ def dedup_embedding_cosine(embeddings: DataFrame) -> DataFrame:
             "vec_b",
         )
     )
-    cos = F.round(_dot(F.col("va"), F.col("vb")).cast("double") / (F.col("na") * F.col("nb")), 6)
+    cos = _cosine(F.col("va"), F.col("vb"), F.col("na"), F.col("nb"))
     return (
         pairs.withColumn("cosine", cos)
         .filter(F.col("cosine") >= COSINE_DUP_TAU)
@@ -336,11 +365,7 @@ def _cosine_dup_sql() -> str:
         f"({p}, {i + 1}, {PLANES[p][i]})" for p in range(N_PLANES) for i in range(DIM)
     )
     return f"""
-WITH flat AS (
-  SELECT vec_id, i, CAST(CAST(x AS DOUBLE) AS DECIMAL(9,6)) AS v
-  FROM (SELECT vec_id, unnest(embedding) AS x,
-               generate_subscripts(embedding, 1) AS i FROM embeddings)
-),
+WITH {_FLAT_CTE},
 w(p, i, wt) AS (VALUES {values}),
 sigbits AS (
   SELECT f.vec_id, w.p // {BITS_PER_TABLE} AS tbl, w.p,
@@ -358,14 +383,14 @@ capped AS (
     FROM sigs
   ) WHERE brk <= {BUCKET_CAP}
 ),
-norms AS (SELECT vec_id, sqrt(CAST(sum(v * v) AS DOUBLE)) AS nrm FROM flat GROUP BY vec_id),
+{_NORMS_CTE},
 cand AS (
   SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
   FROM capped a JOIN capped b
     ON a.tbl = b.tbl AND a.sig = b.sig AND a.vec_id < b.vec_id
 ),
 dots AS (
-  SELECT c.vec_a, c.vec_b, CAST(sum(fa.v * fb.v) AS DOUBLE) AS dt
+  SELECT c.vec_a, c.vec_b, CAST(sum(fa.v * fb.v) AS DOUBLE) / {SCALE2!r} AS dt
   FROM cand c
   JOIN flat fa ON fa.vec_id = c.vec_a
   JOIN flat fb ON fb.vec_id = c.vec_b AND fb.i = fa.i
