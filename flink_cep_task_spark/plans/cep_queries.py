@@ -195,6 +195,64 @@ WIRE_RULE_LINES = [
 ]
 
 
+FIRST_EVENT_WINDOW_MIN = 1440
+
+# Q3 compat oracle: per-group FIRST-EVENT-aligned tumbling buckets
+# (TumblingWindowAssigner.java:23-46: begin = t - (t - t0) % size with t0
+# the group's first event), two-pass min-over-group + bucket arithmetic.
+FIRST_EVENT_SQL = f"""
+WITH m AS (
+  SELECT event_type AS grp, epoch_ms(ts) AS ts_ms,
+         CAST(value AS DECIMAL(18,2)) AS v
+  FROM events
+), seeded AS (
+  SELECT grp, ts_ms, v,
+         min(ts_ms) OVER (PARTITION BY grp) AS t0
+  FROM m
+), bucketed AS (
+  SELECT grp, v,
+         t0 + ((ts_ms - t0) // {FIRST_EVENT_WINDOW_MIN * 60_000})
+              * {FIRST_EVENT_WINDOW_MIN * 60_000} AS window_start_ms
+  FROM seeded
+)
+SELECT grp, window_start_ms,
+       window_start_ms + {FIRST_EVENT_WINDOW_MIN * 60_000} AS window_end_ms,
+       CAST(sum(v) AS DOUBLE) AS agg_sum,
+       count(v) AS agg_cnt,
+       CAST(min(v) AS DOUBLE) AS agg_min,
+       CAST(max(v) AS DOUBLE) AS agg_max
+FROM bucketed GROUP BY grp, window_start_ms
+"""
+
+
+def q_first_event_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference-compat mode for quirk Q3 (first-event-aligned tumbling
+    windows) as a driver query: per event_type group, buckets seeded at the
+    group's first event. Exercises streaming/state.first_event_aligned_
+    tumbling — the batch twin of the applyInPandasWithState operator."""
+    from pyspark.sql import functions as F
+
+    from flink_cep_task_spark.streaming.state import first_event_aligned_tumbling
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("event_type").alias("grp"),
+        F.col("ts").alias("event_time"),
+        F.col("value").cast("decimal(18,2)").alias("agg_input"),
+    )
+    out = first_event_aligned_tumbling(
+        ev, ["grp"], window_minutes=FIRST_EVENT_WINDOW_MIN
+    )
+    return out.select(
+        "grp",
+        "window_start_ms",
+        "window_end_ms",
+        F.col("agg_sum").cast("double").alias("agg_sum"),
+        "agg_cnt",
+        F.col("agg_min").cast("double").alias("agg_min"),
+        F.col("agg_max").cast("double").alias("agg_max"),
+    )
+
+
 def q_rules_from_wire(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P3/P4 through the correctness gate: raw wire JSON rule lines are
     parsed IN-PLAN (parse_rule_lines_df — symbolic ops, bare-string keys,
@@ -239,4 +297,5 @@ CEP_QUERIES: dict[str, tuple] = {
         q_rules_from_wire,
         cep_oracle_sql(parse_rule_lines(WIRE_RULE_LINES)),
     ),
+    "cep_first_event_tumbling": (q_first_event_tumbling, FIRST_EVENT_SQL),
 }

@@ -47,7 +47,10 @@ def first_event_aligned_tumbling(
     reference mishandles (TumblingWindowAssigner.java:36-38).
     """
     size_ms = window_minutes * SECONDS_PER_MINUTE * 1000
-    ts_ms = (F.col(ts_col).cast("double") * 1000).cast("long")
+    # unix_millis is exact; a cast-double*1000 path can be off by 1 ms for
+    # microsecond timestamps (53-bit mantissa), which would shift buckets
+    # relative to the oracle's epoch_ms.
+    ts_ms = F.unix_millis(F.col(ts_col))
     w = Window.partitionBy(*group_cols)
     t0 = F.min(ts_ms).over(w)
     start = t0 + F.floor((ts_ms - t0) / size_ms) * size_ms
