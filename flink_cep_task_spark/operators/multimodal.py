@@ -111,3 +111,69 @@ SELECT doc_id,
        md5(text) AS checksum
 FROM documents
 """
+
+
+# --- frame sampling -------------------------------------------------------
+
+FRAME_BYTES = 64     # bytes per "frame" (stand-in for a decoded video frame)
+FRAME_STRIDE = 2     # keep every 2nd frame
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("frame_idx", LongType(), False),
+        StructField("frame_offset", LongType(), False),
+        StructField("n_bytes", LongType(), False),
+        StructField("checksum", StringType(), False),
+    ]
+)
+
+
+def sample_frames(media: DataFrame) -> DataFrame:
+    """Frame-sampling plumbing: slice each binary payload into fixed-size
+    frames, keep every FRAME_STRIDE-th, emit one row per sampled frame —
+    the video-pipeline shape (decode → frame grid → stride sample →
+    per-frame features) with a byte-slice standing in for the codec.
+
+    mapInPandas fan-OUT: each input row yields multiple output rows, still
+    one Arrow batch stream per partition — no shuffle until something
+    groups the frames."""
+
+    def cut(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            rows: dict[str, list] = {k.name: [] for k in FRAME_SCHEMA.fields}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                if payload is None:
+                    continue
+                n_frames = (len(payload) + FRAME_BYTES - 1) // FRAME_BYTES
+                for i in range(0, n_frames, FRAME_STRIDE):
+                    chunk = payload[i * FRAME_BYTES : (i + 1) * FRAME_BYTES]
+                    rows["doc_id"].append(doc_id)
+                    rows["frame_idx"].append(i)
+                    rows["frame_offset"].append(i * FRAME_BYTES)
+                    rows["n_bytes"].append(len(chunk))
+                    rows["checksum"].append(hashlib.md5(chunk).hexdigest())
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(cut, schema=FRAME_SCHEMA)
+
+
+def media_frame_sample(documents: DataFrame) -> DataFrame:
+    """documents → binary payloads → strided frame slices + per-frame
+    checksums (SQL-reproducible via substr/md5 on ASCII payloads)."""
+    return sample_frames(documents_as_media(documents))
+
+
+MEDIA_FRAME_SQL = f"""
+SELECT doc_id,
+       CAST(i AS BIGINT) AS frame_idx,
+       CAST(i * {FRAME_BYTES} AS BIGINT) AS frame_offset,
+       CAST(length(substr(text, i * {FRAME_BYTES} + 1, {FRAME_BYTES})) AS BIGINT) AS n_bytes,
+       md5(substr(text, i * {FRAME_BYTES} + 1, {FRAME_BYTES})) AS checksum
+FROM (SELECT doc_id, text,
+             CAST(ceil(length(text) / {FRAME_BYTES}.0) AS BIGINT) AS nf
+      FROM documents),
+     LATERAL (SELECT unnest(generate_series(0, nf - 1, {FRAME_STRIDE})) AS i) s
+"""

@@ -46,6 +46,7 @@ import tempfile
 from decimal import ROUND_HALF_UP, Decimal
 from typing import Iterator
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession
@@ -129,17 +130,6 @@ def _round_half_up(v: float, digits: int) -> float:
     return float(Decimal(repr(v)).quantize(q, rounding=ROUND_HALF_UP))
 
 
-def _assign_starts(wtype: str, ts_s: int, size_s: int, slide_s: int) -> list[int]:
-    """Epoch-aligned covering window starts (seconds) — the Python twin of
-    operators/windows.assign_windows arithmetic (same bucketing, so the
-    live engine's windows equal the batch engine's)."""
-    if wtype == "tumbling":
-        return [(ts_s // size_s) * size_s]
-    first = ((ts_s - size_s) // slide_s + 1) * slide_s
-    last = (ts_s // slide_s) * slide_s
-    return list(range(first, last + 1, slide_s)) if first <= last else []
-
-
 def live_cep_windows(
     fanned: DataFrame,
     round_digits: int = 4,
@@ -171,7 +161,7 @@ def live_cep_windows(
 
         if not state.hasTimedOut:
             for pdf in pdfs:
-                ts_s = (pdf["event_time"].astype("int64") // 1_000_000_000).to_numpy()
+                ts_all = (pdf["event_time"].astype("int64") // 1_000_000_000).to_numpy()
                 cents = pd.to_numeric(pdf["agg_cents"], errors="coerce").to_numpy(dtype="float64")
                 # rule config rides on every row; latest batch wins (mid-
                 # stream upserts change the threshold for yet-unfired windows)
@@ -185,21 +175,52 @@ def live_cep_windows(
                 slide_s = (
                     int(slide_m) * SECONDS_PER_MINUTE if pd.notna(slide_m) else size_s
                 )
-                for t, c in zip(ts_s.tolist(), cents.tolist()):
-                    if pd.isna(c):
-                        continue  # missing measure: SQL null semantics (Q1 fix)
-                    v = int(c)
-                    for start in _assign_starts(wtype, t, size_s, slide_s):
+                if len(ts_all):
+                    t_max = int(ts_all.max())
+                    max_ts = t_max if max_ts is None else max(max_ts, t_max)
+                # missing measure rows (NaN cents) carry SQL null semantics
+                # (Q1 fix) — they advance max_ts above but aggregate nothing
+                ok_mask = ~np.isnan(cents)
+                ts = ts_all[ok_mask]
+                vals = cents[ok_mask].astype(np.int64)
+                if not len(ts):
+                    continue
+                # vectorized window assignment + per-window fold: a python
+                # per-row loop here was the whole pipeline's hotspot
+                if wtype == "tumbling":
+                    frames = [((ts // size_s) * size_s, ts, vals)]
+                else:
+                    frames = []
+                    first = ((ts - size_s) // slide_s + 1) * slide_s
+                    lastw = (ts // slide_s) * slide_s
+                    n_cover = (size_s + slide_s - 1) // slide_s + 1
+                    for j in range(n_cover):
+                        s = first + j * slide_s
+                        m = s <= lastw
+                        if m.any():
+                            frames.append((s[m], ts[m], vals[m]))
+                for starts, _tsf, vf in frames:
+                    uniq, inv = np.unique(starts, return_inverse=True)
+                    sums = np.zeros(len(uniq), dtype=np.int64)
+                    np.add.at(sums, inv, vf)
+                    cnts_a = np.bincount(inv, minlength=len(uniq))
+                    mins_a = np.full(len(uniq), np.iinfo(np.int64).max, dtype=np.int64)
+                    np.minimum.at(mins_a, inv, vf)
+                    maxs_a = np.full(len(uniq), np.iinfo(np.int64).min, dtype=np.int64)
+                    np.maximum.at(maxs_a, inv, vf)
+                    for i, start in enumerate(uniq.tolist()):
                         k = f"{start}:{size_s}"
                         w = open_w.get(k)
                         if w is None:
-                            open_w[k] = [v, 1, v, v]
+                            open_w[k] = [
+                                int(sums[i]), int(cnts_a[i]),
+                                int(mins_a[i]), int(maxs_a[i]),
+                            ]
                         else:
-                            w[0] += v
-                            w[1] += 1
-                            w[2] = min(w[2], v)
-                            w[3] = max(w[3], v)
-                    max_ts = t if max_ts is None else max(max_ts, t)
+                            w[0] += int(sums[i])
+                            w[1] += int(cnts_a[i])
+                            w[2] = min(w[2], int(mins_a[i]))
+                            w[3] = max(w[3], int(maxs_a[i]))
 
         # close = data-driven (a later event of THIS group passed the end,
         # reference Trigger semantics minus wall-clock Q4) OR watermark.
