@@ -208,12 +208,65 @@ SELECT event_id, user_id, ts_s, last_click_ts_s FROM (
 """
 
 
+# --- CUBE aggregation -----------------------------------------------------
+
+def cube_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (event_type, value decile-bucket): all four grouping-set
+    combinations in one pass (Catalyst expands to a single shuffle with a
+    grouping-id column — no N-pass union)."""
+    e = load_table(spark, sf_dir, "events")
+    bucket = (F.floor(F.col("value") / 10) * 10).cast("long")
+    return (
+        e.withColumn("value_bucket", bucket)
+        .cube("event_type", "value_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(18,2)")).cast("double"), 2).alias("total_value"),
+        )
+    )
+
+
+CUBE_SQL = """
+SELECT event_type, value_bucket, count(*) AS n_events,
+       round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_value
+FROM (SELECT event_type, value,
+             CAST(floor(value / 10) * 10 AS BIGINT) AS value_bucket FROM events)
+GROUP BY CUBE (event_type, value_bucket)
+"""
+
+
+# --- exact percentiles ----------------------------------------------------
+
+def value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT p50/p90/p99 of value per event_type (linear interpolation,
+    identical in Spark percentile() and DuckDB quantile_cont). At 100 TB
+    you'd swap in approx_percentile per-group — same plan shape, sketch
+    mergeable map-side; exact form kept here because it is oracle-checkable."""
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.round(F.percentile("value", F.lit(0.5)), 6).alias("p50"),
+        F.round(F.percentile("value", F.lit(0.9)), 6).alias("p90"),
+        F.round(F.percentile("value", F.lit(0.99)), 6).alias("p99"),
+    )
+
+
+PERCENTILES_SQL = """
+SELECT event_type,
+       round(quantile_cont(value, 0.5), 6) AS p50,
+       round(quantile_cont(value, 0.9), 6) AS p90,
+       round(quantile_cont(value, 0.99), 6) AS p99
+FROM events GROUP BY event_type
+"""
+
+
 ANALYTICS_QUERIES: dict[str, tuple] = {
     "topk_users_per_type": (topk_users_per_type, TOPK_SQL),
     "sessionize_events": (sessionize, SESSION_SQL),
     # native F.session_window variant (same plan runs in Structured
     # Streaming — streaming/ops.py); oracle is gaps-and-islands SQL
     "session_window_agg": (_session_window_agg, _SESSION_WINDOW_SQL),
+    "cube_event_stats": (cube_event_stats, CUBE_SQL),
+    "value_percentiles": (value_percentiles, PERCENTILES_SQL),
     "pivot_event_counts": (pivot_event_counts, PIVOT_SQL),
     "users_purchase_no_error": (users_purchase_no_error, EXCEPT_SQL),
     "users_purchase_and_signup": (users_purchase_and_signup, INTERSECT_SQL),
