@@ -29,6 +29,13 @@ def main() -> None:
 
     spark = entrymod._configure(get_spark(app_name="bench"))
 
+    # session warm-up OUTSIDE the timing loop: JVM/codegen/parquet-footer
+    # costs land on the first action otherwise and get misattributed to
+    # whichever query happens to run first.
+    spark.range(1000).selectExpr("sum(id)").collect()
+    for t in ("events", "lineitem", "documents", "embeddings"):
+        spark.read.parquet(os.path.join(sf_dir, f"{t}.parquet")).limit(1).collect()
+
     timings: dict[str, float] = {}
     for name, fn in entrymod.queries().items():
         start = time.perf_counter()

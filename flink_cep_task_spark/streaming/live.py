@@ -297,7 +297,11 @@ def build_live_cep(
 ) -> DataFrame:
     """Full live pipeline: metric stream × per-batch-refreshed rule table →
     dynamic-window stateful CEP. Output schema matches the batch engine
-    (evaluate_windows), so streaming results are directly comparable."""
+    (evaluate_windows), so streaming results are directly comparable.
+
+    Covers tumbling/sliding rules; global-window rules (unbounded, never
+    fire in append mode — reference quirk Q5) run through
+    run_live_cep_global's update-mode path instead."""
     rules = rules_from_store(spark, rule_store_path)
     compacted = compact_rules(rules)
     wm = metrics.withWatermark("event_time", watermark)
@@ -307,3 +311,85 @@ def build_live_cep(
         (F.col("agg_input") * 100).cast("long"),
     )
     return live_cep_windows(fanned)
+
+
+def run_live_cep_global(
+    metrics: DataFrame,
+    spark: SparkSession,
+    rule_store_path: str,
+    sink,
+    checkpoint_dir: str,
+    trigger: dict | None = None,
+):
+    """Global-window rules, LIVE: running per-(rule, group) aggregates in
+    UPDATE mode (reference AllWindowAssigner windows never end — quirk Q5 —
+    so results are continuous, not fired), with the threshold applied in
+    foreachBatch against a FRESH read of the rule store — rule upserts
+    change both matching (in-plan fan-out) and gating (sink side) at the
+    next micro-batch.
+
+    State is keyed by (rule_id, group_id) ONLY — limit/agg config stays out
+    of the grouping key, so a mid-run config change re-gates the SAME
+    running aggregate instead of splitting its state.
+
+    `sink(batch_df, batch_id)` receives gated rows with the engine's
+    standard output schema (window bounds NULL for global windows).
+    """
+    rules = rules_from_store(spark, rule_store_path)
+    compacted = compact_rules(rules)
+    fanned = fanout_rules(metrics, compacted).filter(
+        F.col("window_type") == "global"
+    ).withColumn("agg_cents", (F.col("agg_input") * 100).cast("long"))
+    agg = fanned.groupBy("rule_id", "group_id").agg(
+        F.sum("agg_cents").alias("__sum"),
+        F.count("agg_cents").alias("__cnt"),
+        F.min("agg_cents").alias("__min"),
+        F.max("agg_cents").alias("__max"),
+    )
+
+    def gate(batch_df, batch_id: int) -> None:
+        # fresh read — foreachBatch runs driver-side, so the store's file
+        # listing is NOT frozen at plan time here
+        cfg = compact_rules(rules_from_store(spark, rule_store_path)).select(
+            "rule_id", "agg_type", "limit_op", "limit"
+        )
+        j = batch_df.join(F.broadcast(cfg), "rule_id")
+        value = (
+            F.when(F.col("agg_type") == "SUM", F.col("__sum") / 100.0)
+            .when(F.col("agg_type") == "AVG", (F.col("__sum") / 100.0) / F.col("__cnt"))
+            .when(F.col("agg_type") == "MIN", F.col("__min") / 100.0)
+            .otherwise(F.col("__max") / 100.0)
+        )
+        lim = F.col("limit").cast("double")
+        v = F.col("agg_value")
+        op = F.col("limit_op")
+        passed = (
+            F.when(op == "=", v == lim)
+            .when(op == "!=", v != lim)
+            .when(op == ">", v > lim)
+            .when(op == ">=", v >= lim)
+            .when(op == "<", v < lim)
+            .otherwise(v <= lim)
+        )
+        out = (
+            j.withColumn("agg_value", value)
+            .filter(passed)
+            .select(
+                "rule_id",
+                "group_id",
+                F.lit(None).cast("long").alias("window_start"),
+                F.lit(None).cast("long").alias("window_end"),
+                "agg_type",
+                F.round("agg_value", 4).alias("agg_value"),
+            )
+        )
+        sink(out, batch_id)
+
+    q = (
+        agg.writeStream.outputMode("update")
+        .foreachBatch(gate)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if trigger:
+        q = q.trigger(**trigger)
+    return q.start()

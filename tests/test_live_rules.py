@@ -170,6 +170,77 @@ def test_checkpoint_restart_resume(spark, tmp_path):
     assert n_run1 >= 1  # run 1 emitted at least its closed window(s)
 
 
+def test_live_global_rules_update_mode(spark, tmp_path):
+    """Global-window rules through the LIVE path: running aggregates in
+    update mode, threshold gated in foreachBatch against the freshly-read
+    rule store — a mid-run limit change re-gates the SAME running
+    aggregate (state is keyed without config columns)."""
+    from flink_cep_task_spark.streaming.live import run_live_cep_global
+
+    base_ms = 1_700_000_040_000
+    src = tmp_path / f"glob-{uuid.uuid4().hex[:8]}"
+    src.mkdir()
+    t0 = time.time() - 120
+
+    def write_file(idx: int, doc: dict) -> None:
+        p = src / f"{idx:04d}.json"
+        p.write_text(json.dumps(doc))
+        os.utime(p, (t0 + idx, t0 + idx))
+
+    store = RuleFileStore(str(tmp_path / "rules_glob.json"))
+    store.upsert({"ruleId": 3, "windowType": "global",
+                  "groupingKeyNames": ["t_g"], "aggregatorFunctionType": "MAX",
+                  "aggregateFieldName": "m", "limitOperatorType": ">", "limit": 0})
+
+    seen: list[tuple] = []
+
+    def sink(batch_df, _bid):
+        seen.extend(
+            (r.rule_id, r.group_id, r.agg_type, r.agg_value)
+            for r in batch_df.collect()
+        )
+
+    for i in range(3):                      # phase A: max climbs 10,20,30
+        write_file(i, {"eventTime": base_ms + i * 60_000, "t_g": "g0",
+                       "m": (i + 1) * 10})
+    metrics = metrics_stream_from_text(spark, str(src), max_files_per_trigger=1)
+    q = run_live_cep_global(
+        metrics, spark, store.path, sink,
+        str(tmp_path / "ckpt_glob"),
+        trigger={"processingTime": "500 milliseconds"},
+    )
+    try:
+        deadline = time.time() + 60
+        while not any(v == 30.0 for *_k, v in seen) and time.time() < deadline:
+            time.sleep(0.5)
+        assert any(v == 30.0 for *_k, v in seen), f"phase A updates missing: {seen}"
+
+        # raise the limit mid-run: the SAME running max must now be gated
+        store.upsert({"ruleId": 3, "windowType": "global",
+                      "groupingKeyNames": ["t_g"], "aggregatorFunctionType": "MAX",
+                      "aggregateFieldName": "m", "limitOperatorType": ">",
+                      "limit": 1000, "seq": 99})
+        n_before = len(seen)
+        write_file(3, {"eventTime": base_ms + 180_000, "t_g": "g0", "m": 40})
+        write_file(4, {"eventTime": base_ms + 240_000, "t_g": "g0", "m": 50})
+        deadline = time.time() + 60
+        # wait until both phase-B events were aggregated (any emission or
+        # quiet period after files consumed)
+        while time.time() < deadline:
+            prog = q.recentProgress
+            if sum(p["numInputRows"] for p in prog) >= 5:
+                time.sleep(2)  # let the last gated batch drain
+                break
+            time.sleep(0.5)
+    finally:
+        q.stop()
+
+    # phase A emitted running maxima (limit 0); phase B values (40, 50)
+    # exceed the old limit but NOT the new one — no emissions after upsert
+    assert [v for *_k, v in seen[:n_before]] and max(v for *_k, v in seen[:n_before]) == 30.0
+    assert len(seen) == n_before, f"rows emitted past the raised limit: {seen[n_before:]}"
+
+
 def test_rule_midstream_upsert_and_delete(spark, tmp_path):
     """THE live-rules scenario, one continuous query:
 
