@@ -406,3 +406,135 @@ SELECT vec_a, vec_b, cosine FROM (
 
 
 COSINE_DUP_SQL = _cosine_dup_sql()
+
+
+# --- IVF (inverted-file) ANN ---------------------------------------------
+
+IVF_CENTROID_IDS = list(range(10, 26))  # 16 coarse centers (fixed vec_ids,
+                                        # disjoint from the query set <10)
+IVF_NPROBE = 4
+
+
+def _assign_cells(base: DataFrame, cents: list[tuple[int, list[int]]], k: int) -> DataFrame:
+    """(vec_id, cell [, rank]) — nearest-k centroids per vector by maximum
+    integer dot product (all vectors share unit-ish scale in the fixture;
+    a production IVF uses L2 after normalization — same plan shape).
+    Vectorized: ONE numpy matmul per Arrow batch against the (tiny,
+    driver-collected) centroid matrix — centroids are model parameters
+    exactly like the LSH planes, just learned from the data."""
+    cent_ids = [c[0] for c in cents]
+    cent_mat = np.array([c[1] for c in cents], dtype=np.int64).T  # (DIM, C)
+
+    @F.pandas_udf("array<int>")
+    def nearest(vs: pd.Series) -> pd.Series:
+        m = np.array(vs.tolist(), dtype=np.int64)      # (B, DIM)
+        dots = m @ cent_mat                            # (B, C)
+        # top-k by (dot DESC, centroid id ASC) — fully tie-broken
+        order = np.lexsort((np.array(cent_ids)[None, :].repeat(len(m), 0), -dots), axis=1)
+        return pd.Series([[int(cent_ids[j]) for j in row[:k]] for row in order])
+
+    return base.select("vec_id", F.posexplode(nearest(F.col("v"))).alias("rank", "cell"))
+
+
+def ann_ivf(embeddings: DataFrame) -> DataFrame:
+    """IVF ANN: coarse-quantize every vector to its nearest centroid cell
+    (inverted file), probe the query's IVF_NPROBE nearest cells, exact
+    cosine + top-5 on the probed candidates only.
+
+    Scale shape: the cell assignment is one matmul per batch; the
+    candidate join is an equi-join on cell id whose fan-out is |Q| ×
+    nprobe × cell size; cells are data-balanced when centroids come from a
+    k-means fit (here: fixed sample vectors, same plan)."""
+    base = _with_norm(embeddings)
+    cents = [
+        (r["vec_id"], r["v"])
+        for r in base.filter(F.col("vec_id").isin(IVF_CENTROID_IDS))
+        .select("vec_id", "v")
+        .collect()
+    ]
+    cents.sort()
+    # data side: each vector lives in exactly its nearest cell (rank 0)
+    inv_file = _assign_cells(base, cents, 1).filter(F.col("rank") == 0).drop("rank")
+    # query side: probe the nprobe nearest cells
+    probes = (
+        _assign_cells(base.filter(F.col("vec_id") < N_QUERIES), cents, IVF_NPROBE)
+        .drop("rank")
+        .withColumnRenamed("vec_id", "query_id")
+    )
+    cand = (
+        inv_file.join(F.broadcast(probes), "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"))
+        .distinct()
+    )
+    q = base.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
+    )
+    pairs = (
+        cand.join(base.withColumnRenamed("vec_id", "neighbor_id"), "neighbor_id")
+        .join(F.broadcast(q), "query_id")
+    )
+    cos = _cosine(F.col("qv"), F.col("v"), F.col("qn"), F.col("nrm"))
+    ranked = pairs.select(
+        "query_id", "neighbor_id", cos.alias("cosine")
+    ).withColumn(
+        "rnk",
+        F.row_number().over(
+            Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+        ),
+    )
+    return ranked.filter(F.col("rnk") <= TOP_K).select(
+        "query_id", "neighbor_id", "cosine", "rnk"
+    )
+
+
+def _ivf_sql() -> str:
+    ids = ", ".join(str(i) for i in IVF_CENTROID_IDS)
+    return f"""
+WITH {_FLAT_CTE},
+cents AS (SELECT vec_id AS cid, i, v AS cv FROM flat WHERE vec_id IN ({ids})),
+dots AS (
+  SELECT f.vec_id, c.cid, sum(f.v * c.cv) AS dt
+  FROM flat f JOIN cents c USING (i)
+  GROUP BY f.vec_id, c.cid
+),
+ranked_cells AS (
+  SELECT vec_id, cid,
+         row_number() OVER (PARTITION BY vec_id ORDER BY dt DESC, cid) AS rnk
+  FROM dots
+),
+inv_file AS (SELECT vec_id, cid AS cell FROM ranked_cells WHERE rnk = 1),
+probes AS (
+  SELECT vec_id AS query_id, cid AS cell FROM ranked_cells
+  WHERE rnk <= {IVF_NPROBE} AND vec_id < {N_QUERIES}
+),
+cand AS (
+  SELECT DISTINCT p.query_id, f.vec_id AS neighbor_id
+  FROM inv_file f JOIN probes p USING (cell)
+  WHERE f.vec_id <> p.query_id
+),
+{_NORMS_CTE},
+pair_dots AS (
+  SELECT c.query_id, c.neighbor_id, CAST(sum(a.v * b.v) AS DOUBLE) / {SCALE2!r} AS dt
+  FROM cand c
+  JOIN flat a ON a.vec_id = c.query_id
+  JOIN flat b ON b.vec_id = c.neighbor_id AND b.i = a.i
+  GROUP BY c.query_id, c.neighbor_id
+),
+cos AS (
+  SELECT query_id, neighbor_id, round(dt / (na.nrm * nb.nrm), 6) AS cosine
+  FROM pair_dots
+  JOIN norms na ON na.vec_id = query_id
+  JOIN norms nb ON nb.vec_id = neighbor_id
+)
+SELECT query_id, neighbor_id, cosine, rnk FROM (
+  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+             ORDER BY cosine DESC, neighbor_id) AS INTEGER) AS rnk
+  FROM cos
+) WHERE rnk <= {TOP_K}
+"""
+
+
+ANN_IVF_SQL = _ivf_sql()

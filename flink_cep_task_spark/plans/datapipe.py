@@ -37,6 +37,7 @@ DATAPIPE_QUERIES: dict[str, tuple] = {
     "token_counts": (_docs(T.token_counts), T.TOKEN_COUNTS_SQL),
     "knn_bruteforce": (_embs(S.knn_bruteforce), S.KNN_SQL),
     "ann_lsh": (_embs(S.ann_lsh), S.ANN_LSH_SQL),
+    "ann_ivf": (_embs(S.ann_ivf), S.ANN_IVF_SQL),
     "dedup_embedding_cosine": (_embs(S.dedup_embedding_cosine), S.COSINE_DUP_SQL),
     "media_feature_stats": (_docs(M.media_feature_stats), M.MEDIA_FEATURES_SQL),
     "media_frame_sample": (_docs(M.media_frame_sample), M.MEDIA_FRAME_SQL),
