@@ -82,16 +82,48 @@ def _rule_query(rules: list[Rule]):
     return q
 
 
-def q_live_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """STREAMING parity query: the events table is replayed as a JSON-line
-    file stream through the LIVE rule engine (per-micro-batch rule refresh +
-    dynamic-window stateful operator, streaming/live.py), drained with
-    availableNow, and the append-mode output is returned as a batch
-    DataFrame. Hash-matches the same DuckDB oracle as the batch engine —
-    the correctness gate covers the streaming path end-to-end.
-    """
+def _events_stream_workdir(spark: SparkSession, sf_dir: str, prefix: str) -> str:
+    """Replay scaffold shared by the streaming parity queries: the events
+    table written as ONE JSON-lines file plus two trailing watermark-pusher
+    files (wm advances at batch N's end, so final windows flush in batch
+    N+1; the pusher sits max_event + 40 days out — safely past the largest
+    7-day epoch-aligned window end plus the watermark delay; its own
+    far-future windows never pass a threshold with value 0 except via its
+    flush groups, which callers filter). Returns the workdir; the stream
+    source is <workdir>/src."""
+    import json as _json
     import os
     import tempfile
+
+    from pyspark.sql import functions as F
+
+    work = tempfile.mkdtemp(prefix=prefix)
+    src = os.path.join(work, "src")
+    ev = events_to_metrics(load_table(spark, sf_dir, "events"))
+    lines = ev.select(metric_to_json(ev.event_time, ev.tags, ev.metrics).alias("value"))
+    lines.coalesce(1).write.mode("overwrite").text(src)
+    max_ms = ev.agg(F.max((F.col("event_time").cast("double") * 1000).cast("long"))).first()[0]
+    base = None
+    for j in range(2):
+        p = os.path.join(src, f"zz_flush_{j}.json")
+        with open(p, "w") as f:
+            f.write(_json.dumps({
+                "eventTime": max_ms + 40 * 86_400_000 + j * 60_000,
+                "t_event_type": "zz_flush", "t_user": "zz", "value": 0,
+            }))
+        if base is None:
+            base = os.path.getmtime(p)
+        os.utime(p, (base + 10 + j, base + 10 + j))
+    return work
+
+
+def q_live_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING parity query #1 — the LIVE rule engine: per-micro-batch
+    rule refresh + dynamic-window applyInPandasWithState operator
+    (streaming/live.py), drained with availableNow, append output returned
+    as a batch DataFrame. Hash-matches the same DuckDB oracle as the batch
+    engine — the correctness gate covers the live path end-to-end."""
+    import os
     import uuid
 
     from pyspark.sql import functions as F
@@ -102,38 +134,9 @@ def q_live_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
         metrics_stream_from_text,
     )
 
-    rules = [r for r in ALL_RULES + [R_UNGROUPED_AVG] if r.window_type != "global"]
-    work = tempfile.mkdtemp(prefix="live_cep_")
-    src = os.path.join(work, "src")
-
-    ev = events_to_metrics(load_table(spark, sf_dir, "events"))
-    lines = ev.select(metric_to_json(ev.event_time, ev.tags, ev.metrics).alias("value"))
-    lines.coalesce(1).write.mode("overwrite").text(src)
-
-    # two trailing watermark-pusher files: wm advances at batch N's end,
-    # so the final real windows flush via event-time timeout in batch N+1.
-    # The pusher must clear the LARGEST epoch-aligned window end — the
-    # biggest rule window is 7 days, so max_event + 40 days is safely past
-    # every window end plus the watermark delay. Their own far-future
-    # windows never pass a threshold with value 0 except via their flush
-    # groups, which are filtered below.
-    max_ms = ev.agg(F.max((F.col("event_time").cast("double") * 1000).cast("long"))).first()[0]
-    base = None
-    for j in range(2):
-        p = os.path.join(src, f"zz_flush_{j}.json")
-        with open(p, "w") as f:
-            import json as _json
-
-            f.write(_json.dumps({
-                "eventTime": max_ms + 40 * 86_400_000 + j * 60_000,
-                "t_event_type": "zz_flush", "t_user": "zz", "value": 0,
-            }))
-        if base is None:
-            base = os.path.getmtime(p)
-        os.utime(p, (base + 10 + j, base + 10 + j))
-
+    work = _events_stream_workdir(spark, sf_dir, "live_cep_")
     store = RuleFileStore(os.path.join(work, "rules.json"))
-    for r in rules:
+    for r in LIVE_STREAMING_RULES:
         store.upsert({
             "ruleId": r.rule_id, "windowType": r.window_type,
             "windowMinutes": r.window_minutes,
@@ -147,7 +150,9 @@ def q_live_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
     # one file per trigger: the data file is batch 1, each flush file its
     # own batch — event-time timeouts fire during batch N+1 based on the
     # watermark committed at batch N's end.
-    metrics = metrics_stream_from_text(spark, src, max_files_per_trigger=1)
+    metrics = metrics_stream_from_text(
+        spark, os.path.join(work, "src"), max_files_per_trigger=1
+    )
     out = build_live_cep(metrics, spark, store.path, watermark="1 minute")
     name = f"live_cep_{uuid.uuid4().hex[:8]}"
     q = (
@@ -156,6 +161,36 @@ def q_live_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True).start()
     )
     await_stream(q, 600)
+    return spark.table(name).filter(~F.col("group_id").contains("zz_flush"))
+
+
+def q_streaming_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING parity query #2 — the NATIVE windowed pipeline
+    (streaming/pipeline.build_streaming_cep): static rule set, built-in
+    F.window aggregation on the JVM state store, watermark-driven append.
+    The production-default path when rules don't change mid-run; same
+    oracle as the batch engine and the live path."""
+    import os
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from flink_cep_task_spark.streaming.pipeline import (
+        build_streaming_cep,
+        metrics_stream_from_text,
+        run_to_memory,
+    )
+
+    work = _events_stream_workdir(spark, sf_dir, "native_cep_")
+    metrics = metrics_stream_from_text(
+        spark, os.path.join(work, "src"), max_files_per_trigger=1
+    )
+    windowed, global_s = build_streaming_cep(
+        metrics, spark, LIVE_STREAMING_RULES, watermark="1 minute"
+    )
+    assert global_s is None
+    name = f"native_cep_{uuid.uuid4().hex[:8]}"
+    run_to_memory(windowed, name, "append", os.path.join(work, "ckpt"), timeout_s=600)
     return spark.table(name).filter(~F.col("group_id").contains("zz_flush"))
 
 
@@ -293,6 +328,7 @@ CEP_QUERIES: dict[str, tuple] = {
     "cep_jsonline_roundtrip": (q_jsonline_roundtrip, cep_oracle_sql([R_TUMBLING_SUM])),
     "cep_ungrouped_agg": (_rule_query([R_UNGROUPED_AVG]), cep_oracle_sql([R_UNGROUPED_AVG])),
     "cep_live_streaming": (q_live_streaming, cep_oracle_sql(LIVE_STREAMING_RULES)),
+    "cep_streaming_windows": (q_streaming_windows, cep_oracle_sql(LIVE_STREAMING_RULES)),
     "cep_rules_from_wire": (
         q_rules_from_wire,
         cep_oracle_sql(parse_rule_lines(WIRE_RULE_LINES)),
