@@ -66,14 +66,18 @@ def dedup_exact(documents: DataFrame) -> DataFrame:
     """Each doc mapped to the min doc_id sharing its normalized text.
 
     The shuffle key is md5(normalized text) — a fixed 32-byte key — so the
-    exchange moves hashes, not document bodies (the 100 TB-safe form; md5
-    collisions are negligible at any realistic corpus size)."""
+    exchange moves hashes, not document bodies; and the canonical id comes
+    from an AGGREGATE + equi-join rather than a window function: the
+    partial (map-side) min absorbs even a pathological duplicate cluster
+    before the shuffle, where a window over the same key would sort the
+    whole cluster inside one partition (md5 collisions are negligible at
+    any realistic corpus size)."""
     d = documents.select("doc_id", F.md5(_norm(F.col("text"))).alias("k"))
-    w = Window.partitionBy("k")
-    return d.select(
+    canon = d.groupBy("k").agg(F.min("doc_id").alias("canonical_id"))
+    return d.join(canon, "k").select(
         "doc_id",
-        F.min("doc_id").over(w).alias("canonical_id"),
-        (F.col("doc_id") != F.min("doc_id").over(w)).alias("is_duplicate"),
+        "canonical_id",
+        (F.col("doc_id") != F.col("canonical_id")).alias("is_duplicate"),
     )
 
 

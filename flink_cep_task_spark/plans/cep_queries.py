@@ -117,6 +117,23 @@ def _events_stream_workdir(spark: SparkSession, sf_dir: str, prefix: str) -> str
     return work
 
 
+class _shuffle_partitions:
+    """Temporarily pin spark.sql.shuffle.partitions (streaming queries
+    size their STATE STORE from it at start: a bounded replay with a few
+    thousand keys wants a few partitions, not a partition per core — each
+    state partition writes checkpoint files every micro-batch)."""
+
+    def __init__(self, spark: SparkSession, n: int):
+        self.spark, self.n = spark, n
+
+    def __enter__(self):
+        self.prev = self.spark.conf.get("spark.sql.shuffle.partitions")
+        self.spark.conf.set("spark.sql.shuffle.partitions", str(self.n))
+
+    def __exit__(self, *exc):
+        self.spark.conf.set("spark.sql.shuffle.partitions", self.prev)
+
+
 def q_live_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STREAMING parity query #1 — the LIVE rule engine: per-micro-batch
     rule refresh + dynamic-window applyInPandasWithState operator
@@ -155,12 +172,13 @@ def q_live_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = build_live_cep(metrics, spark, store.path, watermark="1 minute")
     name = f"live_cep_{uuid.uuid4().hex[:8]}"
-    q = (
-        out.writeStream.format("memory").queryName(name).outputMode("append")
-        .option("checkpointLocation", os.path.join(work, "ckpt"))
-        .trigger(availableNow=True).start()
-    )
-    await_stream(q, 600)
+    with _shuffle_partitions(spark, 8):
+        q = (
+            out.writeStream.format("memory").queryName(name).outputMode("append")
+            .option("checkpointLocation", os.path.join(work, "ckpt"))
+            .trigger(availableNow=True).start()
+        )
+        await_stream(q, 600)
     return spark.table(name).filter(~F.col("group_id").contains("zz_flush"))
 
 
@@ -185,18 +203,24 @@ def q_streaming_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     metrics = metrics_stream_from_text(
         spark, os.path.join(work, "src"), max_files_per_trigger=1
     )
+    # one tumbling + one sliding spec: every DISTINCT window spec becomes
+    # its own stateful aggregation in the unioned plan, so the spec count
+    # multiplies state-store cost; two specs exercise W1+W2/A1+A2 natively
+    # (the live path covers the full rule matrix in ONE operator).
     windowed, global_s = build_streaming_cep(
-        metrics, spark, LIVE_STREAMING_RULES, watermark="1 minute"
+        metrics, spark, NATIVE_STREAMING_RULES, watermark="1 minute"
     )
     assert global_s is None
     name = f"native_cep_{uuid.uuid4().hex[:8]}"
-    run_to_memory(windowed, name, "append", os.path.join(work, "ckpt"), timeout_s=600)
+    with _shuffle_partitions(spark, 8):
+        run_to_memory(windowed, name, "append", os.path.join(work, "ckpt"), timeout_s=600)
     return spark.table(name).filter(~F.col("group_id").contains("zz_flush"))
 
 
 LIVE_STREAMING_RULES = [
     r for r in ALL_RULES + [R_UNGROUPED_AVG] if r.window_type != "global"
 ]
+NATIVE_STREAMING_RULES = [R_TUMBLING_SUM, R_SLIDING_AVG]
 
 # Raw wire-format rule lines, exactly as they'd arrive on the reference's
 # rule socket (resources/rules:1 shape): symbolic limitOperatorType
@@ -328,7 +352,7 @@ CEP_QUERIES: dict[str, tuple] = {
     "cep_jsonline_roundtrip": (q_jsonline_roundtrip, cep_oracle_sql([R_TUMBLING_SUM])),
     "cep_ungrouped_agg": (_rule_query([R_UNGROUPED_AVG]), cep_oracle_sql([R_UNGROUPED_AVG])),
     "cep_live_streaming": (q_live_streaming, cep_oracle_sql(LIVE_STREAMING_RULES)),
-    "cep_streaming_windows": (q_streaming_windows, cep_oracle_sql(LIVE_STREAMING_RULES)),
+    "cep_streaming_windows": (q_streaming_windows, cep_oracle_sql(NATIVE_STREAMING_RULES)),
     "cep_rules_from_wire": (
         q_rules_from_wire,
         cep_oracle_sql(parse_rule_lines(WIRE_RULE_LINES)),
