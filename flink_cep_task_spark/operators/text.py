@@ -12,7 +12,9 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from flink_cep_task_spark.functions.hashing import gram_hash, gram_hash_sql
+import pandas as pd
+
+from flink_cep_task_spark.functions.hashing import gram_hash_sql
 
 STOPWORDS = ("the", "a")
 
@@ -157,34 +159,52 @@ FROM (SELECT doc_id, lower(trim(text)) AS t FROM documents)
 
 
 def doc_fingerprint(documents: DataFrame, gram: int = 5) -> DataFrame:
-    """Rolling-hash fingerprint: min hash over character n-grams
-    (1-permutation MinHash — the winnowing primitive), plus distinct-gram
-    count. Entirely built-in expressions: substring grid via transform over
-    a sequence; the per-gram hash is the polynomial code-point hash
-    (functions/hashing.gram_hash) — one md5 PER GRAM made the string hash
-    the whole stage's cost."""
-    t = norm_text(F.col("text"))
-    # guard texts shorter than the gram size: sequence(1, 0) would default
-    # to step -1 and yield [1, 0] (a phantom gram), while the oracle's
-    # generate_series(1, 0) is empty — emit no grams, and drop the doc like
-    # the oracle's LATERAL unnest does.
-    grams = F.when(
-        F.length(t) >= gram,
-        F.transform(
-            F.sequence(F.lit(1), F.length(t) - (gram - 1)),
-            lambda i: F.substring(t, i, gram),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    d = documents.select("doc_id", F.array_distinct(grams).alias("__g")).filter(
-        F.size("__g") > 0
-    )
-    return d.select(
+    """Rolling-hash fingerprint: min polynomial hash over DISTINCT
+    character n-grams (1-permutation MinHash — the winnowing primitive),
+    plus the distinct-gram count. Docs shorter than the gram size emit no
+    grams and are dropped (the oracle's LATERAL unnest does the same).
+
+    Fully vectorized in one Arrow batch per partition: the gram grid is a
+    numpy stride view over the text's code points (utf-32 decode ⇒ true
+    code points, matching ascii()/substr semantics in both engines),
+    distinctness is row-uniqueness of the gram matrix, and the hash is the
+    same coefficient fold as functions/hashing.gram_hash — the Catalyst
+    transform/array_distinct chain was interpreted per character and
+    dominated the stage."""
+    import numpy as np
+
+    from flink_cep_task_spark.functions.hashing import PERM_MOD, gram_coeffs
+
+    coeffs = np.array(gram_coeffs(gram), dtype=np.int64)
+
+    @F.pandas_udf("struct<fingerprint:long,n_distinct_grams:long>")
+    def fp(texts: pd.Series) -> pd.DataFrame:
+        fps: list = []
+        counts: list = []
+        for t in texts:
+            s = t.strip().lower()
+            if len(s) < gram:
+                fps.append(None)
+                counts.append(0)
+                continue
+            codes = np.frombuffer(s.encode("utf-32-le"), dtype=np.uint32).astype(np.int64)
+            grid = np.lib.stride_tricks.sliding_window_view(codes, gram)
+            uniq = np.unique(grid, axis=0)
+            # same pairwise-mod fold as gram_hash/gram_hash_sql: every
+            # intermediate stays < 2^62, exact in int64
+            acc = np.zeros(len(uniq), dtype=np.int64)
+            for i in range(gram):
+                acc = (acc + (coeffs[i] * uniq[:, i]) % PERM_MOD) % PERM_MOD
+            fps.append(int(acc.min()))
+            counts.append(len(uniq))
+        return pd.DataFrame({"fingerprint": fps, "n_distinct_grams": counts})
+
+    d = documents.select("doc_id", fp(F.col("text")).alias("__r")).select(
         "doc_id",
-        F.array_min(F.transform(F.col("__g"), lambda g: gram_hash(g, gram))).alias(
-            "fingerprint"
-        ),
-        F.size("__g").cast("long").alias("n_distinct_grams"),
+        F.col("__r.fingerprint").alias("fingerprint"),
+        F.col("__r.n_distinct_grams").alias("n_distinct_grams"),
     )
+    return d.filter(F.col("n_distinct_grams") > 0)
 
 
 DOC_FINGERPRINT_SQL = f"""
