@@ -208,6 +208,50 @@ SELECT event_id, user_id, ts_s, last_click_ts_s FROM (
 """
 
 
+# --- followed-by temporal pattern (range join) ----------------------------
+
+FOLLOW_GAP_S = 1800
+
+
+def followed_by_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CEP 'A followed by B within T' pattern as a per-user range join:
+    every (click, purchase) pair of the same user with the purchase in
+    (click, click+30min]. The join shuffles on user_id; the time bracket
+    prunes pairs inside each user partition. Streaming twin:
+    streaming/ops.followed_by_stream (stream-stream interval join)."""
+    e = _events(spark, sf_dir)
+    a = e.filter(F.col("event_type") == "click").select(
+        F.col("user_id"), F.col("event_id").alias("click_id"),
+        F.col("ts_s").alias("click_ts"),
+    )
+    b = e.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id"), F.col("event_id").alias("purchase_id"),
+        F.col("ts_s").alias("purchase_ts"),
+    )
+    return (
+        a.join(b, "user_id")
+        .filter(
+            (F.col("purchase_ts") > F.col("click_ts"))
+            & (F.col("purchase_ts") <= F.col("click_ts") + FOLLOW_GAP_S)
+        )
+        .select(
+            "user_id", "click_id", "purchase_id",
+            (F.col("purchase_ts") - F.col("click_ts")).alias("gap_s"),
+        )
+    )
+
+
+FOLLOWED_BY_SQL = f"""
+SELECT a.user_id, a.event_id AS click_id, b.event_id AS purchase_id,
+       b.ts_s - a.ts_s AS gap_s
+FROM (SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s, event_type FROM events) a
+JOIN (SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s, event_type FROM events) b
+  ON a.user_id = b.user_id
+WHERE a.event_type = 'click' AND b.event_type = 'purchase'
+  AND b.ts_s > a.ts_s AND b.ts_s <= a.ts_s + {FOLLOW_GAP_S}
+"""
+
+
 # --- CUBE aggregation -----------------------------------------------------
 
 def cube_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -266,6 +310,7 @@ ANALYTICS_QUERIES: dict[str, tuple] = {
     # Streaming — streaming/ops.py); oracle is gaps-and-islands SQL
     "session_window_agg": (_session_window_agg, _SESSION_WINDOW_SQL),
     "cube_event_stats": (cube_event_stats, CUBE_SQL),
+    "followed_by_click_purchase": (followed_by_click_purchase, FOLLOWED_BY_SQL),
     "value_percentiles": (value_percentiles, PERCENTILES_SQL),
     "pivot_event_counts": (pivot_event_counts, PIVOT_SQL),
     "users_purchase_no_error": (users_purchase_no_error, EXCEPT_SQL),

@@ -110,6 +110,52 @@ def sessionize_stream(
     return session_window_agg_df(trunc, ts_col="ts_sec", user_col=user_col, gap=gap)
 
 
+def followed_by_stream(
+    events: DataFrame,
+    first_type: str = "click",
+    then_type: str = "purchase",
+    within: str = "30 minutes",
+    ts_col: str = "event_time",
+    user_col: str = "user_id",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """CEP 'A followed by B within T' on a LIVE stream: a stream-stream
+    INNER join with watermarks on both sides and an event-time interval
+    condition — Spark buffers each side's rows only until the watermark
+    proves no more matches can arrive, so join state is bounded by
+    (watermark delay + interval), not history. Batch twin:
+    plans/analytics.followed_by_click_purchase."""
+    from pyspark.sql.functions import expr
+
+    a = (
+        events.filter(F.col("event_type") == first_type)
+        .select(
+            F.col(user_col).alias("a_user"),
+            F.col(ts_col).alias("a_time"),
+        )
+        .withWatermark("a_time", watermark)
+    )
+    b = (
+        events.filter(F.col("event_type") == then_type)
+        .select(
+            F.col(user_col).alias("b_user"),
+            F.col(ts_col).alias("b_time"),
+        )
+        .withWatermark("b_time", watermark)
+    )
+    return a.join(
+        b,
+        expr(
+            f"a_user = b_user AND b_time > a_time "
+            f"AND b_time <= a_time + interval {within}"
+        ),
+    ).select(
+        F.col("a_user").alias(user_col),
+        F.col("a_time").cast("long").alias("first_ts"),
+        F.col("b_time").cast("long").alias("then_ts"),
+    )
+
+
 def dedup_exact_stream(
     docs: DataFrame,
     text_col: str = "text",

@@ -75,6 +75,61 @@ def test_streaming_sessionize_matches_batch(spark, tmp_path):
     assert len(got) == 3  # u1 × 2 sessions + u2 × 1
 
 
+def test_followed_by_stream_matches_batch(spark, tmp_path):
+    """Stream-stream interval join == the batch range join on the same
+    events (A=click followed by B=purchase within 30 min, per user)."""
+    from flink_cep_task_spark.streaming.ops import followed_by_stream
+
+    base_ms = 1_700_000_000_000
+    mk = lambda off_min, u, et: {
+        "eventTime": base_ms + off_min * 60_000, "t_user": u, "t_et": et, "m": 0,
+    }
+    events = [
+        mk(0, "u1", "click"),
+        mk(10, "u1", "purchase"),     # match (10 min)
+        mk(20, "u1", "click"),
+        mk(55, "u1", "purchase"),     # matches click@20 (35>30? no) — gap 35min: NO
+        mk(70, "u1", "click"),
+        mk(80, "u1", "purchase"),     # match (10 min); also click@20? gap 60: no
+        mk(5, "u2", "click"),
+        mk(30, "u2", "purchase"),     # match (25 min)
+        mk(0, "u3", "purchase"),      # purchase before any click: no
+    ]
+    flush = [
+        {"eventTime": base_ms + 86_400_000, "t_user": "zz", "t_et": "noop", "m": 0},
+        {"eventTime": base_ms + 86_460_000, "t_user": "zz", "t_et": "noop", "m": 0},
+    ]
+    src = tmp_path / "fb-src"
+    src.mkdir()
+    _write_ordered(src, [json.dumps(e) for e in events + flush])
+
+    lines = spark.readStream.option("maxFilesPerTrigger", 1).text(str(src))
+    metrics = parse_metric_lines(lines).select(
+        "event_time",
+        F.element_at("tags", "t_user").alias("user_id"),
+        F.element_at("tags", "t_et").alias("event_type"),
+    )
+    out = followed_by_stream(metrics)
+    name = f"fb_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.format("memory").queryName(name).outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_fb"))
+        .trigger(availableNow=True).start()
+    )
+    await_stream(q, 120)
+    got = {
+        (r.user_id, r.first_ts, r.then_ts)
+        for r in spark.table(name).collect()
+    }
+    base_s = base_ms // 1000
+    expected = {
+        ("u1", base_s + 0 * 60, base_s + 10 * 60),
+        ("u1", base_s + 70 * 60, base_s + 80 * 60),
+        ("u2", base_s + 5 * 60, base_s + 30 * 60),
+    }
+    assert got == expected
+
+
 def test_streaming_dedup_matches_batch(spark, tmp_path):
     base_ms = 1_700_000_000_000
     texts = {
