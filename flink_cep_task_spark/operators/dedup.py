@@ -26,8 +26,6 @@ join loses nothing.
 
 from __future__ import annotations
 
-from functools import reduce
-
 import pandas as pd
 
 from pyspark.sql import Column, DataFrame
@@ -35,7 +33,6 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from flink_cep_task_spark.functions.hashing import (
-    h64,
     h64_sql,
     perm_hash,
     perm_hash_sql,
@@ -371,25 +368,35 @@ WHERE round(CAST(i.n_common AS DOUBLE) / (za.n + zb.n - i.n_common), 6) >= {JACC
 # --- SimHash -------------------------------------------------------------
 
 def simhash_signatures(documents: DataFrame) -> DataFrame:
-    """60-bit simhash per doc: one aggregation with 60 signed-sum columns
-    (term frequency naturally weights repeated tokens)."""
-    toks = documents.select(
-        "doc_id", F.explode(tokens(F.col("text"))).alias("tok")
-    ).withColumn("th", h64(F.col("tok")))
-    bit_aggs = [
-        F.sum(
-            F.when(F.shiftright(F.col("th"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"b{i}")
-        for i in range(SIMHASH_BITS)
-    ]
-    per_doc = toks.groupBy("doc_id").agg(*bit_aggs)
-    sim = reduce(
-        lambda acc, i: acc
-        + F.when(F.col(f"b{i}") > 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0).cast("long")),
-        range(SIMHASH_BITS),
-        F.lit(0).cast("long"),
-    )
-    return per_doc.select("doc_id", sim.alias("simhash"))
+    """60-bit simhash per doc (term frequency weights repeated tokens),
+    computed in one Arrow batch per partition: hash each token (python md5
+    == h64 bit-for-bit), unpack hash bits into a ±1 matrix, sum columns,
+    take signs — replacing a token explode + 60-column signed-sum
+    aggregation (a shuffle plus 60 interpreted CASE aggregates)."""
+    import hashlib as _hl
+    import re as _re
+
+    import numpy as np
+
+    bit_idx = np.arange(SIMHASH_BITS, dtype=np.uint64)
+
+    @F.pandas_udf("long")
+    def sim(texts: pd.Series) -> pd.Series:
+        ws = _re.compile(r"\s+")
+        out = []
+        for t in texts:
+            toks = ws.split(t.strip().lower())
+            hs = np.array(
+                [int(_hl.md5(tok.encode()).hexdigest()[:15], 16) for tok in toks],
+                dtype=np.uint64,
+            )
+            bits = (hs[:, None] >> bit_idx) & 1          # (n_toks, 60)
+            sums = (2 * bits.astype(np.int64) - 1).sum(axis=0)
+            sig = int(((sums > 0).astype(np.uint64) << bit_idx).sum())
+            out.append(sig)
+        return pd.Series(out, dtype="int64")
+
+    return documents.select("doc_id", sim(F.col("text")).alias("simhash"))
 
 
 def dedup_simhash(documents: DataFrame) -> DataFrame:
