@@ -79,6 +79,41 @@ FROM (SELECT doc_id, lower(trim(text)) AS t,
 """
 
 
+QUALITY_GATE = 0.5
+
+
+def corpus_quality_report(documents: DataFrame) -> DataFrame:
+    """Pipeline composition: per (source, lang) corpus rollup of the
+    text_stats quality score — document count, share passing the quality
+    gate, mean quality. Quality is cast to DECIMAL(9,6) before summing so
+    the mean is exact and order-independent (a double sum would make the
+    two engines disagree in the last ulp under different partitionings)."""
+    stats = text_stats(documents).select("doc_id", "quality_score")
+    joined = documents.select("doc_id", "source", "lang").join(stats, "doc_id")
+    q = F.col("quality_score").cast("decimal(9,6)")
+    return (
+        joined.groupBy("source", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(F.col("quality_score") >= QUALITY_GATE, 1).otherwise(0))
+            .cast("long")
+            .alias("n_pass"),
+            F.round(F.sum(q).cast("double") / F.count(F.lit(1)), 6).alias("avg_quality"),
+        )
+    )
+
+
+CORPUS_QUALITY_SQL = f"""
+SELECT d.source, d.lang,
+       count(*) AS n_docs,
+       CAST(sum(CASE WHEN s.quality_score >= {QUALITY_GATE} THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+       round(CAST(sum(CAST(s.quality_score AS DECIMAL(9,6))) AS DOUBLE) / count(*), 6) AS avg_quality
+FROM documents d
+JOIN ({TEXT_STATS_SQL.strip()}) s ON s.doc_id = d.doc_id
+GROUP BY d.source, d.lang
+"""
+
+
 def lang_id(documents: DataFrame) -> DataFrame:
     """Marker-token language scoring; argmax with alphabetical tie-break."""
     toks = tokens(F.col("text"))

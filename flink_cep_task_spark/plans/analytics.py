@@ -252,6 +252,39 @@ WHERE a.event_type = 'click' AND b.event_type = 'purchase'
 """
 
 
+# --- JSON property extraction ---------------------------------------------
+
+def props_json_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schemaless JSON payload column: extract props.k with the built-in
+    JSON path function (JVM-side, no UDF) and aggregate per event_type —
+    the semi-structured-column pattern every event pipeline needs. The
+    extraction runs inside the scan projection; only (event_type, k)
+    reach the aggregate."""
+    e = load_table(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return (
+        e.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("k").alias("n_with_k"),
+            F.sum("k").alias("sum_k"),
+            F.round(F.sum("k").cast("double") / F.count("k"), 6).alias("avg_k"),
+        )
+    )
+
+
+PROPS_JSON_SQL = """
+SELECT event_type,
+       count(k) AS n_with_k,
+       CAST(sum(k) AS BIGINT) AS sum_k,
+       round(CAST(sum(k) AS DOUBLE) / count(k), 6) AS avg_k
+FROM (SELECT event_type,
+             CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+      FROM events)
+GROUP BY event_type
+"""
+
+
 # --- CUBE aggregation -----------------------------------------------------
 
 def cube_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -311,6 +344,7 @@ ANALYTICS_QUERIES: dict[str, tuple] = {
     "session_window_agg": (_session_window_agg, _SESSION_WINDOW_SQL),
     "cube_event_stats": (cube_event_stats, CUBE_SQL),
     "followed_by_click_purchase": (followed_by_click_purchase, FOLLOWED_BY_SQL),
+    "props_json_agg": (props_json_agg, PROPS_JSON_SQL),
     "value_percentiles": (value_percentiles, PERCENTILES_SQL),
     "pivot_event_counts": (pivot_event_counts, PIVOT_SQL),
     "users_purchase_no_error": (users_purchase_no_error, EXCEPT_SQL),

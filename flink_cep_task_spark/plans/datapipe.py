@@ -35,6 +35,7 @@ DATAPIPE_QUERIES: dict[str, tuple] = {
     "dedup_ngram_jaccard": (_docs(D.dedup_ngram_jaccard), D.NGRAM_JACCARD_SQL),
     "dedup_simhash": (_docs(D.dedup_simhash), D.SIMHASH_SQL),
     "token_counts": (_docs(T.token_counts), T.TOKEN_COUNTS_SQL),
+    "corpus_quality_report": (_docs(T.corpus_quality_report), T.CORPUS_QUALITY_SQL),
     "knn_bruteforce": (_embs(S.knn_bruteforce), S.KNN_SQL),
     "ann_lsh": (_embs(S.ann_lsh), S.ANN_LSH_SQL),
     "ann_ivf": (_embs(S.ann_ivf), S.ANN_IVF_SQL),
