@@ -252,6 +252,61 @@ WHERE a.event_type = 'click' AND b.event_type = 'purchase'
 """
 
 
+# --- weekly cohort retention ----------------------------------------------
+
+WEEK_S = 7 * 86400
+
+
+def weekly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: of the distinct users active in week W, how many
+    are active again in week W+1. Two-level pattern: per-week distinct
+    user sets (one aggregate), then a self-join on (user, week+1) — the
+    join moves only (user_id, week) pairs, never raw events."""
+    e = _events(spark, sf_dir)
+    weekly = (
+        e.select(
+            (F.floor(F.col("ts_s") / WEEK_S) * WEEK_S).alias("week_start"),
+            "user_id",
+        )
+        .distinct()
+    )
+    nxt = weekly.select(
+        (F.col("week_start") - WEEK_S).alias("week_start"),
+        F.col("user_id").alias("ret_user"),
+    )
+    joined = weekly.join(
+        nxt,
+        (weekly.week_start == nxt.week_start) & (weekly.user_id == nxt.ret_user),
+        "left",
+    )
+    return (
+        joined.groupBy(weekly.week_start.alias("week_start"))
+        .agg(
+            F.count(F.lit(1)).alias("n_active"),
+            F.count("ret_user").alias("n_retained"),
+            F.round(F.count("ret_user").cast("double") / F.count(F.lit(1)), 6).alias(
+                "retention_rate"
+            ),
+        )
+    )
+
+
+RETENTION_SQL = f"""
+WITH weekly AS (
+  SELECT DISTINCT CAST(floor(CAST(floor(epoch(ts)) AS BIGINT) / {WEEK_S}) * {WEEK_S} AS BIGINT) AS week_start,
+         user_id
+  FROM events
+)
+SELECT w.week_start,
+       count(*) AS n_active,
+       count(n.user_id) AS n_retained,
+       round(CAST(count(n.user_id) AS DOUBLE) / count(*), 6) AS retention_rate
+FROM weekly w
+LEFT JOIN weekly n ON n.week_start = w.week_start + {WEEK_S} AND n.user_id = w.user_id
+GROUP BY w.week_start
+"""
+
+
 # --- JSON property extraction ---------------------------------------------
 
 def props_json_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -345,6 +400,7 @@ ANALYTICS_QUERIES: dict[str, tuple] = {
     "cube_event_stats": (cube_event_stats, CUBE_SQL),
     "followed_by_click_purchase": (followed_by_click_purchase, FOLLOWED_BY_SQL),
     "props_json_agg": (props_json_agg, PROPS_JSON_SQL),
+    "weekly_retention": (weekly_retention, RETENTION_SQL),
     "value_percentiles": (value_percentiles, PERCENTILES_SQL),
     "pivot_event_counts": (pivot_event_counts, PIVOT_SQL),
     "users_purchase_no_error": (users_purchase_no_error, EXCEPT_SQL),
