@@ -96,17 +96,6 @@ def gram_coeffs(n: int) -> list[int]:
     return out
 
 
-def gram_hash(g: Column, n: int) -> Column:
-    """Polynomial hash of the first n characters of a string column
-    (Spark side). codepoints < 2^21, coefficients < 2^40 ⇒ every product
-    < 2^61; pairwise-mod fold keeps the accumulator < 2^61."""
-    acc = F.lit(0).cast("long")
-    for i, c in enumerate(gram_coeffs(n)):
-        term = (F.lit(c) * F.ascii(F.substring(g, i + 1, 1))) % F.lit(PERM_MOD)
-        acc = (acc + term) % F.lit(PERM_MOD)
-    return acc
-
-
 def gram_hash_sql(expr: str, n: int) -> str:
     """Polynomial n-gram hash (DuckDB oracle side) — same fold order."""
     acc = "0"

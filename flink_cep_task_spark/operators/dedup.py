@@ -37,7 +37,7 @@ from flink_cep_task_spark.functions.hashing import (
     perm_hash,
     perm_hash_sql,
 )
-from flink_cep_task_spark.operators.text import norm_text, tokens
+from flink_cep_task_spark.operators.text import norm_text
 
 SHINGLE = 3
 NUM_PERMS = 16
@@ -90,23 +90,6 @@ FROM (SELECT doc_id,
 
 # --- shared shingle extraction ------------------------------------------
 
-def shingles(documents: DataFrame) -> DataFrame:
-    """(doc_id, shingle) — DISTINCT word-3-gram shingles per document."""
-    words = tokens(F.col("text"))
-    grams = F.when(
-        F.size(words) >= SHINGLE,
-        F.transform(
-            F.sequence(F.lit(1), F.size(words) - (SHINGLE - 1)),
-            lambda i: F.concat_ws(
-                " ", *[F.element_at(words, i + k) for k in range(SHINGLE)]
-            ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    return documents.select(
-        "doc_id", F.explode(F.array_distinct(grams)).alias("shingle")
-    )
-
-
 SHINGLES_CTE = """
 sh AS (
   SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
@@ -130,7 +113,13 @@ def _make_shingle_udf():
         ws = _re.compile(r"\s+")
         out = []
         for t in texts:
-            toks = ws.split(t.strip().lower())
+            if t is None:
+                out.append([])
+                continue
+            # strip(' ') not strip(): SQL trim() removes SPACES only, and
+            # re.split (like DuckDB regexp_split_to_array) keeps the empty
+            # tokens a stray \n produces — same token stream as the oracle
+            toks = ws.split(t.strip(" ").lower())
             if len(toks) >= SHINGLE:
                 grams = {
                     " ".join(toks[i : i + SHINGLE])
@@ -385,7 +374,11 @@ def simhash_signatures(documents: DataFrame) -> DataFrame:
         ws = _re.compile(r"\s+")
         out = []
         for t in texts:
-            toks = ws.split(t.strip().lower())
+            if t is None:
+                out.append(None)  # null text ⇒ null sig ⇒ filtered (the
+                continue          # oracle's unnest drops the doc too)
+            # strip(' ') mirrors SQL trim (spaces only) — see _make_shingle_udf
+            toks = ws.split(t.strip(" ").lower())
             hs = np.array(
                 [int(_hl.md5(tok.encode()).hexdigest()[:15], 16) for tok in toks],
                 dtype=np.uint64,
@@ -394,9 +387,11 @@ def simhash_signatures(documents: DataFrame) -> DataFrame:
             sums = (2 * bits.astype(np.int64) - 1).sum(axis=0)
             sig = int(((sums > 0).astype(np.uint64) << bit_idx).sum())
             out.append(sig)
-        return pd.Series(out, dtype="int64")
+        return pd.Series(out, dtype="Int64")
 
-    return documents.select("doc_id", sim(F.col("text")).alias("simhash"))
+    return documents.select("doc_id", sim(F.col("text")).alias("simhash")).filter(
+        F.col("simhash").isNotNull()
+    )
 
 
 def dedup_simhash(documents: DataFrame) -> DataFrame:

@@ -162,8 +162,14 @@ def sample_frames(media: DataFrame) -> DataFrame:
 
 def media_frame_sample(documents: DataFrame) -> DataFrame:
     """documents → binary payloads → strided frame slices + per-frame
-    checksums (SQL-reproducible via substr/md5 on ASCII payloads)."""
-    return sample_frames(documents_as_media(documents))
+    checksums. The operator slices BYTES (that's what a codec consumes)
+    while the text-based oracle slices CHARACTERS, so non-ASCII documents
+    — where the two disagree — are explicitly excluded on BOTH sides
+    instead of relying on the fixture being ASCII."""
+    ascii_only = documents.filter(
+        F.octet_length(F.encode(F.col("text"), "UTF-8")) == F.length(F.col("text"))
+    )
+    return sample_frames(documents_as_media(ascii_only))
 
 
 MEDIA_FRAME_SQL = f"""
@@ -174,6 +180,7 @@ SELECT doc_id,
        md5(substr(text, i * {FRAME_BYTES} + 1, {FRAME_BYTES})) AS checksum
 FROM (SELECT doc_id, text,
              CAST(ceil(length(text) / {FRAME_BYTES}.0) AS BIGINT) AS nf
-      FROM documents),
+      FROM documents
+      WHERE octet_length(encode(text)) = length(text)),
      LATERAL (SELECT unnest(generate_series(0, nf - 1, {FRAME_STRIDE})) AS i) s
 """

@@ -203,7 +203,7 @@ def doc_fingerprint(documents: DataFrame, gram: int = 5) -> DataFrame:
     numpy stride view over the text's code points (utf-32 decode ⇒ true
     code points, matching ascii()/substr semantics in both engines),
     distinctness is row-uniqueness of the gram matrix, and the hash is the
-    same coefficient fold as functions/hashing.gram_hash — the Catalyst
+    same coefficient fold as functions/hashing.gram_hash_sql — the Catalyst
     transform/array_distinct chain was interpreted per character and
     dominated the stage."""
     import numpy as np
@@ -217,7 +217,8 @@ def doc_fingerprint(documents: DataFrame, gram: int = 5) -> DataFrame:
         fps: list = []
         counts: list = []
         for t in texts:
-            s = t.strip().lower()
+            # strip(' ') mirrors SQL trim() (spaces only, not all whitespace)
+            s = t.strip(" ").lower() if t is not None else ""
             if len(s) < gram:
                 fps.append(None)
                 counts.append(0)

@@ -87,10 +87,12 @@ def _events_stream_workdir(spark: SparkSession, sf_dir: str, prefix: str) -> str
     table written as ONE JSON-lines file plus two trailing watermark-pusher
     files (wm advances at batch N's end, so final windows flush in batch
     N+1; the pusher sits max_event + 40 days out — safely past the largest
-    7-day epoch-aligned window end plus the watermark delay; its own
-    far-future windows never pass a threshold with value 0 except via its
-    flush groups, which callers filter). Returns the workdir; the stream
-    source is <workdir>/src."""
+    7-day epoch-aligned window end plus the watermark delay). The pusher
+    docs carry a measure key NO rule aggregates ("zzf"), so they advance
+    the watermark but contribute null aggregate inputs everywhere they fan
+    out — they can never satisfy a threshold, even for rules with no
+    grouping keys whose single group they share with real events. Returns
+    the workdir; the stream source is <workdir>/src."""
     import json as _json
     import os
     import tempfile
@@ -109,7 +111,7 @@ def _events_stream_workdir(spark: SparkSession, sf_dir: str, prefix: str) -> str
         with open(p, "w") as f:
             f.write(_json.dumps({
                 "eventTime": max_ms + 40 * 86_400_000 + j * 60_000,
-                "t_event_type": "zz_flush", "t_user": "zz", "value": 0,
+                "t_event_type": "zz_flush", "t_user": "zz", "zzf": 0,
             }))
         if base is None:
             base = os.path.getmtime(p)

@@ -27,11 +27,15 @@ Windowing: rules are data, so window sizes are COLUMNS — the built-in
 `F.window()` (literal durations) cannot express them. A single
 applyInPandasWithState operator keyed by (rule_id, group_id) — the
 reference's keyBy (CEPTaskRunner.java:46) — maintains per-window partial
-aggregates (sum/cnt/min/max: O(1) state per window, never raw rows), closes
-windows when the group's own data passes the window end (the reference's
-data-driven fire, minus its wall-clock defect Q4) or when the event-time
-watermark does, and applies the threshold with the rule config CURRENT at
-fire time. Late rows below the watermark are dropped upstream.
+aggregates (sum/cnt/min/max: O(1) state per window, never raw rows) and
+closes a window exactly when the event-time watermark passes its end (the
+principled fix of the reference's wall-clock Trigger, Q4; a data-driven
+fire would double-emit under in-watermark reordering). The threshold uses
+the latest rule config THIS KEY has seen: an upsert re-gates every window
+the group fires after its next event; windows flushed purely by watermark
+after a config change still gate with the prior config (per-key state
+cannot observe the store without data). Late rows below the watermark are
+dropped upstream.
 
 Scale: state is hash-partitioned by (rule_id, group_id) — the same shuffle
 key the batch engine groups on; per-key state is a handful of floats per
@@ -222,9 +226,15 @@ def live_cep_windows(
                             w[2] = min(w[2], int(mins_a[i]))
                             w[3] = max(w[3], int(maxs_a[i]))
 
-        # close = data-driven (a later event of THIS group passed the end,
-        # reference Trigger semantics minus wall-clock Q4) OR watermark.
-        horizon = wm_s if max_ts is None else max(max_ts, wm_s)
+        # close ONLY when the WATERMARK passes the window end. A data-driven
+        # close (fire when a later event of the group arrives — the
+        # reference's Trigger semantics) would double-fire: an in-watermark
+        # out-of-order event in a later micro-batch would resurrect the
+        # already-emitted window and emit it again with partial contents.
+        # Watermark close is safe by construction — once wm ≥ end, any
+        # further event for that window is below the watermark and dropped
+        # upstream.
+        horizon = wm_s
         fired = []
         for k in sorted(open_w):
             start_s, size_s = (int(x) for x in k.split(":"))
@@ -252,24 +262,29 @@ def live_cep_windows(
                                   agg_type, _round_half_up(value, round_digits)))
 
         keys = sorted(open_w)
-        state.update(
-            (
-                max_ts,
-                agg_type,
-                limit_op,
-                lim,
-                keys,
-                [open_w[k][0] for k in keys],
-                [open_w[k][1] for k in keys],
-                [open_w[k][2] for k in keys],
-                [open_w[k][3] for k in keys],
-            )
-        )
         if keys:
+            state.update(
+                (
+                    max_ts,
+                    agg_type,
+                    limit_op,
+                    lim,
+                    keys,
+                    [open_w[k][0] for k in keys],
+                    [open_w[k][1] for k in keys],
+                    [open_w[k][2] for k in keys],
+                    [open_w[k][3] for k in keys],
+                )
+            )
             min_end_ms = min(
                 (int(k.split(":")[0]) + int(k.split(":")[1])) for k in keys
             ) * 1000
             state.setTimeoutTimestamp(max(min_end_ms, wm_ms + 1))
+        elif state.exists:
+            # nothing in flight: drop the state row entirely so deleted
+            # rules / retired groups don't accumulate in the state store
+            # (new events re-supply the rule config).
+            state.remove()
         if fired:
             yield pd.DataFrame(
                 fired,

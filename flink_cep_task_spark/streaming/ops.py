@@ -75,14 +75,14 @@ SESSION_WINDOW_SQL = f"""
 WITH ordered AS (
   SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s FROM events
 ), flagged AS (
-  SELECT user_id, ts_s,
+  SELECT user_id, event_id, ts_s,
     CASE WHEN lag(ts_s) OVER w IS NULL
            OR ts_s - lag(ts_s) OVER w >= {SESSION_GAP_S} THEN 1 ELSE 0 END AS new_s
   FROM ordered
   WINDOW w AS (PARTITION BY user_id ORDER BY ts_s, event_id)
 ), sessions AS (
   SELECT user_id, ts_s,
-    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts_s
+    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts_s, event_id
                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
   FROM flagged
 )

@@ -86,14 +86,13 @@ def streaming_first_event_tumbling(
     applyInPandasWithState.
 
     State per group: (t0, open windows' starts + partial sums/counts).
-    A window emits when the group observes an event at/after its end (the
-    reference's data-driven close, minus its wall-clock defect Q4), or when
-    the event-time WATERMARK passes its end (EventTimeTimeout) — so idle
-    groups flush without spinning empty micro-batches. A processing-time
-    timeout here would never reach a terminal state under
-    trigger(availableNow): every invocation re-arms a wall-clock timer and
-    the query spins forever waiting on it. Event-time timeouts advance only
-    with data, so a drained source means a terminal query.
+    A window emits exactly when the event-time WATERMARK passes its end
+    (in-batch via the close scan, across batches via EventTimeTimeout) —
+    watermark-close cannot double-emit, since any later event for a closed
+    window is below the watermark and dropped upstream; and event-time
+    timeouts advance only with data, so a drained availableNow source
+    reaches a terminal state (a processing-time timeout here would re-arm
+    a wall-clock timer every invocation and spin forever).
     """
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
@@ -144,7 +143,6 @@ def streaming_first_event_tumbling(
         else:
             t0, open_w = None, {}
 
-        max_ts = None
         for pdf in pdfs:
             ts_ms = (pdf[ts_col].astype("int64") // 1_000_000).to_numpy()
             vals = pdf[value_col].astype("float64").to_numpy()
@@ -154,12 +152,13 @@ def streaming_first_event_tumbling(
                 start = t0 + ((t - t0) // size_ms) * size_ms
                 s, c = open_w.get(start, (0.0, 0))
                 open_w[start] = (s + v, c + 1)
-                max_ts = t if max_ts is None else max(max_ts, t)
 
-        # close on data (a later event proves the window's span is over) OR
-        # on watermark (late events below it are dropped upstream anyway).
-        horizon = wm if max_ts is None else max(max_ts, wm)
-        closed = {s: open_w.pop(s) for s in list(open_w) if s + size_ms <= horizon}
+        # close ONLY on watermark: a data-driven close would double-fire
+        # when an in-watermark out-of-order event arrives in a later batch
+        # and resurrects an already-emitted window; once wm ≥ end, further
+        # events for the window are dropped upstream, so watermark close
+        # cannot double-emit.
+        closed = {s: open_w.pop(s) for s in list(open_w) if s + size_ms <= wm}
         save(state, t0, open_w, wm)
         if closed:
             yield emit(key, closed)

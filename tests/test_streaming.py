@@ -180,7 +180,9 @@ def test_streaming_first_event_tumbling_state(spark, tmp_path):
         F.element_at("tags", "t_g").alias("group_id"),
         F.element_at("metrics", "m").cast("double").alias("agg_input"),
     )
-    out = streaming_first_event_tumbling(metrics, window_minutes=2)
+    # zero watermark delay: windows close as soon as the watermark (= max
+    # observed event time) passes their end
+    out = streaming_first_event_tumbling(metrics, window_minutes=2, watermark="0 seconds")
     name = f"st_{uuid.uuid4().hex[:8]}"
     q = (
         out.writeStream.format("memory").queryName(name).outputMode("append")
