@@ -204,7 +204,11 @@ def dedup_minhash_lsh(documents: DataFrame) -> DataFrame:
 
     The hashed-shingle DataFrame is computed once and persisted — it feeds
     both the signature aggregation and the exact-Jaccard verification, and
-    the explode+distinct it contains is the expensive part of the plan."""
+    the explode+distinct it contains is the expensive part of the plan.
+    No explicit unpersist: the returned (lazy) plan references the cached
+    data, and Spark's CacheManager dedupes by analyzed plan, so repeated
+    invocations reuse ONE entry per (query, dataset) rather than leaking
+    per call; eviction is LRU under memory pressure."""
     sh = shingles_hashed(documents).persist()
     sig = _minhash_from_shingles(sh)
     band_structs = F.array(
