@@ -68,8 +68,15 @@ def dedup_exact(documents: DataFrame) -> DataFrame:
     partial (map-side) min absorbs even a pathological duplicate cluster
     before the shuffle, where a window over the same key would sort the
     whole cluster inside one partition (md5 collisions are negligible at
-    any realistic corpus size)."""
-    d = documents.select("doc_id", F.md5(_norm(F.col("text"))).alias("k"))
+    any realistic corpus size).
+
+    NULL text hashes a NUL-prefixed sentinel (normalized text is lowercase
+    alnum+space, so the sentinel can't collide) instead of propagating a
+    NULL join key that would silently drop null-text documents; the oracle
+    COALESCEs identically, so all-null docs form one duplicate cluster in
+    both engines."""
+    k = F.md5(F.coalesce(_norm(F.col("text")), F.lit("\x00null")))
+    d = documents.select("doc_id", k.alias("k"))
     canon = d.groupBy("k").agg(F.min("doc_id").alias("canonical_id"))
     return d.join(canon, "k").select(
         "doc_id",
@@ -83,7 +90,7 @@ SELECT doc_id,
        min(doc_id) OVER (PARTITION BY k) AS canonical_id,
        doc_id <> min(doc_id) OVER (PARTITION BY k) AS is_duplicate
 FROM (SELECT doc_id,
-             md5(trim(regexp_replace(regexp_replace(lower(trim(text)), '[^a-z0-9\\s]', '', 'g'), '\\s+', ' ', 'g'))) AS k
+             md5(coalesce(trim(regexp_replace(regexp_replace(lower(trim(text)), '[^a-z0-9\\s]', '', 'g'), '\\s+', ' ', 'g')), chr(0) || 'null')) AS k
       FROM documents)
 """
 

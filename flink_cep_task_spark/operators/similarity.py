@@ -311,7 +311,9 @@ COSINE_DUP_TAU = 0.3
 
 
 def dedup_embedding_cosine(embeddings: DataFrame) -> DataFrame:
-    """Near-duplicate VECTOR pairs: cosine ≥ 0.9, candidates restricted to
+    """Near-duplicate VECTOR pairs: cosine ≥ COSINE_DUP_TAU (demonstration
+    threshold 0.3 — the synthetic vectors are near-orthogonal; a production
+    near-dup pass would use 0.9+, same plan), candidates restricted to
     pairs colliding in ≥1 LSH table (same multi-table bucketing + per-
     bucket cap as ann_lsh — truly similar vectors collide with high
     probability, and the self-join is bounded per bucket instead of N²).

@@ -314,9 +314,11 @@ def props_json_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     JSON path function (JVM-side, no UDF) and aggregate per event_type —
     the semi-structured-column pattern every event pipeline needs. The
     extraction runs inside the scan projection; only (event_type, k)
-    reach the aggregate."""
+    reach the aggregate. try_cast (not cast): under Spark 4's ANSI mode a
+    malformed k value would otherwise abort the whole query — the engine's
+    bad-value convention is degrade-to-null (sources/jsonline.py)."""
     e = load_table(spark, sf_dir, "events")
-    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    k = F.get_json_object(F.col("props"), "$.k").try_cast("long")
     return (
         e.select("event_type", k.alias("k"))
         .groupBy("event_type")
@@ -334,7 +336,7 @@ SELECT event_type,
        CAST(sum(k) AS BIGINT) AS sum_k,
        round(CAST(sum(k) AS DOUBLE) / count(k), 6) AS avg_k
 FROM (SELECT event_type,
-             CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+             TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
       FROM events)
 GROUP BY event_type
 """

@@ -166,7 +166,11 @@ def live_cep_windows(
         if not state.hasTimedOut:
             for pdf in pdfs:
                 ts_all = (pdf["event_time"].astype("int64") // 1_000_000_000).to_numpy()
-                cents = pd.to_numeric(pdf["agg_cents"], errors="coerce").to_numpy(dtype="float64")
+                # nullable Int64 (NOT a float64 round-trip, which would lose
+                # exactness above 2^53 — DECIMAL(18,2) cents reach ~2^57):
+                # nulls are masked via .notna(), the non-null subset converts
+                # losslessly to int64.
+                cents = pdf["agg_cents"].astype("Int64")
                 # rule config rides on every row; latest batch wins (mid-
                 # stream upserts change the threshold for yet-unfired windows)
                 last = pdf.iloc[-1]
@@ -182,11 +186,11 @@ def live_cep_windows(
                 if len(ts_all):
                     t_max = int(ts_all.max())
                     max_ts = t_max if max_ts is None else max(max_ts, t_max)
-                # missing measure rows (NaN cents) carry SQL null semantics
+                # missing measure rows (null cents) carry SQL null semantics
                 # (Q1 fix) — they advance max_ts above but aggregate nothing
-                ok_mask = ~np.isnan(cents)
+                ok_mask = cents.notna().to_numpy()
                 ts = ts_all[ok_mask]
-                vals = cents[ok_mask].astype(np.int64)
+                vals = cents[ok_mask].to_numpy(dtype="int64")
                 if not len(ts):
                     continue
                 # vectorized window assignment + per-window fold: a python

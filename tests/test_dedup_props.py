@@ -56,3 +56,35 @@ def test_prefix_filter_finds_all_pairs(spark):
     for pair, j in exp.items():
         assert abs(got[pair] - j) < 1e-6
     assert len(exp) >= 6  # the injected near-dups actually exercised the path
+
+
+def test_dedup_exact_keeps_null_and_empty_texts(spark, ddb):
+    """NULL text must not be silently dropped by a NULL join key (ADVICE r2):
+    all-null texts form ONE duplicate cluster, empty/whitespace texts form
+    another, and both engines agree."""
+    import duckdb
+
+    from flink_cep_task_spark.operators.dedup import DEDUP_EXACT_SQL, dedup_exact
+    from tests.conftest import assert_parity
+
+    rows = [
+        (1, "alpha beta"),
+        (2, None),
+        (3, "alpha  beta!"),   # normalizes to doc 1's text
+        (4, None),
+        (5, ""),
+        (6, "   "),            # whitespace-only ⇒ same normalized form as ""
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: (r.canonical_id, r.is_duplicate) for r in dedup_exact(df).collect()}
+    assert len(out) == 6, "every document must survive dedup_exact"
+    assert out[3] == (1, True)
+    assert out[2] == (2, False) and out[4] == (2, True)  # null cluster
+    assert out[5] == (5, False) and out[6] == (5, True)  # empty cluster
+
+    con = duckdb.connect()
+    con.execute("CREATE VIEW documents AS SELECT * FROM (VALUES "
+                + ", ".join(f"({i}, {'NULL' if t is None else t!r})" for i, t in rows)
+                + ") AS t(doc_id, text)")
+    assert_parity(dedup_exact(df), con, DEDUP_EXACT_SQL)
+    con.close()

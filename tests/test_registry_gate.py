@@ -1,0 +1,53 @@
+"""Pins the driver-gate roster: the driver's correctness gate records only
+the FIRST `DRIVER_GATE_CAP` registered queries (measured round 2: 51
+registered, exactly the first 50 in CORRECTNESS_r02.json). These tests make
+the overflow policy explicit so a future registration can't silently push a
+load-bearing query out of the driver's gate — overflow entries remain
+oracle-checked locally by tests/test_queries.py, which runs the WHOLE
+registry."""
+
+from __future__ import annotations
+
+from flink_cep_task_spark.registry import DRIVER_GATE_CAP, OVERFLOW_LAST, all_queries
+
+# queries that must stay inside the driver's gate: one per operator family
+# that has no other gated representative.
+MUST_BE_GATED = {
+    "cep_live_streaming",        # live stateful streaming engine
+    "cep_streaming_windows",     # native windowed streaming path
+    "cep_rule_lifecycle",        # rule CRUD compaction
+    "media_feature_stats",       # multimodal mapInPandas
+    "media_frame_sample",        # multimodal fan-out (skipped by cap in r2)
+    "ann_ivf",                   # IVF ANN
+    "ann_lsh",                   # multi-table LSH ANN
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "dedup_exact",
+    "dedup_embedding_cosine",
+    "doc_fingerprint",
+    "knn_bruteforce",
+}
+
+
+def test_gated_prefix_contains_every_required_query():
+    gated = list(all_queries())[:DRIVER_GATE_CAP]
+    missing = MUST_BE_GATED - set(gated)
+    assert not missing, f"queries pushed out of the driver gate: {missing}"
+
+
+def test_only_declared_overflow_is_beyond_the_cap():
+    names = list(all_queries())
+    overflow = names[DRIVER_GATE_CAP:]
+    assert set(overflow) <= set(OVERFLOW_LAST), (
+        f"undeclared overflow past the {DRIVER_GATE_CAP}-entry driver gate: "
+        f"{set(overflow) - set(OVERFLOW_LAST)} — either reorder or add to "
+        "OVERFLOW_LAST deliberately"
+    )
+
+
+def test_overflow_queries_keep_their_oracle():
+    qs = all_queries()
+    for name in OVERFLOW_LAST:
+        assert name in qs
+        assert qs[name][1] is not None, f"{name} lost its oracle"
