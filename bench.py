@@ -35,6 +35,24 @@ def main() -> None:
     spark.range(1000).selectExpr("sum(id)").collect()
     for t in ("events", "lineitem", "documents", "embeddings"):
         spark.read.parquet(os.path.join(sf_dir, f"{t}.parquet")).limit(1).collect()
+    # broadcast-join / shuffle / whole-stage-codegen warm-up on a tiny CEP
+    # evaluation (round 2 showed the first CEP query paying ~5 s of one-time
+    # machinery cost its identical-plan twin didn't), plus one small parquet
+    # WRITE (committer + output codegen — the streaming replay scaffold
+    # writes parquet and the first write in a session costs whole seconds).
+    import tempfile
+
+    from flink_cep_task_spark.plans.cep import evaluate_rules
+    from flink_cep_task_spark.plans.cep_queries import R_TUMBLING_MIN
+    from flink_cep_task_spark.sources.tables import events_to_metrics, load_table
+
+    ev_small = events_to_metrics(load_table(spark, sf_dir, "events").limit(2000))
+    evaluate_rules(spark, ev_small, [R_TUMBLING_MIN]).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    ev_small.limit(10).write.mode("overwrite").parquet(
+        os.path.join(tempfile.mkdtemp(prefix="bench_warm_"), "w")
+    )
 
     timings: dict[str, float] = {}
     for name, fn in entrymod.queries().items():

@@ -82,41 +82,82 @@ def _rule_query(rules: list[Rule]):
     return q
 
 
-def _events_stream_workdir(spark: SparkSession, sf_dir: str, prefix: str) -> str:
+# replay workdirs keyed by sf_dir: BOTH parity queries replay the identical
+# (data + pusher) file set, so the scaffold is built once per process and
+# per dataset. Checkpoint dirs / sink names stay per-invocation (a reused
+# availableNow checkpoint would silently skip all input).
+_WORKDIR_CACHE: dict[str, tuple[str, int]] = {}
+
+
+def _events_stream_workdir(spark: SparkSession, sf_dir: str, prefix: str) -> tuple[str, int]:
     """Replay scaffold shared by the streaming parity queries: the events
-    table written as ONE JSON-lines file plus two trailing watermark-pusher
-    files (wm advances at batch N's end, so final windows flush in batch
-    N+1; the pusher sits max_event + 40 days out — safely past the largest
-    7-day epoch-aligned window end plus the watermark delay). The pusher
-    docs carry a measure key NO rule aggregates ("zzf"), so they advance
-    the watermark but contribute null aggregate inputs everywhere they fan
-    out — they can never satisfy a threshold, even for rules with no
-    grouping keys whose single group they share with real events. Returns
-    the workdir; the stream source is <workdir>/src."""
-    import json as _json
+    table in Metric shape written as PARQUET (parallel write, columnar
+    re-read — no JSON round trip; the JSON ingest path has its own
+    coverage: cep_jsonline_roundtrip + socket/file streaming tests) plus
+    two trailing watermark-pusher files (wm advances at batch N's end, so
+    final windows flush in batch N+1; the pusher sits max_event + 40 days
+    out — safely past the largest 7-day epoch-aligned window end plus the
+    watermark delay). The pusher rows carry a measure key NO rule
+    aggregates ("zzf"), so they advance the watermark but contribute null
+    aggregate inputs everywhere they fan out — they can never satisfy a
+    threshold, even for rules with no grouping keys whose single group
+    they share with real events.
+
+    Returns (workdir, n_data_files); the stream source is <workdir>/src.
+    Replaying with max_files_per_trigger = n_data_files + 1 yields exactly
+    TWO micro-batches (data + first pusher, then second pusher) — the
+    minimum that still exercises the watermark-driven timeout/flush path,
+    and per-batch fixed cost (state commit + Arrow exchange) is the
+    replay's dominant term."""
+    import decimal as _decimal
+    import glob as _glob
     import os
     import tempfile
 
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
     from pyspark.sql import functions as F
+
+    cached = _WORKDIR_CACHE.get(sf_dir)
+    if cached is not None and os.path.isdir(os.path.join(cached[0], "src")):
+        return cached
 
     work = tempfile.mkdtemp(prefix=prefix)
     src = os.path.join(work, "src")
     ev = events_to_metrics(load_table(spark, sf_dir, "events"))
-    lines = ev.select(metric_to_json(ev.event_time, ev.tags, ev.metrics).alias("value"))
-    lines.coalesce(1).write.mode("overwrite").text(src)
+    ev.repartition(8).write.mode("overwrite").parquet(src)
     max_ms = ev.agg(F.max((F.col("event_time").cast("double") * 1000).cast("long"))).first()[0]
-    base = None
+    parts = _glob.glob(os.path.join(src, "part-*.parquet"))
+    base = max(os.path.getmtime(p) for p in parts)
+    # pusher files written directly with pyarrow (a 1-row Spark parquet
+    # write costs whole seconds of job/committer overhead, ×2)
+    pa_schema = pa.schema([
+        pa.field("event_time", pa.timestamp("us"), nullable=False),
+        pa.field("tags", pa.map_(pa.string(), pa.string()), nullable=False),
+        pa.field("metrics", pa.map_(pa.string(), pa.decimal128(18, 2)), nullable=False),
+    ])
     for j in range(2):
-        p = os.path.join(src, f"zz_flush_{j}.json")
-        with open(p, "w") as f:
-            f.write(_json.dumps({
-                "eventTime": max_ms + 40 * 86_400_000 + j * 60_000,
-                "t_event_type": "zz_flush", "t_user": "zz", "zzf": 0,
-            }))
-        if base is None:
-            base = os.path.getmtime(p)
-        os.utime(p, (base + 10 + j, base + 10 + j))
-    return work
+        t_us = (max_ms + 40 * 86_400_000 + j * 60_000) * 1000
+        table = pa.Table.from_arrays(
+            [
+                pa.array([t_us], type=pa.timestamp("us")),
+                pa.array(
+                    [[("t_event_type", "zz_flush"), ("t_user", "zz")]],
+                    type=pa.map_(pa.string(), pa.string()),
+                ),
+                pa.array(
+                    [[("zzf", _decimal.Decimal("0.00"))]],
+                    type=pa.map_(pa.string(), pa.decimal128(18, 2)),
+                ),
+            ],
+            schema=pa_schema,
+        )
+        dest = os.path.join(src, f"zz_flush_{j}.parquet")
+        pq.write_table(table, dest)
+        os.utime(dest, (base + 10 + j, base + 10 + j))
+    _WORKDIR_CACHE[sf_dir] = (work, len(parts))
+    return work, len(parts)
 
 
 class _shuffle_partitions:
@@ -147,13 +188,14 @@ def q_live_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from pyspark.sql import functions as F
 
+    from flink_cep_task_spark.schemas import METRIC_SCHEMA
     from flink_cep_task_spark.streaming.live import RuleFileStore, build_live_cep
     from flink_cep_task_spark.streaming.pipeline import (
         await_stream,
-        metrics_stream_from_text,
+        metrics_stream_from_parquet,
     )
 
-    work = _events_stream_workdir(spark, sf_dir, "live_cep_")
+    work, n_parts = _events_stream_workdir(spark, sf_dir, "live_cep_")
     store = RuleFileStore(os.path.join(work, "rules.json"))
     for r in LIVE_STREAMING_RULES:
         store.upsert({
@@ -166,18 +208,19 @@ def q_live_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
             "limitOperatorType": r.limit_op, "limit": float(r.limit),
         })
 
-    # one file per trigger: the data file is batch 1, each flush file its
-    # own batch — event-time timeouts fire during batch N+1 based on the
-    # watermark committed at batch N's end.
-    metrics = metrics_stream_from_text(
-        spark, os.path.join(work, "src"), max_files_per_trigger=1
+    # TWO triggers (see _events_stream_workdir): data + first pusher in
+    # batch 1, second pusher in batch 2 → all event-time timeouts fire in
+    # batch 2.
+    metrics = metrics_stream_from_parquet(
+        spark, os.path.join(work, "src"), METRIC_SCHEMA,
+        max_files_per_trigger=n_parts + 1,
     )
     out = build_live_cep(metrics, spark, store.path, watermark="1 minute")
     name = f"live_cep_{uuid.uuid4().hex[:8]}"
     with _shuffle_partitions(spark, 8):
         q = (
             out.writeStream.format("memory").queryName(name).outputMode("append")
-            .option("checkpointLocation", os.path.join(work, "ckpt"))
+            .option("checkpointLocation", os.path.join(work, f"ckpt_{name}"))
             .trigger(availableNow=True).start()
         )
         await_stream(q, 600)
@@ -195,15 +238,18 @@ def q_streaming_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from pyspark.sql import functions as F
 
+    from flink_cep_task_spark.schemas import METRIC_SCHEMA
     from flink_cep_task_spark.streaming.pipeline import (
         build_streaming_cep,
-        metrics_stream_from_text,
+        metrics_stream_from_parquet,
         run_to_memory,
     )
 
-    work = _events_stream_workdir(spark, sf_dir, "native_cep_")
-    metrics = metrics_stream_from_text(
-        spark, os.path.join(work, "src"), max_files_per_trigger=1
+    work, n_parts = _events_stream_workdir(spark, sf_dir, "native_cep_")
+    # two triggers (data+flush0, then flush1) — see _events_stream_workdir.
+    metrics = metrics_stream_from_parquet(
+        spark, os.path.join(work, "src"), METRIC_SCHEMA,
+        max_files_per_trigger=n_parts + 1,
     )
     # one tumbling + one sliding spec: every DISTINCT window spec becomes
     # its own stateful aggregation in the unioned plan, so the spec count
@@ -215,7 +261,7 @@ def q_streaming_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     assert global_s is None
     name = f"native_cep_{uuid.uuid4().hex[:8]}"
     with _shuffle_partitions(spark, 8):
-        run_to_memory(windowed, name, "append", os.path.join(work, "ckpt"), timeout_s=600)
+        run_to_memory(windowed, name, "append", os.path.join(work, f"ckpt_{name}"), timeout_s=600)
     return spark.table(name).filter(~F.col("group_id").contains("zz_flush"))
 
 

@@ -25,21 +25,35 @@ captured per group at first sight, never invalidated, CEPEngine.java:55-64).
 
 Windowing: rules are data, so window sizes are COLUMNS — the built-in
 `F.window()` (literal durations) cannot express them. A single
-applyInPandasWithState operator keyed by (rule_id, group_id) — the
-reference's keyBy (CEPTaskRunner.java:46) — maintains per-window partial
+applyInPandasWithState operator maintains per-(group, window) partial
 aggregates (sum/cnt/min/max: O(1) state per window, never raw rows) and
 closes a window exactly when the event-time watermark passes its end (the
 principled fix of the reference's wall-clock Trigger, Q4; a data-driven
 fire would double-emit under in-watermark reordering). The threshold uses
-the latest rule config THIS KEY has seen: an upsert re-gates every window
-the group fires after its next event; windows flushed purely by watermark
+the latest rule config the key has seen: an upsert re-gates every window
+fired after the key's next event; windows flushed purely by watermark
 after a config change still gate with the prior config (per-key state
 cannot observe the store without data). Late rows below the watermark are
 dropped upstream.
 
-Scale: state is hash-partitioned by (rule_id, group_id) — the same shuffle
-key the batch engine groups on; per-key state is a handful of floats per
-open window; the rule table is KBs and broadcast. No driver-side loops.
+STATE COARSENING (the load-bearing scale decision): the operator is keyed
+by (rule_id, hash_bucket(group_id)), NOT by raw (rule_id, group_id) — the
+reference's keyBy (CEPTaskRunner.java:46) maps to the SHUFFLE distribution
+either way, but PySpark's applyInPandasWithState pays a measured ~1 ms of
+per-KEY protocol overhead per micro-batch (one Arrow exchange + state
+round trip per key; measured 6.7 s for 8 000 trivial keys regardless of
+partition count or output size). Keying by raw group id means
+O(distinct groups) × 1 ms per batch — unusable at millions of groups.
+Each bucket key instead carries the state of MANY groups as parallel
+arrays, and the update function aggregates all of a bucket's rows in one
+vectorized pandas/numpy pass, so per-batch cost is O(buckets) × 1 ms +
+O(rows) vectorized. Buckets are sized ∝ total cores (64 default — far
+above local parallelism, far below the key-overhead regime); results are
+bucket-independent, only the shuffle/state layout changes.
+
+Scale: state is hash-partitioned by (rule_id, bucket); per-group state is
+a handful of ints per open window; the rule table is KBs and broadcast.
+No driver-side loops.
 """
 
 from __future__ import annotations
@@ -60,14 +74,18 @@ from flink_cep_task_spark.operators.fanout import fanout_rules
 from flink_cep_task_spark.rules import compact_rules, parse_rule_lines_df
 
 SECONDS_PER_MINUTE = 60
+DEFAULT_STATE_BUCKETS = 64  # per rule; raise ∝ cluster cores at scale
 
 # partials are integer CENTS (measures are DECIMAL(18,2) engine-wide):
 # integer accumulation is exact and order-independent, so the final doubles
 # are bit-identical to the batch engine's decimal-sum-cast-double — live
 # streaming results hash-match the same DuckDB oracle as the batch plans.
+# One state row per (rule, bucket): entry i of the parallel arrays is one
+# open (group, window) with its partials (see "state coarsening" above).
 LIVE_STATE_SCHEMA = (
-    "max_ts LONG, agg_type STRING, limit_op STRING, lim DOUBLE, "
-    "wkeys ARRAY<STRING>, sums ARRAY<LONG>, cnts ARRAY<LONG>, "
+    "agg_type STRING, limit_op STRING, lim DOUBLE, "
+    "gids ARRAY<STRING>, wstarts ARRAY<LONG>, wsizes ARRAY<LONG>, "
+    "sums ARRAY<LONG>, cnts ARRAY<LONG>, "
     "mins ARRAY<LONG>, maxs ARRAY<LONG>"
 )
 LIVE_OUTPUT_SCHEMA = (
@@ -137,6 +155,7 @@ def _round_half_up(v: float, digits: int) -> float:
 def live_cep_windows(
     fanned: DataFrame,
     round_digits: int = 4,
+    state_buckets: int = DEFAULT_STATE_BUCKETS,
 ) -> DataFrame:
     """Dynamic-window stateful aggregation over rule-stamped metric rows.
 
@@ -145,34 +164,40 @@ def live_cep_windows(
     and never fire in this append-mode operator (reference quirk Q5 — its
     AllWindowAssigner windows also never fire); route them to the
     update-mode path in streaming/pipeline.py instead.
+
+    Keyed by (rule_id, hash_bucket(group_id)) with vectorized intra-bucket
+    aggregation — see the module docstring's state-coarsening rationale.
+    Config (agg/threshold) is uniform per rule, so bucket-level config
+    refresh is semantically identical to group-level.
     """
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     def update(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
-        rule_id, group_id = key
+        rule_id = int(key[0])
         wm_ms = state.getCurrentWatermarkMs()
         wm_s = wm_ms // 1000
 
+        # open_w: (group_id, window_start_s, window_size_s) -> [sum, cnt, min, max]
         if state.exists:
-            max_ts, agg_type, limit_op, lim, wkeys, sums, cnts, mins, maxs = state.get
+            agg_type, limit_op, lim, gids, wstarts, wsizes, sums, cnts, mins, maxs = state.get
             open_w = {
-                k: [sums[i], cnts[i], mins[i], maxs[i]] for i, k in enumerate(wkeys)
+                (gids[i], int(wstarts[i]), int(wsizes[i])): [
+                    int(sums[i]), int(cnts[i]), int(mins[i]), int(maxs[i])
+                ]
+                for i in range(len(gids))
             }
         else:
-            max_ts, agg_type, limit_op, lim, open_w = None, None, None, None, {}
+            agg_type, limit_op, lim, open_w = None, None, None, {}
 
         if not state.hasTimedOut:
             for pdf in pdfs:
-                ts_all = (pdf["event_time"].astype("int64") // 1_000_000_000).to_numpy()
-                # nullable Int64 (NOT a float64 round-trip, which would lose
-                # exactness above 2^53 — DECIMAL(18,2) cents reach ~2^57):
-                # nulls are masked via .notna(), the non-null subset converts
-                # losslessly to int64.
-                cents = pdf["agg_cents"].astype("Int64")
+                if not len(pdf):
+                    continue
                 # rule config rides on every row; latest batch wins (mid-
-                # stream upserts change the threshold for yet-unfired windows)
+                # stream upserts change the threshold for yet-unfired
+                # windows). Uniform within the key: config is per-rule.
                 last = pdf.iloc[-1]
                 agg_type = str(last["agg_type"])
                 limit_op = str(last["limit_op"])
@@ -183,52 +208,66 @@ def live_cep_windows(
                 slide_s = (
                     int(slide_m) * SECONDS_PER_MINUTE if pd.notna(slide_m) else size_s
                 )
-                if len(ts_all):
-                    t_max = int(ts_all.max())
-                    max_ts = t_max if max_ts is None else max(max_ts, t_max)
-                # missing measure rows (null cents) carry SQL null semantics
-                # (Q1 fix) — they advance max_ts above but aggregate nothing
-                ok_mask = cents.notna().to_numpy()
-                ts = ts_all[ok_mask]
-                vals = cents[ok_mask].to_numpy(dtype="int64")
-                if not len(ts):
+                # nullable Int64 (NOT a float64 round-trip, which would lose
+                # exactness above 2^53 — DECIMAL(18,2) cents reach ~2^57):
+                # missing measures (null cents) carry SQL null semantics
+                # (Q1 fix) and aggregate nothing.
+                cents = pdf["agg_cents"].astype("Int64")
+                ok = cents.notna().to_numpy()
+                if not ok.any():
                     continue
-                # vectorized window assignment + per-window fold: a python
-                # per-row loop here was the whole pipeline's hotspot
+                ts = (pdf["event_time"].astype("int64").to_numpy() // 1_000_000_000)[ok]
+                vals = cents[ok].to_numpy(dtype="int64")
+                gid_codes, gid_uniq = pd.factorize(pdf["group_id"].to_numpy()[ok])
+                gid_codes = gid_codes.astype(np.int64)
+                # vectorized window assignment across ALL groups in the
+                # bucket (a python per-row or per-group loop here was the
+                # pipeline's hotspot)
                 if wtype == "tumbling":
-                    frames = [((ts // size_s) * size_s, ts, vals)]
+                    g_all, v_all = gid_codes, vals
+                    s_all = (ts // size_s) * size_s
                 else:
-                    frames = []
                     first = ((ts - size_s) // slide_s + 1) * slide_s
                     lastw = (ts // slide_s) * slide_s
+                    gs, ss, vs = [], [], []
                     n_cover = (size_s + slide_s - 1) // slide_s + 1
                     for j in range(n_cover):
                         s = first + j * slide_s
                         m = s <= lastw
                         if m.any():
-                            frames.append((s[m], ts[m], vals[m]))
-                for starts, _tsf, vf in frames:
-                    uniq, inv = np.unique(starts, return_inverse=True)
-                    sums = np.zeros(len(uniq), dtype=np.int64)
-                    np.add.at(sums, inv, vf)
-                    cnts_a = np.bincount(inv, minlength=len(uniq))
-                    mins_a = np.full(len(uniq), np.iinfo(np.int64).max, dtype=np.int64)
-                    np.minimum.at(mins_a, inv, vf)
-                    maxs_a = np.full(len(uniq), np.iinfo(np.int64).min, dtype=np.int64)
-                    np.maximum.at(maxs_a, inv, vf)
-                    for i, start in enumerate(uniq.tolist()):
-                        k = f"{start}:{size_s}"
-                        w = open_w.get(k)
-                        if w is None:
-                            open_w[k] = [
-                                int(sums[i]), int(cnts_a[i]),
-                                int(mins_a[i]), int(maxs_a[i]),
-                            ]
-                        else:
-                            w[0] += int(sums[i])
-                            w[1] += int(cnts_a[i])
-                            w[2] = min(w[2], int(mins_a[i]))
-                            w[3] = max(w[3], int(maxs_a[i]))
+                            gs.append(gid_codes[m])
+                            ss.append(s[m])
+                            vs.append(vals[m])
+                    g_all = np.concatenate(gs)
+                    s_all = np.concatenate(ss)
+                    v_all = np.concatenate(vs)
+                # one fold per (group, window): epoch seconds < 2^32 until
+                # 2106 and bucket-local group codes < 2^31, so the combined
+                # key packs exactly into int64
+                kk = (g_all << 32) | s_all.astype(np.int64)
+                uniq, inv = np.unique(kk, return_inverse=True)
+                sums_a = np.zeros(len(uniq), dtype=np.int64)
+                np.add.at(sums_a, inv, v_all)
+                cnts_a = np.bincount(inv, minlength=len(uniq))
+                mins_a = np.full(len(uniq), np.iinfo(np.int64).max, dtype=np.int64)
+                np.minimum.at(mins_a, inv, v_all)
+                maxs_a = np.full(len(uniq), np.iinfo(np.int64).min, dtype=np.int64)
+                np.maximum.at(maxs_a, inv, v_all)
+                u_gid = (uniq >> 32).tolist()
+                u_start = (uniq & 0xFFFFFFFF).tolist()
+                for i in range(len(uniq)):
+                    k = (gid_uniq[u_gid[i]], int(u_start[i]), size_s)
+                    w = open_w.get(k)
+                    if w is None:
+                        open_w[k] = [
+                            int(sums_a[i]), int(cnts_a[i]),
+                            int(mins_a[i]), int(maxs_a[i]),
+                        ]
+                    else:
+                        w[0] += int(sums_a[i])
+                        w[1] += int(cnts_a[i])
+                        w[2] = min(w[2], int(mins_a[i]))
+                        w[3] = max(w[3], int(maxs_a[i]))
 
         # close ONLY when the WATERMARK passes the window end. A data-driven
         # close (fire when a later event of the group arrives — the
@@ -238,12 +277,11 @@ def live_cep_windows(
         # Watermark close is safe by construction — once wm ≥ end, any
         # further event for that window is below the watermark and dropped
         # upstream.
-        horizon = wm_s
         fired = []
-        for k in sorted(open_w):
-            start_s, size_s = (int(x) for x in k.split(":"))
+        for k in list(open_w):
+            gid, start_s, size_s = k
             end_s = start_s + size_s
-            if end_s <= horizon:
+            if end_s <= wm_s:
                 s, c, mn, mx = open_w.pop(k)
                 # cents → double exactly as the batch engine does it
                 # (decimal sum cast double, then /count for AVG)
@@ -262,27 +300,26 @@ def live_cep_windows(
                     "<=": value <= lim,
                 }[limit_op]
                 if ok:
-                    fired.append((int(rule_id), group_id, start_s, end_s,
+                    fired.append((rule_id, gid, start_s, end_s,
                                   agg_type, _round_half_up(value, round_digits)))
 
-        keys = sorted(open_w)
-        if keys:
+        if open_w:
+            keys = sorted(open_w)
             state.update(
                 (
-                    max_ts,
                     agg_type,
                     limit_op,
                     lim,
-                    keys,
+                    [k[0] for k in keys],
+                    [k[1] for k in keys],
+                    [k[2] for k in keys],
                     [open_w[k][0] for k in keys],
                     [open_w[k][1] for k in keys],
                     [open_w[k][2] for k in keys],
                     [open_w[k][3] for k in keys],
                 )
             )
-            min_end_ms = min(
-                (int(k.split(":")[0]) + int(k.split(":")[1])) for k in keys
-            ) * 1000
+            min_end_ms = min(k[1] + k[2] for k in keys) * 1000
             state.setTimeoutTimestamp(max(min_end_ms, wm_ms + 1))
         elif state.exists:
             # nothing in flight: drop the state row entirely so deleted
@@ -298,8 +335,18 @@ def live_cep_windows(
                 ],
             )
 
-    windowed = fanned.filter(F.col("window_type") != "global")
-    return windowed.groupBy("rule_id", "group_id").applyInPandasWithState(
+    windowed = fanned.filter(F.col("window_type") != "global").withColumn(
+        "bucket", F.pmod(F.xxhash64("group_id"), F.lit(state_buckets))
+    )
+    # prune to exactly the columns the stateful op reads — fanout's
+    # decimal agg_input and grouping metadata would otherwise ride the
+    # Arrow exchange for nothing
+    slim = windowed.select(
+        "rule_id", "bucket", "group_id", "event_time", "agg_cents",
+        "window_type", "window_minutes", "window_slide_minutes",
+        "agg_type", "limit_op", F.col("limit").cast("double").alias("limit"),
+    )
+    return slim.groupBy("rule_id", "bucket").applyInPandasWithState(
         update,
         outputStructType=LIVE_OUTPUT_SCHEMA,
         stateStructType=LIVE_STATE_SCHEMA,
@@ -313,6 +360,7 @@ def build_live_cep(
     spark: SparkSession,
     rule_store_path: str,
     watermark: str = "10 minutes",
+    state_buckets: int = DEFAULT_STATE_BUCKETS,
 ) -> DataFrame:
     """Full live pipeline: metric stream × per-batch-refreshed rule table →
     dynamic-window stateful CEP. Output schema matches the batch engine
@@ -329,7 +377,7 @@ def build_live_cep(
         "agg_cents",
         (F.col("agg_input") * 100).cast("long"),
     )
-    return live_cep_windows(fanned)
+    return live_cep_windows(fanned, state_buckets=state_buckets)
 
 
 def run_live_cep_global(

@@ -53,6 +53,22 @@ def metrics_stream_from_text(spark: SparkSession, path: str, max_files_per_trigg
     return parse_metric_lines(lines, value_col="value")
 
 
+def metrics_stream_from_parquet(
+    spark: SparkSession, path: str, schema, max_files_per_trigger: int = 1
+) -> DataFrame:
+    """Metric rows streamed straight from parquet files (already in the
+    engine's Metric shape: event_time, tags, metrics) — the replay/backfill
+    source: no JSON serialization round trip, columnar scan, predicate/
+    column pruning intact. The JSON-parse ingest path (socket/file/kafka)
+    is exercised separately (tests/test_socket_source.py,
+    cep_jsonline_roundtrip, tests/test_streaming.py)."""
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(path)
+    )
+
+
 def metrics_stream_from_socket(
     spark: SparkSession, host: str = "127.0.0.1", port: int = 9999
 ) -> DataFrame:
@@ -93,12 +109,17 @@ def metric_source(spark: SparkSession, kind: str, **opts) -> DataFrame:
     source-agnostic (SURVEY.md §1.4).
 
       metric_source(spark, "file", path=..., max_files_per_trigger=1)
+      metric_source(spark, "parquet", path=..., schema=..., max_files_per_trigger=1)
       metric_source(spark, "socket", host=..., port=9999)
       metric_source(spark, "kafka", servers=..., topic=...)
     """
     if kind == "file":
         return metrics_stream_from_text(
             spark, opts["path"], opts.get("max_files_per_trigger", 1)
+        )
+    if kind == "parquet":
+        return metrics_stream_from_parquet(
+            spark, opts["path"], opts["schema"], opts.get("max_files_per_trigger", 1)
         )
     if kind == "socket":
         return metrics_stream_from_socket(
