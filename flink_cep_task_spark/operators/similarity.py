@@ -412,9 +412,10 @@ COSINE_DUP_SQL = _cosine_dup_sql()
 
 # --- IVF (inverted-file) ANN ---------------------------------------------
 
-IVF_CENTROID_IDS = list(range(10, 26))  # 16 coarse centers (fixed vec_ids,
+IVF_CENTROID_IDS = list(range(10, 26))  # 16 k-means SEEDS (fixed vec_ids,
                                         # disjoint from the query set <10)
 IVF_NPROBE = 4
+IVF_KMEANS_ITERS = 2  # Lloyd refinement passes over the seeds
 
 
 def _assign_cells(base: DataFrame, cents: list[tuple[int, list[int]]], k: int) -> DataFrame:
@@ -438,23 +439,60 @@ def _assign_cells(base: DataFrame, cents: list[tuple[int, list[int]]], k: int) -
     return base.select("vec_id", F.posexplode(nearest(F.col("v"))).alias("rank", "cell"))
 
 
-def ann_ivf(embeddings: DataFrame) -> DataFrame:
-    """IVF ANN: coarse-quantize every vector to its nearest centroid cell
-    (inverted file), probe the query's IVF_NPROBE nearest cells, exact
-    cosine + top-5 on the probed candidates only.
+def _fit_centroids(base: DataFrame, n_iters: int = IVF_KMEANS_ITERS) -> list[tuple[int, list[int]]]:
+    """Deterministic distributed k-means (Lloyd) over the micro-unit
+    integer vectors, bit-identical in Spark and DuckDB:
 
-    Scale shape: the cell assignment is one matmul per batch; the
-    candidate join is an equi-join on cell id whose fan-out is |Q| ×
-    nprobe × cell size; cells are data-balanced when centroids come from a
-    k-means fit (here: fixed sample vectors, same plan)."""
-    base = _with_norm(embeddings)
-    cents = [
+      * seeds = the IVF_CENTROID_IDS sample vectors (deterministic start);
+      * assignment = argmax integer dot product, centroid-id tie-break —
+        exact int64 arithmetic in both engines;
+      * update = per-component floor(sum / count), computed as
+        floor(double(sum)/count) on BOTH sides: |sum| < 2^53 so the
+        division is exact to well under the 1/count gap to the nearest
+        integer, and the floored centroids are integers again, keeping
+        every later dot product exact;
+      * empty cells drop out of the fit (both engines lose the GROUP BY
+        row).
+
+    Each iteration is one matmul-assignment pass + one component-sum
+    aggregation; the only driver-side data is the ≤ K×DIM centroid matrix
+    itself — model parameters, exactly like the LSH plane literals."""
+    import math
+
+    cents = sorted(
         (r["vec_id"], r["v"])
         for r in base.filter(F.col("vec_id").isin(IVF_CENTROID_IDS))
         .select("vec_id", "v")
         .collect()
-    ]
-    cents.sort()
+    )
+    comp = base.select("vec_id", F.posexplode("v").alias("i", "comp"))
+    for _ in range(n_iters):
+        assigned = _assign_cells(base, cents, 1).filter(F.col("rank") == 0).drop("rank")
+        agg = (
+            assigned.join(comp, "vec_id")
+            .groupBy("cell", "i")
+            .agg(F.sum("comp").alias("s"), F.count(F.lit(1)).alias("c"))
+            .collect()
+        )
+        fitted: dict[int, list[int]] = {}
+        for r in agg:
+            fitted.setdefault(r["cell"], [0] * DIM)[r["i"]] = math.floor(r["s"] / r["c"])
+        cents = sorted(fitted.items())
+    return cents
+
+
+def ann_ivf(embeddings: DataFrame) -> DataFrame:
+    """IVF ANN: coarse-quantize every vector to its nearest centroid cell
+    (inverted file), probe the query's IVF_NPROBE nearest cells, exact
+    cosine + top-5 on the probed candidates only. Centroids are a
+    deterministic k-means fit (_fit_centroids) so cells stay data-balanced
+    under skew; the DuckDB oracle replays the identical fit in SQL.
+
+    Scale shape: the cell assignment is one matmul per batch; the
+    candidate join is an equi-join on cell id whose fan-out is |Q| ×
+    nprobe × cell size."""
+    base = _with_norm(embeddings)
+    cents = _fit_centroids(base)
     # data side: each vector lives in exactly its nearest cell (rank 0)
     inv_file = _assign_cells(base, cents, 1).filter(F.col("rank") == 0).drop("rank")
     # query side: probe the nprobe nearest cells
@@ -493,13 +531,42 @@ def ann_ivf(embeddings: DataFrame) -> DataFrame:
 
 
 def _ivf_sql() -> str:
+    """Mirrors ann_ivf INCLUDING the deterministic k-means fit: the same
+    Lloyd iterations (argmax-dot assignment with cid tie-break, floor-of-
+    double-mean centroid update) unrolled as CTE pairs — the oracle derives
+    the fitted centroids from the data exactly like the engine, so the SQL
+    stays valid at every scale factor."""
     ids = ", ".join(str(i) for i in IVF_CENTROID_IDS)
+    lloyd = [
+        f"c0 AS (SELECT vec_id AS cid, i, v AS cv FROM flat WHERE vec_id IN ({ids}))"
+    ]
+    for it in range(IVF_KMEANS_ITERS):
+        lloyd.append(f"""d{it} AS (
+  SELECT f.vec_id, c.cid, sum(f.v * c.cv) AS dt
+  FROM flat f JOIN c{it} c USING (i)
+  GROUP BY f.vec_id, c.cid
+)""")
+        lloyd.append(f"""a{it} AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dt DESC, cid) AS rnk
+    FROM d{it}
+  ) WHERE rnk = 1
+)""")
+        lloyd.append(f"""c{it + 1} AS (
+  SELECT a.cid, f.i,
+         CAST(floor(CAST(sum(f.v) AS DOUBLE) / count(*)) AS BIGINT) AS cv
+  FROM a{it} a JOIN flat f USING (vec_id)
+  GROUP BY a.cid, f.i
+)""")
+    lloyd_ctes = ",\n".join(lloyd)
+    cfin = f"c{IVF_KMEANS_ITERS}"
     return f"""
 WITH {_FLAT_CTE},
-cents AS (SELECT vec_id AS cid, i, v AS cv FROM flat WHERE vec_id IN ({ids})),
+{lloyd_ctes},
 dots AS (
   SELECT f.vec_id, c.cid, sum(f.v * c.cv) AS dt
-  FROM flat f JOIN cents c USING (i)
+  FROM flat f JOIN {cfin} c USING (i)
   GROUP BY f.vec_id, c.cid
 ),
 ranked_cells AS (
