@@ -103,6 +103,50 @@ def rules_stream_from_socket(
     return parse_rule_lines_df(lines)
 
 
+def rules_socket_to_store(
+    spark: SparkSession,
+    store,
+    host: str = "127.0.0.1",
+    port: int = 8888,
+    trigger: dict | None = None,
+):
+    """Bridge the reference's rule socket (8888, CEPTaskRunner.java:37-45)
+    into the live engine's rule channel: every JSON line arriving on the
+    socket is appended to the RuleFileStore changelog, which the live
+    metric pipeline re-reads each micro-batch — Flink's broadcast-rule
+    stream re-expressed as socket → compacted control table.
+
+    Non-JSON lines are dropped here (the reference's parse-error drop,
+    CEPTaskRunner.java:54-56,40); field validation happens in-plan when the
+    store is read (parse_rule_lines_df). The foreachBatch collect is
+    control-plane only: rule traffic is KBs, never data-sized.
+
+    Returns the started bridge query; run it alongside build_live_cep on
+    the metric socket for the reference's dual-socket workflow."""
+    import json as _json
+
+    lines = (
+        spark.readStream.format("socket")
+        .option("host", host)
+        .option("port", port)
+        .load()
+    )
+
+    def absorb(batch_df, _batch_id: int) -> None:
+        for row in batch_df.collect():
+            try:
+                doc = _json.loads(row.value)
+            except (ValueError, TypeError):
+                continue
+            if isinstance(doc, dict):
+                store.upsert(doc)
+
+    q = lines.writeStream.foreachBatch(absorb)
+    if trigger:
+        q = q.trigger(**trigger)
+    return q.start()
+
+
 def metric_source(spark: SparkSession, kind: str, **opts) -> DataFrame:
     """One source API over the metric ingest path: file / socket / kafka —
     every variant lands in parse_metric_lines, so the engine downstream is
@@ -127,16 +171,25 @@ def metric_source(spark: SparkSession, kind: str, **opts) -> DataFrame:
         )
     if kind == "kafka":
         # requires the spark-sql-kafka connector on the classpath (not
-        # bundled here); the value column is the same JSON line format.
-        lines = (
+        # bundled here); the record value is the same JSON line format.
+        records = (
             spark.readStream.format("kafka")
             .option("kafka.bootstrap.servers", opts["servers"])
             .option("subscribe", opts["topic"])
             .load()
-            .selectExpr("CAST(value AS STRING) AS value")
         )
-        return parse_metric_lines(lines, value_col="value")
+        return kafka_records_to_metrics(records)
     raise ValueError(f"unknown metric source kind {kind!r}")
+
+
+def kafka_records_to_metrics(records: DataFrame) -> DataFrame:
+    """kafka record batch → Metric rows: CAST the binary `value` to STRING,
+    then the standard JSON-line parse (P1/P2 — bad payloads drop). Split
+    out from metric_source so the transformation is testable without the
+    kafka connector on the classpath (tests/test_streaming_ops.py feeds it
+    a kafka-shaped DataFrame)."""
+    lines = records.selectExpr("CAST(value AS STRING) AS value")
+    return parse_metric_lines(lines, value_col="value")
 
 
 def _window_specs(rules: list[Rule]) -> dict[tuple, list[Rule]]:

@@ -330,3 +330,136 @@ def test_rule_midstream_upsert_and_delete(spark, tmp_path):
     # rule 7 saw ONLY phase B: windows [4,6) and [6,8) minutes, MIN=1.
     assert {(s, e) for s, e, _ in r7_rows} == {(240, 360), (360, 480)}
     assert all(v == 1.0 for _s, _e, v in r7_rows)
+
+
+class _PushServer:
+    """nc -l stand-in that lets the test push lines AFTER the stream
+    connects (the reference workflow types rules/metrics into two live nc
+    sessions, README.md:25-30)."""
+
+    def __init__(self):
+        import socket as _socket
+
+        self.sock = _socket.socket(_socket.AF_INET, _socket.SOCK_STREAM)
+        self.sock.setsockopt(_socket.SOL_SOCKET, _socket.SO_REUSEADDR, 1)
+        self.sock.bind(("127.0.0.1", 0))
+        self.sock.listen(1)
+        self.port = self.sock.getsockname()[1]
+        self.conn = None
+        import threading as _threading
+
+        self._accepted = _threading.Event()
+        _threading.Thread(target=self._serve, daemon=True).start()
+
+    def _serve(self):
+        self.conn, _ = self.sock.accept()
+        self._accepted.set()
+
+    def send(self, lines: list[str], timeout: float = 30.0) -> None:
+        assert self._accepted.wait(timeout), "no client connected"
+        self.conn.sendall("".join(l + "\n" for l in lines).encode())
+
+    def close(self):
+        for s in (self.conn, self.sock):
+            try:
+                if s is not None:
+                    s.close()
+            except OSError:
+                pass
+
+
+def test_dual_socket_rules_and_metrics(spark, tmp_path):
+    """The reference's FULL dual-socket workflow (CEPTaskRunner.java:31,37)
+    in one run: metrics arrive on one socket, rules on a second socket
+    bridged into the live rule channel (rules_socket_to_store), and a
+    mid-run upsert+DELETE takes effect without restart — the socket twin
+    of test_rule_midstream_upsert_and_delete."""
+    from flink_cep_task_spark.streaming.pipeline import (
+        metric_source,
+        rules_socket_to_store,
+    )
+
+    base_ms = 1_700_000_040_000  # 2-min epoch aligned
+    mk = lambda i: json.dumps({"eventTime": base_ms + i * 60_000, "t_g": "g0", "m": 1})
+    rule_server, metric_server = _PushServer(), _PushServer()
+    store = RuleFileStore(str(tmp_path / "rules_sock.json"))
+    bridge = cep = None
+    try:
+        bridge = rules_socket_to_store(
+            spark, store, port=rule_server.port,
+            trigger={"processingTime": "250 milliseconds"},
+        )
+        metrics = metric_source(spark, "socket", port=metric_server.port)
+        out = build_live_cep(metrics, spark, store.path, watermark="0 seconds")
+        name = f"dual_{uuid.uuid4().hex[:8]}"
+        cep = (
+            out.writeStream.format("memory").queryName(name).outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ckpt_dual"))
+            .trigger(processingTime="500 milliseconds").start()
+        )
+
+        def await_store(pred, what: str, timeout_s: float = 30.0):
+            deadline = time.time() + timeout_s
+            while time.time() < deadline:
+                if pred(store._log):
+                    return
+                time.sleep(0.2)
+            raise TimeoutError(f"rule store never saw {what}: {store._log}")
+
+        # phase A: rule 1 over the rule socket (plus a junk line that must
+        # be dropped), then metrics minutes 0..3 over the metric socket
+        rule_server.send([
+            "not json at all {",
+            json.dumps({"ruleId": 1, "windowType": "tumbling", "windowMinutes": 2,
+                        "groupingKeyNames": ["t_g"], "aggregatorFunctionType": "SUM",
+                        "aggregateFieldName": "m", "limitOperatorType": ">",
+                        "limit": 0}),
+        ])
+        await_store(lambda log: any(d.get("ruleId") == 1 for d in log), "rule 1")
+        metric_server.send([mk(i) for i in range(4)])
+        _await_rows(spark, name, lambda rows: any(r.rule_id == 1 for r in rows),
+                    timeout_s=90)
+
+        # mid-run CRUD over the SAME socket: add rule 7, delete rule 1
+        rule_server.send([
+            json.dumps({"ruleId": 7, "windowType": "tumbling", "windowMinutes": 2,
+                        "groupingKeyNames": ["t_g"], "aggregatorFunctionType": "MIN",
+                        "aggregateFieldName": "m", "limitOperatorType": "<",
+                        "limit": 999}),
+            json.dumps({"ruleId": 1, "ruleState": "DELETE"}),
+        ])
+        await_store(
+            lambda log: any(d.get("ruleId") == 7 for d in log)
+            and any(d.get("ruleId") == 1 and d.get("ruleState") == "DELETE" for d in log),
+            "rule 7 + delete 1",
+        )
+
+        # phase B: minutes 4..7 + two watermark pushers
+        metric_server.send([mk(4 + i) for i in range(4)] + [
+            json.dumps({"eventTime": base_ms + 12_000_000, "t_g": FLUSH_TAG, "m": 0}),
+            json.dumps({"eventTime": base_ms + 12_060_000, "t_g": FLUSH_TAG, "m": 0}),
+        ])
+        rows = _await_rows(
+            spark, name,
+            lambda rows: sum(1 for r in rows if r.rule_id == 7
+                             and FLUSH_TAG not in r.group_id) >= 2,
+            timeout_s=90,
+        )
+    finally:
+        for q in (cep, bridge):
+            if q is not None:
+                q.stop()
+        rule_server.close()
+        metric_server.close()
+
+    base_s = base_ms // 1000
+    r1 = {(r.window_start - base_s, r.window_end - base_s, r.agg_value)
+          for r in rows if r.rule_id == 1}
+    r7 = {(r.window_start - base_s, r.window_end - base_s, r.agg_value)
+          for r in rows if r.rule_id == 7 and FLUSH_TAG not in r.group_id}
+    # rule 1: phase A only — deleted before phase B ([2,4) flushes post-delete)
+    assert {(s, e) for s, e, _ in r1} == {(0, 120), (120, 240)}
+    assert all(v == 2.0 for _s, _e, v in r1)
+    # rule 7: phase B only
+    assert {(s, e) for s, e, _ in r7} == {(240, 360), (360, 480)}
+    assert all(v == 1.0 for _s, _e, v in r7)

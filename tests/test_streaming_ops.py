@@ -175,3 +175,35 @@ def test_streaming_dedup_matches_batch(spark, tmp_path):
         r.canonical_id for r in dedup_exact(batch_docs).collect()
     }
     assert survivors == canonical == {0, 1, 3}
+
+
+def test_kafka_records_to_metrics_shape(spark):
+    """The kafka branch of metric_source minus the connector: a
+    kafka-shaped batch (binary key/value + topic/partition/offset columns,
+    exactly what format('kafka').load() yields) through the shared
+    kafka_records_to_metrics decode — JSON payloads parse to Metric rows,
+    junk payloads drop (P1/P2)."""
+    import json
+
+    from flink_cep_task_spark.streaming.pipeline import kafka_records_to_metrics
+
+    docs = [
+        {"eventTime": 1_700_000_000_000, "t_g": "g0", "cpu_usage": 55},
+        {"eventTime": 1_700_000_060_000, "t_g": "g1", "cpu_usage": 70},
+    ]
+    payloads = [json.dumps(d).encode() for d in docs] + [b"junk {", None]
+    rows = [
+        (b"k", v, "metrics", 0, i, None, 0)
+        for i, v in enumerate(payloads)
+    ]
+    records = spark.createDataFrame(
+        rows,
+        "key BINARY, value BINARY, topic STRING, partition INT, offset LONG, "
+        "timestamp TIMESTAMP, timestampType INT",
+    )
+    got = kafka_records_to_metrics(records).collect()
+    assert {
+        (r.tags["t_g"], int(r.metrics["cpu_usage"]),
+         int(r.event_time.timestamp() * 1000))
+        for r in got
+    } == {("g0", 55, 1_700_000_000_000), ("g1", 70, 1_700_000_060_000)}
