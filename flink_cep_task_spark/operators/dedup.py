@@ -97,6 +97,28 @@ FROM (SELECT doc_id,
 
 # --- shared shingle extraction ------------------------------------------
 
+# every DataFrame the dedup operators persist, so long-lived sessions can
+# release them deterministically instead of waiting for LRU eviction.
+# Boundedness without release_caches() still holds for repeated calls:
+# Spark's CacheManager dedupes persist() by analyzed plan, so re-running a
+# query reuses ONE entry per (operator, dataset) rather than leaking.
+_PERSISTED: list[DataFrame] = []
+
+
+def _persisted(df: DataFrame) -> DataFrame:
+    p = df.persist()
+    _PERSISTED.append(p)
+    return p
+
+
+def release_caches() -> None:
+    """Unpersist every shingle DataFrame the dedup operators have cached.
+    Call after the returned query results are consumed (multi-tenant /
+    long-lived sessions); safe to call at any time — a subsequent query
+    simply re-persists."""
+    while _PERSISTED:
+        _PERSISTED.pop().unpersist()
+
 SHINGLES_CTE = """
 sh AS (
   SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
@@ -212,11 +234,9 @@ def dedup_minhash_lsh(documents: DataFrame) -> DataFrame:
     The hashed-shingle DataFrame is computed once and persisted — it feeds
     both the signature aggregation and the exact-Jaccard verification, and
     the explode+distinct it contains is the expensive part of the plan.
-    No explicit unpersist: the returned (lazy) plan references the cached
-    data, and Spark's CacheManager dedupes by analyzed plan, so repeated
-    invocations reuse ONE entry per (query, dataset) rather than leaking
-    per call; eviction is LRU under memory pressure."""
-    sh = shingles_hashed(documents).persist()
+    The returned (lazy) plan references the cached data; call
+    release_caches() once results are consumed (see _persisted)."""
+    sh = _persisted(shingles_hashed(documents))
     sig = _minhash_from_shingles(sh)
     band_structs = F.array(
         *[
@@ -309,7 +329,7 @@ def dedup_ngram_jaccard(documents: DataFrame) -> DataFrame:
     join — hot shingles sort to the ends of documents and almost never
     generate candidates — and verification over the full sets keeps the
     result exact (no df-cap loss)."""
-    sh = shingles_hashed(documents).persist()
+    sh = _persisted(shingles_hashed(documents))
     dfreq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("__df"))
     w_doc = Window.partitionBy("doc_id").orderBy("__df", "sh")
     ranked = (

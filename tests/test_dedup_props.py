@@ -88,3 +88,22 @@ def test_dedup_exact_keeps_null_and_empty_texts(spark, ddb):
                 + ") AS t(doc_id, text)")
     assert_parity(dedup_exact(df), con, DEDUP_EXACT_SQL)
     con.close()
+
+
+def test_release_caches_leaves_no_cache_entries(spark):
+    """Long-lived-session hygiene: after consuming dedup results and
+    calling release_caches(), the session's CacheManager holds no entries —
+    the persisted shingle frames don't outlive the query."""
+    from flink_cep_task_spark.operators import dedup as D
+
+    spark.catalog.clearCache()  # clean slate for the emptiness assertion
+    docs = spark.createDataFrame(
+        [(i, f"w{i} w{i+1} w{i+2} w{i+3} common tail text") for i in range(30)],
+        ["doc_id", "text"],
+    )
+    D.dedup_minhash_lsh(docs).collect()
+    D.dedup_ngram_jaccard(docs).collect()
+    cm = spark._jsparkSession.sharedState().cacheManager()
+    assert not cm.isEmpty(), "expected the shingle frames to be cached"
+    D.release_caches()
+    assert cm.isEmpty(), "release_caches left cache entries behind"
