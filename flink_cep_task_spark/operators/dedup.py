@@ -97,27 +97,9 @@ FROM (SELECT doc_id,
 
 # --- shared shingle extraction ------------------------------------------
 
-# every DataFrame the dedup operators persist, so long-lived sessions can
-# release them deterministically instead of waiting for LRU eviction.
-# Boundedness without release_caches() still holds for repeated calls:
-# Spark's CacheManager dedupes persist() by analyzed plan, so re-running a
-# query reuses ONE entry per (operator, dataset) rather than leaking.
-_PERSISTED: list[DataFrame] = []
-
-
-def _persisted(df: DataFrame) -> DataFrame:
-    p = df.persist()
-    _PERSISTED.append(p)
-    return p
-
-
-def release_caches() -> None:
-    """Unpersist every shingle DataFrame the dedup operators have cached.
-    Call after the returned query results are consumed (multi-tenant /
-    long-lived sessions); safe to call at any time — a subsequent query
-    simply re-persists."""
-    while _PERSISTED:
-        _PERSISTED.pop().unpersist()
+# tracked persistence shared with similarity.py — see operators/cache.py
+from flink_cep_task_spark.operators.cache import persisted as _persisted
+from flink_cep_task_spark.operators.cache import release_caches  # noqa: F401 (public API)
 
 SHINGLES_CTE = """
 sh AS (

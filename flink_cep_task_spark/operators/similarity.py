@@ -456,7 +456,9 @@ def _fit_centroids(base: DataFrame, n_iters: int = IVF_KMEANS_ITERS) -> list[tup
 
     Each iteration is one matmul-assignment pass + one component-sum
     aggregation; the only driver-side data is the ≤ K×DIM centroid matrix
-    itself — model parameters, exactly like the LSH plane literals."""
+    itself — model parameters, exactly like the LSH plane literals. The
+    caller should pass a PERSISTED base: the per-iteration collects
+    materialize it once per pass otherwise."""
     import math
 
     cents = sorted(
@@ -491,7 +493,11 @@ def ann_ivf(embeddings: DataFrame) -> DataFrame:
     Scale shape: the cell assignment is one matmul per batch; the
     candidate join is an equi-join on cell id whose fan-out is |Q| ×
     nprobe × cell size."""
-    base = _with_norm(embeddings)
+    from flink_cep_task_spark.operators.cache import persisted
+
+    # persisted: the fit's per-iteration collects and the final
+    # inverted-file/probe/verify branches all reuse the normalized vectors
+    base = persisted(_with_norm(embeddings))
     cents = _fit_centroids(base)
     # data side: each vector lives in exactly its nearest cell (rank 0)
     inv_file = _assign_cells(base, cents, 1).filter(F.col("rank") == 0).drop("rank")

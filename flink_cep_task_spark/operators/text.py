@@ -193,11 +193,13 @@ FROM (SELECT doc_id, lower(trim(text)) AS t FROM documents)
 """
 
 
-def doc_fingerprint(documents: DataFrame, gram: int = 5) -> DataFrame:
+def doc_fingerprint(documents: DataFrame, gram: int = 5, stride: int = 4) -> DataFrame:
     """Rolling-hash fingerprint: min polynomial hash over DISTINCT
-    character n-grams (1-permutation MinHash — the winnowing primitive),
-    plus the distinct-gram count. Docs shorter than the gram size emit no
-    grams and are dropped (the oracle's LATERAL unnest does the same).
+    character n-grams sampled at every `stride`-th position (winnowing-
+    style subsampling — gram count and hash work drop ~stride× while the
+    min-hash stays a stable document sketch), plus the distinct sampled-
+    gram count. Docs shorter than the gram size emit no grams and are
+    dropped (the oracle's stepped generate_series does the same).
 
     Fully vectorized in one Arrow batch per partition: the gram grid is a
     numpy stride view over the text's code points (utf-32 decode ⇒ true
@@ -224,7 +226,7 @@ def doc_fingerprint(documents: DataFrame, gram: int = 5) -> DataFrame:
                 counts.append(0)
                 continue
             codes = np.frombuffer(s.encode("utf-32-le"), dtype=np.uint32).astype(np.int64)
-            grid = np.lib.stride_tricks.sliding_window_view(codes, gram)
+            grid = np.lib.stride_tricks.sliding_window_view(codes, gram)[::stride]
             uniq = np.unique(grid, axis=0)
             # same pairwise-mod fold as gram_hash/gram_hash_sql: every
             # intermediate stays < 2^62, exact in int64
@@ -250,7 +252,7 @@ SELECT doc_id,
 FROM (
   SELECT doc_id, substr(t, i, 5) AS g
   FROM (SELECT doc_id, lower(trim(text)) AS t FROM documents),
-       LATERAL (SELECT unnest(generate_series(1, greatest(length(t) - 4, 0))) AS i) s
+       LATERAL (SELECT unnest(generate_series(1, greatest(length(t) - 4, 0), 4)) AS i) s
 )
 GROUP BY doc_id
 """

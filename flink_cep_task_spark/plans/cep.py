@@ -23,7 +23,11 @@ from pyspark.sql import DataFrame, SparkSession
 from flink_cep_task_spark.operators.fanout import fanout_rules
 from flink_cep_task_spark.operators.windows import evaluate_windows
 from flink_cep_task_spark.rules import Rule, compact_rules, rules_df
-from flink_cep_task_spark.sources.tables import events_to_metrics, load_table
+from flink_cep_task_spark.sources.tables import (
+    events_to_metrics,
+    load_table,
+    widen_small_scan,
+)
 
 
 def evaluate_rules(spark: SparkSession, metrics: DataFrame, rules: list[Rule]) -> DataFrame:
@@ -38,6 +42,8 @@ def evaluate_rules(spark: SparkSession, metrics: DataFrame, rules: list[Rule]) -
 
 
 def evaluate_rules_on_events(spark: SparkSession, sf_dir: str, rules: list[Rule]) -> DataFrame:
-    """Rule evaluation over the driver's typed `events` table."""
-    metrics = events_to_metrics(load_table(spark, sf_dir, "events"))
+    """Rule evaluation over the driver's typed `events` table. The scan is
+    widened below the metric projection so the fan-out join and partial
+    aggregation parallelize even off a single-row-group file."""
+    metrics = events_to_metrics(widen_small_scan(load_table(spark, sf_dir, "events")))
     return evaluate_rules(spark, metrics, rules)

@@ -13,7 +13,11 @@ from flink_cep_task_spark.oracle import cep_oracle_sql
 from flink_cep_task_spark.plans.cep import evaluate_rules, evaluate_rules_on_events
 from flink_cep_task_spark.rules import Rule, parse_rule_lines
 from flink_cep_task_spark.sources.jsonline import metric_to_json, parse_metric_lines
-from flink_cep_task_spark.sources.tables import events_to_metrics, load_table
+from flink_cep_task_spark.sources.tables import (
+    events_to_metrics,
+    load_table,
+    widen_small_scan,
+)
 
 # --- rule sets -----------------------------------------------------------
 
@@ -372,15 +376,16 @@ def q_rules_from_wire(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     lines_df = spark.createDataFrame([(l,) for l in WIRE_RULE_LINES], ["value"])
     rules = compact_rules(parse_rule_lines_df(lines_df))
-    metrics = events_to_metrics(load_table(spark, sf_dir, "events"))
+    metrics = events_to_metrics(widen_small_scan(load_table(spark, sf_dir, "events")))
     return evaluate_windows(fanout_rules(metrics, rules))
 
 
 def q_jsonline_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events → reference-format JSON lines → schemaless parse (P1/P2) →
     rule evaluation. Proves the JSON ingest path computes identically to the
-    typed path (same oracle as cep_tumbling_sum)."""
-    ev = events_to_metrics(load_table(spark, sf_dir, "events"))
+    typed path (same oracle as cep_tumbling_sum). Scan widened below the
+    JSON round trip so serialization + parse parallelize."""
+    ev = events_to_metrics(widen_small_scan(load_table(spark, sf_dir, "events")))
     lines = ev.select(
         metric_to_json(ev.event_time, ev.tags, ev.metrics).alias("value")
     )

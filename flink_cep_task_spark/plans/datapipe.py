@@ -9,19 +9,22 @@ from flink_cep_task_spark.operators import dedup as D
 from flink_cep_task_spark.operators import multimodal as M
 from flink_cep_task_spark.operators import similarity as S
 from flink_cep_task_spark.operators import text as T
-from flink_cep_task_spark.sources.tables import load_table
+from flink_cep_task_spark.sources.tables import load_table, widen_small_scan
 
 
 def _docs(fn):
+    # widen below the operator: every datapipe operator does per-row
+    # expensive work (Arrow UDFs, HOF chains) right on the scan side, and
+    # the driver's single-row-group files would otherwise pin it to 1 task
     def q(spark: SparkSession, sf_dir: str) -> DataFrame:
-        return fn(load_table(spark, sf_dir, "documents"))
+        return fn(widen_small_scan(load_table(spark, sf_dir, "documents")))
 
     return q
 
 
 def _embs(fn):
     def q(spark: SparkSession, sf_dir: str) -> DataFrame:
-        return fn(load_table(spark, sf_dir, "embeddings"))
+        return fn(widen_small_scan(load_table(spark, sf_dir, "embeddings")))
 
     return q
 

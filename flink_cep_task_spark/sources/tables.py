@@ -43,6 +43,26 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def widen_small_scan(df: DataFrame, target: int | None = None) -> DataFrame:
+    """Repartition an under-parallel scan BEFORE per-row-expensive work.
+
+    The driver's test tables are single parquet files with ONE row group,
+    so Spark's byte-range splitting cannot parallelize them: every
+    scan-side pipeline (Arrow UDFs, the CEP fan-out up to its first
+    shuffle) would otherwise run in a single task regardless of cores.
+    This is a no-op whenever the source already yields enough partitions —
+    the normal case at scale, where a 100 TB corpus arrives as thousands
+    of splittable files and an unconditional repartition here would insert
+    a corpus-wide shuffle. Apply it UNDER projections/UDFs (widen the raw
+    scan, then build the plan) so the expensive expressions run above the
+    exchange."""
+    spark = df.sparkSession
+    target = target or spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= min(target, 8):
+        return df
+    return df.repartition(target)
+
+
 def register_views(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES) -> None:
     """Register all test tables as temp views (mirrors the oracle's setup)."""
     for name in names:
