@@ -415,7 +415,11 @@ COSINE_DUP_SQL = _cosine_dup_sql()
 IVF_CENTROID_IDS = list(range(10, 26))  # 16 k-means SEEDS (fixed vec_ids,
                                         # disjoint from the query set <10)
 IVF_NPROBE = 4
-IVF_KMEANS_ITERS = 2  # Lloyd refinement passes over the seeds
+IVF_KMEANS_ITERS = 2   # Lloyd refinement passes over the seeds
+IVF_FIT_SAMPLE_MOD = 2  # fit on vec_id % MOD == 0 — a deterministic sample:
+                        # at corpus scale the fit must not scan everything,
+                        # and the modulus predicate is mirrorable in SQL
+                        # (production would hash-sample; same plan shape)
 
 
 def _assign_cells(base: DataFrame, cents: list[tuple[int, list[int]]], k: int) -> DataFrame:
@@ -467,9 +471,10 @@ def _fit_centroids(base: DataFrame, n_iters: int = IVF_KMEANS_ITERS) -> list[tup
         .select("vec_id", "v")
         .collect()
     )
-    comp = base.select("vec_id", F.posexplode("v").alias("i", "comp"))
+    sample = base.filter(F.col("vec_id") % IVF_FIT_SAMPLE_MOD == 0)
+    comp = sample.select("vec_id", F.posexplode("v").alias("i", "comp"))
     for _ in range(n_iters):
-        assigned = _assign_cells(base, cents, 1).filter(F.col("rank") == 0).drop("rank")
+        assigned = _assign_cells(sample, cents, 1).filter(F.col("rank") == 0).drop("rank")
         agg = (
             assigned.join(comp, "vec_id")
             .groupBy("cell", "i")
@@ -544,12 +549,13 @@ def _ivf_sql() -> str:
     stays valid at every scale factor."""
     ids = ", ".join(str(i) for i in IVF_CENTROID_IDS)
     lloyd = [
-        f"c0 AS (SELECT vec_id AS cid, i, v AS cv FROM flat WHERE vec_id IN ({ids}))"
+        f"sflat AS (SELECT * FROM flat WHERE vec_id % {IVF_FIT_SAMPLE_MOD} = 0)",
+        f"c0 AS (SELECT vec_id AS cid, i, v AS cv FROM flat WHERE vec_id IN ({ids}))",
     ]
     for it in range(IVF_KMEANS_ITERS):
         lloyd.append(f"""d{it} AS (
   SELECT f.vec_id, c.cid, sum(f.v * c.cv) AS dt
-  FROM flat f JOIN c{it} c USING (i)
+  FROM sflat f JOIN c{it} c USING (i)
   GROUP BY f.vec_id, c.cid
 )""")
         lloyd.append(f"""a{it} AS (
@@ -562,7 +568,7 @@ def _ivf_sql() -> str:
         lloyd.append(f"""c{it + 1} AS (
   SELECT a.cid, f.i,
          CAST(floor(CAST(sum(f.v) AS DOUBLE) / count(*)) AS BIGINT) AS cv
-  FROM a{it} a JOIN flat f USING (vec_id)
+  FROM a{it} a JOIN sflat f USING (vec_id)
   GROUP BY a.cid, f.i
 )""")
     lloyd_ctes = ",\n".join(lloyd)
