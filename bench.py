@@ -53,6 +53,22 @@ def main() -> None:
     ev_small.limit(10).write.mode("overwrite").parquet(
         os.path.join(tempfile.mkdtemp(prefix="bench_warm_"), "w")
     )
+    # Python worker pool warm-up: the Arrow-UDF operators fan across every
+    # core, and each worker's first task pays interpreter + numpy import
+    # cost — pay it here, not inside the first UDF query.
+    import pandas as _pd
+
+    from pyspark.sql import functions as _F
+
+    @_F.pandas_udf("long")
+    def _warm(s: _pd.Series) -> _pd.Series:
+        import numpy as _np  # noqa: F401 — preload into the worker
+
+        return s
+
+    spark.range(100_000).repartition(64).select(_warm("id").alias("x")).write.format(
+        "noop"
+    ).mode("overwrite").save()
 
     timings: dict[str, float] = {}
     for name, fn in entrymod.queries().items():

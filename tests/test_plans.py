@@ -1,0 +1,73 @@
+"""Physical-plan audits: the properties that make these plans survive a
+100× scale-up are asserted, not assumed — filters reach the parquet scan,
+small dimensions broadcast, scans prune columns, and nothing degenerates
+into a cartesian product. A regression that silently drops one of these
+(e.g. a refactor that hides a filter behind a non-pushable expression)
+fails here long before it shows up as a 100 TB incident."""
+
+from __future__ import annotations
+
+from flink_cep_task_spark.registry import all_queries
+from tests.conftest import SF_DIR
+
+QUERIES = all_queries()
+
+
+def _plan(spark, name: str) -> str:
+    # default metadata stringification truncates the scan's PushedFilters/
+    # ReadSchema at 100 chars — widen it so the assertions can see them
+    spark.conf.set("spark.sql.maxMetadataStringLength", "4000")
+    fn, _sql = QUERIES[name]
+    return fn(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+
+
+def test_q6_filters_push_to_scan(spark):
+    plan = _plan(spark, "q6_forecast_revenue")
+    assert "PushedFilters: [" in plan
+    # the selective shipdate/discount/quantity predicates must reach the
+    # parquet reader, not run post-scan
+    assert "GreaterThanOrEqual(l_shipdate" in plan
+    assert "LessThan(l_quantity" in plan
+
+
+def test_q6_scan_prunes_columns(spark):
+    plan = _plan(spark, "q6_forecast_revenue")
+    # 4-column projection from the 16-column lineitem table: the read
+    # schema must not contain untouched wide columns
+    assert "l_comment" not in plan
+    assert "l_orderkey" not in plan.split("ReadSchema")[1].split("\n")[0]
+
+
+def test_tpch_dimension_joins_broadcast(spark):
+    for name in ("q3_shipping_priority", "q5_local_supplier", "q10_returned_items"):
+        plan = _plan(spark, name)
+        assert "BroadcastHashJoin" in plan, f"{name}: no broadcast join in plan"
+        assert "CartesianProduct" not in plan, f"{name}: cartesian product!"
+
+
+def test_cep_fanout_broadcasts_rules_and_shuffles_once(spark):
+    plan = _plan(spark, "cep_multi_rule")
+    # rules are KBs: the fan-out must be a broadcast nested-loop join (the
+    # containment predicate is non-equi), never a shuffle of the metrics
+    assert "BroadcastNestedLoopJoin" in plan
+    # exactly one DATA shuffle: the groupBy on (rule, group, window) —
+    # identified by group_id in the partitioning key. The rules-side
+    # compaction exchange (KBs, under the broadcast) and the widen
+    # round-robin repartition are not data shuffles.
+    data_exchanges = [
+        ln for ln in plan.splitlines()
+        if "Exchange hashpartitioning" in ln and "group_id" in ln
+    ]
+    assert len(data_exchanges) == 1, f"expected 1 data shuffle: {data_exchanges}"
+
+
+def test_no_cartesian_products_anywhere(spark):
+    # every registered query's physical plan is cartesian-free; the CEP
+    # fan-out's broadcast nested-loop join is the one sanctioned non-equi
+    # join (rule table = KBs)
+    for name in QUERIES:
+        if name in ("cep_live_streaming", "cep_streaming_windows"):
+            continue  # streaming: plan materializes only at runtime
+        fn, _ = QUERIES[name]
+        plan = fn(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan, f"{name} has a cartesian product"
