@@ -482,3 +482,85 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_MAX_HAMMING}
 
 MINHASH_LSH_SQL = _minhash_sql()
 SIMHASH_SQL = _simhash_sql()
+
+
+# --- near-duplicate clusters (connected components) -----------------------
+
+def dedup_clusters(documents: DataFrame) -> DataFrame:
+    """Cluster ids over the near-duplicate graph: connected components of
+    the MinHash-LSH pair edges, labeled by each component's min doc_id,
+    with a canonical flag — the "keep one per cluster" primitive that
+    turns pairwise dedup output into an actual training-set filter
+    (pairs alone can't dedup A~B~C transitively).
+
+    Iterative min-label propagation: every doc starts as its own label;
+    each round replaces a label with the min over its neighbors'; stop at
+    fixpoint. The driver loop holds only a changed-row COUNT per round —
+    never data — and rounds are bounded by the component diameter (near-dup
+    clusters are shallow; a pathological chain still converges in
+    O(diameter) rounds). This label-propagation shape is the standard
+    large-graph CC approach; at trillion-edge scale you'd add the
+    large-star/small-star contraction, same plan skeleton.
+
+    The oracle replays the same fixpoint as a recursive CTE over the same
+    pair SQL."""
+    from flink_cep_task_spark.operators.cache import persisted
+
+    pairs = dedup_minhash_lsh(documents).select("doc_a", "doc_b")
+    edges = persisted(
+        pairs.unionByName(
+            pairs.select(
+                F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
+            )
+        )
+    )
+    labels = persisted(
+        documents.select("doc_id", F.col("doc_id").alias("label"))
+    )
+    while True:
+        neighbor_min = (
+            edges.join(labels, edges.doc_a == labels.doc_id)
+            .groupBy(F.col("doc_b").alias("doc_id"))
+            .agg(F.min("label").alias("nlabel"))
+        )
+        new_labels = persisted(
+            labels.join(neighbor_min, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))).alias("label"),
+            )
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(
+        "doc_id",
+        F.col("label").alias("cluster_id"),
+        (F.col("doc_id") == F.col("label")).alias("is_canonical"),
+    )
+
+
+DEDUP_CLUSTERS_SQL = f"""
+WITH RECURSIVE pairs AS ({MINHASH_LSH_SQL}),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION ALL
+  SELECT doc_b, doc_a FROM pairs
+),
+cc AS (
+  SELECT doc_id, doc_id AS label FROM documents
+  UNION
+  SELECT e.b AS doc_id, cc.label
+  FROM cc JOIN edges e ON e.a = cc.doc_id
+)
+SELECT doc_id, min(label) AS cluster_id,
+       doc_id = min(label) AS is_canonical
+FROM cc GROUP BY doc_id
+"""

@@ -7,6 +7,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from flink_cep_task_spark.operators import dedup as D
 from flink_cep_task_spark.operators import multimodal as M
+from flink_cep_task_spark.operators import sampling as SM
 from flink_cep_task_spark.operators import similarity as S
 from flink_cep_task_spark.operators import text as T
 from flink_cep_task_spark.sources.tables import load_table, widen_small_scan
@@ -45,4 +46,9 @@ DATAPIPE_QUERIES: dict[str, tuple] = {
     "dedup_embedding_cosine": (_embs(S.dedup_embedding_cosine), S.COSINE_DUP_SQL),
     "media_feature_stats": (_docs(M.media_feature_stats), M.MEDIA_FEATURES_SQL),
     "media_frame_sample": (_docs(M.media_frame_sample), M.MEDIA_FRAME_SQL),
+    # registered past the 50-entry driver gate (registry.OVERFLOW_LAST) —
+    # oracle-checked locally by tests/test_queries.py
+    "sample_stratified": (_docs(SM.sample_stratified), SM.SAMPLE_STRATIFIED_SQL),
+    "sample_report": (_docs(SM.sample_report), SM.SAMPLE_REPORT_SQL),
+    "dedup_clusters": (_docs(D.dedup_clusters), D.DEDUP_CLUSTERS_SQL),
 }

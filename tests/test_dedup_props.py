@@ -107,3 +107,42 @@ def test_release_caches_leaves_no_cache_entries(spark):
     assert not cm.isEmpty(), "expected the shingle frames to be cached"
     D.release_caches()
     assert cm.isEmpty(), "release_caches left cache entries behind"
+
+
+def test_dedup_clusters_equal_union_find(spark):
+    """The distributed min-label propagation must produce exactly the
+    connected components of the pair graph — checked against an
+    independent driver-side union-find over the same edges, on the real
+    documents fixture."""
+    from flink_cep_task_spark.operators.dedup import dedup_clusters, dedup_minhash_lsh
+    from flink_cep_task_spark.sources.tables import load_table
+    from tests.conftest import SF_DIR
+
+    docs = load_table(spark, SF_DIR, "documents")
+    edges = [(r.doc_a, r.doc_b) for r in dedup_minhash_lsh(docs).collect()]
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    got = {r.doc_id: (r.cluster_id, r.is_canonical) for r in dedup_clusters(docs).collect()}
+    all_ids = [r.doc_id for r in docs.select("doc_id").collect()]
+    assert set(got) == set(all_ids), "every document must be labeled"
+    # canonical root per component = min doc_id reachable; singletons self
+    comp_min: dict[int, int] = {}
+    for x in list(parent):
+        r = find(x)
+        comp_min[r] = min(comp_min.get(r, r), x)
+    for doc in all_ids:
+        expected = comp_min[find(doc)] if doc in parent else doc
+        assert got[doc] == (expected, doc == expected), f"doc {doc}"
+    assert len(edges) > 0, "fixture produced no near-dup edges — vacuous test"
