@@ -463,3 +463,34 @@ def test_dual_socket_rules_and_metrics(spark, tmp_path):
     # rule 7: phase B only
     assert {(s, e) for s, e, _ in r7} == {(240, 360), (360, 480)}
     assert all(v == 1.0 for _s, _e, v in r7)
+
+
+def test_output_invariant_to_state_bucket_count(spark, tmp_path):
+    """State coarsening is a layout decision, not a semantic one: the live
+    engine must produce identical results with 1 bucket (everything in one
+    key) and the default 64 (groups spread across keys)."""
+    events = _events()
+    results = []
+    for buckets in (1, 64):
+        (tmp_path / f"b{buckets}").mkdir(exist_ok=True)
+        src = _write_chunks(tmp_path / f"b{buckets}", events)
+        store = RuleFileStore(str(tmp_path / f"rules_b{buckets}.json"))
+        store.upsert(R1_WIRE)
+        store.upsert(R2_WIRE)
+        metrics = metrics_stream_from_text(spark, src, max_files_per_trigger=3)
+        out = build_live_cep(metrics, spark, store.path, watermark="1 minute",
+                             state_buckets=buckets)
+        name = f"bk_{buckets}_{uuid.uuid4().hex[:8]}"
+        q = (
+            out.writeStream.format("memory").queryName(name).outputMode("append")
+            .option("checkpointLocation", str(tmp_path / f"ckpt_b{buckets}"))
+            .trigger(availableNow=True).start()
+        )
+        await_stream(q, 180)
+        rows = spark.table(name).filter(~F.col("group_id").contains(FLUSH_TAG)).collect()
+        results.append(sorted(
+            (r.rule_id, r.group_id, r.window_start, r.window_end, r.agg_type, r.agg_value)
+            for r in rows
+        ))
+    assert results[0] == results[1]
+    assert len(results[0]) > 0
