@@ -502,25 +502,39 @@ def dedup_clusters(documents: DataFrame) -> DataFrame:
     large-graph CC approach; at trillion-edge scale you'd add the
     large-star/small-star contraction, same plan skeleton.
 
+    The iteration runs ONLY over nodes that appear in an edge (near-dup
+    graphs are sparse — the overwhelming singleton majority never enters
+    the loop and is labeled by a final left join); the pair DataFrame is
+    persisted so the undirected-edge union doesn't execute the LSH
+    pipeline twice.
+
     The oracle replays the same fixpoint as a recursive CTE over the same
     pair SQL."""
     from flink_cep_task_spark.operators.cache import persisted
 
     pairs = dedup_minhash_lsh(documents).select("doc_a", "doc_b")
+    # both directions in ONE pass over the pair pipeline (a self-union
+    # would execute the whole LSH plan twice on first materialization —
+    # lazy caching can't help two branches of the same job)
     edges = persisted(
-        pairs.unionByName(
-            pairs.select(
-                F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
-            )
-        )
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")),
+                    F.struct(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")),
+                )
+            ).alias("e")
+        ).select("e.src", "e.dst")
     )
     labels = persisted(
-        documents.select("doc_id", F.col("doc_id").alias("label"))
+        edges.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .select("doc_id", F.col("doc_id").alias("label"))
     )
     while True:
         neighbor_min = (
-            edges.join(labels, edges.doc_a == labels.doc_id)
-            .groupBy(F.col("doc_b").alias("doc_id"))
+            edges.join(labels, edges.src == labels.doc_id)
+            .groupBy(F.col("dst").alias("doc_id"))
             .agg(F.min("label").alias("nlabel"))
         )
         new_labels = persisted(
@@ -540,10 +554,14 @@ def dedup_clusters(documents: DataFrame) -> DataFrame:
         labels = new_labels
         if changed == 0:
             break
-    return labels.select(
-        "doc_id",
-        F.col("label").alias("cluster_id"),
-        (F.col("doc_id") == F.col("label")).alias("is_canonical"),
+    return (
+        documents.select("doc_id")
+        .join(labels.withColumnRenamed("label", "__cl"), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("__cl"), F.col("doc_id")).alias("cluster_id"),
+            (F.col("doc_id") == F.coalesce(F.col("__cl"), F.col("doc_id"))).alias("is_canonical"),
+        )
     )
 
 
