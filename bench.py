@@ -56,15 +56,16 @@ def main() -> None:
     # Python worker pool warm-up: the Arrow-UDF operators fan across every
     # core, and each worker's first task pays interpreter + numpy import
     # cost — pay it here, not inside the first UDF query.
-    import pandas as _pd
-
     from pyspark.sql import functions as _F
 
-    @_F.pandas_udf("long")
-    def _warm(s: _pd.Series) -> _pd.Series:
-        import numpy as _np  # noqa: F401 — preload into the worker
+    def _warm_fn(s):
+        import numpy  # noqa: F401 — preload into the worker
 
         return s
+
+    # hint-free form: `from __future__ import annotations` stringifies
+    # type hints and PySpark can't resolve them against main()'s locals
+    _warm = _F.pandas_udf(_warm_fn, "long")
 
     spark.range(100_000).repartition(64).select(_warm("id").alias("x")).write.format(
         "noop"
