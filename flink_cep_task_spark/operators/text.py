@@ -193,6 +193,102 @@ FROM (SELECT doc_id, lower(trim(text)) AS t FROM documents)
 """
 
 
+TFIDF_TOP_K = 5
+
+
+def tfidf_top_terms(documents: DataFrame, k: int = TFIDF_TOP_K) -> DataFrame:
+    """Top-k terms per document by tf·idf — the classic sparse feature
+    extraction over a corpus. Two aggregations (term counts per doc,
+    document frequency per term) and one ranking window; the corpus size
+    joins in as a broadcast scalar. idf = ln(N/df) with no smoothing;
+    score rounded to 6 so both engines rank the identical value, ties
+    broken by term."""
+    from pyspark.sql.window import Window as W
+
+    toks = documents.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("tok")
+    )
+    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = toks.groupBy("tok").agg(F.count_distinct("doc_id").alias("df"))
+    n = documents.select(F.count(F.lit(1)).alias("n"))
+    scored = (
+        tf.join(df_, "tok")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "tfidf",
+            F.round(
+                F.col("tf") * F.log(F.col("n").cast("double") / F.col("df")), 6
+            ),
+        )
+    )
+    ranked = scored.withColumn(
+        "rnk",
+        F.row_number().over(
+            W.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("tok"))
+        ),
+    )
+    return ranked.filter(F.col("rnk") <= k).select(
+        "doc_id", F.col("tok").alias("term"), "tf", "df", "tfidf", "rnk"
+    )
+
+
+TFIDF_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS tok
+  FROM documents
+),
+tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY doc_id, tok),
+df AS (SELECT tok, count(DISTINCT doc_id) AS df FROM toks GROUP BY tok),
+n AS (SELECT count(*) AS n FROM documents)
+SELECT doc_id, tok AS term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+       tfidf, rnk
+FROM (
+  SELECT tf.doc_id, tf.tok, tf.tf, df.df,
+         round(tf.tf * ln(CAST(n.n AS DOUBLE) / df.df), 6) AS tfidf,
+         CAST(row_number() OVER (
+           PARTITION BY tf.doc_id
+           ORDER BY round(tf.tf * ln(CAST(n.n AS DOUBLE) / df.df), 6) DESC, tf.tok
+         ) AS INTEGER) AS rnk
+  FROM tf JOIN df USING (tok) CROSS JOIN n
+) WHERE rnk <= {TFIDF_TOP_K}
+"""
+
+
+BIGRAM_TOP_N = 20
+
+
+def bigram_counts(documents: DataFrame, top_n: int = BIGRAM_TOP_N) -> DataFrame:
+    """Corpus-level word-bigram counts, top N by frequency (bigram
+    tie-break) — the language-statistics pass behind n-gram LMs and
+    contamination checks. One explode + one aggregation; the final top-N
+    is a TakeOrdered, not a full sort."""
+    toks = tokens(F.col("text"))
+    grams = F.expr(
+        "transform(sequence(1, size(__t) - 1), i -> concat(__t[i-1], ' ', __t[i]))"
+    )
+    exploded = (
+        documents.select(toks.alias("__t"))
+        .filter(F.size("__t") >= 2)
+        .select(F.explode(grams).alias("bigram"))
+    )
+    return (
+        exploded.groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("bigram"))
+        .limit(top_n)
+    )
+
+
+BIGRAM_SQL = f"""
+SELECT w[i] || ' ' || w[i+1] AS bigram, CAST(count(*) AS BIGINT) AS n
+FROM (SELECT regexp_split_to_array(lower(trim(text)), '\\s+') AS w FROM documents),
+     LATERAL (SELECT unnest(generate_series(1, len(w) - 1)) AS i) s
+GROUP BY 1
+ORDER BY n DESC, bigram
+LIMIT {BIGRAM_TOP_N}
+"""
+
+
 def doc_fingerprint(documents: DataFrame, gram: int = 5, stride: int = 4) -> DataFrame:
     """Rolling-hash fingerprint: min polynomial hash over DISTINCT
     character n-grams sampled at every `stride`-th position (winnowing-

@@ -31,6 +31,8 @@ OVERFLOW_LAST = (
     "sample_stratified",
     "sample_report",
     "dedup_clusters",
+    "tfidf_top_terms",
+    "bigram_counts",
 )
 
 
