@@ -269,6 +269,60 @@ def q_streaming_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name).filter(~F.col("group_id").contains("zz_flush"))
 
 
+def q_global_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING parity query #3 — GLOBAL-window rules through the LIVE
+    update-mode path (run_live_cep_global): running per-(rule, group)
+    aggregates gated in foreachBatch against the freshly-read rule store.
+    The driver sink keeps each key's LAST update; after the replay drains,
+    that is exactly the batch engine's global aggregate — same oracle as
+    cep_global_max. Global state never evicts (no window end — reference
+    quirk Q5); its size is O(distinct groups), inherent to global rules."""
+    import os
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from flink_cep_task_spark.schemas import METRIC_SCHEMA
+    from flink_cep_task_spark.streaming.live import RuleFileStore, run_live_cep_global
+    from flink_cep_task_spark.streaming.pipeline import (
+        await_stream,
+        metrics_stream_from_parquet,
+    )
+
+    work, n_parts = _events_stream_workdir(spark, sf_dir, "glob_cep_")
+    r = R_GLOBAL_MAX
+    store = RuleFileStore(os.path.join(work, f"rules_glob_{uuid.uuid4().hex[:8]}.json"))
+    store.upsert({
+        "ruleId": r.rule_id, "windowType": r.window_type,
+        "groupingKeyNames": list(r.grouping_keys),
+        "aggregatorFunctionType": r.agg_type, "aggregateFieldName": r.agg_field,
+        "limitOperatorType": r.limit_op, "limit": float(r.limit),
+    })
+    metrics = metrics_stream_from_parquet(
+        spark, os.path.join(work, "src"), METRIC_SCHEMA,
+        max_files_per_trigger=n_parts + 1,
+    )
+    last: dict[tuple, tuple] = {}
+
+    def sink(batch_df, _bid: int) -> None:
+        for row in batch_df.collect():  # gated UPDATED rows only — small
+            last[(row.rule_id, row.group_id)] = tuple(row)
+
+    with _shuffle_partitions(spark, 8):
+        q = run_live_cep_global(
+            metrics, spark, store.path, sink,
+            os.path.join(work, f"ckpt_glob_{uuid.uuid4().hex[:8]}"),
+            trigger={"availableNow": True},
+        )
+        await_stream(q, 600)
+    out = spark.createDataFrame(
+        list(last.values()),
+        "rule_id INT, group_id STRING, window_start LONG, window_end LONG, "
+        "agg_type STRING, agg_value DOUBLE",
+    )
+    return out.filter(~F.col("group_id").contains("zz_flush"))
+
+
 LIVE_STREAMING_RULES = [
     r for r in ALL_RULES + [R_UNGROUPED_AVG] if r.window_type != "global"
 ]
@@ -411,4 +465,7 @@ CEP_QUERIES: dict[str, tuple] = {
         cep_oracle_sql(parse_rule_lines(WIRE_RULE_LINES)),
     ),
     "cep_first_event_tumbling": (q_first_event_tumbling, FIRST_EVENT_SQL),
+    # registered past the driver gate (registry.OVERFLOW_LAST); locally
+    # oracle-gated like every other entry
+    "cep_global_live": (q_global_live, cep_oracle_sql([R_GLOBAL_MAX])),
 }

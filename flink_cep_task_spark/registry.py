@@ -27,6 +27,7 @@ DRIVER_GATE_CAP = 50
 # additions — every gate slot was already taken by a distinct operator
 # family, and each parked entry is pinned locally by tests/test_queries.py.
 OVERFLOW_LAST = (
+    "cep_global_live",
     "users_purchase_and_signup",
     "sample_stratified",
     "sample_report",
