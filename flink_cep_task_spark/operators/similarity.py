@@ -410,6 +410,54 @@ SELECT vec_a, vec_b, cosine FROM (
 COSINE_DUP_SQL = _cosine_dup_sql()
 
 
+# --- int8 vector quantization ---------------------------------------------
+
+def embedding_quantize(embeddings: DataFrame) -> DataFrame:
+    """Per-vector symmetric int8 quantization — the storage/bandwidth
+    compression step of a vector pipeline (4×+ smaller than float32, dot
+    products stay in integer SIMD range). scale = max |component| in
+    micro-units; q_i = floor(v_i·127/scale + 0.5) — the floor(+0.5) form
+    sidesteps engine tie-rounding differences, and all inputs are the
+    exact integer micro-units, so both engines quantize bit-identically.
+    Pure higher-order functions; embarrassingly parallel."""
+    base = embeddings.select(
+        "vec_id", _vec_int(F.col("embedding")).alias("__v")
+    ).withColumn(
+        "scale_micro", F.array_max(F.transform(F.col("__v"), lambda x: F.abs(x)))
+    )
+    q = F.transform(
+        F.col("__v"),
+        lambda x: F.floor(
+            x.cast("double") * 127.0 / F.col("scale_micro").cast("double") + 0.5
+        ).cast("int"),
+    )
+    return base.filter(F.col("scale_micro") > 0).select(
+        "vec_id", "scale_micro", q.alias("q")
+    )
+
+
+def embedding_quantize_csv(embeddings: DataFrame) -> DataFrame:
+    """Gate projection of embedding_quantize: the int8 array joined to a
+    CSV string (array cells aren't row-sortable in the comparator)."""
+    out = embedding_quantize(embeddings)
+    return out.select(
+        "vec_id", "scale_micro", F.array_join(F.col("q"), ",").alias("q_csv")
+    )
+
+
+EMBEDDING_QUANTIZE_SQL = f"""
+WITH {_FLAT_CTE},
+amax AS (SELECT vec_id, max(abs(v)) AS scale_micro FROM flat GROUP BY vec_id)
+SELECT f.vec_id, a.scale_micro,
+       array_to_string(
+         list(CAST(floor(CAST(f.v AS DOUBLE) * 127.0 / a.scale_micro + 0.5) AS INTEGER)
+              ORDER BY f.i), ',') AS q_csv
+FROM flat f JOIN amax a USING (vec_id)
+WHERE a.scale_micro > 0
+GROUP BY f.vec_id, a.scale_micro
+"""
+
+
 # --- IVF (inverted-file) ANN ---------------------------------------------
 
 IVF_CENTROID_IDS = list(range(10, 26))  # 16 k-means SEEDS (fixed vec_ids,

@@ -393,6 +393,60 @@ FROM events GROUP BY event_type
 """
 
 
+def funnel_signup_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three-stage event funnel: users who signed up, then clicked AFTER
+    their first signup, then purchased AFTER that first qualifying click —
+    the sequential-pattern query behind conversion analysis (the CEP
+    'followed by' chain, depth 3). Each stage is an aggregation + a join
+    against the previous stage's first-qualifying timestamp; the final
+    counts reduce to one row, so nothing wide ever reaches the driver."""
+    e = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    signup = (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy("user_id").agg(F.min("ts").alias("t_signup"))
+    )
+    click = (
+        e.filter(F.col("event_type") == "click")
+        .join(signup, "user_id")
+        .filter(F.col("ts") > F.col("t_signup"))
+        .groupBy("user_id").agg(F.min("ts").alias("t_click"))
+    )
+    purchase = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(click, "user_id")
+        .filter(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id").agg(F.min("ts").alias("t_purchase"))
+    )
+    return (
+        signup.agg(F.count(F.lit(1)).alias("n_signup"))
+        .crossJoin(click.agg(F.count(F.lit(1)).alias("n_click_after_signup")))
+        .crossJoin(purchase.agg(F.count(F.lit(1)).alias("n_purchase_after_click")))
+    )
+
+
+FUNNEL_SQL = """
+WITH s AS (
+  SELECT user_id, min(ts) AS t_signup FROM events
+  WHERE event_type = 'signup' GROUP BY user_id
+),
+c AS (
+  SELECT e.user_id, min(e.ts) AS t_click
+  FROM events e JOIN s ON s.user_id = e.user_id
+  WHERE e.event_type = 'click' AND e.ts > s.t_signup
+  GROUP BY e.user_id
+),
+p AS (
+  SELECT e.user_id, min(e.ts) AS t_purchase
+  FROM events e JOIN c ON c.user_id = e.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+  GROUP BY e.user_id
+)
+SELECT (SELECT count(*) FROM s) AS n_signup,
+       (SELECT count(*) FROM c) AS n_click_after_signup,
+       (SELECT count(*) FROM p) AS n_purchase_after_click
+"""
+
+
 ANALYTICS_QUERIES: dict[str, tuple] = {
     "topk_users_per_type": (topk_users_per_type, TOPK_SQL),
     "sessionize_events": (sessionize, SESSION_SQL),
@@ -408,4 +462,6 @@ ANALYTICS_QUERIES: dict[str, tuple] = {
     "users_purchase_no_error": (users_purchase_no_error, EXCEPT_SQL),
     "users_purchase_and_signup": (users_purchase_and_signup, INTERSECT_SQL),
     "asof_last_click_before_purchase": (asof_last_click_before_purchase, ASOF_SQL),
+    # past the driver gate (registry.OVERFLOW_LAST); locally oracle-gated
+    "funnel_signup_click_purchase": (funnel_signup_click_purchase, FUNNEL_SQL),
 }

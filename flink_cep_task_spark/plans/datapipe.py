@@ -53,4 +53,10 @@ DATAPIPE_QUERIES: dict[str, tuple] = {
     "dedup_clusters": (_docs(D.dedup_clusters), D.DEDUP_CLUSTERS_SQL),
     "tfidf_top_terms": (_docs(T.tfidf_top_terms), T.TFIDF_SQL),
     "bigram_counts": (_docs(T.bigram_counts), T.BIGRAM_SQL),
+    # the operator returns ARRAY<INT>; the gate projection joins it to CSV
+    # because order-insensitive row comparison can't sort array cells
+    "embedding_quantize": (
+        _embs(S.embedding_quantize_csv),
+        S.EMBEDDING_QUANTIZE_SQL,
+    ),
 }

@@ -34,6 +34,8 @@ OVERFLOW_LAST = (
     "dedup_clusters",
     "tfidf_top_terms",
     "bigram_counts",
+    "embedding_quantize",
+    "funnel_signup_click_purchase",
 )
 
 
