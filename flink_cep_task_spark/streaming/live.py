@@ -241,10 +241,14 @@ def live_cep_windows(
                     g_all = np.concatenate(gs)
                     s_all = np.concatenate(ss)
                     v_all = np.concatenate(vs)
-                # one fold per (group, window): epoch seconds < 2^32 until
-                # 2106 and bucket-local group codes < 2^31, so the combined
-                # key packs exactly into int64
-                kk = (g_all << 32) | s_all.astype(np.int64)
+                # one fold per (group, window). Offset packing (NOT a plain
+                # shift-or): a sliding window covering an event near epoch 0
+                # legitimately starts at a NEGATIVE second (first = ((ts -
+                # size) // slide + 1) * slide), which would corrupt an OR
+                # pack. s + 2^34 maps every start in (-2^34, 2^34) — ±544
+                # years — to a non-negative < 2^35; group codes stay < 2^28
+                # per bucket-batch, so the product fits int64 exactly.
+                kk = g_all * np.int64(1 << 35) + (s_all.astype(np.int64) + np.int64(1 << 34))
                 uniq, inv = np.unique(kk, return_inverse=True)
                 sums_a = np.zeros(len(uniq), dtype=np.int64)
                 np.add.at(sums_a, inv, v_all)
@@ -253,8 +257,8 @@ def live_cep_windows(
                 np.minimum.at(mins_a, inv, v_all)
                 maxs_a = np.full(len(uniq), np.iinfo(np.int64).min, dtype=np.int64)
                 np.maximum.at(maxs_a, inv, v_all)
-                u_gid = (uniq >> 32).tolist()
-                u_start = (uniq & 0xFFFFFFFF).tolist()
+                u_gid = (uniq >> 35).tolist()
+                u_start = ((uniq & ((1 << 35) - 1)) - (1 << 34)).tolist()
                 for i in range(len(uniq)):
                     k = (gid_uniq[u_gid[i]], int(u_start[i]), size_s)
                     w = open_w.get(k)

@@ -494,3 +494,48 @@ def test_output_invariant_to_state_bucket_count(spark, tmp_path):
         ))
     assert results[0] == results[1]
     assert len(results[0]) > 0
+
+
+def test_live_engine_handles_near_epoch_timestamps(spark, tmp_path):
+    """Sliding windows covering events near epoch 0 start at NEGATIVE
+    seconds (the reference's own unit tests use ts=1ms,
+    TumblingWindowAssignerTest.java) — the bucketed fold's key packing must
+    not corrupt them. Streaming output must equal the batch engine on the
+    same tiny-timestamp data."""
+    events = [
+        {"eventTime": 30_000, "t_g": "g0", "m": 5},      # 30 s
+        {"eventTime": 90_000, "t_g": "g0", "m": 7},      # 90 s
+        {"eventTime": 150_000, "t_g": "g0", "m": 9},     # 150 s
+    ]
+    src = _write_chunks(tmp_path, events, n_chunks=1)
+    store = RuleFileStore(str(tmp_path / "rules_epoch.json"))
+    # sliding 10 min / 5 min: covering starts < 0; limit 0 so the
+    # negative-start window actually emits
+    store.upsert({**R2_WIRE, "limit": 0})
+    metrics = metrics_stream_from_text(spark, src, max_files_per_trigger=3)
+    out = build_live_cep(metrics, spark, store.path, watermark="1 minute")
+    name = f"ep_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.format("memory").queryName(name).outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_epoch"))
+        .trigger(availableNow=True).start()
+    )
+    await_stream(q, 120)
+    got = sorted(
+        (r.rule_id, r.group_id, r.window_start, r.window_end, r.agg_value)
+        for r in spark.table(name).collect() if FLUSH_TAG not in r.group_id
+    )
+    batch_metrics = parse_metric_lines(
+        spark.createDataFrame([(json.dumps(e),) for e in events], ["value"])
+    )
+    r2_limit0 = Rule(rule_id=2, window_type="sliding", window_minutes=10,
+                     window_slide_minutes=5, grouping_keys=("t_g",),
+                     agg_type="AVG", agg_field="m", limit_op=">", limit="0")
+    expected = sorted(
+        (r.rule_id, r.group_id, r.window_start, r.window_end, r.agg_value)
+        for r in evaluate_rules(spark, batch_metrics, [r2_limit0]).collect()
+    )
+    assert got == expected
+    assert any(ws < 0 for _r, _g, ws, _we, _v in got), (
+        "expected at least one negative-start window to prove the packing path"
+    )
