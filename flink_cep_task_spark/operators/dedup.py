@@ -484,6 +484,53 @@ MINHASH_LSH_SQL = _minhash_sql()
 SIMHASH_SQL = _simhash_sql()
 
 
+# --- benchmark decontamination --------------------------------------------
+
+EVAL_SET_MAX_ID = 20  # docs with doc_id < 20 stand in for the eval/benchmark set
+
+
+def decontaminate(documents: DataFrame) -> DataFrame:
+    """Training-vs-benchmark contamination check: for every TRAINING doc
+    (doc_id ≥ EVAL_SET_MAX_ID), how many of its word-3-gram shingles also
+    occur anywhere in the EVAL set (doc_id < EVAL_SET_MAX_ID), plus a
+    contamination flag — the standard n-gram-overlap decontamination pass
+    run before training. One shared shingle scan; the eval side collapses
+    to DISTINCT hashes (small — eval sets are thousands of docs, so at
+    scale it broadcast-joins); zero-overlap docs are kept via the left
+    join so the output is a complete per-doc report."""
+    sh = _persisted(shingles_hashed(documents))
+    eval_sh = (
+        sh.filter(F.col("doc_id") < EVAL_SET_MAX_ID)
+        .select("sh").distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    train = sh.filter(F.col("doc_id") >= EVAL_SET_MAX_ID)
+    return (
+        train.join(F.broadcast(eval_sh), "sh", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.coalesce(F.col("__hit"), F.lit(0))).cast("long").alias("n_shared_shingles"),
+            F.count(F.lit(1)).alias("n_shingles"),
+        )
+        .withColumn("contaminated", F.col("n_shared_shingles") > 0)
+    )
+
+
+DECONTAMINATE_SQL = f"""
+WITH {SHINGLES_HASHED_CTE.strip()},
+eval_sh AS (
+  SELECT DISTINCT sh FROM shh WHERE doc_id < {EVAL_SET_MAX_ID}
+)
+SELECT t.doc_id,
+       CAST(sum(CASE WHEN e.sh IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_shared_shingles,
+       count(*) AS n_shingles,
+       sum(CASE WHEN e.sh IS NOT NULL THEN 1 ELSE 0 END) > 0 AS contaminated
+FROM shh t LEFT JOIN eval_sh e ON e.sh = t.sh
+WHERE t.doc_id >= {EVAL_SET_MAX_ID}
+GROUP BY t.doc_id
+"""
+
+
 # --- near-duplicate clusters (connected components) -----------------------
 
 def dedup_clusters(documents: DataFrame) -> DataFrame:

@@ -51,6 +51,7 @@ DATAPIPE_QUERIES: dict[str, tuple] = {
     "sample_stratified": (_docs(SM.sample_stratified), SM.SAMPLE_STRATIFIED_SQL),
     "sample_report": (_docs(SM.sample_report), SM.SAMPLE_REPORT_SQL),
     "dedup_clusters": (_docs(D.dedup_clusters), D.DEDUP_CLUSTERS_SQL),
+    "decontaminate": (_docs(D.decontaminate), D.DECONTAMINATE_SQL),
     "tfidf_top_terms": (_docs(T.tfidf_top_terms), T.TFIDF_SQL),
     "bigram_counts": (_docs(T.bigram_counts), T.BIGRAM_SQL),
     # the operator returns ARRAY<INT>; the gate projection joins it to CSV

@@ -36,6 +36,7 @@ OVERFLOW_LAST = (
     "bigram_counts",
     "embedding_quantize",
     "funnel_signup_click_purchase",
+    "decontaminate",
 )
 
 
