@@ -33,8 +33,12 @@ fire would double-emit under in-watermark reordering). The threshold uses
 the latest rule config the key has seen: an upsert re-gates every window
 fired after the key's next event; windows flushed purely by watermark
 after a config change still gate with the prior config (per-key state
-cannot observe the store without data). Late rows below the watermark are
-dropped upstream.
+cannot observe the store without data). Spark does NOT filter late rows
+ahead of a stateful operator (measured — unlike built-in windowed aggs),
+so the operator itself discards any assigned window whose end precedes
+the current watermark: that window already fired (or would have fired
+empty), and merging a late row into it would resurrect it and double-emit
+in append mode.
 
 STATE COARSENING (the load-bearing scale decision): the operator is keyed
 by (rule_id, hash_bucket(group_id)), NOT by raw (rule_id, group_id) — the
@@ -260,6 +264,11 @@ def live_cep_windows(
                 u_gid = (uniq >> 35).tolist()
                 u_start = ((uniq & ((1 << 35) - 1)) - (1 << 34)).tolist()
                 for i in range(len(uniq)):
+                    if int(u_start[i]) + size_s <= wm_s:
+                        # late data: this window's end precedes the current
+                        # watermark — it already fired; merging would
+                        # resurrect it and double-emit (see module doc)
+                        continue
                     k = (gid_uniq[u_gid[i]], int(u_start[i]), size_s)
                     w = open_w.get(k)
                     if w is None:

@@ -539,3 +539,59 @@ def test_live_engine_handles_near_epoch_timestamps(spark, tmp_path):
     assert any(ws < 0 for _r, _g, ws, _we, _v in got), (
         "expected at least one negative-start window to prove the packing path"
     )
+
+
+def test_watermark_drops_late_rows_keeps_out_of_order(spark, tmp_path):
+    """T1-T3 semantics, pinned: an out-of-order row that arrives WITHIN the
+    watermark still lands in its (already-open) window; a row arriving
+    AFTER the watermark passed its window's end is dropped — never a
+    double-fire, never a resurrected window (the reference's wall-clock
+    trigger either lost such results entirely — quirk Q4 — or re-fired)."""
+    base_ms = 1_700_000_040_000  # 2-min epoch aligned
+    src = tmp_path / f"late-{uuid.uuid4().hex[:8]}"
+    src.mkdir()
+    t0 = time.time() - 120
+
+    def write_file(idx: int, docs: list[dict]) -> None:
+        p = src / f"{idx:04d}.json"
+        p.write_text("\n".join(json.dumps(d) for d in docs))
+        os.utime(p, (t0 + idx, t0 + idx))
+
+    store = RuleFileStore(str(tmp_path / "rules_late.json"))
+    store.upsert({"ruleId": 1, "windowType": "tumbling", "windowMinutes": 2,
+                  "groupingKeyNames": ["t_g"], "aggregatorFunctionType": "SUM",
+                  "aggregateFieldName": "m", "limitOperatorType": ">", "limit": 0})
+
+    # integer SECOND offsets (a fractional eventTime would be serialized as
+    # a float and dropped by the ingest's integer try_cast)
+    mk = lambda sec_off, m: {"eventTime": base_ms + sec_off * 1000, "t_g": "g0", "m": m}
+    # batch 1: seconds 0 and 180 (watermark after batch: 180s - 60s delay =
+    # 120s → window [0,2min) is closeable from batch 2 on)
+    write_file(0, [mk(0, 1), mk(180, 1)])
+    # batch 2: second 150 (in-order for [2,4)) AND second 60 — LATE: its
+    # window [0,2) end (120s) ≤ watermark (120s), so the row must be
+    # discarded and [0,2) must fire WITHOUT it, exactly once
+    write_file(1, [mk(150, 1), mk(60, 100)])
+    # batch 3: second 210 out-of-order-within-watermark for open window [2,4)
+    write_file(2, [mk(210, 1)])
+    # pushers
+    write_file(3, [{"eventTime": base_ms + 12_000_000, "t_g": FLUSH_TAG, "m": 0}])
+    write_file(4, [{"eventTime": base_ms + 12_060_000, "t_g": FLUSH_TAG, "m": 0}])
+
+    metrics = metrics_stream_from_text(spark, str(src), max_files_per_trigger=1)
+    out = build_live_cep(metrics, spark, store.path, watermark="1 minute")
+    name = f"late_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.format("memory").queryName(name).outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_late"))
+        .trigger(availableNow=True).start()
+    )
+    await_stream(q, 180)
+    base_s = base_ms // 1000
+    got = sorted(
+        (r.window_start - base_s, r.window_end - base_s, r.agg_value)
+        for r in spark.table(name).collect() if FLUSH_TAG not in r.group_id
+    )
+    # [0,2): ONLY the second-0 row (late second-60 row dropped, no re-fire);
+    # [2,4): seconds 150, 180, 210 — the out-of-order 210 row counted.
+    assert got == [(0, 120, 1.0), (120, 240, 3.0)], got
