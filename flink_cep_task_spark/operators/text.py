@@ -193,6 +193,46 @@ FROM (SELECT doc_id, lower(trim(text)) AS t FROM documents)
 """
 
 
+CURATE_TOP_K = 10
+
+
+def curate_top_quality(documents: DataFrame, k: int = CURATE_TOP_K) -> DataFrame:
+    """Quality-based curation: keep the top-k documents per (source, lang)
+    stratum by text_stats quality score (doc_id tie-break) — the selection
+    step that turns quality scoring into an actual training subset. One
+    scoring pass + one ranking window partitioned by stratum; no global
+    sort."""
+    from pyspark.sql.window import Window as W
+
+    scored = documents.select("doc_id", "source", "lang").join(
+        text_stats(documents).select("doc_id", "quality_score"), "doc_id"
+    )
+    ranked = scored.withColumn(
+        "rnk",
+        F.row_number().over(
+            W.partitionBy("source", "lang").orderBy(
+                F.col("quality_score").desc(), F.col("doc_id")
+            )
+        ),
+    )
+    return ranked.filter(F.col("rnk") <= k).select(
+        "source", "lang", "doc_id", "quality_score", "rnk"
+    )
+
+
+CURATE_SQL = f"""
+SELECT source, lang, doc_id, quality_score, rnk FROM (
+  SELECT d.source, d.lang, d.doc_id, s.quality_score,
+         CAST(row_number() OVER (
+           PARTITION BY d.source, d.lang
+           ORDER BY s.quality_score DESC, d.doc_id
+         ) AS INTEGER) AS rnk
+  FROM documents d
+  JOIN ({TEXT_STATS_SQL.strip()}) s ON s.doc_id = d.doc_id
+) WHERE rnk <= {CURATE_TOP_K}
+"""
+
+
 TFIDF_TOP_K = 5
 
 

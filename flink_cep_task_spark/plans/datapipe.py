@@ -52,6 +52,7 @@ DATAPIPE_QUERIES: dict[str, tuple] = {
     "sample_report": (_docs(SM.sample_report), SM.SAMPLE_REPORT_SQL),
     "dedup_clusters": (_docs(D.dedup_clusters), D.DEDUP_CLUSTERS_SQL),
     "decontaminate": (_docs(D.decontaminate), D.DECONTAMINATE_SQL),
+    "curate_top_quality": (_docs(T.curate_top_quality), T.CURATE_SQL),
     "tfidf_top_terms": (_docs(T.tfidf_top_terms), T.TFIDF_SQL),
     "bigram_counts": (_docs(T.bigram_counts), T.BIGRAM_SQL),
     # the operator returns ARRAY<INT>; the gate projection joins it to CSV

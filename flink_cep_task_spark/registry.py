@@ -37,6 +37,7 @@ OVERFLOW_LAST = (
     "embedding_quantize",
     "funnel_signup_click_purchase",
     "decontaminate",
+    "curate_top_quality",
 )
 
 

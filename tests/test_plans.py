@@ -71,3 +71,20 @@ def test_no_cartesian_products_anywhere(spark):
         fn, _ = QUERIES[name]
         plan = fn(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
         assert "CartesianProduct" not in plan, f"{name} has a cartesian product"
+
+
+def test_widen_noops_on_already_parallel_input(spark, tmp_path):
+    """widen_small_scan must be IDENTITY when the source already provides
+    parallelism — the normal case at scale, where inserting a repartition
+    would mean a corpus-wide shuffle."""
+    from flink_cep_task_spark.sources.tables import widen_small_scan
+
+    df = spark.range(100_000).repartition(16)
+    assert df.rdd.getNumPartitions() == 16
+    out = widen_small_scan(df)
+    assert out is df, "widen repartitioned an already-parallel input"
+    # and the test tables genuinely need widening (single row group ⇒ 1
+    # partition) — the property the plan-layer call sites rely on
+    narrow = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    assert narrow.rdd.getNumPartitions() < 8
+    assert widen_small_scan(narrow) is not narrow
