@@ -19,6 +19,18 @@ from pyspark.sql import DataFrame, SparkSession
 def _configure(spark: SparkSession) -> SparkSession:
     """Apply engine-required session conf to the driver's SparkSession."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # the engine's plans assume AQE (runtime coalescing + skew-join
+    # mitigation — session.py sets these for sessions we own; the driver's
+    # session may not). All three are runtime-settable.
+    for k in (
+        "spark.sql.adaptive.enabled",
+        "spark.sql.adaptive.coalescePartitions.enabled",
+        "spark.sql.adaptive.skewJoin.enabled",
+    ):
+        try:
+            spark.conf.set(k, "true")
+        except Exception:
+            pass
     try:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     except Exception:

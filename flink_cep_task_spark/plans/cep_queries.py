@@ -58,6 +58,23 @@ R_UNGROUPED_AVG = Rule(
 
 ALL_RULES = [R_TUMBLING_SUM, R_SLIDING_AVG, R_GLOBAL_MAX, R_TUMBLING_MIN, R_MULTIKEY_SUM]
 
+# one rule per comparator (Rule.java:88-108's full LimitOperatorType matrix,
+# A3) in a single multi-rule plan; limits tuned so each op both passes and
+# gates at sf0.01. `=`/`!=` compare the DOUBLE agg value — exact here because
+# SUM of DECIMAL(18,2) cents is integer-exact in both engines.
+COMPARATOR_RULES = [
+    Rule(rule_id=41 + i, window_type="tumbling", window_minutes=1440,
+         grouping_keys=("t_event_type",), agg_type="SUM", agg_field="value",
+         limit_op=op, limit=lim, seq=i)
+    for i, (op, lim) in enumerate([
+        # daily per-type sums at sf0.01 span ~[2122, 5063], median ~3230 —
+        # each inequality passes SOME windows and gates others; `=` matches
+        # nothing (no exact hit) and `!=` everything, pinning both branches
+        ("=", "3230"), ("!=", "3230"), (">", "3230"), (">=", "3230"),
+        ("<", "3230"), ("<=", "3230"),
+    ])
+]
+
 # lifecycle changelog (B2): rule 10 is upserted twice (last wins), rule 11
 # is added then DELETEd, rule 12 arrives PAUSEd — only rule 10 v2 runs.
 LIFECYCLE_CHANGELOG = [
@@ -468,4 +485,8 @@ CEP_QUERIES: dict[str, tuple] = {
     # registered past the driver gate (registry.OVERFLOW_LAST); locally
     # oracle-gated like every other entry
     "cep_global_live": (q_global_live, cep_oracle_sql([R_GLOBAL_MAX])),
+    "cep_comparator_matrix": (
+        _rule_query(COMPARATOR_RULES),
+        cep_oracle_sql(COMPARATOR_RULES),
+    ),
 }

@@ -28,6 +28,7 @@ DRIVER_GATE_CAP = 50
 # family, and each parked entry is pinned locally by tests/test_queries.py.
 OVERFLOW_LAST = (
     "cep_global_live",
+    "cep_comparator_matrix",
     "users_purchase_and_signup",
     "sample_stratified",
     "sample_report",
