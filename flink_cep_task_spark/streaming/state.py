@@ -87,12 +87,15 @@ def streaming_first_event_tumbling(
 
     State per group: (t0, open windows' starts + partial sums/counts).
     A window emits exactly when the event-time WATERMARK passes its end
-    (in-batch via the close scan, across batches via EventTimeTimeout) —
-    watermark-close cannot double-emit, since any later event for a closed
-    window is below the watermark and dropped upstream; and event-time
-    timeouts advance only with data, so a drained availableNow source
-    reaches a terminal state (a processing-time timeout here would re-arm
-    a wall-clock timer every invocation and spin forever).
+    (in-batch via the close scan, across batches via EventTimeTimeout).
+    Spark does NOT filter sub-watermark rows ahead of a stateful operator
+    (measured — see streaming/live.py), so the operator itself discards a
+    row whose window end precedes the current watermark: that window
+    already fired, and merging the late row would resurrect it and
+    double-emit. Event-time timeouts advance only with data, so a drained
+    availableNow source reaches a terminal state (a processing-time
+    timeout here would re-arm a wall-clock timer every invocation and
+    spin forever).
     """
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
@@ -148,8 +151,12 @@ def streaming_first_event_tumbling(
             vals = pdf[value_col].astype("float64").to_numpy()
             for t, v in sorted(zip(ts_ms.tolist(), vals.tolist())):
                 if t0 is None:
-                    t0 = t
+                    t0 = t  # alignment anchors to the first OBSERVED event
                 start = t0 + ((t - t0) // size_ms) * size_ms
+                if start + size_ms <= wm:
+                    # late row: its window already fired — discard instead
+                    # of resurrecting it (see docstring)
+                    continue
                 s, c = open_w.get(start, (0.0, 0))
                 open_w[start] = (s + v, c + 1)
 

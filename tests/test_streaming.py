@@ -194,3 +194,51 @@ def test_streaming_first_event_tumbling_state(spark, tmp_path):
     assert base in rows, f"first window missing: {list(rows)}"
     assert rows[base].window_end_ms == base + 120_000
     assert rows[base].agg_sum == 12.0 and rows[base].agg_cnt == 2
+
+
+def test_streaming_first_event_tumbling_discards_late_rows(spark, tmp_path):
+    """A row below the watermark whose window already fired must be
+    discarded, not resurrect the window (same semantics as the live
+    engine's late-row discard; Spark does not pre-filter late rows for
+    stateful operators)."""
+    from flink_cep_task_spark.streaming.state import streaming_first_event_tumbling
+
+    base = 1_700_000_000_000
+    batches = [
+        # batch 1: window [0,2min) opens; event at 3min pushes wm to 3min
+        [{"eventTime": base, "t_g": "x", "m": 5},
+         {"eventTime": base + 180_000, "t_g": "x", "m": 1}],
+        # batch 2: LATE row for the already-fired [0,2min) window — discard
+        [{"eventTime": base + 10_000, "t_g": "x", "m": 100}],
+        # batch 3: watermark pusher far ahead to flush [2,4min)
+        [{"eventTime": base + 10_000_000, "t_g": "x", "m": 0}],
+        [{"eventTime": base + 10_060_000, "t_g": "x", "m": 0}],
+    ]
+    src = tmp_path / "late-state-src"
+    src.mkdir()
+    t_base = time.time() - 60
+    for i, docs in enumerate(batches):
+        p = src / f"{i:04d}.json"
+        p.write_text("\n".join(json.dumps(e) for e in docs))
+        os.utime(p, (t_base + i, t_base + i))
+    lines = spark.readStream.option("maxFilesPerTrigger", 1).text(str(src))
+    metrics = parse_metric_lines(lines).select(
+        "event_time",
+        F.element_at("tags", "t_g").alias("group_id"),
+        F.element_at("metrics", "m").cast("double").alias("agg_input"),
+    )
+    out = streaming_first_event_tumbling(metrics, window_minutes=2, watermark="0 seconds")
+    name = f"stl_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.format("memory").queryName(name).outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_state_late"))
+        .trigger(availableNow=True).start()
+    )
+    await_stream(q, 120)
+    fired = [
+        (r.window_start_ms - base, r.agg_sum, r.agg_cnt)
+        for r in spark.table(name).collect() if r.window_start_ms < base + 9_000_000
+    ]
+    # [0,2min) fired ONCE with only the in-time row; the late m=100 row is
+    # gone; [2,4min) holds the 3min row.
+    assert sorted(fired) == [(0, 5.0, 1), (120_000, 1.0, 1)], fired
