@@ -184,3 +184,74 @@ FROM (SELECT doc_id, text,
       WHERE octet_length(encode(text)) = length(text)),
      LATERAL (SELECT unnest(generate_series(0, nf - 1, {FRAME_STRIDE})) AS i) s
 """
+
+
+# --- overlapping audio-style chunking -------------------------------------
+
+CHUNK_BYTES = 96   # bytes per chunk (stand-in for a fixed-duration audio window)
+CHUNK_HOP = 64     # hop between chunk starts — chunks OVERLAP (ASR-style)
+
+CHUNK_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("chunk_idx", LongType(), False),
+        StructField("start_byte", LongType(), False),
+        StructField("n_bytes", LongType(), False),
+        StructField("checksum", StringType(), False),
+    ]
+)
+
+
+def chunk_media(media: DataFrame) -> DataFrame:
+    """Overlapping fixed-size chunking over binary payloads — the audio
+    pipeline's windowing shape (ASR models consume overlapping windows so
+    no utterance straddles a boundary), as opposed to sample_frames'
+    disjoint stride-sampling. One chunk starts every CHUNK_HOP bytes; the
+    final partial chunk is kept (real pipelines pad it). Same mapInPandas
+    fan-out contract: Arrow batches in, one row per chunk out, no shuffle
+    until something aggregates chunks."""
+
+    def cut(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            rows: dict[str, list] = {k.name: [] for k in CHUNK_SCHEMA.fields}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                if payload is None or len(payload) == 0:
+                    continue
+                idx = 0
+                for start in range(0, len(payload), CHUNK_HOP):
+                    chunk = payload[start : start + CHUNK_BYTES]
+                    rows["doc_id"].append(doc_id)
+                    rows["chunk_idx"].append(idx)
+                    rows["start_byte"].append(start)
+                    rows["n_bytes"].append(len(chunk))
+                    rows["checksum"].append(hashlib.md5(chunk).hexdigest())
+                    idx += 1
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(cut, schema=CHUNK_SCHEMA)
+
+
+def media_chunk_audio(documents: DataFrame) -> DataFrame:
+    """documents → binary payloads → overlapping chunk grid + per-chunk
+    checksums. ASCII-only on both sides for the byte-vs-character parity
+    reason documented at media_frame_sample."""
+    ascii_only = documents.filter(
+        F.octet_length(F.encode(F.col("text"), "UTF-8")) == F.length(F.col("text"))
+    )
+    return chunk_media(documents_as_media(ascii_only))
+
+
+MEDIA_CHUNK_SQL = f"""
+SELECT doc_id,
+       CAST(i AS BIGINT) AS chunk_idx,
+       CAST(i * {CHUNK_HOP} AS BIGINT) AS start_byte,
+       CAST(length(substr(text, i * {CHUNK_HOP} + 1, {CHUNK_BYTES})) AS BIGINT) AS n_bytes,
+       md5(substr(text, i * {CHUNK_HOP} + 1, {CHUNK_BYTES})) AS checksum
+FROM (SELECT doc_id, text,
+             CAST(ceil(length(text) / {CHUNK_HOP}.0) AS BIGINT) AS nc
+      FROM documents
+      WHERE octet_length(encode(text)) = length(text) AND length(text) > 0),
+     LATERAL (SELECT unnest(generate_series(0, nc - 1)) AS i) s
+"""

@@ -53,6 +53,7 @@ DATAPIPE_QUERIES: dict[str, tuple] = {
     "dedup_clusters": (_docs(D.dedup_clusters), D.DEDUP_CLUSTERS_SQL),
     "decontaminate": (_docs(D.decontaminate), D.DECONTAMINATE_SQL),
     "curate_top_quality": (_docs(T.curate_top_quality), T.CURATE_SQL),
+    "media_chunk_audio": (_docs(M.media_chunk_audio), M.MEDIA_CHUNK_SQL),
     "tfidf_top_terms": (_docs(T.tfidf_top_terms), T.TFIDF_SQL),
     "bigram_counts": (_docs(T.bigram_counts), T.BIGRAM_SQL),
     # the operator returns ARRAY<INT>; the gate projection joins it to CSV

@@ -39,6 +39,7 @@ OVERFLOW_LAST = (
     "funnel_signup_click_purchase",
     "decontaminate",
     "curate_top_quality",
+    "media_chunk_audio",
 )
 
 
