@@ -595,3 +595,49 @@ def test_watermark_drops_late_rows_keeps_out_of_order(spark, tmp_path):
     # [0,2): ONLY the second-0 row (late second-60 row dropped, no re-fire);
     # [2,4): seconds 150, 180, 210 — the out-of-order 210 row counted.
     assert got == [(0, 120, 1.0), (120, 240, 3.0)], got
+
+
+def test_new_tag_key_appearing_mid_stream(spark, tmp_path):
+    """Schemaless contract end-to-end: a rule grouping on a tag that NO
+    early event carries matches nothing at first (tag-containment,
+    Rule.java:63-66); once events start carrying the new tag mid-run, they
+    group by it — no schema migration, no restart (MapType tags make the
+    dimension set open)."""
+    base_ms = 1_700_000_040_000
+    src = tmp_path / f"ntag-{uuid.uuid4().hex[:8]}"
+    src.mkdir()
+    t0 = time.time() - 120
+
+    def write_file(idx: int, docs: list[dict]) -> None:
+        p = src / f"{idx:04d}.json"
+        p.write_text("\n".join(json.dumps(d) for d in docs))
+        os.utime(p, (t0 + idx, t0 + idx))
+
+    store = RuleFileStore(str(tmp_path / "rules_ntag.json"))
+    store.upsert({"ruleId": 1, "windowType": "tumbling", "windowMinutes": 2,
+                  "groupingKeyNames": ["t_region"], "aggregatorFunctionType": "SUM",
+                  "aggregateFieldName": "m", "limitOperatorType": ">", "limit": 0})
+
+    # phase A: events WITHOUT t_region — rule must not match them
+    write_file(0, [{"eventTime": base_ms + i * 60_000, "t_g": "g0", "m": 1}
+                   for i in range(2)])
+    # phase B: events carrying the NEW tag key
+    write_file(1, [{"eventTime": base_ms + (4 + i) * 60_000, "t_g": "g0",
+                    "t_region": "eu", "m": 2} for i in range(2)])
+    write_file(2, [{"eventTime": base_ms + 12_000_000, "t_g": FLUSH_TAG, "m": 0}])
+    write_file(3, [{"eventTime": base_ms + 12_060_000, "t_g": FLUSH_TAG, "m": 0}])
+
+    metrics = metrics_stream_from_text(spark, str(src), max_files_per_trigger=1)
+    out = build_live_cep(metrics, spark, store.path, watermark="0 seconds")
+    name = f"ntag_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.format("memory").queryName(name).outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_ntag"))
+        .trigger(availableNow=True).start()
+    )
+    await_stream(q, 120)
+    rows = [r for r in spark.table(name).collect() if FLUSH_TAG not in r.group_id]
+    base_s = base_ms // 1000
+    got = sorted((r.group_id, r.window_start - base_s, r.agg_value) for r in rows)
+    # ONLY the phase-B window, grouped by the new tag's value
+    assert got == [("1_eu", 240, 4.0)], got
