@@ -182,3 +182,56 @@ def test_epoch_vs_first_event_alignment_divergence(spark):
                 limit_op=">", limit="0")
     out = evaluate_rules(spark, df, [rule]).collect()
     assert out[0].window_start == 0 and out[0].window_end == 240
+
+
+def test_sliding_gap_windows_slide_greater_than_size(spark, ddb):
+    """slide > size ⇒ sampled (gap) windows: events between windows belong
+    to NOTHING. The reference's SlidingWindowAssigner can't express this
+    (its TODO admits a contiguity assumption); the engine and oracle agree
+    on the principled semantics."""
+    import duckdb as _duckdb
+    import json as _json
+
+    from flink_cep_task_spark.oracle import cep_oracle_sql
+    from flink_cep_task_spark.plans.cep import evaluate_rules
+    from flink_cep_task_spark.rules import Rule
+    from flink_cep_task_spark.sources.jsonline import parse_metric_lines
+
+    rule = Rule(rule_id=1, window_type="sliding", window_minutes=1,
+                window_slide_minutes=3, grouping_keys=("t_g",),
+                agg_type="SUM", agg_field="m", limit_op=">", limit="0")
+    base_s = 1_699_999_920  # = 9_444_444 × 180 ⇒ truly slide-aligned
+    events = [
+        {"eventTime": (base_s + 30) * 1000, "t_g": "g", "m": 1},    # in [0,1min)
+        {"eventTime": (base_s + 90) * 1000, "t_g": "g", "m": 10},   # GAP: no window
+        {"eventTime": (base_s + 180) * 1000, "t_g": "g", "m": 100}, # in [3,4min)
+    ]
+    metrics = parse_metric_lines(
+        spark.createDataFrame([( _json.dumps(e),) for e in events], ["value"])
+    )
+    got = sorted(
+        (r.window_start - base_s, r.window_end - base_s, r.agg_value)
+        for r in evaluate_rules(spark, metrics, [rule]).collect()
+    )
+    # gap event (m=10) lands nowhere; window length = size (1 min)
+    assert got == [(0, 60, 1.0), (180, 240, 100.0)], got
+
+    # oracle agrees on the same synthetic events
+    con = _duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM (VALUES "
+        + ", ".join(
+            f"(epoch_ms({e['eventTime']}), 'click', {i}, {e['m']}, '{{}}')"
+            for i, e in enumerate(events)
+        )
+        + ") AS t(ts, event_type, user_id, value, props)"
+    )
+    rule_ev = Rule(rule_id=1, window_type="sliding", window_minutes=1,
+                   window_slide_minutes=3, grouping_keys=("t_event_type",),
+                   agg_type="SUM", agg_field="value", limit_op=">", limit="0")
+    oracle = sorted(
+        (int(r[2]) - base_s, int(r[3]) - base_s, float(r[5]))
+        for r in con.execute(cep_oracle_sql([rule_ev])).fetchall()
+    )
+    con.close()
+    assert oracle == [(0, 60, 1.0), (180, 240, 100.0)], oracle
