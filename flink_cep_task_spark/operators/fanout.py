@@ -46,11 +46,14 @@ def fanout_rules(metrics: DataFrame, rules: DataFrame) -> DataFrame:
         "limit",
     )
     # tag-containment: every grouping key exists in this row's tags
-    # (Rule.java:63-66). forall is a Catalyst higher-order function —
-    # JVM-side, no UDF.
-    contains = F.forall(
-        F.col("grouping_keys"), lambda k: F.map_contains_key(F.col("tags"), k)
-    )
+    # (Rule.java:63-66), expressed WITHOUT a higher-order-function lambda:
+    # a lambda inside a broadcast-join condition hits a Spark binding bug
+    # (the predicate gets bound against the build side alone and fails with
+    # INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND on local-relation inputs in fresh
+    # sessions). set-difference form is equivalent — keys ⊆ tag-keys ⟺
+    # array_except(keys, tag_keys) is empty — plain Catalyst expressions,
+    # whole-stage codegen, no UDF.
+    contains = F.size(F.array_except(F.col("grouping_keys"), F.map_keys(F.col("tags")))) == 0
     fanned = metrics.join(F.broadcast(r), on=contains, how="inner")
     # group id `ruleId_v1_v2…` (PartitionEngine.java:72-81). Tag values are
     # non-null post-containment-filter. A rule with NO grouping keys gets
