@@ -37,7 +37,7 @@ from flink_cep_task_spark.functions.hashing import (
     perm_hash,
     perm_hash_sql,
 )
-from flink_cep_task_spark.operators.text import norm_text
+from flink_cep_task_spark.operators.text import norm_text, tokens
 
 SHINGLE = 3
 NUM_PERMS = 16
@@ -628,4 +628,70 @@ cc AS (
 SELECT doc_id, min(label) AS cluster_id,
        doc_id = min(label) AS is_canonical
 FROM cc GROUP BY doc_id
+"""
+
+
+# --- passage-level (exact-substring-style) dedup -------------------------
+
+PASSAGE_WORDS = 8
+
+
+def dedup_passages(documents: DataFrame, chunk: int = PASSAGE_WORDS) -> DataFrame:
+    """Passage-level exact dedup: split each document into non-overlapping
+    `chunk`-word passages, find passages that recur across documents, and
+    report each document's duplicated-passage fraction — the scalable
+    approximation of suffix-array exact-substring dedup (Lee et al.) used
+    to strip shared boilerplate from training corpora.
+
+    Plan shape: the passage text never shuffles — the exchange key is
+    md5(passage), a fixed 32-byte hash; cross-doc recurrence is one hash
+    aggregate on that key (count_distinct doc partials absorb a passage's
+    in-doc repeats map-side) and the verdict joins back to the exploded
+    passages on the same key, so the join is co-partitioned with the agg.
+    Docs shorter than one passage carry no evidence and are dropped (the
+    oracle's range() lateral does the same)."""
+    w = tokens(F.col("text"))
+    ck = F.expr(
+        f"transform(sequence(0, CAST(floor(size(__w) / {chunk}) AS INT) - 1), "
+        f"i -> md5(concat_ws(' ', slice(__w, i * {chunk} + 1, {chunk}))))"
+    )
+    passages = (
+        documents.select("doc_id", w.alias("__w"))
+        .filter(F.size("__w") >= chunk)
+        .select("doc_id", F.explode(ck).alias("ck"))
+    )
+    recur = passages.groupBy("ck").agg(
+        F.count_distinct("doc_id").alias("nd")
+    )
+    return (
+        passages.join(recur, "ck")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_passages"),
+            F.sum(F.when(F.col("nd") > 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_dup_passages"),
+        )
+        .withColumn(
+            "dup_passage_frac",
+            F.round(
+                F.col("n_dup_passages").cast("double") / F.col("n_passages"), 6
+            ),
+        )
+    )
+
+
+DEDUP_PASSAGES_SQL = f"""
+WITH ch AS (
+  SELECT doc_id,
+         md5(array_to_string(w[(i * {PASSAGE_WORDS} + 1):(i * {PASSAGE_WORDS} + {PASSAGE_WORDS})], ' ')) AS ck
+  FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS w FROM documents),
+       LATERAL (SELECT unnest(range(CAST(floor(len(w) / {PASSAGE_WORDS}) AS BIGINT))) AS i) s
+),
+cd AS (SELECT ck, count(DISTINCT doc_id) AS nd FROM ch GROUP BY ck)
+SELECT doc_id, count(*) AS n_passages,
+       CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_passages,
+       round(CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS dup_passage_frac
+FROM ch JOIN cd USING (ck)
+GROUP BY doc_id
 """

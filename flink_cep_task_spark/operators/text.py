@@ -329,6 +329,184 @@ LIMIT {BIGRAM_TOP_N}
 """
 
 
+def repetition_stats(documents: DataFrame) -> DataFrame:
+    """Gopher-style within-document repetition signals: token diversity
+    (distinct/total), the most-frequent token and its mass fraction, and
+    the duplicate-bigram fraction — the signals used to drop boilerplate
+    and degenerate (looping) text from training corpora.
+
+    Plan shape: token frequencies come from one explode + hash aggregate
+    (map-side partial absorbs repeats before the shuffle on doc_id); the
+    argmax token is a per-doc ranking window over the ALREADY-aggregated
+    (doc, token, count) rows — never over raw tokens; bigram distinctness
+    never leaves the row (array_distinct HOF on the token array), so it
+    adds zero shuffle."""
+    from pyspark.sql.window import Window as W
+
+    toks = documents.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
+    tc = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("c"))
+    agg = tc.groupBy("doc_id").agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_distinct_tokens"),
+    )
+    top = (
+        tc.withColumn(
+            "rnk",
+            F.row_number().over(
+                W.partitionBy("doc_id").orderBy(F.col("c").desc(), F.col("tok"))
+            ),
+        )
+        .filter(F.col("rnk") == 1)
+        .select("doc_id", F.col("tok").alias("top_token"), F.col("c").alias("top_token_cnt"))
+    )
+    w = tokens(F.col("text"))
+    grams = F.expr(
+        "transform(sequence(1, size(__w) - 1), i -> concat(__w[i-1], ' ', __w[i]))"
+    )
+    big = (
+        documents.select("doc_id", w.alias("__w"))
+        .filter(F.size("__w") >= 2)
+        .select(
+            "doc_id",
+            (F.size("__w") - 1).cast("long").alias("n_bigrams"),
+            F.size(F.array_distinct(grams)).cast("long").alias("n_distinct_bigrams"),
+        )
+    )
+    joined = agg.join(top, "doc_id").join(big, "doc_id", "left")
+    nb = F.coalesce(F.col("n_bigrams"), F.lit(0))
+    ndb = F.coalesce(F.col("n_distinct_bigrams"), F.lit(0))
+    return joined.select(
+        "doc_id",
+        "n_tokens",
+        "n_distinct_tokens",
+        F.round(F.col("n_distinct_tokens").cast("double") / F.col("n_tokens"), 6).alias(
+            "distinct_ratio"
+        ),
+        "top_token",
+        F.col("top_token_cnt").cast("long").alias("top_token_cnt"),
+        F.round(F.col("top_token_cnt").cast("double") / F.col("n_tokens"), 6).alias(
+            "top_token_frac"
+        ),
+        nb.cast("long").alias("n_bigrams"),
+        ndb.cast("long").alias("n_distinct_bigrams"),
+        F.when(
+            nb > 0, F.round(F.lit(1.0) - ndb.cast("double") / nb.cast("double"), 6)
+        ).alias("dup_bigram_frac"),
+    )
+
+
+REPETITION_SQL = """
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS tok
+  FROM documents
+),
+tc AS (SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY doc_id, tok),
+agg AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+               count(*) AS n_distinct_tokens
+        FROM tc GROUP BY doc_id),
+top AS (SELECT doc_id, tok AS top_token, CAST(c AS BIGINT) AS top_token_cnt
+        FROM (SELECT doc_id, tok, c,
+                     row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, tok) AS rnk
+              FROM tc)
+        WHERE rnk = 1),
+big AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+               CAST(count(DISTINCT w[i] || ' ' || w[i+1]) AS BIGINT) AS n_distinct_bigrams
+        FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS w FROM documents),
+             LATERAL (SELECT unnest(generate_series(1, len(w) - 1)) AS i) s
+        GROUP BY doc_id)
+SELECT a.doc_id, a.n_tokens, a.n_distinct_tokens,
+       round(CAST(a.n_distinct_tokens AS DOUBLE) / a.n_tokens, 6) AS distinct_ratio,
+       t.top_token, t.top_token_cnt,
+       round(CAST(t.top_token_cnt AS DOUBLE) / a.n_tokens, 6) AS top_token_frac,
+       CAST(coalesce(b.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+       CAST(coalesce(b.n_distinct_bigrams, 0) AS BIGINT) AS n_distinct_bigrams,
+       CASE WHEN coalesce(b.n_bigrams, 0) > 0
+            THEN round(1.0 - CAST(b.n_distinct_bigrams AS DOUBLE) / b.n_bigrams, 6)
+       END AS dup_bigram_frac
+FROM agg a JOIN top t ON t.doc_id = a.doc_id
+LEFT JOIN big b ON b.doc_id = a.doc_id
+"""
+
+
+def source_mix_report(documents: DataFrame) -> DataFrame:
+    """Per-source data-mixture report (docs, language spread, token budget,
+    char-length profile) — the rollup a training-data curator reads before
+    setting sampling weights across sources. One map-side-combinable
+    aggregation; token counting stays inside the row (size of the split
+    array), so the shuffle moves one partial row per (partition, source)."""
+    n_toks = F.size(tokens(F.col("text")))
+    return documents.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count_distinct("lang").alias("n_langs"),
+        F.sum(n_toks).cast("long").alias("total_tokens"),
+        F.round(F.sum("n_chars").cast("double") / F.count(F.lit(1)), 6).alias("avg_chars"),
+        F.min("n_chars").cast("long").alias("min_chars"),
+        F.max("n_chars").cast("long").alias("max_chars"),
+    )
+
+
+SOURCE_MIX_SQL = """
+SELECT source, count(*) AS n_docs,
+       CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+       CAST(sum(len(regexp_split_to_array(lower(trim(text)), '\\s+'))) AS BIGINT) AS total_tokens,
+       round(CAST(sum(n_chars) AS DOUBLE) / count(*), 6) AS avg_chars,
+       CAST(min(n_chars) AS BIGINT) AS min_chars,
+       CAST(max(n_chars) AS BIGINT) AS max_chars
+FROM documents
+GROUP BY source
+"""
+
+
+GOPHER_MIN_TOKENS = 20
+GOPHER_MAX_TOP_FRAC = 0.12
+GOPHER_MIN_DISTINCT = 0.4
+
+
+def filter_gopher(documents: DataFrame) -> DataFrame:
+    """Gopher-rule quality gate over repetition_stats: keep a document iff
+    it is long enough, no single token dominates, and token diversity is
+    healthy. Emits the kept flag plus a deterministic semicolon-joined
+    reason string ('ok' when kept) — the curation decision log a pipeline
+    audits after filtering. Thresholds compare the ROUNDED fractions so
+    both engines gate on the identical value."""
+    r = repetition_stats(documents)
+    too_short = F.col("n_tokens") < GOPHER_MIN_TOKENS
+    top_heavy = F.col("top_token_frac") > GOPHER_MAX_TOP_FRAC
+    low_div = F.col("distinct_ratio") < GOPHER_MIN_DISTINCT
+    kept = ~too_short & ~top_heavy & ~low_div
+    reasons = F.concat_ws(
+        ";",
+        F.when(too_short, F.lit("too_short")),
+        F.when(top_heavy, F.lit("top_token_frac")),
+        F.when(low_div, F.lit("low_diversity")),
+    )
+    return r.select(
+        "doc_id",
+        "n_tokens",
+        "top_token_frac",
+        "distinct_ratio",
+        kept.alias("kept"),
+        F.when(kept, F.lit("ok")).otherwise(reasons).alias("reasons"),
+    )
+
+
+FILTER_GOPHER_SQL = f"""
+SELECT doc_id, n_tokens, top_token_frac, distinct_ratio,
+       (NOT (n_tokens < {GOPHER_MIN_TOKENS})
+        AND NOT (top_token_frac > {GOPHER_MAX_TOP_FRAC})
+        AND NOT (distinct_ratio < {GOPHER_MIN_DISTINCT})) AS kept,
+       CASE WHEN (NOT (n_tokens < {GOPHER_MIN_TOKENS})
+                  AND NOT (top_token_frac > {GOPHER_MAX_TOP_FRAC})
+                  AND NOT (distinct_ratio < {GOPHER_MIN_DISTINCT})) THEN 'ok'
+            ELSE concat_ws(';',
+              CASE WHEN n_tokens < {GOPHER_MIN_TOKENS} THEN 'too_short' END,
+              CASE WHEN top_token_frac > {GOPHER_MAX_TOP_FRAC} THEN 'top_token_frac' END,
+              CASE WHEN distinct_ratio < {GOPHER_MIN_DISTINCT} THEN 'low_diversity' END)
+       END AS reasons
+FROM ({REPETITION_SQL.strip()})
+"""
+
+
 def doc_fingerprint(documents: DataFrame, gram: int = 5, stride: int = 4) -> DataFrame:
     """Rolling-hash fingerprint: min polynomial hash over DISTINCT
     character n-grams sampled at every `stride`-th position (winnowing-

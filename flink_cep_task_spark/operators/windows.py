@@ -135,6 +135,55 @@ def apply_threshold(aggregated: DataFrame) -> DataFrame:
     return aggregated.filter(passed)
 
 
+def evaluate_session_windows(fanned: DataFrame, round_digits: int = 4) -> DataFrame:
+    """Gap-based session windows — an engine extension beyond the
+    reference's tumbling/sliding/global triple (CEPEngine.java:75-81).
+
+    `window_minutes` is the inactivity gap: events of a (rule, group) whose
+    timestamps are less than `gap` apart merge into one session; the window
+    closes at last_event + gap (Spark's native semantics). Uses
+    `F.session_window` with a DYNAMIC per-row gap column, so rules with
+    different gaps still evaluate in one pass — one shuffle keyed by
+    (rule_id, group_id), state merged by Spark's session-merge exec, no
+    per-rule driver loop.
+
+    Event time is truncated to whole epoch seconds BEFORE sessionization
+    (the same seconds resolution the rest of the engine uses for window
+    arithmetic), which keeps session bounds integral and the oracle's
+    lag/cumsum island reconstruction bit-exact.
+    """
+    gap_s = F.col("window_minutes").cast("long") * SECONDS_PER_MINUTE
+    sec_ts = F.timestamp_seconds(F.col("event_time").cast("long"))
+    w = fanned.withColumn("__ts", sec_ts).groupBy(
+        "rule_id",
+        "group_id",
+        F.session_window(F.col("__ts"), F.concat(gap_s.cast("string"), F.lit(" seconds"))).alias("__w"),
+        "agg_type",
+        "limit_op",
+        "limit",
+    ).agg(
+        F.sum("agg_input").alias("__sum"),
+        F.count("agg_input").alias("__cnt"),
+        F.min("agg_input").alias("__min"),
+        F.max("agg_input").alias("__max"),
+    )
+    value = (
+        F.when(F.col("agg_type") == "SUM", F.col("__sum").cast("double"))
+        .when(F.col("agg_type") == "AVG", F.col("__sum").cast("double") / F.col("__cnt"))
+        .when(F.col("agg_type") == "MIN", F.col("__min").cast("double"))
+        .otherwise(F.col("__max").cast("double"))
+    )
+    gated = apply_threshold(w.withColumn("agg_value", value))
+    return gated.select(
+        "rule_id",
+        "group_id",
+        F.col("__w.start").cast("long").alias("window_start"),
+        F.col("__w.end").cast("long").alias("window_end"),
+        "agg_type",
+        F.round("agg_value", round_digits).alias("agg_value"),
+    )
+
+
 def evaluate_windows(fanned: DataFrame, round_digits: int = 4) -> DataFrame:
     """Full W+A pipeline: assign → aggregate → threshold → enriched output.
 

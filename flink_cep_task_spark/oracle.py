@@ -49,14 +49,17 @@ def _value_sql(r: Rule) -> str:
     return f"CAST(max({m}) AS DOUBLE)"
 
 
-def _rule_sql(r: Rule, events: str = "events") -> str:
+def _group_sql(r: Rule) -> str:
     # no grouping keys ⇒ bare ruleId group (reference PartitionEngine.java:
     # 72-81 appends nothing; mirror of fanout.py group_id).
     if r.grouping_keys:
         gexpr = " || '_' || ".join(TAG_SQL[k] for k in r.grouping_keys)
-        group_id = f"concat('{r.rule_id}_', {gexpr})"
-    else:
-        group_id = f"'{r.rule_id}'"
+        return f"concat('{r.rule_id}_', {gexpr})"
+    return f"'{r.rule_id}'"
+
+
+def _rule_sql(r: Rule, events: str = "events") -> str:
+    group_id = _group_sql(r)
     val = _value_sql(r)
     having = f"{val} {r.limit_op} CAST('{r.limit}' AS DOUBLE)"
     head = (
@@ -81,6 +84,25 @@ def _rule_sql(r: Rule, events: str = "events") -> str:
             f"LATERAL (SELECT unnest(generate_series(((e.ts_s - {size}) // {slide} + 1) * {slide}, "
             f"(e.ts_s // {slide}) * {slide}, {slide})) AS window_start) w "
             f"GROUP BY group_id, w.window_start HAVING {having}"
+        )
+    if r.window_type == "session":
+        # gap-based sessions (engine extension): classic islands build —
+        # a session break is a spacing STRICTLY greater than gap seconds
+        # since the previous event of the group (Spark merges an event
+        # landing exactly on the previous session's end — verified by
+        # tests/test_windows.py::test_session_merge_and_exact_gap_boundary);
+        # cumulative break count numbers the islands. Session bounds are
+        # [min(ts), max(ts) + gap) — Spark session_window's semantics.
+        gap = r.window_minutes * 60
+        sess_head = f"SELECT CAST({r.rule_id} AS INTEGER) AS rule_id, grp AS group_id"
+        return (
+            f"{sess_head}, min(ts_s) AS window_start, max(ts_s) + {gap} AS window_end, {tail} "
+            f"FROM (SELECT *, sum(brk) OVER (PARTITION BY grp ORDER BY ts_s "
+            f"ROWS UNBOUNDED PRECEDING) AS sess FROM ("
+            f"SELECT *, CASE WHEN ts_s - lag(ts_s) OVER (PARTITION BY grp ORDER BY ts_s) "
+            f"> {gap} THEN 1 ELSE 0 END AS brk FROM "
+            f"(SELECT *, {TS_S} AS ts_s, {_group_sql(r)} AS grp FROM {events}) b) i) s "
+            f"GROUP BY grp, sess HAVING {having}"
         )
     # global window: one unbounded window per group (AllWindowAssigner.java:23-30)
     return (

@@ -19,6 +19,7 @@ Structured Streaming with watermarks.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from flink_cep_task_spark.operators.fanout import fanout_rules
 from flink_cep_task_spark.operators.windows import evaluate_windows
@@ -36,9 +37,34 @@ def evaluate_rules(spark: SparkSession, metrics: DataFrame, rules: list[Rule]) -
     Single-pass multi-rule evaluation: ALL rules (any mix of window types,
     aggregates, grouping keys) run in one plan — one broadcast join, one
     explode, one shuffle/aggregation — rather than a per-rule driver loop.
+
+    Session-window rules (engine extension, rules.Rule window_type
+    "session") take a second branch over the same fan-out: Spark's
+    session-merge aggregation needs its own exec, so the plan unions the
+    epoch-arithmetic branch with a `session_window` branch. The branch is
+    added ONLY when the compacted changelog actually contains a session
+    rule — the rule list is query configuration (driver-side, not data), so
+    inspecting it costs nothing and every session-free plan stays
+    byte-identical to before.
     """
     compacted = compact_rules(rules_df(spark, rules))
-    return evaluate_windows(fanout_rules(metrics, compacted))
+    fanned = fanout_rules(metrics, compacted)
+    # Python mirror of compact_rules: last seq wins, DELETE drops, ACTIVE only
+    latest: dict[int, Rule] = {}
+    for r in sorted(rules, key=lambda r: r.seq):
+        latest[r.rule_id] = r
+    active = [r for r in latest.values() if r.rule_state == "ACTIVE"]
+    has_session = any(r.window_type == "session" for r in active)
+    if not has_session:
+        return evaluate_windows(fanned)
+    from flink_cep_task_spark.operators.windows import evaluate_session_windows
+
+    sess = evaluate_session_windows(fanned.filter(F.col("window_type") == "session"))
+    rest_rules = [r for r in active if r.window_type != "session"]
+    if not rest_rules:
+        return sess
+    rest = evaluate_windows(fanned.filter(F.col("window_type") != "session"))
+    return rest.unionByName(sess)
 
 
 def evaluate_rules_on_events(spark: SparkSession, sf_dir: str, rules: list[Rule]) -> DataFrame:

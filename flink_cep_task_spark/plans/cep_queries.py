@@ -47,6 +47,16 @@ R_MULTIKEY_SUM = Rule(
     limit_op=">", limit="100",
 )
 
+R_SESSION_SUM = Rule(
+    # engine extension: gap-based session window (windowMinutes = the
+    # 60-minute inactivity gap). At sf0.01 per-type inter-event gaps have
+    # p90≈50min / p99≈100min, so each event_type splits into dozens of
+    # sessions, some gated by the threshold.
+    rule_id=7, window_type="session", window_minutes=60,
+    grouping_keys=("t_event_type",), agg_type="SUM", agg_field="value",
+    limit_op=">", limit="300",
+)
+
 R_UNGROUPED_AVG = Rule(
     # no grouping keys: every event lands in ONE group whose id is the bare
     # ruleId (PartitionEngine.java:72-81 appends nothing when the key list
@@ -488,5 +498,11 @@ CEP_QUERIES: dict[str, tuple] = {
     "cep_comparator_matrix": (
         _rule_query(COMPARATOR_RULES),
         cep_oracle_sql(COMPARATOR_RULES),
+    ),
+    # session-window extension, mixed with a tumbling rule to prove the
+    # union-of-branches plan evaluates heterogeneous window types together
+    "cep_session_sum": (
+        _rule_query([R_SESSION_SUM, R_TUMBLING_MIN]),
+        cep_oracle_sql([R_SESSION_SUM, R_TUMBLING_MIN]),
     ),
 }

@@ -62,4 +62,8 @@ DATAPIPE_QUERIES: dict[str, tuple] = {
         _embs(S.embedding_quantize_csv),
         S.EMBEDDING_QUANTIZE_SQL,
     ),
+    "repetition_stats": (_docs(T.repetition_stats), T.REPETITION_SQL),
+    "source_mix_report": (_docs(T.source_mix_report), T.SOURCE_MIX_SQL),
+    "filter_gopher": (_docs(T.filter_gopher), T.FILTER_GOPHER_SQL),
+    "dedup_passages": (_docs(D.dedup_passages), D.DEDUP_PASSAGES_SQL),
 }

@@ -439,6 +439,223 @@ GROUP BY c_mktsegment
 """
 
 
+# --- Q7 shape: nation-pair volume shipping (5-way join, disjunctive pair
+# predicate, year rollup) --------------------------------------------------
+
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bidirectional trade volume between two nations by ship year.
+    lineitem⋈orders shuffles on the natural orderkey; supplier, customer
+    and BOTH nation copies broadcast (dims are KBs); the nation-pair
+    disjunction is evaluated post-join on broadcast columns, so the big
+    fact side never fans out. Adapted to this schema: no l_commitdate
+    etc., year comes from l_shipdate."""
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    n1 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    rev = _dec("l_extendedprice") * (F.lit(1).cast(DEC) - _dec("l_discount"))
+    pair = (
+        ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+        | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    )
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("sn_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("cn_key"))
+        .filter(pair)
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(F.round(F.sum(rev).cast("double"), 2).alias("revenue"))
+    )
+
+
+Q7_SQL = """
+SELECT supp_nation, cust_nation, l_year,
+       round(CAST(sum(rev) AS DOUBLE), 2) AS revenue
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         CAST(year(l_shipdate) AS INTEGER) AS l_year,
+         CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) AS rev
+  FROM lineitem
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+  WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+     OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+)
+GROUP BY supp_nation, cust_nation, l_year
+"""
+
+
+# --- Q13 shape: left outer join + distribution-of-counts -----------------
+
+def q13_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution of per-customer order counts INCLUDING zero-order
+    customers — the left outer join is load-bearing (an inner join loses
+    the c_count=0 bucket). First aggregate shuffles on custkey (orders'
+    natural key); the second aggregates the tiny (custkey, count) set by
+    count — a classic two-stage rollup where stage 2's input is already
+    small. Priority filter stands in for TPC-H's comment filter (no
+    o_comment in this schema)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+Q13_SQL = """
+SELECT c_count, count(*) AS custdist
+FROM (
+  SELECT c_custkey, count(o_orderkey) AS c_count
+  FROM customer LEFT JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey
+)
+GROUP BY c_count
+"""
+
+
+# --- Q15 shape: agg-of-agg (top supplier by revenue, with ties) ----------
+
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suppliers achieving the MAX quarterly revenue: revenue per supplier
+    (one shuffle on suppkey), then the scalar max broadcasts back as a
+    filter — the view+scalar-subquery shape of TPC-H Q15. Ties all
+    surface (no arbitrary pick), so the result is deterministic."""
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    rev = _dec("l_extendedprice") * (F.lit(1).cast(DEC) - _dec("l_discount"))
+    per_supp = l.groupBy("l_suppkey").agg(F.sum(rev).alias("__rev"))
+    max_rev = per_supp.agg(F.max("__rev").alias("__max"))
+    return (
+        per_supp.join(F.broadcast(max_rev))
+        .filter(F.col("__rev") == F.col("__max"))
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.round(F.col("__rev").cast("double"), 2).alias("total_revenue"),
+        )
+    )
+
+
+Q15_SQL = """
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS total_rev
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, round(CAST(total_rev AS DOUBLE), 2) AS total_revenue
+FROM supplier JOIN revenue ON s_suppkey = supplier_no
+WHERE total_rev = (SELECT max(total_rev) FROM revenue)
+"""
+
+
+# --- Q17 shape: per-group scalar threshold (small-quantity revenue) ------
+
+def q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average yearly revenue lost to small orders: lineitems of one brand
+    whose quantity is below 20% of that part's average quantity. The
+    per-part average is a second aggregate over the SAME join key
+    (l_partkey) — at scale both sides shuffle once on partkey and the
+    brand filter broadcasts from part, pruning the fact scan before the
+    heavy agg. The threshold compare uses the identical
+    CAST(sum)/count double in both engines."""
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#3")
+    l = load_table(spark, sf_dir, "lineitem")
+    branded = l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+    avg_qty = branded.groupBy(F.col("l_partkey").alias("__pk")).agg(
+        (F.sum(_dec("l_quantity")).cast("double") / F.count(F.lit(1))).alias("__avg")
+    )
+    small = branded.join(F.broadcast(avg_qty), F.col("l_partkey") == F.col("__pk")).filter(
+        F.col("l_quantity").cast(DEC).cast("double") < 0.2 * F.col("__avg")
+    )
+    return small.agg(
+        F.round(
+            F.sum(_dec("l_extendedprice")).cast("double") / 7.0, 2
+        ).alias("avg_yearly")
+    )
+
+
+Q17_SQL = """
+SELECT round(CAST(sum(CAST(l1.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0, 2) AS avg_yearly
+FROM lineitem l1 JOIN part ON p_partkey = l1.l_partkey
+WHERE p_brand = 'Brand#3'
+  AND CAST(CAST(l1.l_quantity AS DECIMAL(18,2)) AS DOUBLE) < 0.2 * (
+    SELECT CAST(sum(CAST(l2.l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*)
+    FROM lineitem l2
+    WHERE l2.l_partkey = l1.l_partkey
+  )
+"""
+
+
+# --- Q18 shape: HAVING subquery + enriched top-k -------------------------
+
+Q18_QTY_THRESHOLD = 250
+
+
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders whose total quantity exceeds the threshold, enriched with
+    customer context. The HAVING aggregate runs on lineitem alone (one
+    shuffle on orderkey, partials absorb per-order lines map-side); only
+    the tiny qualifying key set joins back — as a broadcast — against
+    orders⋈customer, so the big tables never see a second shuffle."""
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    big = (
+        l.groupBy("l_orderkey")
+        .agg(F.sum(_dec("l_quantity")).alias("__qty"))
+        .filter(F.col("__qty") > Q18_QTY_THRESHOLD)
+    )
+    return (
+        o.join(F.broadcast(big), o.o_orderkey == F.col("l_orderkey"))
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            _ts_s("o_orderdate").alias("o_orderdate_s"),
+            F.round(_dec("o_totalprice").cast("double"), 2).alias("o_totalprice"),
+            F.round(F.col("__qty").cast("double"), 2).alias("sum_qty"),
+        )
+    )
+
+
+Q18_SQL = f"""
+SELECT c_name, c_custkey, o_orderkey,
+       CAST(floor(epoch(o_orderdate)) AS BIGINT) AS o_orderdate_s,
+       round(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE), 2) AS o_totalprice,
+       round(CAST(q.sum_qty AS DOUBLE), 2) AS sum_qty
+FROM orders
+JOIN (SELECT l_orderkey, sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty
+      FROM lineitem GROUP BY l_orderkey
+      HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > {Q18_QTY_THRESHOLD}) q
+  ON o_orderkey = q.l_orderkey
+JOIN customer ON o_custkey = c_custkey
+"""
+
+
 TPCH_QUERIES: dict[str, tuple] = {
     "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
     "q3_shipping_priority": (q3_shipping_priority, Q3_SQL),
@@ -451,4 +668,10 @@ TPCH_QUERIES: dict[str, tuple] = {
     "q19_bracket_revenue": (q19_bracket_revenue, Q19_SQL),
     "q22_idle_customers": (q22_idle_customers, Q22_SQL),
     "q_rollup_lineitem": (q_rollup_lineitem, Q_ROLLUP_SQL),
+    # round-4 widening (registry.OVERFLOW_LAST — locally oracle-gated)
+    "q7_volume_shipping": (q7_volume_shipping, Q7_SQL),
+    "q13_order_distribution": (q13_order_distribution, Q13_SQL),
+    "q15_top_supplier": (q15_top_supplier, Q15_SQL),
+    "q17_small_quantity": (q17_small_quantity, Q17_SQL),
+    "q18_large_orders": (q18_large_orders, Q18_SQL),
 }

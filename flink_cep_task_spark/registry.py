@@ -40,6 +40,17 @@ OVERFLOW_LAST = (
     "decontaminate",
     "curate_top_quality",
     "media_chunk_audio",
+    # round-4 additions
+    "q7_volume_shipping",
+    "q13_order_distribution",
+    "q15_top_supplier",
+    "q17_small_quantity",
+    "q18_large_orders",
+    "cep_session_sum",
+    "repetition_stats",
+    "source_mix_report",
+    "filter_gopher",
+    "dedup_passages",
 )
 
 

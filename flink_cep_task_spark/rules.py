@@ -58,6 +58,12 @@ class Rule:
             raise ValueError("tumbling rule requires windowMinutes")
         if self.window_type == "sliding" and not (self.window_minutes and self.window_slide_minutes):
             raise ValueError("sliding rule requires windowMinutes and windowSlideMinute")
+        # engine extension beyond the reference's three types (CEPEngine.java:
+        # 75-81): gap-based session windows; windowMinutes is the inactivity
+        # gap. Wire parity is preserved — from_wire still coerces unknown
+        # types to global — so session rules are created via this API only.
+        if self.window_type == "session" and not self.window_minutes:
+            raise ValueError("session rule requires windowMinutes (the gap)")
 
     @classmethod
     def from_wire(cls, doc: dict, seq: int = 0) -> "Rule":

@@ -235,3 +235,65 @@ def test_sliding_gap_windows_slide_greater_than_size(spark, ddb):
     )
     con.close()
     assert oracle == [(0, 60, 1.0), (180, 240, 100.0)], oracle
+
+
+# --- session-window extension -------------------------------------------
+
+def _session_rule(gap_minutes=1, limit="0", agg="SUM"):
+    return Rule(
+        rule_id=9, window_type="session", window_minutes=gap_minutes,
+        grouping_keys=("t_g",), agg_type=agg, agg_field="m",
+        limit_op=">", limit=limit,
+    )
+
+
+def test_session_merge_and_exact_gap_boundary(spark):
+    """Events EXACTLY gap seconds apart still merge (Spark closes the
+    boundary: an event landing on the previous session's end extends it);
+    one second beyond the gap starts a new session. Bounds are
+    [first, last + gap). The oracle's island build mirrors the closed
+    boundary with a strict `> gap` break."""
+    df = _metrics_df(spark, [
+        (100, {"t_g": "x"}, {"m": 1}),
+        (160, {"t_g": "x"}, {"m": 2}),   # exactly 60 s after 100 → merges
+        (221, {"t_g": "x"}, {"m": 4}),   # 61 s after 160 → new session
+    ])
+    out = sorted(
+        evaluate_rules(spark, df, [_session_rule()]).collect(),
+        key=lambda r: r.window_start,
+    )
+    assert [(r.window_start, r.window_end, r.agg_value) for r in out] == [
+        (100, 220, 3.0),   # 160 + 60
+        (221, 281, 4.0),
+    ]
+
+
+def test_session_groups_are_independent(spark):
+    """Session islands are per (rule, group): same timestamps in different
+    groups never merge."""
+    df = _metrics_df(spark, [
+        (100, {"t_g": "x"}, {"m": 1}),
+        (130, {"t_g": "y"}, {"m": 2}),
+        (160, {"t_g": "x"}, {"m": 3}),
+    ])
+    out = evaluate_rules(spark, df, [_session_rule()]).collect()
+    by_group = {r.group_id: (r.window_start, r.window_end, r.agg_value) for r in out}
+    assert by_group == {
+        "9_x": (100, 220, 4.0),
+        "9_y": (130, 190, 2.0),
+    }
+
+
+def test_session_mixed_with_tumbling_in_one_plan(spark):
+    """Heterogeneous window types evaluate together: the union-of-branches
+    plan yields both the session rows and the tumbling rows."""
+    tumb = _sum_rule(limit="0", minutes=1)
+    df = _metrics_df(spark, [
+        (10, {"t_g": "x"}, {"m": 5}),
+        (200, {"t_g": "x"}, {"m": 7}),
+    ])
+    out = evaluate_rules(spark, df, [_session_rule(), tumb]).collect()
+    rule_ids = sorted({r.rule_id for r in out})
+    assert rule_ids == [1, 9]
+    sess = sorted([r for r in out if r.rule_id == 9], key=lambda r: r.window_start)
+    assert [(r.window_start, r.window_end) for r in sess] == [(10, 70), (200, 260)]
