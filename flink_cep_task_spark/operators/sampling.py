@@ -67,3 +67,120 @@ FROM (SELECT source, lang,
       FROM documents)
 GROUP BY source, lang
 """
+
+
+# --- fixed-context sequence packing ---------------------------------------
+
+PACK_CTX_TOKENS = 512  # context-window capacity in whitespace tokens
+
+
+def pack_sequences(documents: DataFrame, ctx: int = PACK_CTX_TOKENS) -> DataFrame:
+    """Pretraining-style sequence packing report: token streams are
+    concatenated PER SOURCE in doc_id order and cut at fixed ctx-token
+    boundaries (documents may span a cut — the GPT-style "packed
+    sequences with splitting" layout). Emits one row per source: bins
+    used, docs that straddle a boundary, and mean fill.
+
+    Scale design: the running offset is a window cumsum PARTITIONED BY
+    source — each source packs independently and in parallel; no global
+    ordering or single-task sort exists anywhere in the plan. (Packing
+    the whole corpus as ONE stream would serialize at the window; per-
+    shard packing is also what a real tokenizer-sharded pipeline does.)
+    """
+    from flink_cep_task_spark.operators.text import tokens
+
+    w = Window.partitionBy("source").orderBy("doc_id")
+    n_toks = F.size(tokens(F.col("text"))).cast("long")
+    d = documents.select("source", "doc_id", n_toks.alias("n"))
+    d = d.withColumn("cum_after", F.sum("n").over(w)).withColumn(
+        "cum_before", F.col("cum_after") - F.col("n")
+    )
+    first_bin = F.floor(F.col("cum_before") / ctx)
+    last_bin = F.floor((F.col("cum_after") - 1) / ctx)
+    return (
+        d.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n").cast("long").alias("total_tokens"),
+            (F.floor((F.max("cum_after") - 1) / ctx) + 1).cast("long").alias("n_bins"),
+            F.sum((first_bin != last_bin).cast("int")).cast("long").alias("n_split_docs"),
+            F.round(
+                F.sum("n").cast("double") / ((F.floor((F.max("cum_after") - 1) / ctx) + 1) * ctx),
+                6,
+            ).alias("fill_frac"),
+        )
+    )
+
+
+PACK_SEQUENCES_SQL = f"""
+WITH d AS (
+  SELECT source, doc_id,
+         CAST(len(regexp_split_to_array(lower(trim(text)), '\\s+')) AS BIGINT) AS n
+  FROM documents
+), c AS (
+  SELECT source, n,
+         sum(n) OVER (PARTITION BY source ORDER BY doc_id
+                      ROWS UNBOUNDED PRECEDING) AS cum_after
+  FROM d
+)
+SELECT source, count(*) AS n_docs,
+       CAST(sum(n) AS BIGINT) AS total_tokens,
+       CAST(floor((max(cum_after) - 1) / {PACK_CTX_TOKENS}) + 1 AS BIGINT) AS n_bins,
+       CAST(sum(CASE WHEN floor((cum_after - n) / {PACK_CTX_TOKENS})
+                       <> floor((cum_after - 1) / {PACK_CTX_TOKENS}) THEN 1 ELSE 0 END) AS BIGINT) AS n_split_docs,
+       round(CAST(sum(n) AS DOUBLE)
+             / ((floor((max(cum_after) - 1) / {PACK_CTX_TOKENS}) + 1) * {PACK_CTX_TOKENS}), 6) AS fill_frac
+FROM c
+GROUP BY source
+"""
+
+
+# --- temperature-scaled source mixing -------------------------------------
+
+MIX_TEMPERATURE = 2.0  # weight ∝ share^(1/T): T>1 upsamples small sources
+
+
+def mix_temperature(documents: DataFrame, temperature: float = MIX_TEMPERATURE) -> DataFrame:
+    """Data-mixture weights: each source's natural token share is
+    temperature-flattened (w ∝ share^(1/T), renormalized) — the standard
+    multi-source sampling scheme that keeps small sources from vanishing.
+    Two tiny aggregates (per-source sums, then a broadcast scalar join);
+    the heavy token counting is map-side-combined with the first."""
+    from flink_cep_task_spark.operators.text import tokens
+
+    alpha = 1.0 / temperature
+    per_src = documents.groupBy("source").agg(
+        F.sum(F.size(tokens(F.col("text"))).cast("long")).alias("n_tokens")
+    )
+    totals = per_src.agg(
+        F.sum("n_tokens").alias("__total"),
+        F.sum(F.pow(F.col("n_tokens").cast("double"), alpha)).alias("__z"),
+    )
+    share = F.col("n_tokens").cast("double") / F.col("__total")
+    weight = F.pow(F.col("n_tokens").cast("double"), alpha) / F.col("__z")
+    return per_src.join(F.broadcast(totals)).select(
+        "source",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.round(share, 6).alias("natural_share"),
+        F.round(weight, 6).alias("mix_weight"),
+        F.round(weight / share, 6).alias("boost"),
+    )
+
+
+MIX_TEMPERATURE_SQL = f"""
+WITH per_src AS (
+  SELECT source,
+         CAST(sum(len(regexp_split_to_array(lower(trim(text)), '\\s+'))) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source
+), tot AS (
+  SELECT CAST(sum(n_tokens) AS DOUBLE) AS total,
+         sum(pow(CAST(n_tokens AS DOUBLE), {1.0 / MIX_TEMPERATURE})) AS z
+  FROM per_src
+)
+SELECT source, n_tokens,
+       round(CAST(n_tokens AS DOUBLE) / total, 6) AS natural_share,
+       round(pow(CAST(n_tokens AS DOUBLE), {1.0 / MIX_TEMPERATURE}) / z, 6) AS mix_weight,
+       round((pow(CAST(n_tokens AS DOUBLE), {1.0 / MIX_TEMPERATURE}) / z)
+             / (CAST(n_tokens AS DOUBLE) / total), 6) AS boost
+FROM per_src, tot
+"""

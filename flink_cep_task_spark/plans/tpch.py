@@ -29,10 +29,12 @@ def _dec(c: str):
 
 
 def _ts_s(c: str):
-    # parquet ms-timestamps arrive as TIMESTAMP_NTZ, which has no direct
-    # BIGINT cast; route via LTZ (session tz is pinned to UTC, so the wall
-    # clock IS the epoch — identical to DuckDB's epoch() on naive timestamps).
-    return F.col(c).cast("timestamp_ltz").cast("long")
+    # parquet µs-timestamps arrive as TIMESTAMP_NTZ, which has no direct
+    # BIGINT cast. to_utc_timestamp(ntz, 'UTC') re-tags the naive wall time
+    # as a UTC instant — identical to DuckDB's epoch() on naive timestamps —
+    # WITHOUT consulting the session timezone (a plain LTZ cast would shift
+    # under a non-UTC driver session).
+    return F.to_utc_timestamp(F.col(c), "UTC").cast("long")
 
 
 # --- Q1: pricing summary (scan + filter + wide aggregate) ----------------
@@ -656,6 +658,367 @@ JOIN customer ON o_custkey = c_custkey
 """
 
 
+# --- Q2 shape: correlated-min subquery (min-cost supplier per part) -------
+# No partsupp table in this schema: unit price observed on lineitem
+# (l_extendedprice / l_quantity) stands in for ps_supplycost.
+
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For each mid-size part of one type class, the supplier(s) that
+    shipped it at the MINIMUM observed unit price within one region — the
+    correlated-min-subquery shape of TPC-H Q2. Per-part min is one shuffle
+    on partkey; the min re-joins as a broadcast (tiny: one row per
+    qualifying part); supplier/nation/region dims broadcast. Unit price is
+    decimal(18,6)-exact so the equality re-join is bit-stable across
+    engines."""
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_size").between(10, 20)) & F.col("p_type").startswith("STANDARD")
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    l = load_table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 0)
+    unit = (_dec("l_extendedprice") / _dec("l_quantity")).cast("decimal(18,6)")
+    offers = (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select(
+            "p_partkey", "p_name", "s_suppkey", "s_name", "s_acctbal", "n_name",
+            unit.alias("unit_cost"),
+        )
+    )
+    min_cost = offers.groupBy(F.col("p_partkey").alias("__pk")).agg(
+        F.min("unit_cost").alias("__min_cost")
+    )
+    return (
+        offers.join(
+            F.broadcast(min_cost),
+            (F.col("p_partkey") == F.col("__pk"))
+            & (F.col("unit_cost") == F.col("__min_cost")),
+        )
+        .groupBy("p_partkey", "p_name", "s_suppkey", "s_name", "n_name")
+        .agg(
+            F.round(F.max("s_acctbal"), 2).alias("s_acctbal"),
+            F.round(F.min("unit_cost").cast("double"), 6).alias("min_unit_cost"),
+        )
+    )
+
+
+Q2_SQL = """
+WITH offers AS (
+  SELECT p_partkey, p_name, s_suppkey, s_name, s_acctbal, n_name,
+         CAST(CAST(l_extendedprice AS DECIMAL(18,2)) / CAST(l_quantity AS DECIMAL(18,2)) AS DECIMAL(18,6)) AS unit_cost
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE p_size BETWEEN 10 AND 20 AND p_type LIKE 'STANDARD%'
+    AND r_name = 'EUROPE' AND l_quantity > 0
+)
+SELECT p_partkey, p_name, s_suppkey, s_name, n_name,
+       round(max(s_acctbal), 2) AS s_acctbal,
+       round(CAST(min(unit_cost) AS DOUBLE), 6) AS min_unit_cost
+FROM offers o
+WHERE unit_cost = (SELECT min(unit_cost) FROM offers i WHERE i.p_partkey = o.p_partkey)
+GROUP BY p_partkey, p_name, s_suppkey, s_name, n_name
+"""
+
+
+# --- Q8 shape: national market share --------------------------------------
+
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Share of one nation's suppliers in a region's order revenue, by
+    order year — the ratio-of-conditional-sum-over-sum shape of TPC-H Q8.
+    lineitem⋈orders is the only big shuffle; part prunes the fact scan via
+    broadcast; both nation roles broadcast. The share divides two exact
+    decimal sums as doubles, identically in DuckDB."""
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    n1 = load_table(spark, sf_dir, "nation")  # customer nation → region filter
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    n2 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    rev = _dec("l_extendedprice") * (F.lit(1).cast(DEC) - _dec("l_discount"))
+    vol = (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), c.c_nationkey == n1.n_nationkey)
+        .join(F.broadcast(r), n1.n_regionkey == r.r_regionkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("sn_key"))
+        .select(F.year("o_orderdate").alias("o_year"), rev.alias("rev"), "supp_nation")
+    )
+    national = F.sum(F.when(F.col("supp_nation") == "NATION_1", F.col("rev"))
+                     .otherwise(F.lit(0).cast("decimal(18,4)")))
+    return (
+        vol.groupBy("o_year")
+        .agg(F.round(national.cast("double") / F.sum("rev").cast("double"), 6).alias("mkt_share"))
+    )
+
+
+Q8_SQL = """
+SELECT o_year, round(CAST(sum(CASE WHEN supp_nation = 'NATION_1' THEN rev
+                                   ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+                     / CAST(sum(rev) AS DOUBLE), 6) AS mkt_share
+FROM (
+  SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+         CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) AS rev,
+         n2.n_name AS supp_nation
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+  JOIN region ON n1.n_regionkey = r_regionkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+  WHERE p_type = 'PROMO' AND r_name = 'AMERICA'
+    AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+)
+GROUP BY o_year
+"""
+
+
+# --- Q9 shape: product-type profit by nation and year ---------------------
+# ps_supplycost does not exist here; cost is modeled from the part list
+# price (80% of p_retailprice per unit), keeping the profit = revenue −
+# quantity×cost structure and the join topology of TPC-H Q9.
+
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Profit on name-matched parts grouped by supplier nation and ship
+    year. part broadcast prunes the fact scan BEFORE the orders join (name
+    filter is selective); profit math is decimal(18,4)-exact until the
+    final double round."""
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_name").contains("widget"))
+    l = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    cost_per_unit = (_dec("p_retailprice") * F.lit(0.8).cast(DEC)).cast("decimal(18,4)")
+    profit = (
+        _dec("l_extendedprice") * (F.lit(1).cast(DEC) - _dec("l_discount"))
+    ).cast("decimal(18,4)") - (cost_per_unit * _dec("l_quantity")).cast("decimal(18,4)")
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"), F.year("l_shipdate").alias("o_year"))
+        .agg(F.round(F.sum(profit).cast("double"), 2).alias("sum_profit"))
+    )
+
+
+Q9_SQL = """
+SELECT nation, o_year, round(CAST(sum(amount) AS DOUBLE), 2) AS sum_profit
+FROM (
+  SELECT n_name AS nation, CAST(year(l_shipdate) AS INTEGER) AS o_year,
+         CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))
+         - CAST(CAST(CAST(p_retailprice AS DECIMAL(18,2)) * CAST(0.8 AS DECIMAL(18,2)) AS DECIMAL(18,4))
+                * CAST(l_quantity AS DECIMAL(18,2)) AS DECIMAL(18,4)) AS amount
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  WHERE p_name LIKE '%widget%'
+)
+GROUP BY nation, o_year
+"""
+
+
+# --- Q11 shape: important stock (group share vs global scalar) ------------
+# partsupp stands in as "shipped value per (nation, part)" from lineitem.
+
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parts whose shipped value from one nation exceeds a fixed fraction
+    of that nation's total — the group-sum vs scalar-total-subquery shape
+    of TPC-H Q11. Both aggregates share one shuffled base (value per
+    part); the scalar total broadcasts back as a filter."""
+    l = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
+    value = _dec("l_extendedprice") * _dec("l_quantity").cast("decimal(18,2)")
+    base = (
+        l.join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("l_partkey")
+        .agg(F.sum(value.cast("decimal(18,4)")).alias("__val"))
+    )
+    total = base.agg(F.sum("__val").alias("__total"))
+    return (
+        base.join(F.broadcast(total))
+        .filter(F.col("__val").cast("double") > 0.001 * F.col("__total").cast("double"))
+        .select("l_partkey", F.round(F.col("__val").cast("double"), 2).alias("part_value"))
+    )
+
+
+Q11_SQL = """
+WITH base AS (
+  SELECT l_partkey,
+         sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2)) AS DECIMAL(18,4))) AS val
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  WHERE n_name = 'NATION_3'
+  GROUP BY l_partkey
+)
+SELECT l_partkey, round(CAST(val AS DOUBLE), 2) AS part_value
+FROM base
+WHERE CAST(val AS DOUBLE) > 0.001 * (SELECT CAST(sum(val) AS DOUBLE) FROM base)
+"""
+
+
+# --- Q16 shape: supplier count per part bracket (distinct + NOT IN) -------
+
+def q16_parts_supplier_relation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct suppliers per (brand, type, size) bracket, EXCLUDING
+    negative-balance suppliers — the count-distinct + NOT-IN-subquery
+    shape of TPC-H Q16. The exclusion list is a broadcast anti join;
+    count-distinct shuffles once on the bracket key with partial distinct
+    map-side."""
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1") & (F.col("p_size").isin(5, 10, 15, 20, 25, 30, 35, 40))
+    )
+    l = load_table(spark, sf_dir, "lineitem")
+    bad = load_table(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0)
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(F.broadcast(bad), l.l_suppkey == bad.s_suppkey, "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+Q16_SQL = """
+SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#1'
+  AND p_size IN (5, 10, 15, 20, 25, 30, 35, 40)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+"""
+
+
+# --- Q20 shape: nested semi-join chain (potential part promotion) ---------
+
+Q20_QTY_THRESHOLD = 40
+
+
+def q20_potential_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suppliers in one nation who moved MORE than a threshold quantity of
+    name-matched parts in one year — TPC-H Q20's nested-subquery chain as
+    aggregate → semi-join. The inner aggregate shuffles on (suppkey,
+    partkey); qualifying suppkeys collapse to a DISTINCT broadcast for the
+    outer semi join; supplier⋈nation broadcasts. All nations kept (single-
+    nation filter empties the synthetic data at small SF); nation is a
+    group key instead."""
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_name").startswith("small"))
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    movers = (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum(_dec("l_quantity")).alias("__qty"))
+        .filter(F.col("__qty") > Q20_QTY_THRESHOLD)
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(movers), s.s_suppkey == F.col("l_suppkey"), "left_semi")
+        .select(
+            "s_suppkey", "s_name", "n_name",
+            F.round(F.col("s_acctbal"), 2).alias("s_acctbal"),
+        )
+    )
+
+
+Q20_SQL = f"""
+SELECT s_suppkey, s_name, n_name, round(s_acctbal, 2) AS s_acctbal
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+WHERE s_suppkey IN (
+    SELECT l_suppkey FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE p_name LIKE 'small%'
+      AND l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+    GROUP BY l_suppkey, l_partkey
+    HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > {Q20_QTY_THRESHOLD}
+  )
+"""
+
+
+# --- Q21 shape: EXISTS + NOT-EXISTS double correlation --------------------
+# No l_receiptdate/l_commitdate in this schema: "late" means shipped more
+# than 60 days after the order date.
+
+Q21_LATE_DAYS = 60
+
+
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suppliers who were the ONLY late shipper on a multi-supplier order —
+    TPC-H Q21's EXISTS + NOT-EXISTS double correlation, expressed as two
+    per-order aggregates (distinct supplier count, distinct LATE supplier
+    count) joined back to the late lines: one shuffle on orderkey feeds
+    both aggregates, and the per-order summary is a broadcast. F-status
+    filter stands in for o_orderstatus='F'. Nation rides as a group key
+    (a one-nation filter empties the synthetic data at small SF)."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    l = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    lines = l.join(o, l.l_orderkey == o.o_orderkey).select(
+        "l_orderkey", "l_suppkey",
+        (F.col("l_shipdate") > F.col("o_orderdate") + F.expr(f"INTERVAL {Q21_LATE_DAYS} DAYS")).alias("__late"),
+    )
+    per_order = lines.groupBy(F.col("l_orderkey").alias("__ok")).agg(
+        F.countDistinct("l_suppkey").alias("__n_supp"),
+        F.countDistinct(F.when(F.col("__late"), F.col("l_suppkey"))).alias("__n_late"),
+    )
+    return (
+        lines.filter(F.col("__late"))
+        .join(
+            F.broadcast(per_order.filter((F.col("__n_supp") > 1) & (F.col("__n_late") == 1))),
+            F.col("l_orderkey") == F.col("__ok"),
+            "left_semi",
+        )
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("s_name", "n_name")
+        .agg(F.countDistinct("l_orderkey").alias("numwait"))
+    )
+
+
+Q21_SQL = f"""
+WITH lines AS (
+  SELECT l_orderkey, l_suppkey,
+         l_shipdate > o_orderdate + INTERVAL {Q21_LATE_DAYS} DAY AS late
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE o_orderstatus = 'F'
+), per_order AS (
+  SELECT l_orderkey AS ok, count(DISTINCT l_suppkey) AS n_supp,
+         count(DISTINCT CASE WHEN late THEN l_suppkey END) AS n_late
+  FROM lines GROUP BY l_orderkey
+)
+SELECT s_name, n_name, count(DISTINCT l_orderkey) AS numwait
+FROM lines
+JOIN per_order ON l_orderkey = ok AND n_supp > 1 AND n_late = 1
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE late
+GROUP BY s_name, n_name
+"""
+
+
 TPCH_QUERIES: dict[str, tuple] = {
     "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
     "q3_shipping_priority": (q3_shipping_priority, Q3_SQL),
@@ -674,4 +1037,13 @@ TPCH_QUERIES: dict[str, tuple] = {
     "q15_top_supplier": (q15_top_supplier, Q15_SQL),
     "q17_small_quantity": (q17_small_quantity, Q17_SQL),
     "q18_large_orders": (q18_large_orders, Q18_SQL),
+    # round-5 widening — completes all 22 TPC-H query shapes (adapted to
+    # this schema: no partsupp / receipt dates; docstrings note the stand-in)
+    "q2_min_cost_supplier": (q2_min_cost_supplier, Q2_SQL),
+    "q8_market_share": (q8_market_share, Q8_SQL),
+    "q9_product_profit": (q9_product_profit, Q9_SQL),
+    "q11_important_stock": (q11_important_stock, Q11_SQL),
+    "q16_parts_supplier_relation": (q16_parts_supplier_relation, Q16_SQL),
+    "q20_potential_promotion": (q20_potential_promotion, Q20_SQL),
+    "q21_waiting_suppliers": (q21_waiting_suppliers, Q21_SQL),
 }

@@ -51,6 +51,14 @@ OVERFLOW_LAST = (
     "source_mix_report",
     "filter_gopher",
     "dedup_passages",
+    # round-5 additions
+    "q2_min_cost_supplier",
+    "q8_market_share",
+    "q9_product_profit",
+    "q11_important_stock",
+    "q16_parts_supplier_relation",
+    "q20_potential_promotion",
+    "q21_waiting_suppliers",
 )
 
 

@@ -34,12 +34,23 @@ TABLES = (
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Read one test table; normalizes the events nanos-timestamp column."""
+    """Read one test table; normalizes the events timestamp column.
+
+    The driver has shipped `events.ts` as TIMESTAMP(NANOS) (read as raw
+    nanos bigint under nanosAsLong) and as TIMESTAMP(MICROS, no tz) (read
+    as TIMESTAMP_NTZ in Spark 4). Both are normalized to a session-tz-
+    independent TimestampType instant: naive wall time is interpreted as
+    UTC, exactly how DuckDB's epoch_ms() reads the same file — so epoch
+    arithmetic downstream matches the oracle no matter the session tz.
+    """
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        # TIMESTAMP(NANOS) read as raw nanos; truncate to micros. Integer
-        # division keeps this exact and deterministic across the cluster.
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if name == "events":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
+            # nanos → micros; integer division keeps this exact.
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type == "timestamp_ntz":
+            df = df.withColumn("ts", F.to_utc_timestamp(F.col("ts"), "UTC"))
     return df
 
 
