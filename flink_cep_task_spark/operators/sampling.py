@@ -10,7 +10,7 @@ of every other h64 use of doc_id."""
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from flink_cep_task_spark.functions.hashing import h64, h64_sql

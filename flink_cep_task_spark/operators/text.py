@@ -559,6 +559,52 @@ def doc_fingerprint(documents: DataFrame, gram: int = 5, stride: int = 4) -> Dat
     return d.filter(F.col("n_distinct_grams") > 0)
 
 
+# --- corpus-LM surprisal scoring ------------------------------------------
+
+def unigram_logprob_score(documents: DataFrame) -> DataFrame:
+    """Perplexity-proxy quality score from a corpus-fit unigram LM (the
+    KenLM-filter stand-in): p(tok) = corpus_count/total, per-document mean
+    surprisal −ln p averaged over tokens. Low = stereotypical text, high =
+    rare-token-heavy.
+
+    Plan: one explode→count aggregate fits the "model" (vocab-sized, so
+    the token→count table broadcasts back to the exploded stream — at
+    real-corpus vocab sizes this is tens of MB, still broadcast range);
+    the per-doc fold is a second aggregate on doc_id. Total: two shuffles
+    (vocab fit, doc fold), both map-side combined. ln() runs on the same
+    IEEE doubles in both engines; the 6dp round absorbs libm ulps."""
+    toks = documents.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("tok")
+    )
+    vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    total = toks.agg(F.count(F.lit(1)).cast("double").alias("__total"))
+    scored = (
+        toks.join(F.broadcast(vocab), "tok")
+        .join(F.broadcast(total))
+        .select("doc_id", (-F.log(F.col("c") / F.col("__total"))).alias("nll"))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.round(F.sum("nll") / F.count(F.lit(1)), 6).alias("avg_neg_logprob"),
+    )
+
+
+UNIGRAM_LOGPROB_SQL = """
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS tok
+  FROM documents
+), vocab AS (
+  SELECT tok, count(*) AS c FROM toks GROUP BY tok
+), tot AS (
+  SELECT CAST(count(*) AS DOUBLE) AS total FROM toks
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       round(sum(-ln(CAST(c AS DOUBLE) / total)) / count(*), 6) AS avg_neg_logprob
+FROM toks JOIN vocab USING (tok), tot
+GROUP BY doc_id
+"""
+
+
 DOC_FINGERPRINT_SQL = f"""
 SELECT doc_id,
   min({gram_hash_sql("g", 5)}) AS fingerprint,

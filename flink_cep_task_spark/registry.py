@@ -59,6 +59,9 @@ OVERFLOW_LAST = (
     "q16_parts_supplier_relation",
     "q20_potential_promotion",
     "q21_waiting_suppliers",
+    "pack_sequences",
+    "mix_temperature",
+    "unigram_logprob_score",
 )
 
 
