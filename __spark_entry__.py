@@ -57,6 +57,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def _wrap(fn):
     def call(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # the PREVIOUS query's operator caches (hashed shingles, normalized
+        # vectors — operators/cache.py) are dead weight by the time the
+        # harness builds the next query; releasing here keeps a long
+        # sequential run (driver gate: 50 queries, bench: all) from
+        # accumulating executor-memory pressure. Releasing BEFORE the build
+        # (never after) keeps the returned lazy plan's own caches alive.
+        from flink_cep_task_spark.operators.cache import release_caches
+
+        release_caches()
         return fn(_configure(spark), sf_dir)
 
     return call
