@@ -88,3 +88,43 @@ def test_widen_noops_on_already_parallel_input(spark, tmp_path):
     narrow = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     assert narrow.rdd.getNumPartitions() < 8
     assert widen_small_scan(narrow) is not narrow
+
+
+def test_new_tpch_dims_broadcast_no_cartesians(spark):
+    # round-5 TPC-H widening: every dimension join broadcasts; the
+    # aggregate-back joins (q2 min-cost, q11 scalar total) broadcast too
+    for name in (
+        "q2_min_cost_supplier",
+        "q8_market_share",
+        "q9_product_profit",
+        "q11_important_stock",
+        "q16_parts_supplier_relation",
+        "q20_potential_promotion",
+        "q21_waiting_suppliers",
+    ):
+        plan = _plan(spark, name)
+        assert "BroadcastHashJoin" in plan, f"{name}: no broadcast join"
+        assert "CartesianProduct" not in plan, f"{name}: cartesian product!"
+
+
+def test_q16_exclusion_is_anti_join(spark):
+    # the NOT-IN supplier exclusion must be a broadcast ANTI join, not a
+    # filter over a collected list
+    plan = _plan(spark, "q16_parts_supplier_relation")
+    assert "LeftAnti" in plan
+
+
+def test_q20_semi_join_chain(spark):
+    plan = _plan(spark, "q20_potential_promotion")
+    assert "LeftSemi" in plan
+
+
+def test_pack_sequences_window_partitions_by_source(spark):
+    # the packing cumsum must be a source-partitioned window — a global
+    # ordering would serialize the whole corpus through one task
+    plan = _plan(spark, "pack_sequences")
+    import re
+
+    w = re.search(r"RunningWindowFunction.*|Window \[.*", plan)
+    assert w, "no window node in pack_sequences plan"
+    assert "source" in w.group(0), f"window not partitioned by source: {w.group(0)}"
