@@ -33,8 +33,13 @@ def main() -> None:
     # costs land on the first action otherwise and get misattributed to
     # whichever query happens to run first.
     spark.range(1000).selectExpr("sum(id)").collect()
-    for t in ("events", "lineitem", "documents", "embeddings"):
-        spark.read.parquet(os.path.join(sf_dir, f"{t}.parquet")).limit(1).collect()
+    # FULL scan per fact table, not limit(1): a footer-only touch leaves
+    # the page cache cold and the first query over each table pays the
+    # real I/O + decode — misattributed and noisy across runs.
+    for t in ("events", "lineitem", "orders", "documents", "embeddings"):
+        spark.read.parquet(os.path.join(sf_dir, f"{t}.parquet")).write.format(
+            "noop"
+        ).mode("overwrite").save()
     # broadcast-join / shuffle / whole-stage-codegen warm-up on a tiny CEP
     # evaluation (round 2 showed the first CEP query paying ~5 s of one-time
     # machinery cost its identical-plan twin didn't), plus one small parquet
@@ -70,6 +75,13 @@ def main() -> None:
     spark.range(100_000).repartition(64).select(_warm("id").alias("x")).write.format(
         "noop"
     ).mode("overwrite").save()
+    # replay scaffold (events re-written in Metric shape + pusher files) is
+    # SHARED by the three streaming parity queries via a per-sf_dir cache —
+    # building it here bills the one-time harness setup to warmup instead
+    # of whichever streaming query happens to run first.
+    from flink_cep_task_spark.plans.cep_queries import _events_stream_workdir
+
+    _events_stream_workdir(spark, sf_dir, "bench_warm_stream_")
 
     timings: dict[str, float] = {}
     for name, fn in entrymod.queries().items():
