@@ -72,4 +72,5 @@ DATAPIPE_QUERIES: dict[str, tuple] = {
         _docs(T.unigram_logprob_score),
         T.UNIGRAM_LOGPROB_SQL,
     ),
+    "ann_recall_report": (_embs(S.ann_recall_report), S.ANN_RECALL_SQL),
 }

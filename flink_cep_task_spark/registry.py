@@ -62,6 +62,7 @@ OVERFLOW_LAST = (
     "pack_sequences",
     "mix_temperature",
     "unigram_logprob_score",
+    "ann_recall_report",
 )
 
 
