@@ -110,6 +110,45 @@ FROM sessions GROUP BY user_id, session_id
 """
 
 
+# --- trailing moving average + inter-event delta (frame windows) ----------
+
+MOV_FRAME = 4  # current row + 4 preceding = 5-event trailing frame
+
+
+def moving_avg_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user 5-event trailing moving average of value + gap to the
+    previous event — the classic ROWS-BETWEEN frame window + lag pair.
+    Partitioned by user: no global sort anywhere; the frame sum is exact
+    decimal, divided as double by the frame's actual row count (ramp-up
+    rows average over fewer events, standard SQL frame semantics)."""
+    e = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts_s", "event_id")
+    frame = w.rowsBetween(-MOV_FRAME, Window.currentRow)
+    dec_v = F.col("value").cast("decimal(18,2)")
+    return e.select(
+        "user_id",
+        "event_id",
+        "ts_s",
+        F.round(
+            F.sum(dec_v).over(frame).cast("double") / F.count(F.lit(1)).over(frame), 6
+        ).alias("mov_avg"),
+        (F.col("ts_s") - F.lag("ts_s").over(w)).alias("delta_s"),
+    )
+
+
+MOVING_AVG_SQL = f"""
+SELECT user_id, event_id, ts_s,
+       round(CAST(sum(CAST(value AS DECIMAL(18,2))) OVER f AS DOUBLE)
+             / count(*) OVER f, 6) AS mov_avg,
+       ts_s - lag(ts_s) OVER w AS delta_s
+FROM (SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s, value
+      FROM events)
+WINDOW f AS (PARTITION BY user_id ORDER BY ts_s, event_id
+             ROWS BETWEEN {MOV_FRAME} PRECEDING AND CURRENT ROW),
+       w AS (PARTITION BY user_id ORDER BY ts_s, event_id)
+"""
+
+
 # --- pivot (dynamic columns from data values) ----------------------------
 
 def pivot_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -464,4 +503,5 @@ ANALYTICS_QUERIES: dict[str, tuple] = {
     "asof_last_click_before_purchase": (asof_last_click_before_purchase, ASOF_SQL),
     # past the driver gate (registry.OVERFLOW_LAST); locally oracle-gated
     "funnel_signup_click_purchase": (funnel_signup_click_purchase, FUNNEL_SQL),
+    "moving_avg_user_value": (moving_avg_user_value, MOVING_AVG_SQL),
 }

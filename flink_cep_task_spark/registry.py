@@ -63,6 +63,7 @@ OVERFLOW_LAST = (
     "mix_temperature",
     "unigram_logprob_score",
     "ann_recall_report",
+    "moving_avg_user_value",
 )
 
 
