@@ -242,3 +242,58 @@ def test_streaming_first_event_tumbling_discards_late_rows(spark, tmp_path):
     # [0,2min) fired ONCE with only the in-time row; the late m=100 row is
     # gone; [2,4min) holds the 3min row.
     assert sorted(fired) == [(0, 5.0, 1), (120_000, 1.0, 1)], fired
+
+
+def test_native_checkpoint_restart_resume(spark, tmp_path):
+    """R1 for the NATIVE windowed path (build_streaming_cep — the JVM
+    state-store pipeline, not the live operator): stop after half the
+    input, restart a NEW query from the SAME checkpoint, feed the rest.
+    The union of both runs equals one continuous run — the [2,4) window
+    spanning the restart fires exactly once, from state restored off the
+    checkpoint."""
+    rule = Rule(rule_id=7, window_type="tumbling", window_minutes=2,
+                grouping_keys=("t_g",), agg_type="SUM", agg_field="m",
+                limit_op=">", limit="0")
+    base_ms = 1_700_000_040_000  # 2-min epoch aligned
+    mk = lambda i: {"eventTime": base_ms + i * 60_000, "t_g": "g0", "m": 1}
+    src = tmp_path / f"nrs-{uuid.uuid4().hex[:8]}"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt_native_restart")
+    out_dir = str(tmp_path / "native_restart_out")
+    t0 = time.time() - 120
+
+    def write_file(idx: int, doc: dict) -> None:
+        p = src / f"{idx:04d}.json"
+        p.write_text(json.dumps(doc))
+        os.utime(p, (t0 + idx, t0 + idx))
+
+    def run_once() -> None:
+        metrics = metrics_stream_from_text(spark, str(src), max_files_per_trigger=1)
+        windowed, global_s = build_streaming_cep(
+            metrics, spark, [rule], watermark="0 seconds"
+        )
+        assert global_s is None
+        q = (
+            windowed.writeStream.format("parquet").outputMode("append")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True).start()
+        )
+        await_stream(q, 120)
+
+    for i in range(4):                      # first half: minutes 0..3
+        write_file(i, mk(i))
+    run_once()
+
+    for i in range(4, 8):                   # second half: minutes 4..7
+        write_file(i, mk(i))
+    write_file(8, {"eventTime": base_ms + 12_000_000, "t_g": FLUSH_TAG, "m": 0})
+    write_file(9, {"eventTime": base_ms + 12_060_000, "t_g": FLUSH_TAG, "m": 0})
+    run_once()                              # NEW query, SAME checkpoint
+
+    rows = spark.read.parquet(out_dir).collect()
+    base_s = base_ms // 1000
+    key = lambda r: (r.window_start - base_s, r.window_end - base_s, r.agg_value)
+    got = sorted(key(r) for r in rows
+                 if r.rule_id == 7 and FLUSH_TAG not in r.group_id)
+    assert got == [(0, 120, 2.0), (120, 240, 2.0), (240, 360, 2.0), (360, 480, 2.0)]
