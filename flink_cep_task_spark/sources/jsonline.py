@@ -54,14 +54,25 @@ def parse_metric_lines(lines: DataFrame, value_col: str = "value") -> DataFrame:
     event_time = F.timestamp_millis(
         F.try_element_at(as_map, F.lit(EVENT_TIME_KEY)).try_cast("long")
     )
-    return (
-        parsed.select(
-            event_time.alias("event_time"),
-            tags.alias("tags"),
-            metrics.alias("metrics"),
-        )
-        .filter(F.col("event_time").isNotNull())
-        .filter(F.size("tags") + F.size("metrics") > 0)
+    # The bad-line DROP is a Generate (explode of a 0/1-element array), NOT
+    # a Filter: Catalyst pushes a deterministic Filter below any upstream
+    # round-robin repartition, substituting the aliases — which re-inlines
+    # the whole serialize+parse chain into the narrow pre-exchange segment
+    # of the plan (measured: the entire parse ran in ONE task below the
+    # widening exchange, twice). Pushdown cannot cross a Generate, so the
+    # single parse stays above the exchange where it parallelizes.
+    row = F.struct(
+        event_time.alias("event_time"), tags.alias("tags"), metrics.alias("metrics")
+    )
+    kept = F.filter(
+        F.array(row),
+        lambda r: r.getField("event_time").isNotNull()
+        & (F.size(r.getField("tags")) + F.size(r.getField("metrics")) > 0),
+    )
+    return parsed.select(F.explode(kept).alias("__r")).select(
+        F.col("__r.event_time").alias("event_time"),
+        F.col("__r.tags").alias("tags"),
+        F.col("__r.metrics").alias("metrics"),
     )
 
 
