@@ -551,12 +551,20 @@ def doc_fingerprint(documents: DataFrame, gram: int = 5, stride: int = 4) -> Dat
             counts.append(len(uniq))
         return pd.DataFrame({"fingerprint": fps, "n_distinct_grams": counts})
 
-    d = documents.select("doc_id", fp(F.col("text")).alias("__r")).select(
-        "doc_id",
-        F.col("__r.fingerprint").alias("fingerprint"),
-        F.col("__r.n_distinct_grams").alias("n_distinct_grams"),
+    # short-doc DROP as a Generate, not a Filter: a Filter on the UDF
+    # output gets predicate-pushed below the widening exchange, planting a
+    # SECOND ArrowEvalPython that re-runs the whole UDF single-threaded on
+    # the narrow pre-exchange segment (measured: 2× UDF cost, half of it
+    # on one task). Pushdown cannot cross the explode.
+    d = documents.select("doc_id", fp(F.col("text")).alias("__r"))
+    kept = F.filter(
+        F.array(F.col("__r")), lambda r: r.getField("n_distinct_grams") > 0
     )
-    return d.filter(F.col("n_distinct_grams") > 0)
+    return d.select("doc_id", F.explode(kept).alias("__k")).select(
+        "doc_id",
+        F.col("__k.fingerprint").alias("fingerprint"),
+        F.col("__k.n_distinct_grams").alias("n_distinct_grams"),
+    )
 
 
 # --- corpus-LM surprisal scoring ------------------------------------------
