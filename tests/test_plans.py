@@ -128,3 +128,19 @@ def test_pack_sequences_window_partitions_by_source(spark):
     w = re.search(r"RunningWindowFunction.*|Window \[.*", plan)
     assert w, "no window node in pack_sequences plan"
     assert "source" in w.group(0), f"window not partitioned by source: {w.group(0)}"
+
+
+def test_jsonline_parse_stays_above_widen_exchange(spark):
+    # the bad-line drop is a Generate, not a Filter: a pushed Filter
+    # re-inlines the serialize+parse chain below the widening exchange
+    # (one task). Below the round-robin exchange there must be NO from_json.
+    plan = _plan(spark, "cep_jsonline_roundtrip")
+    below = plan.split("Exchange RoundRobinPartitioning")[-1]
+    assert "from_json" not in below, "parse pushed below the widening exchange"
+
+
+def test_doc_fingerprint_runs_udf_once(spark):
+    # the short-doc drop is a Generate: a pushed Filter plants a second
+    # ArrowEvalPython that re-runs the UDF single-threaded pre-exchange
+    plan = _plan(spark, "doc_fingerprint")
+    assert plan.count("ArrowEvalPython") == 1, "fingerprint UDF evaluated more than once"
