@@ -168,3 +168,19 @@ def dedup_exact_stream(
     operators/dedup.dedup_exact)."""
     keyed = docs.withColumn("k", F.md5(_norm(F.col(text_col))))
     return keyed.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(["k"])
+
+
+def enrich_stream(
+    events: DataFrame,
+    dim: DataFrame,
+    key: str = "user_id",
+) -> DataFrame:
+    """Stream-STATIC enrichment: each streaming event joined against a
+    static dimension snapshot — the most common production streaming join
+    (fact stream + slowly-changing dim). The static side is broadcast
+    (dims are KBs-MBs), so the stream never shuffles and no join state
+    exists at all: unlike a stream-stream join there is nothing to buffer
+    — each micro-batch probes the broadcast hash table and moves on. A
+    left join keeps events whose key is missing from the dim (late dim
+    arrival must not drop facts)."""
+    return events.join(F.broadcast(dim), on=key, how="left")

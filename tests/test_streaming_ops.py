@@ -207,3 +207,40 @@ def test_kafka_records_to_metrics_shape(spark):
          int(r.event_time.timestamp() * 1000))
         for r in got
     } == {("g0", 55, 1_700_000_000_000), ("g1", 70, 1_700_000_060_000)}
+
+
+def test_enrich_stream_matches_batch(spark, tmp_path):
+    """Stream-static broadcast enrichment == the same join in batch, with
+    dim-missing keys kept (left join)."""
+    import uuid as _uuid
+
+    from flink_cep_task_spark.streaming.ops import enrich_stream
+
+    src = tmp_path / f"enrich-{_uuid.uuid4().hex[:8]}"
+    src.mkdir()
+    rows = [(i, 1_700_000_000 + i * 60, f"u{i % 5}") for i in range(40)]
+    spark.createDataFrame(rows, "event_id LONG, ts_s LONG, user STRING").write.parquet(
+        str(src / "data"), mode="overwrite"
+    )
+    dim = spark.createDataFrame(
+        [(f"u{i}", f"seg{i % 2}") for i in range(3)],  # u3/u4 missing
+        "user STRING, segment STRING",
+    )
+    stream = spark.readStream.schema("event_id LONG, ts_s LONG, user STRING").parquet(
+        str(src / "data")
+    )
+    name = f"enr_{_uuid.uuid4().hex[:8]}"
+    q = (
+        enrich_stream(stream, dim, key="user")
+        .writeStream.format("memory").queryName(name).outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_enr"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = spark.table(name)
+    batch = spark.read.parquet(str(src / "data")).join(
+        dim, on="user", how="left"
+    )
+    key = lambda r: (r.event_id, r.user, r.segment)
+    assert sorted(map(key, got.collect())) == sorted(map(key, batch.collect()))
+    assert got.filter(F.col("segment").isNull()).count() > 0  # left-join kept
