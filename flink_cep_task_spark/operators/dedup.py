@@ -321,14 +321,47 @@ def dedup_ngram_jaccard(documents: DataFrame) -> DataFrame:
     )
     prefix = ranked.filter(
         F.col("__rn") <= F.col("__n") - F.ceil(F.lit(JACCARD_TAU) * F.col("__n")) + 1
-    ).select("doc_id", "sh")
-    a = prefix.withColumnRenamed("doc_id", "doc_a")
-    b = prefix.withColumnRenamed("doc_id", "doc_b")
-    cand = (
+    ).select("doc_id", "sh", "__rn", "__n")
+    a = prefix.select(
+        F.col("doc_id").alias("doc_a"), "sh",
+        F.col("__rn").alias("__rna"), F.col("__n").alias("__na"),
+    )
+    b = prefix.select(
+        F.col("doc_id").alias("doc_b"), "sh",
+        F.col("__rn").alias("__rnb"), F.col("__n").alias("__nb"),
+    )
+    # PPJoin bounds cut the candidate set BEFORE the expensive exact-verify
+    # join; both are sound (they only drop pairs that provably cannot reach
+    # τ), so the final pair set — and the oracle — are unchanged:
+    #   * length filter: J ≥ τ forces τ·|B| ≤ |A| (size-compatible pairs)
+    #   * positional filter: with prefixes in one GLOBAL (df, sh) order,
+    #     the order-smallest shared element minimizes both ranks at once,
+    #     so overlap ≤ 1 + min(|A|−rnA, |B|−rnB); J ≥ τ needs overlap
+    #     ≥ ⌈τ/(1+τ)·(|A|+|B|)⌉.
+    sized = (
         a.join(b, ["sh"])
         .filter(F.col("doc_a") < F.col("doc_b"))
+        .filter(
+            (F.col("__na") >= F.ceil(F.lit(JACCARD_TAU) * F.col("__nb")))
+            & (F.col("__nb") >= F.ceil(F.lit(JACCARD_TAU) * F.col("__na")))
+        )
+    )
+    alpha = F.ceil(
+        F.lit(JACCARD_TAU / (1.0 + JACCARD_TAU)) * (F.col("__na") + F.col("__nb"))
+    )
+    cand = (
+        sized.groupBy("doc_a", "doc_b")
+        .agg(
+            F.min("__rna").alias("__rna"),
+            F.min("__rnb").alias("__rnb"),
+            F.max("__na").alias("__na"),
+            F.max("__nb").alias("__nb"),
+        )
+        .filter(
+            F.lit(1) + F.least(F.col("__na") - F.col("__rna"), F.col("__nb") - F.col("__rnb"))
+            >= alpha
+        )
         .select("doc_a", "doc_b")
-        .distinct()
     )
     return _pair_jaccard(sh, cand, JACCARD_TAU)
 
