@@ -589,12 +589,12 @@ def ann_ivf(embeddings: DataFrame) -> DataFrame:
     )
 
 
-def _ivf_sql() -> str:
-    """Mirrors ann_ivf INCLUDING the deterministic k-means fit: the same
-    Lloyd iterations (argmax-dot assignment with cid tie-break, floor-of-
-    double-mean centroid update) unrolled as CTE pairs — the oracle derives
-    the fitted centroids from the data exactly like the engine, so the SQL
-    stays valid at every scale factor."""
+def _ivf_common_ctes() -> tuple[str, str]:
+    """Shared oracle prefix for every IVF-derived query: the deterministic
+    k-means fit (Lloyd iterations unrolled as CTE pairs — the oracle
+    derives the fitted centroids from the data exactly like the engine),
+    the full-corpus dots against the fitted centroids, and the inverted
+    file. Returns (ctes, final_centroid_cte_name)."""
     ids = ", ".join(str(i) for i in IVF_CENTROID_IDS)
     lloyd = [
         f"sflat AS (SELECT * FROM flat WHERE vec_id % {IVF_FIT_SAMPLE_MOD} = 0)",
@@ -621,8 +621,7 @@ def _ivf_sql() -> str:
 )""")
     lloyd_ctes = ",\n".join(lloyd)
     cfin = f"c{IVF_KMEANS_ITERS}"
-    return f"""
-WITH {_FLAT_CTE},
+    ctes = f"""{_FLAT_CTE},
 {lloyd_ctes},
 dots AS (
   SELECT f.vec_id, c.cid, sum(f.v * c.cv) AS dt
@@ -634,7 +633,15 @@ ranked_cells AS (
          row_number() OVER (PARTITION BY vec_id ORDER BY dt DESC, cid) AS rnk
   FROM dots
 ),
-inv_file AS (SELECT vec_id, cid AS cell FROM ranked_cells WHERE rnk = 1),
+inv_file AS (SELECT vec_id, cid AS cell FROM ranked_cells WHERE rnk = 1)"""
+    return ctes, cfin
+
+
+def _ivf_sql() -> str:
+    """Mirrors ann_ivf: shared fit/inverted-file prefix + probe/verify."""
+    ctes, _cfin = _ivf_common_ctes()
+    return f"""
+WITH {ctes},
 probes AS (
   SELECT vec_id AS query_id, cid AS cell FROM ranked_cells
   WHERE rnk <= {IVF_NPROBE} AND vec_id < {N_QUERIES}
@@ -732,3 +739,79 @@ ANN_RECALL_SQL = (
     + "\nUNION ALL\n"
     + _recall_sql(ANN_IVF_SQL, "ivf")
 )
+
+
+# --- IVF index diagnostics -------------------------------------------------
+
+def ivf_cell_report(embeddings: DataFrame) -> DataFrame:
+    """Inverted-file diagnostics: per fitted cell, member count and mean
+    cosine of members to their centroid — the balance + quantization-error
+    audit run after (re)fitting an IVF index (a fat or incoherent cell
+    means the probe join scans garbage). Complements tests/test_ivf.py's
+    balance assertions with a user-facing report.
+
+    Per-member cosine is rounded to DECIMAL(9,6) BEFORE the per-cell sum,
+    so the mean is exact and order-independent across partitionings —
+    the same trick as corpus_quality_report. Scale shape: one matmul
+    assignment pass + one aggregate; centroids stay driver-side model
+    parameters."""
+    import math as _math
+
+    from flink_cep_task_spark.operators.cache import persisted
+
+    base = persisted(_with_norm(embeddings))
+    cents = _fit_centroids(base)
+    rows = [
+        (cid, cv, _math.sqrt(sum(x * x for x in cv) / SCALE2)) for cid, cv in cents
+    ]
+    cent_df = embeddings.sparkSession.createDataFrame(
+        rows, "cell INT, cv ARRAY<BIGINT>, cn DOUBLE"
+    )
+    assigned = _assign_cells(base, cents, 1).filter(F.col("rank") == 0).drop("rank")
+    mem = (
+        assigned.join(base, "vec_id")
+        .join(F.broadcast(cent_df), "cell")
+        .select(
+            "cell",
+            F.round(
+                (_idot(F.col("v"), F.col("cv")).cast("double") / F.lit(SCALE2))
+                / (F.col("nrm") * F.col("cn")),
+                6,
+            )
+            .cast("decimal(9,6)")
+            .alias("cosv"),
+        )
+    )
+    return mem.groupBy("cell").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vectors"),
+        F.round(F.sum("cosv").cast("double") / F.count(F.lit(1)), 6).alias(
+            "avg_cos_to_centroid"
+        ),
+    )
+
+
+def _ivf_cell_report_sql() -> str:
+    ctes, cfin = _ivf_common_ctes()
+    return f"""
+WITH {ctes},
+{_NORMS_CTE},
+cnorms AS (
+  SELECT cid, sqrt(CAST(sum(cv * cv) AS DOUBLE) / {SCALE2!r}) AS cn
+  FROM {cfin} GROUP BY cid
+),
+mem AS (
+  SELECT i.cell,
+         CAST(round((CAST(d.dt AS DOUBLE) / {SCALE2!r}) / (n.nrm * c.cn), 6)
+              AS DECIMAL(9,6)) AS cosv
+  FROM inv_file i
+  JOIN dots d ON d.vec_id = i.vec_id AND d.cid = i.cell
+  JOIN norms n ON n.vec_id = i.vec_id
+  JOIN cnorms c ON c.cid = i.cell
+)
+SELECT cell, CAST(count(*) AS BIGINT) AS n_vectors,
+       round(CAST(sum(cosv) AS DOUBLE) / count(*), 6) AS avg_cos_to_centroid
+FROM mem GROUP BY cell
+"""
+
+
+IVF_CELL_REPORT_SQL = _ivf_cell_report_sql()

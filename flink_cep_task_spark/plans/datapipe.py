@@ -73,4 +73,5 @@ DATAPIPE_QUERIES: dict[str, tuple] = {
         T.UNIGRAM_LOGPROB_SQL,
     ),
     "ann_recall_report": (_embs(S.ann_recall_report), S.ANN_RECALL_SQL),
+    "ivf_cell_report": (_embs(S.ivf_cell_report), S.IVF_CELL_REPORT_SQL),
 }

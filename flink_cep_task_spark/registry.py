@@ -64,6 +64,7 @@ OVERFLOW_LAST = (
     "unigram_logprob_score",
     "ann_recall_report",
     "moving_avg_user_value",
+    "ivf_cell_report",
 )
 
 
