@@ -122,6 +122,10 @@ def _make_shingle_udf():
     @F.pandas_udf("array<long>")
     def sh_hashes(texts: pd.Series) -> pd.Series:
         ws = _re.compile(r"\s+")
+        # gram→hash memo shared across the batch: real corpora repeat
+        # shingles heavily (boilerplate; here a tiny vocabulary), so most
+        # md5 calls are cache hits — output is bit-identical either way
+        memo: dict[str, int] = {}
         out = []
         for t in texts:
             if t is None:
@@ -136,9 +140,13 @@ def _make_shingle_udf():
                     " ".join(toks[i : i + SHINGLE])
                     for i in range(len(toks) - SHINGLE + 1)
                 }
-                out.append(
-                    [int(_hl.md5(g.encode()).hexdigest()[:15], 16) for g in grams]
-                )
+                hs = []
+                for g in grams:
+                    h = memo.get(g)
+                    if h is None:
+                        h = memo[g] = int(_hl.md5(g.encode()).hexdigest()[:15], 16)
+                    hs.append(h)
+                out.append(hs)
             else:
                 out.append([])
         return pd.Series(out)
@@ -418,17 +426,22 @@ def simhash_signatures(documents: DataFrame) -> DataFrame:
     @F.pandas_udf("long")
     def sim(texts: pd.Series) -> pd.Series:
         ws = _re.compile(r"\s+")
-        out = []
+        memo: dict[str, int] = {}  # token→hash across the batch (tf weights
+        out = []                   # come from repetition in the LIST below)
+
+        def th(tok: str) -> int:
+            h = memo.get(tok)
+            if h is None:
+                h = memo[tok] = int(_hl.md5(tok.encode()).hexdigest()[:15], 16)
+            return h
+
         for t in texts:
             if t is None:
                 out.append(None)  # null text ⇒ null sig ⇒ filtered (the
                 continue          # oracle's unnest drops the doc too)
             # strip(' ') mirrors SQL trim (spaces only) — see _make_shingle_udf
             toks = ws.split(t.strip(" ").lower())
-            hs = np.array(
-                [int(_hl.md5(tok.encode()).hexdigest()[:15], 16) for tok in toks],
-                dtype=np.uint64,
-            )
+            hs = np.array([th(tok) for tok in toks], dtype=np.uint64)
             bits = (hs[:, None] >> bit_idx) & 1          # (n_toks, 60)
             sums = (2 * bits.astype(np.int64) - 1).sum(axis=0)
             sig = int(((sums > 0).astype(np.uint64) << bit_idx).sum())
