@@ -1,8 +1,19 @@
 """Benchmark runner (driver contract).
 
 Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
-/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
-{"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}.
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE compact
+final JSON line: {"metric": ..., "value": N, "unit": "sec", "sf": ...,
+"queries": {...}}.
+
+The driver captures only a bounded tail of stdout — rounds 2 and 3 both
+recorded "parsed": null because the full per-query dict (~3.5 KB for 85+
+queries) straddled the capture boundary.  So the final line now carries
+only a HANDFUL of headline query timings ("queries" is kept, but pruned
+to the slowest N + the streaming parity queries, ≤~600 bytes total), and
+the complete per-query breakdown is written to BENCH_DETAIL.json next to
+this script (committed per-round for the judge).  Console progress bars
+are disabled for the bench session so no control characters pollute the
+tail capture.
 
 Timing methodology: each query plan is forced with a count-style action
 (collect of an aggregated result would pull rows to the driver; we use
@@ -27,7 +38,15 @@ def main() -> None:
     import __spark_entry__ as entrymod
     from flink_cep_task_spark.session import get_spark
 
-    spark = entrymod._configure(get_spark(app_name="bench"))
+    # no progress bars on stdout: the driver tail-captures stdout and the
+    # carriage-return progress frames can split/pollute the final JSON line.
+    # Core conf — must be set at builder time, not via spark.conf.set.
+    spark = entrymod._configure(
+        get_spark(
+            app_name="bench",
+            extra_conf={"spark.ui.showConsoleProgress": "false"},
+        )
+    )
 
     # session warm-up OUTSIDE the timing loop: JVM/codegen/parquet-footer
     # costs land on the first action otherwise and get misattributed to
@@ -91,17 +110,47 @@ def main() -> None:
         timings[name] = round(time.perf_counter() - start, 3)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
+
+    # Full per-query breakdown goes to a repo file (committed per round);
+    # the stdout line must survive the driver's bounded tail capture.
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+    )
+    with open(detail_path, "w") as fh:
+        json.dump(
             {
                 "metric": "total_query_wall_seconds",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
                 "sf": sf,
-            }
+                "n_queries": len(timings),
+                "queries": timings,
+            },
+            fh,
+            indent=1,
+            sort_keys=True,
         )
+        fh.write("\n")
+
+    # Headline subset for the stdout line: the slowest queries plus the
+    # streaming-parity trio (their regressions are what rounds track).
+    headline = {"cep_live_streaming", "cep_streaming_windows", "cep_global_live"}
+    slowest = sorted(timings, key=timings.get, reverse=True)[:10]
+    keep = {k: timings[k] for k in sorted(headline | set(slowest)) if k in timings}
+    line = json.dumps(
+        {
+            "metric": "total_query_wall_seconds",
+            "value": total,
+            "unit": "sec",
+            "sf": sf,
+            "n_queries": len(timings),
+            "detail": "BENCH_DETAIL.json",
+            "queries": keep,
+        },
+        separators=(",", ":"),
     )
+    sys.stdout.flush()
+    print(line, flush=True)
     spark.stop()
 
 
