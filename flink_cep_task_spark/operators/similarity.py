@@ -491,6 +491,16 @@ def _assign_cells(base: DataFrame, cents: list[tuple[int, list[int]]], k: int) -
     return base.select("vec_id", F.posexplode(nearest(F.col("v"))).alias("rank", "cell"))
 
 
+# The k-means fit is a pure function of (input parquet files, constants):
+# ann_ivf, ivf_cell_report and ann_recall_report all need the SAME fit, and
+# without memoization each re-runs the full iterative job (~3×3.5 s at
+# sf0.1 measured in round 3). The fitted centroids are model parameters
+# (≤ K×DIM ints) — exactly the kind of thing a session should cache, like
+# the LSH plane literals. Keyed on df.inputFiles() so different sf_dirs
+# (tests at sf0.001, bench at sf0.1) never collide within one process.
+_FIT_CACHE: dict[tuple, list[tuple[int, list[int]]]] = {}
+
+
 def _fit_centroids(base: DataFrame, n_iters: int = IVF_KMEANS_ITERS) -> list[tuple[int, list[int]]]:
     """Deterministic distributed k-means (Lloyd) over the micro-unit
     integer vectors, bit-identical in Spark and DuckDB:
@@ -513,6 +523,11 @@ def _fit_centroids(base: DataFrame, n_iters: int = IVF_KMEANS_ITERS) -> list[tup
     materialize it once per pass otherwise."""
     import math
 
+    files = tuple(sorted(base.inputFiles()))
+    key = (files, n_iters)
+    if files and key in _FIT_CACHE:
+        return [(cid, list(v)) for cid, v in _FIT_CACHE[key]]
+
     cents = sorted(
         (r["vec_id"], r["v"])
         for r in base.filter(F.col("vec_id").isin(IVF_CENTROID_IDS))
@@ -533,6 +548,8 @@ def _fit_centroids(base: DataFrame, n_iters: int = IVF_KMEANS_ITERS) -> list[tup
         for r in agg:
             fitted.setdefault(r["cell"], [0] * DIM)[r["i"]] = math.floor(r["s"] / r["c"])
         cents = sorted(fitted.items())
+    if files:
+        _FIT_CACHE[key] = [(cid, list(v)) for cid, v in cents]
     return cents
 
 
@@ -688,11 +705,16 @@ def _recall_against_exact(exact: DataFrame, approx: DataFrame, method: str) -> D
         exact.query_id.alias("query_id"),
         F.col("__ann_n").isNotNull().cast("int").alias("h"),
     )
+    # denominator = n_exact (the per-query count of exact neighbors), not
+    # the constant TOP_K: if exact kNN emits fewer than TOP_K neighbors
+    # for a query, a perfect index should still reach recall 1.0.
     return hit.groupBy("query_id").agg(
         F.lit(method).alias("method"),
         F.count(F.lit(1)).cast("long").alias("n_exact"),
         F.sum("h").cast("long").alias("n_hit"),
-        F.round(F.sum("h").cast("double") / TOP_K, 6).alias("recall_at_k"),
+        F.round(
+            F.sum("h").cast("double") / F.count(F.lit(1)), 6
+        ).alias("recall_at_k"),
     )
 
 
@@ -726,7 +748,7 @@ def _recall_sql(approx_sql: str, method: str) -> str:
 SELECT e.query_id, '{method}' AS method,
        CAST(count(*) AS BIGINT) AS n_exact,
        CAST(sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
-       round(CAST(sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / {TOP_K}, 6) AS recall_at_k
+       round(CAST(sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS recall_at_k
 FROM ({KNN_SQL.strip()}) e
 LEFT JOIN ({approx_sql.strip()}) a
   ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
