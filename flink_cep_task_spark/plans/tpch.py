@@ -30,11 +30,14 @@ def _dec(c: str):
 
 def _ts_s(c: str):
     # parquet µs-timestamps arrive as TIMESTAMP_NTZ, which has no direct
-    # BIGINT cast. to_utc_timestamp(ntz, 'UTC') re-tags the naive wall time
-    # as a UTC instant — identical to DuckDB's epoch() on naive timestamps —
-    # WITHOUT consulting the session timezone (a plain LTZ cast would shift
-    # under a non-UTC driver session).
-    return F.to_utc_timestamp(F.col(c), "UTC").cast("long")
+    # BIGINT cast. Micros-since-NTZ-epoch via timestampdiff is pure calendar
+    # arithmetic — genuinely session-tz-free, matching DuckDB's epoch() on
+    # naive timestamps. (to_utc_timestamp(ntz,'UTC') is NOT: Spark casts
+    # NTZ→TIMESTAMP through the session tz first.)
+    return F.expr(
+        f"timestampdiff(MICROSECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00', {c})"
+        " div 1000000"
+    )
 
 
 # --- Q1: pricing summary (scan + filter + wide aggregate) ----------------
@@ -589,7 +592,13 @@ def q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
     avg_qty = branded.groupBy(F.col("l_partkey").alias("__pk")).agg(
         (F.sum(_dec("l_quantity")).cast("double") / F.count(F.lit(1))).alias("__avg")
     )
-    small = branded.join(F.broadcast(avg_qty), F.col("l_partkey") == F.col("__pk")).filter(
+    # NO broadcast hint on avg_qty: it has one row per qualifying partkey —
+    # it grows with the part table, and an unconditional F.broadcast() is a
+    # scale-killer AQE cannot override. Both sides already hash-partition on
+    # the partkey after the aggregate, so the shuffle join reuses that
+    # exchange; AQE may still choose broadcast at runtime when it measures
+    # the aggregate as small.
+    small = branded.join(avg_qty, F.col("l_partkey") == F.col("__pk")).filter(
         F.col("l_quantity").cast(DEC).cast("double") < 0.2 * F.col("__avg")
     )
     return small.agg(
@@ -620,8 +629,10 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Orders whose total quantity exceeds the threshold, enriched with
     customer context. The HAVING aggregate runs on lineitem alone (one
     shuffle on orderkey, partials absorb per-order lines map-side); only
-    the tiny qualifying key set joins back — as a broadcast — against
-    orders⋈customer, so the big tables never see a second shuffle."""
+    the qualifying key set joins back against orders⋈customer. No static
+    broadcast hint on it: it is keyed by ORDERKEY and grows linearly with
+    the fact table (a tiny fraction, but a fraction); AQE converts the
+    join to broadcast at runtime when the measured size allows."""
     l = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
@@ -631,7 +642,7 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("__qty") > Q18_QTY_THRESHOLD)
     )
     return (
-        o.join(F.broadcast(big), o.o_orderkey == F.col("l_orderkey"))
+        o.join(big, o.o_orderkey == F.col("l_orderkey"))
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .select(
             "c_name",
@@ -691,9 +702,12 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     min_cost = offers.groupBy(F.col("p_partkey").alias("__pk")).agg(
         F.min("unit_cost").alias("__min_cost")
     )
+    # NO broadcast hint on min_cost: one row per qualifying partkey — grows
+    # linearly with part. Let the equi-join shuffle (or AQE pick broadcast
+    # at runtime if it measures the aggregate as genuinely small).
     return (
         offers.join(
-            F.broadcast(min_cost),
+            min_cost,
             (F.col("p_partkey") == F.col("__pk"))
             & (F.col("unit_cost") == F.col("__min_cost")),
         )
@@ -985,9 +999,13 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct(F.when(F.col("__late"), F.col("l_suppkey"))).alias("__n_late"),
     )
     return (
+        # NO broadcast hint on per_order: one row per qualifying ORDERKEY —
+        # tens of GB per executor at 100 TB. The semi-join shuffles on the
+        # orderkey both sides (per_order is already partitioned on it from
+        # the aggregate); AQE may still broadcast at runtime if small.
         lines.filter(F.col("__late"))
         .join(
-            F.broadcast(per_order.filter((F.col("__n_supp") > 1) & (F.col("__n_late") == 1))),
+            per_order.filter((F.col("__n_supp") > 1) & (F.col("__n_late") == 1)),
             F.col("l_orderkey") == F.col("__ok"),
             "left_semi",
         )

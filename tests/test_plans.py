@@ -90,9 +90,37 @@ def test_widen_noops_on_already_parallel_input(spark, tmp_path):
     assert widen_small_scan(narrow) is not narrow
 
 
+def test_no_broadcast_hint_on_fact_keyed_aggregates(spark):
+    """Aggregates keyed by a FACT key (per-partkey, per-orderkey) grow
+    linearly with the fact table — a static F.broadcast() hint on them is
+    unconditional (AQE cannot override a hint) and becomes a scale-killer
+    at 100×. The hint must be absent; AQE is free to pick broadcast at
+    runtime when the measured size allows. Detected in the optimized
+    logical plan: a Join whose condition involves the aggregate-side key
+    must not carry strategy=broadcast."""
+    import re
+
+    cases = {
+        "q17_small_quantity": r"= ?__pk",          # per-partkey avg qty
+        "q2_min_cost_supplier": r"= ?__pk",        # per-partkey min cost
+        "q21_waiting_suppliers": r"= ?__ok",       # per-orderkey supp counts
+        "q18_large_orders": r"o_orderkey.* = .*l_orderkey",  # HAVING agg
+    }
+    for name, key_pat in cases.items():
+        fn, _ = QUERIES[name]
+        opt = fn(spark, SF_DIR)._jdf.queryExecution().optimizedPlan().toString()
+        for ln in opt.splitlines():
+            if "Join" in ln and re.search(key_pat, ln):
+                assert "strategy=broadcast" not in ln, (
+                    f"{name}: fact-keyed aggregate join carries a static "
+                    f"broadcast hint: {ln.strip()}"
+                )
+
+
 def test_new_tpch_dims_broadcast_no_cartesians(spark):
-    # round-5 TPC-H widening: every dimension join broadcasts; the
-    # aggregate-back joins (q2 min-cost, q11 scalar total) broadcast too
+    # TPC-H widening: every dimension join broadcasts; the q11 scalar-total
+    # join broadcasts too (single row). Fact-keyed aggregate joins
+    # deliberately do NOT (see test above).
     for name in (
         "q2_min_cost_supplier",
         "q8_market_share",
