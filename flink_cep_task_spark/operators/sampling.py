@@ -89,7 +89,15 @@ def pack_sequences(documents: DataFrame, ctx: int = PACK_CTX_TOKENS) -> DataFram
     """
     from flink_cep_task_spark.operators.text import tokens
 
-    w = Window.partitionBy("source").orderBy("doc_id")
+    # explicit ROWS frame: the orderBy default is RANGE, which includes
+    # peer rows — it only agrees with the oracle's ROWS UNBOUNDED
+    # PRECEDING because doc_id happens to be unique per source. ROWS makes
+    # the cumsum correct even with duplicate doc_ids.
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
     n_toks = F.size(tokens(F.col("text"))).cast("long")
     d = documents.select("source", "doc_id", n_toks.alias("n"))
     d = d.withColumn("cum_after", F.sum("n").over(w)).withColumn(

@@ -50,7 +50,21 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             # nanos → micros; integer division keeps this exact.
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
         elif ts_type == "timestamp_ntz":
-            df = df.withColumn("ts", F.to_utc_timestamp(F.col("ts"), "UTC"))
+            # Genuinely session-tz-free: micros since the NTZ epoch is pure
+            # calendar arithmetic (no implicit NTZ→LTZ cast anywhere), then
+            # timestamp_micros re-tags those micros as a UTC instant. The
+            # tempting to_utc_timestamp(ntz,'UTC') is NOT tz-free — Spark
+            # implicitly casts NTZ→TIMESTAMP through the session timezone
+            # first (verified: +18000 s shift under America/New_York).
+            df = df.withColumn(
+                "ts",
+                F.timestamp_micros(
+                    F.expr(
+                        "timestampdiff(MICROSECOND, "
+                        "TIMESTAMP_NTZ'1970-01-01 00:00:00', ts)"
+                    )
+                ),
+            )
     return df
 
 
