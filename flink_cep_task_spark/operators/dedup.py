@@ -175,19 +175,26 @@ shh AS (SELECT doc_id, {h64_sql("shingle")} AS sh FROM sh)
 
 def _pair_jaccard(sh: DataFrame, candidates: DataFrame, tau: float) -> DataFrame:
     """Exact Jaccard for candidate (doc_a < doc_b) pairs from hashed
-    shingle sets (columns: doc_id, sh)."""
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a = sh.withColumnRenamed("doc_id", "doc_a")
-    b = sh.withColumnRenamed("doc_id", "doc_b")
-    inter = (
-        candidates.join(a, "doc_a")
-        .join(b, ["doc_b", "sh"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_common"))
+    shingle sets (columns: doc_id, sh).
+
+    Verification joins each candidate pair against per-doc shingle ARRAYS
+    (one row per pair) and intersects JVM-side with array_intersect —
+    instead of expanding every pair by |A| shingle rows and re-joining on
+    (doc_b, sh), which shuffles candidates × avg-set-size rows (measured
+    ~6M intermediate rows at sf0.1 for the exact-Jaccard query, the
+    dominant stage). Set sizes ride along as array lengths, so the old
+    per-doc sizes aggregate and its two extra joins disappear too."""
+    sets = sh.groupBy("doc_id").agg(F.collect_list("sh").alias("S"))
+    va = sets.select(
+        F.col("doc_id").alias("doc_a"), F.col("S").alias("Sa"), F.size("S").alias("na")
+    )
+    vb = sets.select(
+        F.col("doc_id").alias("doc_b"), F.col("S").alias("Sb"), F.size("S").alias("nb")
     )
     return (
-        inter.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"), "doc_a")
-        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb"), "doc_b")
+        candidates.join(va, "doc_a")
+        .join(vb, "doc_b")
+        .withColumn("n_common", F.size(F.array_intersect("Sa", "Sb")).cast("long"))
         .withColumn(
             "jaccard",
             F.round(
@@ -225,7 +232,15 @@ def dedup_minhash_lsh(documents: DataFrame) -> DataFrame:
     both the signature aggregation and the exact-Jaccard verification, and
     the explode+distinct it contains is the expensive part of the plan.
     The returned (lazy) plan references the cached data; call
-    release_caches() once results are consumed (see _persisted)."""
+    release_caches() once results are consumed (see _persisted).
+
+    The verified pair set itself is persisted in the session-SHARED tier
+    (cache.persisted_shared): it is tiny (near-dup rate × corpus) and is
+    rebuilt identically by dedup_clusters for its edge list — whichever
+    query materializes first, the other's canonically-identical fragment
+    hits the cache instead of re-running the whole LSH pipeline."""
+    from flink_cep_task_spark.operators.cache import persisted_shared
+
     sh = _persisted(shingles_hashed(documents))
     sig = _minhash_from_shingles(sh)
     band_structs = F.array(
@@ -255,7 +270,7 @@ def dedup_minhash_lsh(documents: DataFrame) -> DataFrame:
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    return _pair_jaccard(sh, cand, MINHASH_TAU)
+    return persisted_shared(_pair_jaccard(sh, cand, MINHASH_TAU))
 
 
 def _minhash_sql() -> str:
@@ -342,10 +357,17 @@ def dedup_ngram_jaccard(documents: DataFrame) -> DataFrame:
     # join; both are sound (they only drop pairs that provably cannot reach
     # τ), so the final pair set — and the oracle — are unchanged:
     #   * length filter: J ≥ τ forces τ·|B| ≤ |A| (size-compatible pairs)
-    #   * positional filter: with prefixes in one GLOBAL (df, sh) order,
-    #     the order-smallest shared element minimizes both ranks at once,
-    #     so overlap ≤ 1 + min(|A|−rnA, |B|−rnB); J ≥ τ needs overlap
-    #     ≥ ⌈τ/(1+τ)·(|A|+|B|)⌉.
+    #   * positional filters: with prefixes in one GLOBAL (df, sh) order,
+    #     every shared element beyond a known shared one x must rank after
+    #     x in BOTH documents (both sets list elements in the same global
+    #     order). Two sound overlap bounds follow, and we apply their min:
+    #       - first-match:  overlap ≤ 1 + min(|A|−rnA₁, |B|−rnB₁) at the
+    #         smallest shared prefix element;
+    #       - count+last:   overlap ≤ c + min(|A|−rnAc, |B|−rnBc) with c
+    #         shared prefix elements, positions of the LARGEST one — every
+    #         uncounted shared element lies in a suffix, hence ranks after
+    #         it in both docs.
+    #     J ≥ τ needs overlap ≥ ⌈τ/(1+τ)·(|A|+|B|)⌉.
     sized = (
         a.join(b, ["sh"])
         .filter(F.col("doc_a") < F.col("doc_b"))
@@ -357,18 +379,24 @@ def dedup_ngram_jaccard(documents: DataFrame) -> DataFrame:
     alpha = F.ceil(
         F.lit(JACCARD_TAU / (1.0 + JACCARD_TAU)) * (F.col("__na") + F.col("__nb"))
     )
+    bound_first = F.lit(1) + F.least(
+        F.col("__na") - F.col("__rna_min"), F.col("__nb") - F.col("__rnb_min")
+    )
+    bound_last = F.col("__c") + F.least(
+        F.col("__na") - F.col("__rna_max"), F.col("__nb") - F.col("__rnb_max")
+    )
     cand = (
         sized.groupBy("doc_a", "doc_b")
         .agg(
-            F.min("__rna").alias("__rna"),
-            F.min("__rnb").alias("__rnb"),
+            F.count(F.lit(1)).alias("__c"),
+            F.min("__rna").alias("__rna_min"),
+            F.min("__rnb").alias("__rnb_min"),
+            F.max("__rna").alias("__rna_max"),
+            F.max("__rnb").alias("__rnb_max"),
             F.max("__na").alias("__na"),
             F.max("__nb").alias("__nb"),
         )
-        .filter(
-            F.lit(1) + F.least(F.col("__na") - F.col("__rna"), F.col("__nb") - F.col("__rnb"))
-            >= alpha
-        )
+        .filter(F.least(bound_first, bound_last) >= alpha)
         .select("doc_a", "doc_b")
     )
     return _pair_jaccard(sh, cand, JACCARD_TAU)
@@ -586,14 +614,16 @@ def dedup_clusters(documents: DataFrame) -> DataFrame:
     turns pairwise dedup output into an actual training-set filter
     (pairs alone can't dedup A~B~C transitively).
 
-    Iterative min-label propagation: every doc starts as its own label;
-    each round replaces a label with the min over its neighbors'; stop at
-    fixpoint. The driver loop holds only a changed-row COUNT per round —
-    never data — and rounds are bounded by the component diameter (near-dup
-    clusters are shallow; a pathological chain still converges in
-    O(diameter) rounds). This label-propagation shape is the standard
-    large-graph CC approach; at trillion-edge scale you'd add the
-    large-star/small-star contraction, same plan skeleton.
+    Iterative min-label propagation WITH path halving: every doc starts
+    as its own label; each round takes the min over its neighbors' labels
+    (one hop), then jumps through the just-computed mapping
+    (label-of-label) — the pointer-jumping step that turns O(diameter)
+    convergence into O(log diameter). Labels are always node ids inside
+    the component and only ever decrease, so the jump is safe: at the
+    fixpoint every node carries the component min. The driver loop holds
+    only a changed-row COUNT per round — never data. This is the standard
+    large-graph CC skeleton (label propagation + pointer jumping, as in
+    the large-star/small-star formulation).
 
     The iteration runs ONLY over nodes that appear in an edge (near-dup
     graphs are sparse — the overwhelming singleton majority never enters
@@ -619,34 +649,38 @@ def dedup_clusters(documents: DataFrame) -> DataFrame:
             ).alias("e")
         ).select("e.src", "e.dst")
     )
+    # materializes the edge cache AND measures the iteration's working-set
+    # size — the statistic that drives the execution-parameter gate below
+    n_edges = edges.count()
     labels = persisted(
         edges.select(F.col("src").alias("doc_id"))
         .distinct()
         .select("doc_id", F.col("doc_id").alias("label"))
     )
-    while True:
-        neighbor_min = (
-            edges.join(labels, edges.src == labels.doc_id)
-            .groupBy(F.col("dst").alias("doc_id"))
-            .agg(F.min("label").alias("nlabel"))
-        )
-        new_labels = persisted(
-            labels.join(neighbor_min, "doc_id", "left")
-            .select(
-                "doc_id",
-                F.least(F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))).alias("label"),
-            )
-        )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels.unpersist()
-        labels = new_labels
-        if changed == 0:
-            break
+    # Right-size the FIXPOINT LOOP's execution to the measured graph: the
+    # iteration state is the edge list, not the corpus — near-dup graphs
+    # are tiny relative to their corpus. When it fits a handful of
+    # partitions, 32-way shuffles + AQE's per-stage re-planning dominate
+    # the per-round wall time (~3× measured at sf0.1), so pin a small
+    # static shuffle width for the loop only. A huge graph keeps the
+    # session's AQE + width (skew handling matters there). Confs are
+    # restored before the corpus-wide final join, which always runs with
+    # the session's scale settings.
+    spark = documents.sparkSession
+    small_graph = n_edges < 1_000_000
+    saved: dict[str, str] = {}
+    if small_graph:
+        for k, v in (
+            ("spark.sql.adaptive.enabled", "false"),
+            ("spark.sql.shuffle.partitions", "4"),
+        ):
+            saved[k] = spark.conf.get(k)
+            spark.conf.set(k, v)
+    try:
+        labels = _cc_fixpoint_loop(edges, labels)
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
     return (
         documents.select("doc_id")
         .join(labels.withColumnRenamed("label", "__cl"), "doc_id", "left")
@@ -656,6 +690,47 @@ def dedup_clusters(documents: DataFrame) -> DataFrame:
             (F.col("doc_id") == F.coalesce(F.col("__cl"), F.col("doc_id"))).alias("is_canonical"),
         )
     )
+
+
+def _cc_fixpoint_loop(edges: DataFrame, labels: DataFrame) -> DataFrame:
+    """Min-label propagation + path halving to fixpoint; returns the final
+    (doc_id, label) mapping (persisted). Driver holds only counts."""
+    from flink_cep_task_spark.operators.cache import persisted
+
+    cached = labels  # the persisted root of the current generation
+    while True:
+        neighbor_min = (
+            edges.join(labels, edges.src == labels.doc_id)
+            .groupBy(F.col("dst").alias("doc_id"))
+            .agg(F.min("label").alias("nlabel"))
+        )
+        # one-hop step; carry the previous label so the convergence count
+        # below needs no extra join against the old generation
+        stepped = labels.join(neighbor_min, "doc_id", "left").select(
+            "doc_id",
+            F.col("label").alias("old"),
+            F.least(F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))).alias("t"),
+        )
+        # pointer jump (path halving): label ← label-of-label through the
+        # PREVIOUS generation's mapping — `labels` is persisted, so this
+        # second join is against cached data, and t values are node ids
+        # whose labels only ever decrease, keeping the jump in-component.
+        jump = labels.select(F.col("doc_id").alias("t"), F.col("label").alias("tl"))
+        new_gen = persisted(
+            stepped.join(jump, "t", "left").select(
+                "doc_id",
+                "old",
+                F.least(F.col("t"), F.coalesce(F.col("tl"), F.col("t"))).alias("label"),
+            )
+        )
+        # this count is the action that materializes new_gen's cache AND
+        # decides convergence — one job per round, no old-vs-new join
+        changed = new_gen.filter(F.col("label") != F.col("old")).count()
+        cached.unpersist()
+        cached = new_gen
+        labels = new_gen.select("doc_id", "label")
+        if changed == 0:
+            return labels
 
 
 DEDUP_CLUSTERS_SQL = f"""

@@ -91,11 +91,15 @@ def test_dedup_exact_keeps_null_and_empty_texts(spark, ddb):
 
 
 def test_release_caches_leaves_no_cache_entries(spark):
-    """Long-lived-session hygiene: after consuming dedup results and
-    calling release_caches(), the session's CacheManager holds no entries —
-    the persisted shingle frames don't outlive the query."""
+    """Long-lived-session hygiene: release_caches() drops every per-query
+    cache (the heavy shingle frames); the deliberately session-shared tier
+    (the tiny verified pair set, reused by dedup_clusters) survives it and
+    is dropped by release_shared() — after both, the CacheManager is
+    empty."""
     from flink_cep_task_spark.operators import dedup as D
+    from flink_cep_task_spark.operators.cache import release_shared
 
+    release_shared()  # isolate from earlier tests' shared entries
     spark.catalog.clearCache()  # clean slate for the emptiness assertion
     docs = spark.createDataFrame(
         [(i, f"w{i} w{i+1} w{i+2} w{i+3} common tail text") for i in range(30)],
@@ -106,7 +110,8 @@ def test_release_caches_leaves_no_cache_entries(spark):
     cm = spark._jsparkSession.sharedState().cacheManager()
     assert not cm.isEmpty(), "expected the shingle frames to be cached"
     D.release_caches()
-    assert cm.isEmpty(), "release_caches left cache entries behind"
+    release_shared()
+    assert cm.isEmpty(), "release left cache entries behind"
 
 
 def test_dedup_clusters_equal_union_find(spark):
