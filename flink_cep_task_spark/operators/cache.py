@@ -14,14 +14,23 @@ from pyspark.sql import DataFrame
 _PERSISTED: list[DataFrame] = []
 
 # Session-shared tier: survives release_caches(). For tiny, deterministic
-# intermediates that MULTIPLE registered queries rebuild identically in one
-# session (e.g. the MinHash-LSH verified pair set feeds both the
-# dedup_minhash_lsh query and dedup_clusters' edge list). Spark's
-# CacheManager substitutes a cached relation into ANY later plan containing
-# a canonically-identical fragment, so the second query hits this cache
-# without holding a Python reference — the dict exists only to dedupe
-# persist() calls and to release on demand. Keep entries SMALL (verified
-# pair sets, not shingle explosions): they live for the whole session.
+# result sets that MULTIPLE registered queries rebuild identically in one
+# session (the MinHash-LSH verified pair set feeds both the
+# dedup_minhash_lsh query and dedup_clusters' edge list; the kNN/LSH/IVF
+# top-k sets feed ann_recall_report). Entries are localCheckpoint()ed,
+# not persist()ed: a persist()ed entry's plan still CONTAINS the
+# per-query-persisted subplans (hashed shingles, normalized vectors), and
+# unpersisting those in release_caches() makes Spark recompile the
+# dependent cache entry and DROP its materialized buffers — measured as
+# the shared tier silently losing its data on every query boundary. The
+# checkpoint truncates lineage to a materialized RDD, so nothing
+# release_caches() touches can invalidate it. Reuse happens through the
+# producing function: a canonically-identical build returns the stored
+# handle from this dict. Keep entries SMALL (verified pair sets, top-k
+# lists — not corpus-sized intermediates): they live for the whole
+# session, and a local checkpoint trades lineage-based recovery for
+# speed (an executor loss would fail the job instead of recomputing —
+# the right trade for kilobyte model/audit outputs, wrong for data).
 _SHARED: dict[str, DataFrame] = {}
 
 
@@ -35,7 +44,7 @@ def persisted_shared(df: DataFrame) -> DataFrame:
     key = df._jdf.queryExecution().analyzed().canonicalized().toString()
     if key in _SHARED:
         return _SHARED[key]
-    p = df.persist()
+    p = df.localCheckpoint(eager=False)
     _SHARED[key] = p
     return p
 
@@ -49,7 +58,10 @@ def release_caches() -> None:
 
 
 def release_shared() -> None:
-    """Unpersist the session-shared tier too (tests / session teardown)."""
+    """Drop the session-shared tier too (tests / session teardown)."""
     for p in _SHARED.values():
-        p.unpersist()
+        try:
+            p.rdd.unpersist()
+        except Exception:
+            pass  # never-materialized lazy checkpoint
     _SHARED.clear()

@@ -104,8 +104,15 @@ def knn_bruteforce(embeddings: DataFrame) -> DataFrame:
             Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
         ),
     )
-    return ranked.filter(F.col("rnk") <= TOP_K).select(
-        "query_id", "neighbor_id", "cosine", "rnk"
+    # session-shared: |Q| x k rows of model-audit output, rebuilt
+    # canonically-identically by ann_recall_report — whichever materializes
+    # first, the other hits the cache (see cache.persisted_shared)
+    from flink_cep_task_spark.operators.cache import persisted_shared
+
+    return persisted_shared(
+        ranked.filter(F.col("rnk") <= TOP_K).select(
+            "query_id", "neighbor_id", "cosine", "rnk"
+        )
     )
 
 
@@ -243,8 +250,15 @@ def ann_lsh(embeddings: DataFrame) -> DataFrame:
             Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
         ),
     )
-    return ranked.filter(F.col("rnk") <= TOP_K).select(
-        "query_id", "neighbor_id", "cosine", "rnk"
+    # session-shared: |Q| x k rows of model-audit output, rebuilt
+    # canonically-identically by ann_recall_report — whichever materializes
+    # first, the other hits the cache (see cache.persisted_shared)
+    from flink_cep_task_spark.operators.cache import persisted_shared
+
+    return persisted_shared(
+        ranked.filter(F.col("rnk") <= TOP_K).select(
+            "query_id", "neighbor_id", "cosine", "rnk"
+        )
     )
 
 
@@ -601,8 +615,15 @@ def ann_ivf(embeddings: DataFrame) -> DataFrame:
             Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
         ),
     )
-    return ranked.filter(F.col("rnk") <= TOP_K).select(
-        "query_id", "neighbor_id", "cosine", "rnk"
+    # session-shared: |Q| x k rows of model-audit output, rebuilt
+    # canonically-identically by ann_recall_report — whichever materializes
+    # first, the other hits the cache (see cache.persisted_shared)
+    from flink_cep_task_spark.operators.cache import persisted_shared
+
+    return persisted_shared(
+        ranked.filter(F.col("rnk") <= TOP_K).select(
+            "query_id", "neighbor_id", "cosine", "rnk"
+        )
     )
 
 
