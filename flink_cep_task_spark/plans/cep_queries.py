@@ -248,7 +248,7 @@ def q_live_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = build_live_cep(metrics, spark, store.path, watermark="1 minute")
     name = f"live_cep_{uuid.uuid4().hex[:8]}"
-    with _shuffle_partitions(spark, 16):
+    with _shuffle_partitions(spark, 8):
         q = (
             out.writeStream.format("memory").queryName(name).outputMode("append")
             .option("checkpointLocation", os.path.join(work, f"ckpt_{name}"))
@@ -291,7 +291,7 @@ def q_streaming_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     assert global_s is None
     name = f"native_cep_{uuid.uuid4().hex[:8]}"
-    with _shuffle_partitions(spark, 16):
+    with _shuffle_partitions(spark, 8):
         run_to_memory(windowed, name, "append", os.path.join(work, f"ckpt_{name}"), timeout_s=600)
     return spark.table(name).filter(~F.col("group_id").contains("zz_flush"))
 
@@ -335,7 +335,7 @@ def q_global_live(spark: SparkSession, sf_dir: str) -> DataFrame:
         for row in batch_df.collect():  # gated UPDATED rows only — small
             last[(row.rule_id, row.group_id)] = tuple(row)
 
-    with _shuffle_partitions(spark, 16):
+    with _shuffle_partitions(spark, 8):
         q = run_live_cep_global(
             metrics, spark, store.path, sink,
             os.path.join(work, f"ckpt_glob_{uuid.uuid4().hex[:8]}"),

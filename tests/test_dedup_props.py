@@ -151,3 +151,44 @@ def test_dedup_clusters_equal_union_find(spark):
         expected = comp_min[find(doc)] if doc in parent else doc
         assert got[doc] == (expected, doc == expected), f"doc {doc}"
     assert len(edges) > 0, "fixture produced no near-dup edges — vacuous test"
+
+
+def test_shared_tier_reuses_one_handle_and_survives_release(spark):
+    """The session-shared tier must (a) return the SAME checkpointed
+    handle for a canonically-identical rebuild — that identity is what
+    lets dedup_clusters / ann_recall_report skip whole pipelines — and
+    (b) keep its materialized data across release_caches(), the per-query
+    cache boundary (a persist()-backed tier silently lost its buffers
+    there: Spark recompiles dependent cache entries when a subplan is
+    unpersisted)."""
+    from flink_cep_task_spark.operators import dedup as D
+    from flink_cep_task_spark.operators.cache import release_shared
+
+    release_shared()
+    docs = spark.createDataFrame(
+        [(i, f"w{i} w{i+1} w{i+2} w{i+3} common tail text") for i in range(30)],
+        ["doc_id", "text"],
+    )
+    first = D.dedup_minhash_lsh(docs)
+    first.collect()  # materialize the lazy checkpoint
+    D.release_caches()
+    second = D.dedup_minhash_lsh(docs)
+    assert second is first, "canonically-identical rebuild missed the shared tier"
+    release_shared()
+
+
+def test_dedup_clusters_restores_session_confs(spark):
+    """The small-graph fixpoint loop pins AQE off and a narrow shuffle
+    width for its own jobs only — the session confs must come back even
+    though the sf0.001 graph takes the small path."""
+    from flink_cep_task_spark.operators.dedup import dedup_clusters
+    from tests.conftest import SF_DIR
+    from flink_cep_task_spark.sources.tables import load_table
+
+    before = {
+        k: spark.conf.get(k)
+        for k in ("spark.sql.adaptive.enabled", "spark.sql.shuffle.partitions")
+    }
+    dedup_clusters(load_table(spark, SF_DIR, "documents")).collect()
+    after = {k: spark.conf.get(k) for k in before}
+    assert after == before, f"session confs not restored: {after} != {before}"
