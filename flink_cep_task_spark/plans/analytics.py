@@ -486,6 +486,25 @@ SELECT (SELECT count(*) FROM s) AS n_signup,
 """
 
 
+def skewsafe_user_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-event-type distinct-user counts via the salted two-phase
+    aggregation (operators/skew.py): phase 1 shards each group over
+    salt(user_id) sub-groups (a hot event_type spreads across reducers
+    instead of melting one), phase 2 sums the disjoint exact partials.
+    Result-identical to plain COUNT(DISTINCT) — the oracle is the plain
+    SQL — but the plan survives a key whose row count is the corpus."""
+    from flink_cep_task_spark.operators.skew import salted_two_phase_distinct
+
+    ev = load_table(spark, sf_dir, "events")
+    return salted_two_phase_distinct(ev, ["event_type"], "user_id")
+
+
+SKEWSAFE_DISTINCT_SQL = """
+SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct
+FROM events GROUP BY event_type
+"""
+
+
 ANALYTICS_QUERIES: dict[str, tuple] = {
     "topk_users_per_type": (topk_users_per_type, TOPK_SQL),
     "sessionize_events": (sessionize, SESSION_SQL),
@@ -504,4 +523,5 @@ ANALYTICS_QUERIES: dict[str, tuple] = {
     # past the driver gate (registry.OVERFLOW_LAST); locally oracle-gated
     "funnel_signup_click_purchase": (funnel_signup_click_purchase, FUNNEL_SQL),
     "moving_avg_user_value": (moving_avg_user_value, MOVING_AVG_SQL),
+    "skewsafe_user_distinct": (skewsafe_user_distinct, SKEWSAFE_DISTINCT_SQL),
 }

@@ -65,6 +65,8 @@ OVERFLOW_LAST = (
     "ann_recall_report",
     "moving_avg_user_value",
     "ivf_cell_report",
+    # round-6 additions
+    "skewsafe_user_distinct",
 )
 
 

@@ -1,59 +1,72 @@
-"""Skew resilience of the CEP fan-out → groupBy pipeline (the docstring
-promise at operators/fanout.py): one dominant (rule, group) must not
-serialize the plan. The aggregation is safe by construction — Catalyst's
-partial (map-side) hash aggregation collapses each partition's share of the
-hot group to one row per (group, window) BEFORE the shuffle, so the hot
-group's reduce-side work is O(partitions), not O(rows) — and AQE skew
-handling (session.py) covers the join stages. This test pins that property
-with a 90 %-in-one-group workload at data-parallel scale."""
+"""Skew-mitigation primitives must be RESULT-IDENTICAL to their plain
+forms (the whole point: the salt is an execution detail that never leaks
+into results), and the salted plans must actually shard hot keys."""
 
 from __future__ import annotations
 
-import time
-
 from pyspark.sql import functions as F
 
-from flink_cep_task_spark.plans.cep import evaluate_rules
-from flink_cep_task_spark.rules import Rule
-
-N_ROWS = 400_000
-N_GROUPS = 1_000
-RULE = Rule(
-    rule_id=1, window_type="tumbling", window_minutes=1440,
-    grouping_keys=("t_user",), agg_type="SUM", agg_field="m",
-    limit_op=">", limit="0",
+from flink_cep_task_spark.operators.skew import (
+    salted_join,
+    salted_two_phase_distinct,
 )
 
 
-def _metrics(spark, skewed: bool):
-    base_s = 1_700_000_000
-    user = (
-        F.when(F.col("id") % 10 < 9, F.lit(0)).otherwise(F.col("id") % N_GROUPS)
-        if skewed
-        else F.col("id") % N_GROUPS
+def _skewed_df(spark):
+    # one molten key (90% of rows) + a long tail
+    hot = spark.range(9000).select(
+        F.lit("hot").alias("k"), (F.col("id") % 137).alias("u")
     )
-    return spark.range(N_ROWS).select(
-        F.timestamp_seconds(F.lit(base_s) + (F.col("id") % 1_209_600)).alias("event_time"),
-        F.create_map(F.lit("t_user"), user.cast("string")).alias("tags"),
-        F.create_map(F.lit("m"), (F.col("id") % 100).cast("decimal(18,2)")).alias("metrics"),
+    tail = spark.range(1000).select(
+        F.concat(F.lit("t"), (F.col("id") % 50).cast("string")).alias("k"),
+        (F.col("id") % 29).alias("u"),
     )
+    return hot.unionAll(tail)
 
 
-def _run(spark, skewed: bool) -> tuple[float, int]:
-    df = evaluate_rules(spark, _metrics(spark, skewed), [RULE])
-    t0 = time.perf_counter()
-    n = df.count()
-    return time.perf_counter() - t0, n
+def test_salted_distinct_matches_plain(spark):
+    df = _skewed_df(spark)
+    got = {
+        r.k: r.n_distinct
+        for r in salted_two_phase_distinct(df, ["k"], "u").collect()
+    }
+    exp = {
+        r.k: r.n
+        for r in df.groupBy("k").agg(F.count_distinct("u").alias("n")).collect()
+    }
+    assert got == exp and got["hot"] == 137
 
 
-def test_dominant_group_does_not_serialize_the_plan(spark):
-    _run(spark, False)  # warm-up: codegen + shuffle machinery
-    uniform_t, uniform_n = _run(spark, False)
-    skew_t, skew_n = _run(spark, True)
-    assert uniform_n > 0 and skew_n > 0
-    # identical row volume, 90% of it in ONE group: partial aggregation
-    # must keep the skewed run within ~2x of the uniform one (allow a bit
-    # of headroom for timing noise on a shared machine)
-    assert skew_t <= max(2.5 * uniform_t, uniform_t + 2.0), (
-        f"skewed run {skew_t:.2f}s vs uniform {uniform_t:.2f}s"
+def test_salted_distinct_shards_the_first_exchange(spark):
+    df = _skewed_df(spark)
+    plan = (
+        salted_two_phase_distinct(df, ["k"], "u")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
     )
+    # phase-1 exchange must partition on (k, salt), not k alone — that is
+    # the property that spreads a hot key over many reducers. Catalyst
+    # inlines the salt alias as _groupingexpression in the physical plan.
+    first_ex = plan.split("Exchange hashpartitioning")[-1].split("\n")[0]
+    assert "_groupingexpression" in first_ex or "__salt" in first_ex, first_ex
+    assert "xxhash64" in plan  # the deterministic salt expression survived
+
+
+def test_salted_join_matches_plain(spark):
+    big = _skewed_df(spark)
+    dim = spark.createDataFrame(
+        [("hot", "H")] + [(f"t{i}", f"T{i}") for i in range(50)], ["dk", "label"]
+    )
+    got = salted_join(big, dim, "k", "dk", n_salts=8)
+    exp = big.join(dim, big.k == dim.dk)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, exp.collect()))
+    assert got.columns == exp.columns
+
+
+def test_salted_join_left_keeps_unmatched(spark):
+    big = _skewed_df(spark)
+    dim = spark.createDataFrame([("hot", "H")], ["dk", "label"])
+    got = salted_join(big, dim, "k", "dk", n_salts=4, how="left")
+    exp = big.join(dim, big.k == dim.dk, "left")
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, exp.collect()))
