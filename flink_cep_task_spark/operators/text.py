@@ -39,12 +39,26 @@ def tokens(c: Column) -> Column:
     return F.split(norm_text(c), r"\s+")
 
 
-def text_stats(documents: DataFrame) -> DataFrame:
-    """Per-document token/char statistics + a deterministic quality score.
+def _quality_score() -> "Column":
+    """The rounded quality expression shared by text_stats (per-doc
+    report) and corpus_quality_report (one-pass rollup) — keeping the two
+    bit-identical so the rollup needs no join back to the per-doc query.
 
     quality = min(1, n_tokens/100) * (1 - stopword_ratio): a stand-in for
-    the usual length/stopword gating used to filter LLM training text.
-    """
+    the usual length/stopword gating used to filter LLM training text."""
+    toks = tokens(F.col("text"))
+    n_tokens = F.size(toks)
+    n_stop = F.size(F.filter(toks, lambda x: x.isin(*STOPWORDS)))
+    stop_ratio = n_stop.cast("double") / n_tokens
+    quality = F.least(F.lit(1.0), n_tokens.cast("double") / 100.0) * (
+        F.lit(1.0) - stop_ratio
+    )
+    return F.round(quality, 6)
+
+
+def text_stats(documents: DataFrame) -> DataFrame:
+    """Per-document token/char statistics + a deterministic quality score
+    (see _quality_score)."""
     t = norm_text(F.col("text"))
     toks = tokens(F.col("text"))
     n_tokens = F.size(toks)
@@ -52,7 +66,6 @@ def text_stats(documents: DataFrame) -> DataFrame:
     alpha_len = F.length(F.regexp_replace(t, r"\s", ""))
     punct_len = F.length(F.regexp_replace(t, r"[a-z0-9\s]", ""))
     stop_ratio = n_stop.cast("double") / n_tokens
-    quality = F.least(F.lit(1.0), n_tokens.cast("double") / 100.0) * (F.lit(1.0) - stop_ratio)
     return documents.select(
         "doc_id",
         n_tokens.cast("long").alias("n_tokens"),
@@ -60,7 +73,7 @@ def text_stats(documents: DataFrame) -> DataFrame:
         F.round(stop_ratio, 6).alias("stopword_ratio"),
         F.round(alpha_len.cast("double") / n_tokens, 6).alias("avg_token_len"),
         F.round(punct_len.cast("double") / F.length(t), 6).alias("punct_ratio"),
-        F.round(quality, 6).alias("quality_score"),
+        _quality_score().alias("quality_score"),
     )
 
 
@@ -88,8 +101,12 @@ def corpus_quality_report(documents: DataFrame) -> DataFrame:
     gate, mean quality. Quality is cast to DECIMAL(9,6) before summing so
     the mean is exact and order-independent (a double sum would make the
     two engines disagree in the last ulp under different partitionings)."""
-    stats = text_stats(documents).select("doc_id", "quality_score")
-    joined = documents.select("doc_id", "source", "lang").join(stats, "doc_id")
+    # one pass: the quality expression projects next to source/lang on the
+    # same scan (it shares _quality_score with text_stats bit-for-bit), so
+    # no join back to the per-doc query and no second scan of documents
+    joined = documents.select(
+        "source", "lang", _quality_score().alias("quality_score")
+    )
     q = F.col("quality_score").cast("decimal(9,6)")
     return (
         joined.groupBy("source", "lang")
@@ -245,11 +262,20 @@ def tfidf_top_terms(documents: DataFrame, k: int = TFIDF_TOP_K) -> DataFrame:
     broken by term."""
     from pyspark.sql.window import Window as W
 
+    from flink_cep_task_spark.operators.cache import persisted
+
     toks = documents.select(
         "doc_id", F.explode(tokens(F.col("text"))).alias("tok")
     )
-    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
-    df_ = toks.groupBy("tok").agg(F.count_distinct("doc_id").alias("df"))
+    # tf feeds BOTH branches: df (document frequency) is just the row
+    # count per term over tf — (doc_id, tok) rows are already distinct —
+    # so the corpus-wide tokenize+explode and its shuffle run ONCE
+    # (separate tf/df aggregations over `toks` executed the explode twice:
+    # different shuffle keys, no exchange reuse).
+    tf = persisted(
+        toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_ = tf.groupBy("tok").agg(F.count(F.lit(1)).cast("long").alias("df"))
     n = documents.select(F.count(F.lit(1)).alias("n"))
     scored = (
         tf.join(df_, "tok")
@@ -581,11 +607,16 @@ def unigram_logprob_score(documents: DataFrame) -> DataFrame:
     the per-doc fold is a second aggregate on doc_id. Total: two shuffles
     (vocab fit, doc fold), both map-side combined. ln() runs on the same
     IEEE doubles in both engines; the 6dp round absorbs libm ulps."""
-    toks = documents.select(
-        "doc_id", F.explode(tokens(F.col("text"))).alias("tok")
+    from flink_cep_task_spark.operators.cache import persisted
+
+    # three consumers (vocab fit, total, scoring join) — persist the
+    # exploded stream so the corpus tokenization runs once per query, and
+    # derive the total from the vocab counts instead of a third pass
+    toks = persisted(
+        documents.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
     )
     vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
-    total = toks.agg(F.count(F.lit(1)).cast("double").alias("__total"))
+    total = vocab.agg(F.sum("c").cast("double").alias("__total"))
     scored = (
         toks.join(F.broadcast(vocab), "tok")
         .join(F.broadcast(total))
