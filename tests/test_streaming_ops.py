@@ -244,3 +244,30 @@ def test_enrich_stream_matches_batch(spark, tmp_path):
     key = lambda r: (r.event_id, r.user, r.segment)
     assert sorted(map(key, got.collect())) == sorted(map(key, batch.collect()))
     assert got.filter(F.col("segment").isNull()).count() > 0  # left-join kept
+
+
+def test_rocksdb_state_store_matches_default_provider(spark):
+    """Scale story for streaming state: the default HDFS-backed state
+    store holds every key in executor heap — at 100 TB key cardinalities
+    the store must spill, which Spark's built-in RocksDB provider does
+    natively. This proves the engine's streaming path runs unmodified on
+    RocksDB state and produces bit-identical results, so the provider is
+    a pure deployment conf (set spark.sql.streaming.stateStore.
+    providerClass on the cluster), not a code change."""
+    from flink_cep_task_spark.plans.cep_queries import q_streaming_windows
+    from tests.conftest import SF_DIR
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    default = spark.conf.get(key)
+    baseline = sorted(map(tuple, q_streaming_windows(spark, SF_DIR).collect()))
+    assert baseline, "empty baseline makes the comparison vacuous"
+    try:
+        spark.conf.set(
+            key,
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        )
+        rocks = sorted(map(tuple, q_streaming_windows(spark, SF_DIR).collect()))
+    finally:
+        spark.conf.set(key, default)
+    assert rocks == baseline
