@@ -816,3 +816,65 @@ SELECT doc_id, count(*) AS n_passages,
 FROM ch JOIN cd USING (ck)
 GROUP BY doc_id
 """
+
+
+# --- dedup retention report (clusters applied as a corpus filter) ---------
+
+def dedup_retention_report(documents: DataFrame) -> DataFrame:
+    """Apply near-dup clustering as an actual corpus filter and report the
+    per-source retention: docs/chars kept when only each cluster's
+    canonical (min doc_id) survives. This is the decision artifact of a
+    dedup run — "how much of each source did dedup remove" — computed
+    WITHOUT materializing a filtered copy of the corpus: the cluster map
+    covers only docs that appear in a near-dup edge (sparse), the join
+    back to documents is a left join on doc_id, and the rollup is one
+    map-side-combinable aggregate per source. At 100 TB the corpus scan
+    dominates; nothing here is quadratic or driver-side."""
+    clusters = dedup_clusters(documents).select("doc_id", "is_canonical")
+    keep = F.col("is_canonical").cast("long")
+    return (
+        documents.select("doc_id", "source", "n_chars")
+        .join(clusters, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(keep).alias("n_kept"),
+            F.sum("n_chars").alias("chars_total"),
+            F.sum(F.col("n_chars") * keep).alias("chars_kept"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_kept",
+            (F.col("n_docs") - F.col("n_kept")).alias("n_dropped"),
+            "chars_total",
+            "chars_kept",
+            F.round(F.col("n_kept").cast("double") / F.col("n_docs"), 6).alias(
+                "doc_retention"
+            ),
+            F.round(
+                F.col("chars_kept").cast("double") / F.col("chars_total"), 6
+            ).alias("char_retention"),
+        )
+    )
+
+
+DEDUP_RETENTION_SQL = f"""
+WITH clusters AS (
+  {DEDUP_CLUSTERS_SQL}
+)
+SELECT d.source,
+       count(*) AS n_docs,
+       CAST(sum(CASE WHEN c.is_canonical THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       count(*) - CAST(sum(CASE WHEN c.is_canonical THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dropped,
+       CAST(sum(d.n_chars) AS BIGINT) AS chars_total,
+       CAST(sum(CASE WHEN c.is_canonical THEN d.n_chars ELSE 0 END) AS BIGINT)
+         AS chars_kept,
+       round(CAST(sum(CASE WHEN c.is_canonical THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*), 6) AS doc_retention,
+       round(CAST(sum(CASE WHEN c.is_canonical THEN d.n_chars ELSE 0 END) AS DOUBLE)
+             / sum(d.n_chars), 6) AS char_retention
+FROM documents d JOIN clusters c USING (doc_id)
+GROUP BY d.source
+"""

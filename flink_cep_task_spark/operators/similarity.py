@@ -472,6 +472,66 @@ GROUP BY f.vec_id, a.scale_micro
 """
 
 
+# --- per-dimension corpus audit -------------------------------------------
+
+def embedding_dim_stats(embeddings: DataFrame) -> DataFrame:
+    """Per-DIMENSION distribution audit over the whole embedding corpus:
+    n / mean / std / min / max for each of the DIM coordinates — the
+    data-quality report that catches dead dimensions, clipped values, and
+    scale drift before vectors enter an index.
+
+    Scale shape: posexplode fans each vector into DIM rows, but partial
+    aggregation collapses them map-side to at most DIM rows per task
+    BEFORE the exchange — the shuffle moves O(DIM × tasks) rows no matter
+    the corpus size, and the final agg is over a fixed 64-key space.
+    Determinism: all sums run over the exact micro-unit integers (sum of
+    squares in DECIMAL(38,0) — int64 would overflow past ~2^15 rows ×
+    2^48 per-term); only the final mean/std division is floating point,
+    with the identical operand values and operation order in both
+    engines. min/max are reported in exact micro-units."""
+    flat = embeddings.select(
+        "vec_id", F.posexplode(_vec_int(F.col("embedding"))).alias("i", "v")
+    )
+    agg = flat.groupBy(F.col("i").cast("long").alias("dim")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("v").alias("__s"),
+        F.sum((F.col("v") * F.col("v")).cast("decimal(38,0)")).alias("__ss"),
+        F.min("v").alias("min_micro"),
+        F.max("v").alias("max_micro"),
+    )
+    s_d = F.col("__s").cast("double")
+    ss_d = F.col("__ss").cast("double")
+    n = F.col("n")
+    m = s_d / n
+    return agg.select(
+        "dim",
+        "n",
+        F.round(s_d / n / F.lit(1000000.0), 6).alias("mean"),
+        F.round(
+            F.sqrt(F.greatest(ss_d / n - m * m, F.lit(0.0))) / F.lit(1000000.0), 6
+        ).alias("std"),
+        "min_micro",
+        "max_micro",
+    )
+
+
+EMBEDDING_DIM_STATS_SQL = f"""
+WITH {_FLAT_CTE}
+SELECT CAST(i - 1 AS BIGINT) AS dim,
+       count(*) AS n,
+       round(CAST(sum(v) AS DOUBLE) / count(*) / 1000000.0, 6) AS mean,
+       round(sqrt(greatest(
+               CAST(sum(v * v) AS DOUBLE) / count(*)
+               - (CAST(sum(v) AS DOUBLE) / count(*))
+                 * (CAST(sum(v) AS DOUBLE) / count(*)), 0))
+             / 1000000.0, 6) AS std,
+       min(v) AS min_micro,
+       max(v) AS max_micro
+FROM flat
+GROUP BY i
+"""
+
+
 # --- IVF (inverted-file) ANN ---------------------------------------------
 
 IVF_CENTROID_IDS = list(range(10, 26))  # 16 k-means SEEDS (fixed vec_ids,

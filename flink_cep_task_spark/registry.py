@@ -67,6 +67,9 @@ OVERFLOW_LAST = (
     "ivf_cell_report",
     # round-6 additions
     "skewsafe_user_distinct",
+    "range_join_clicks",
+    "dedup_retention_report",
+    "embedding_dim_stats",
 )
 
 

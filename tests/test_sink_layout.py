@@ -1,0 +1,61 @@
+"""Partitioned-dataset sink: the write produces a hive-layout directory
+per partition value, and a read-back filter on the partition column is
+satisfied by PLANNING-TIME pruning (PartitionFilters in the scan node,
+non-matching files never opened) — the data-layout half of the 100 TB
+story, complementing tests/test_bucketing.py's shuffle-free bucketed
+joins."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from flink_cep_task_spark.sources.sink import (
+    events_by_day,
+    read_partitioned,
+    write_partitioned,
+)
+from tests.conftest import SF_DIR
+
+
+def test_partitioned_write_layout_and_pruning(spark, tmp_path):
+    path = str(tmp_path / "events_by_type")
+    ev = events_by_day(spark, SF_DIR)
+    write_partitioned(ev, path, ["event_type"])
+
+    # hive layout: one directory per partition value
+    dirs = sorted(d for d in os.listdir(path) if d.startswith("event_type="))
+    types = sorted(
+        r[0] for r in ev.select("event_type").distinct().collect()
+    )
+    assert dirs == [f"event_type={t}" for t in types]
+
+    back = read_partitioned(spark, path)
+    filtered = back.filter(F.col("event_type") == "purchase")
+
+    # the filter must land in the scan's PartitionFilters (planning-time
+    # pruning), not as a post-scan data filter
+    plan = filtered._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    pf_line = next(l for l in plan.splitlines() if "PartitionFilters" in l)
+    assert "event_type" in pf_line
+
+    # values round-trip (partition column recovered from the directory)
+    want = ev.filter(F.col("event_type") == "purchase").count()
+    assert filtered.count() == want
+
+
+def test_partitioned_write_bounds_file_count(spark, tmp_path):
+    """The pre-shuffle keys output files to partition values: each value's
+    directory holds a bounded number of parquet files, not one per
+    upstream task (small-files explosion)."""
+    path = str(tmp_path / "events_files")
+    ev = events_by_day(spark, SF_DIR).repartition(8)  # many upstream tasks
+    write_partitioned(ev, path, ["event_type"])
+    for d in os.listdir(path):
+        if not d.startswith("event_type="):
+            continue
+        files = [f for f in os.listdir(os.path.join(path, d)) if f.endswith(".parquet")]
+        # without the repartition-by-partition-col this would be ~8 per dir
+        assert len(files) <= 2, f"{d}: {len(files)} files"
