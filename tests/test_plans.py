@@ -172,3 +172,15 @@ def test_doc_fingerprint_runs_udf_once(spark):
     # ArrowEvalPython that re-runs the UDF single-threaded pre-exchange
     plan = _plan(spark, "doc_fingerprint")
     assert plan.count("ArrowEvalPython") == 1, "fingerprint UDF evaluated more than once"
+
+
+def test_range_join_is_equi_join_not_nested_loop(spark):
+    # the banded time-range join's reason to exist: the band predicate is
+    # carried by an EQUI join on (user_id, bucket) with the range as a
+    # post-join filter — a raw theta join would plan as a
+    # BroadcastNestedLoopJoin (per-user cross product, quadratic in hot
+    # users)
+    plan = _plan(spark, "range_join_clicks")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
