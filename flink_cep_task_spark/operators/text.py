@@ -655,3 +655,76 @@ FROM (
 )
 GROUP BY doc_id
 """
+
+
+# --- RAG / embedding chunking ---------------------------------------------
+
+CHUNK_WORDS = 64    # chunk length (words)
+CHUNK_STRIDE = 48   # stride (words) — 16-word overlap between neighbors
+CHUNK_MIN_WORDS = 8  # a trailing fragment shorter than this is dropped
+
+
+def chunk_documents(
+    documents: DataFrame,
+    size: int = CHUNK_WORDS,
+    stride: int = CHUNK_STRIDE,
+    min_words: int = CHUNK_MIN_WORDS,
+) -> DataFrame:
+    """Overlapping fixed-word-window chunking — the document→chunk
+    primitive of an embedding/RAG pipeline (each chunk later becomes an
+    embedding row; the overlap keeps boundary context). Complements
+    pack_sequences (which PACKS docs into contexts) and dedup_passages
+    (which hashes disjoint passages for dedup).
+
+    Emits (doc_id, chunk_idx, start_word, n_words, chunk_md5) — the md5
+    is the chunk's content key for downstream chunk-level dedup. Chunk
+    count is closed-form (floor((n-min)/stride)+1 for docs with n ≥ min
+    words), so the explode is a bounded Generate with no post-filter; all
+    per-chunk work is JVM-side array slicing on the already-split token
+    array (one split per doc, never per chunk)."""
+    w = tokens(F.col("text"))
+    base = (
+        documents.select("doc_id", w.alias("__w"))
+        .withColumn("__n", F.size("__w"))
+        .filter(F.col("__n") >= min_words)
+    )
+    last_i = F.floor((F.col("__n") - F.lit(min_words)) / F.lit(stride)).cast("int")
+    chunks = base.select(
+        "doc_id",
+        "__w",
+        "__n",
+        F.explode(F.sequence(F.lit(0), last_i)).alias("i"),
+    )
+    start = F.col("i").cast("long") * stride
+    return chunks.select(
+        "doc_id",
+        F.col("i").cast("long").alias("chunk_idx"),
+        start.alias("start_word"),
+        F.least(F.col("__n").cast("long") - start, F.lit(size).cast("long")).alias(
+            "n_words"
+        ),
+        F.md5(
+            F.concat_ws(" ", F.slice("__w", F.col("i") * stride + 1, size))
+        ).alias("chunk_md5"),
+    )
+
+
+CHUNK_DOCUMENTS_SQL = f"""
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS w,
+         len(regexp_split_to_array(lower(trim(text)), '\\s+')) AS n
+  FROM documents
+)
+SELECT doc_id,
+       i AS chunk_idx,
+       i * {CHUNK_STRIDE} AS start_word,
+       least(n - i * {CHUNK_STRIDE}, {CHUNK_WORDS}) AS n_words,
+       md5(array_to_string(
+         w[(i * {CHUNK_STRIDE} + 1):(i * {CHUNK_STRIDE} + {CHUNK_WORDS})], ' '))
+         AS chunk_md5
+FROM t,
+     LATERAL (SELECT unnest(range(
+       CAST(floor((n - {CHUNK_MIN_WORDS}) / CAST({CHUNK_STRIDE} AS DOUBLE)) AS BIGINT) + 1
+     )) AS i) s
+WHERE n >= {CHUNK_MIN_WORDS}
+"""

@@ -180,8 +180,25 @@ def evaluate_session_windows(fanned: DataFrame, round_digits: int = 4) -> DataFr
         F.col("__w.start").cast("long").alias("window_start"),
         F.col("__w.end").cast("long").alias("window_end"),
         "agg_type",
-        F.round("agg_value", round_digits).alias("agg_value"),
+        round_half_up("agg_value", round_digits).alias("agg_value"),
     )
+
+
+def round_half_up(col, digits: int = 4):
+    """floor(x·10^d + 0.5)/10^d — the ONE rounding formula every engine
+    surface (batch, live streaming, DuckDB oracle) applies to agg_value.
+
+    F.round (JVM BigDecimal HALF_UP on the double's shortest decimal
+    repr) and DuckDB's round() (scaled-multiply on the raw binary double)
+    disagree when x·10^d lands within one ulp of a half — e.g. an AVG of
+    exact cents whose double quotient prints as ...22.86125: Spark
+    rounded it 22.8613, DuckDB 22.8612 (found by cep_many_rules at
+    sf0.01). The floor form is pure double arithmetic — multiply, add,
+    floor — reproducible bit-for-bit in Spark, Python, and DuckDB since
+    the unrounded agg_value is itself identical (exact decimal sums /
+    integer counts)."""
+    scale = F.lit(float(10 ** digits))
+    return (F.floor(F.col(col) * scale + F.lit(0.5)) / scale).cast("double")
 
 
 def evaluate_windows(fanned: DataFrame, round_digits: int = 4) -> DataFrame:
@@ -199,5 +216,5 @@ def evaluate_windows(fanned: DataFrame, round_digits: int = 4) -> DataFrame:
         "window_start",
         "window_end",
         "agg_type",
-        F.round("agg_value", round_digits).alias("agg_value"),
+        round_half_up("agg_value", round_digits).alias("agg_value"),
     )

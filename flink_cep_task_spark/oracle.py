@@ -65,8 +65,14 @@ def _rule_sql(r: Rule, events: str = "events") -> str:
     head = (
         f"SELECT CAST({r.rule_id} AS INTEGER) AS rule_id, {group_id} AS group_id"
     )
+    # floor(x·1e4 + 0.5)/1e4, NOT round(x, 4): DuckDB's round works on the
+    # raw binary double while Spark's F.round re-parses the shortest repr —
+    # they disagree within one ulp of a half. The engine rounds agg_value
+    # with this exact double formula everywhere (operators.windows.
+    # round_half_up), so the oracle must too.
     tail = (
-        f"'{r.agg_type}' AS agg_type, round({val}, 4) AS agg_value"
+        f"'{r.agg_type}' AS agg_type, "
+        f"floor(({val}) * 10000.0 + 0.5) / 10000.0 AS agg_value"
     )
     if r.window_type == "tumbling":
         size = r.window_minutes * 60

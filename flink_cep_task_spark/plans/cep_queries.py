@@ -474,6 +474,34 @@ def q_jsonline_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return evaluate_rules(spark, metrics, [R_TUMBLING_SUM])
 
 
+# Rule-COUNT scaling: the reference caps at whatever fits its per-task
+# broadcast state; our fan-out treats rules as DATA (a broadcast table
+# feeding one CASE-dispatched window plan), so the physical plan is
+# rule-count-INVARIANT — 12 rules compile the same plan as 1, only the
+# fan-out row multiplier grows. This set sweeps window types × aggs ×
+# key-sets × comparators in a single evaluation; the oracle is the
+# auto-generated UNION ALL of the 12 per-rule SQL queries.
+MANY_RULES = [
+    Rule(rule_id=100 + i, window_type=wt, window_minutes=wm,
+         window_slide_minutes=ws, grouping_keys=keys, agg_type=agg,
+         agg_field="value", limit_op=op, limit=lim)
+    for i, (wt, wm, ws, keys, agg, op, lim) in enumerate([
+        ("tumbling", 1440, None, ("t_event_type",), "SUM", ">", "2500"),
+        ("tumbling", 1440, None, ("t_event_type",), "MAX", ">=", "190"),
+        ("tumbling", 2880, None, ("t_user",), "SUM", ">", "300"),
+        ("tumbling", 2880, None, ("t_user",), "AVG", "<", "40"),
+        ("tumbling", 10080, None, ("t_event_type", "t_user"), "SUM", ">", "150"),
+        ("tumbling", 4320, None, (), "MIN", "<", "5"),
+        ("sliding", 2880, 1440, ("t_event_type",), "AVG", ">", "52"),
+        ("sliding", 4320, 1440, ("t_event_type",), "SUM", ">=", "9000"),
+        ("sliding", 2880, 720, ("t_user",), "MAX", ">", "170"),
+        ("global", None, None, ("t_event_type",), "MAX", ">", "195"),
+        ("global", None, None, ("t_user",), "MIN", "<=", "10"),
+        ("global", None, None, (), "AVG", "!=", "0"),
+    ])
+]
+
+
 CEP_QUERIES: dict[str, tuple] = {
     # name -> (callable, oracle_sql | None)
     "cep_tumbling_sum": (_rule_query([R_TUMBLING_SUM]), cep_oracle_sql([R_TUMBLING_SUM])),
@@ -505,4 +533,5 @@ CEP_QUERIES: dict[str, tuple] = {
         _rule_query([R_SESSION_SUM, R_TUMBLING_MIN]),
         cep_oracle_sql([R_SESSION_SUM, R_TUMBLING_MIN]),
     ),
+    "cep_many_rules": (_rule_query(MANY_RULES), cep_oracle_sql(MANY_RULES)),
 }

@@ -76,4 +76,5 @@ DATAPIPE_QUERIES: dict[str, tuple] = {
     "ivf_cell_report": (_embs(S.ivf_cell_report), S.IVF_CELL_REPORT_SQL),
     "dedup_retention_report": (_docs(D.dedup_retention_report), D.DEDUP_RETENTION_SQL),
     "embedding_dim_stats": (_embs(S.embedding_dim_stats), S.EMBEDDING_DIM_STATS_SQL),
+    "chunk_documents": (_docs(T.chunk_documents), T.CHUNK_DOCUMENTS_SQL),
 }

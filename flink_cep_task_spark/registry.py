@@ -70,6 +70,8 @@ OVERFLOW_LAST = (
     "range_join_clicks",
     "dedup_retention_report",
     "embedding_dim_stats",
+    "cep_many_rules",
+    "chunk_documents",
 )
 
 

@@ -65,7 +65,6 @@ from __future__ import annotations
 import json
 import os
 import tempfile
-from decimal import ROUND_HALF_UP, Decimal
 from typing import Iterator
 
 import numpy as np
@@ -75,6 +74,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from flink_cep_task_spark.operators.fanout import fanout_rules
+from flink_cep_task_spark.operators.windows import round_half_up as _round_half_up_col
 from flink_cep_task_spark.rules import compact_rules, parse_rule_lines_df
 
 SECONDS_PER_MINUTE = 60
@@ -149,11 +149,14 @@ def rules_from_store(spark: SparkSession, path: str) -> DataFrame:
 
 
 def _round_half_up(v: float, digits: int) -> float:
-    """Match Spark's F.round (BigDecimal HALF_UP on the double's shortest
-    decimal repr) — Python's built-in round is banker's and can differ at
-    exact midpoints."""
-    q = Decimal(1).scaleb(-digits)
-    return float(Decimal(repr(v)).quantize(q, rounding=ROUND_HALF_UP))
+    """floor(x·10^d + 0.5)/10^d — the engine-wide agg_value rounding
+    (operators.windows.round_half_up); pure double arithmetic so the
+    Python live path, the JVM batch path, and the DuckDB oracle agree
+    bit-for-bit even when x·10^d sits within one ulp of a half."""
+    import math
+
+    scale = float(10 ** digits)
+    return math.floor(v * scale + 0.5) / scale
 
 
 def live_cep_windows(
@@ -460,7 +463,7 @@ def run_live_cep_global(
                 F.lit(None).cast("long").alias("window_start"),
                 F.lit(None).cast("long").alias("window_end"),
                 "agg_type",
-                F.round("agg_value", 4).alias("agg_value"),
+                _round_half_up_col("agg_value", 4).alias("agg_value"),
             )
         )
         sink(out, batch_id)

@@ -156,6 +156,50 @@ def followed_by_stream(
     )
 
 
+def followed_by_timeout_stream(
+    events: DataFrame,
+    first_type: str = "click",
+    then_type: str = "purchase",
+    within: str = "30 minutes",
+    ts_col: str = "event_time",
+    user_col: str = "user_id",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """CEP NEGATION / timeout pattern on a live stream: 'A *not* followed
+    by B within T' — the abandoned-cart alert. Same interval-bounded
+    stream-stream join as followed_by_stream but LEFT OUTER: a matched A
+    emits with its B timestamps; an unmatched A emits with NULL then_ts,
+    and only once the watermark proves no qualifying B can still arrive
+    (Spark holds the unmatched row exactly until a_time + interval +
+    watermark delay — the state bound is unchanged). The reference cannot
+    express absence-of-an-event at all (its only trigger is an arriving
+    metric); event-time timeout emission is the principled version."""
+    from pyspark.sql.functions import expr
+
+    a = (
+        events.filter(F.col("event_type") == first_type)
+        .select(F.col(user_col).alias("a_user"), F.col(ts_col).alias("a_time"))
+        .withWatermark("a_time", watermark)
+    )
+    b = (
+        events.filter(F.col("event_type") == then_type)
+        .select(F.col(user_col).alias("b_user"), F.col(ts_col).alias("b_time"))
+        .withWatermark("b_time", watermark)
+    )
+    return a.join(
+        b,
+        expr(
+            f"a_user = b_user AND b_time > a_time "
+            f"AND b_time <= a_time + interval {within}"
+        ),
+        "leftOuter",
+    ).select(
+        F.col("a_user").alias(user_col),
+        F.col("a_time").cast("long").alias("first_ts"),
+        F.col("b_time").cast("long").alias("then_ts"),
+    )
+
+
 def dedup_exact_stream(
     docs: DataFrame,
     text_col: str = "text",

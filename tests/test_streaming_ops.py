@@ -271,3 +271,65 @@ def test_rocksdb_state_store_matches_default_provider(spark):
     finally:
         spark.conf.set(key, default)
     assert rocks == baseline
+
+
+def test_followed_by_timeout_stream_emits_unmatched(spark, tmp_path):
+    """LEFT OUTER stream-stream interval join: matched clicks carry their
+    purchase; clicks with NO purchase within 30 min emit with NULL
+    then_ts once the watermark passes their horizon (the CEP negation /
+    abandoned-cart pattern — inexpressible in the reference, whose only
+    trigger is an arriving event)."""
+    from flink_cep_task_spark.streaming.ops import followed_by_timeout_stream
+
+    base_ms = 1_700_000_000_000
+    mk = lambda off_min, u, et: {
+        "eventTime": base_ms + off_min * 60_000, "t_user": u, "t_et": et, "m": 0,
+    }
+    events = [
+        mk(0, "u1", "click"),
+        mk(10, "u1", "purchase"),     # matched (10 min)
+        mk(20, "u1", "click"),        # next purchase is 35 min away: TIMEOUT
+        mk(55, "u1", "purchase"),
+        mk(5, "u2", "click"),         # no purchase at all: TIMEOUT
+    ]
+    # watermarks sit BELOW the per-side type filters, so the pushers must
+    # pass those filters: one future click advances the A-side watermark,
+    # purchases advance B; the final purchase runs one more micro-batch so
+    # the just-advanced watermark actually evicts + emits unmatched state.
+    # (The zz click itself stays unmatched in state — its own horizon is
+    # never passed — and zz rows are excluded from the assertion.)
+    flush = [
+        {"eventTime": base_ms + 86_400_000, "t_user": "zz", "t_et": "click", "m": 0},
+        {"eventTime": base_ms + 86_400_000, "t_user": "zz", "t_et": "purchase", "m": 0},
+        {"eventTime": base_ms + 86_460_000, "t_user": "zz", "t_et": "purchase", "m": 0},
+    ]
+    src = tmp_path / "fbt-src"
+    src.mkdir()
+    _write_ordered(src, [json.dumps(e) for e in events + flush])
+
+    lines = spark.readStream.option("maxFilesPerTrigger", 1).text(str(src))
+    metrics = parse_metric_lines(lines).select(
+        "event_time",
+        F.element_at("tags", "t_user").alias("user_id"),
+        F.element_at("tags", "t_et").alias("event_type"),
+    )
+    out = followed_by_timeout_stream(metrics)
+    name = f"fbt_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.format("memory").queryName(name).outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_fbt"))
+        .trigger(availableNow=True).start()
+    )
+    await_stream(q, 120)
+    got = {
+        (r.user_id, r.first_ts, r.then_ts)
+        for r in spark.table(name).collect()
+        if r.user_id != "zz"
+    }
+    base_s = base_ms // 1000
+    expected = {
+        ("u1", base_s + 0 * 60, base_s + 10 * 60),   # matched
+        ("u1", base_s + 20 * 60, None),              # timed out
+        ("u2", base_s + 5 * 60, None),               # timed out
+    }
+    assert got == expected
