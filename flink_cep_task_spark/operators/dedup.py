@@ -878,3 +878,92 @@ SELECT d.source,
 FROM documents d JOIN clusters c USING (doc_id)
 GROUP BY d.source
 """
+
+
+# --- prefix dedup ---------------------------------------------------------
+
+PREFIX_TOKENS = 8
+
+
+def dedup_prefix(documents: DataFrame, k: int = PREFIX_TOKENS) -> DataFrame:
+    """Dedup on the first-k-token prefix — the cheap screen used by web
+    pipelines for boilerplate-headed / template pages whose bodies diverge
+    only after a shared opening (mirrors the URL-prefix / doc-prefix pass
+    in C4-style cleaning; the reference engine has no analog — this is a
+    training-pipeline extension).
+
+    Same scale shape as dedup_exact (`dedup.py:62`): the shuffle key is
+    md5 of the k-token prefix (32 bytes, never the body), canonicalization
+    is a map-side-combinable MIN + equi-join back, so a pathological
+    million-doc template cluster costs one partial-agg cell, not a sorted
+    window partition. Docs shorter than k tokens hash their whole
+    normalized text — identical short docs still collapse."""
+    pfx = F.array_join(F.slice(F.split(_norm(F.col("text")), " "), 1, k), " ")
+    h = F.md5(F.coalesce(pfx, F.lit("\x00null")))
+    d = documents.select("doc_id", h.alias("k"))
+    canon = d.groupBy("k").agg(
+        F.min("doc_id").alias("canonical_id"), F.count(F.lit(1)).alias("n_group")
+    )
+    return d.join(canon, "k").select(
+        "doc_id",
+        "canonical_id",
+        (F.col("doc_id") != F.col("canonical_id")).alias("is_duplicate"),
+        "n_group",
+    )
+
+
+_NORM_SQL = (
+    "trim(regexp_replace(regexp_replace(lower(trim(text)),"
+    " '[^a-z0-9\\s]', '', 'g'), '\\s+', ' ', 'g'))"
+)
+
+DEDUP_PREFIX_SQL = f"""
+SELECT doc_id,
+       min(doc_id) OVER (PARTITION BY k) AS canonical_id,
+       doc_id <> min(doc_id) OVER (PARTITION BY k) AS is_duplicate,
+       count(*) OVER (PARTITION BY k) AS n_group
+FROM (SELECT doc_id,
+             md5(coalesce(array_to_string(list_slice(string_split({_NORM_SQL}, ' '), 1, {PREFIX_TOKENS}), ' '), chr(0) || 'null')) AS k
+      FROM documents)
+"""
+
+
+# --- cross-source duplicate overlap matrix --------------------------------
+
+def cross_source_overlap(documents: DataFrame) -> DataFrame:
+    """Pairwise source contamination matrix: for every ordered source pair
+    (a < b), how many EXACT-duplicate text groups span both sources —
+    the artifact that decides which crawls/dumps double-count each other
+    before mixing weights are chosen.
+
+    Scale shape: the corpus collapses to DISTINCT (md5, source) first
+    (≤ |sources| rows per duplicate group, hashes not bodies), the pair
+    explosion is per-group over that collapsed set (bounded by the number
+    of distinct sources, not group size — a 1M-copy template counts once
+    per source pair), and the final rollup is a map-side-combinable count
+    on a (source, source) key. No quadratic blowup on hot groups."""
+    k = F.md5(F.coalesce(_norm(F.col("text")), F.lit("\x00null")))
+    per_src = documents.select(k.alias("k"), "source").distinct()
+    a = per_src.alias("a")
+    b = per_src.alias("b")
+    return (
+        a.join(b, (F.col("a.k") == F.col("b.k")) & (F.col("a.source") < F.col("b.source")))
+        .groupBy(
+            F.col("a.source").alias("source_a"), F.col("b.source").alias("source_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared_texts"))
+    )
+
+
+CROSS_SOURCE_OVERLAP_SQL = f"""
+WITH per_src AS (
+  SELECT DISTINCT
+    md5(coalesce({_NORM_SQL}, chr(0) || 'null')) AS k,
+    source
+  FROM documents
+)
+SELECT a.source AS source_a, b.source AS source_b,
+       count(*) AS n_shared_texts
+FROM per_src a JOIN per_src b ON a.k = b.k AND a.source < b.source
+GROUP BY a.source, b.source
+"""

@@ -774,6 +774,109 @@ SELECT query_id, neighbor_id, cosine, rnk FROM (
 ANN_IVF_SQL = _ivf_sql()
 
 
+# --- cluster-scoped semantic dedup (SemDeDup) ------------------------------
+
+# the synthetic vectors are near-orthogonal (max pair cosine ≈ 0.42), so
+# the demonstration threshold sits low to keep the result non-trivial; a
+# production pass on real embeddings uses 0.95+ — threshold-independent plan.
+SEMDEDUP_TAU = 0.3
+SEMDEDUP_ANCHORS = 256  # per-cell comparison anchors (earliest vec_ids)
+
+
+def semantic_dedup(embeddings: DataFrame) -> DataFrame:
+    """Cluster-scoped semantic dedup (the SemDeDup recipe, Abbas et al.
+    2023): k-means-cluster the embedding space (same deterministic fit as
+    ann_ivf), then mark a vector as a semantic duplicate iff its cosine to
+    an EARLIER-id member of its own cell reaches SEMDEDUP_TAU; the
+    earliest such member is reported as dup_of. Pairs are only ever formed
+    WITHIN a cell, so the corpus-level N² never materializes — the fit's
+    cell count is chosen so cells stay small, and the comparison side is
+    additionally capped to each cell's SEMDEDUP_ANCHORS earliest members,
+    which bounds per-cell work to anchors × |cell| even if a cell
+    degenerates (capping anchors, not members, keeps every vector
+    *checked*; only the candidate-canonical set is truncated). No
+    reference analog (pure streaming engine) — training-pipeline
+    extension; the oracle replays the identical fit in SQL."""
+    from flink_cep_task_spark.operators.cache import persisted
+
+    base = persisted(_with_norm(embeddings))
+    cents = _fit_centroids(base)
+    cells = _assign_cells(base, cents, 1).filter(F.col("rank") == 0).drop("rank")
+    members = cells.join(base, "vec_id")
+    anchors = (
+        members.withColumn(
+            "arnk", F.row_number().over(Window.partitionBy("cell").orderBy("vec_id"))
+        )
+        .filter(F.col("arnk") <= SEMDEDUP_ANCHORS)
+        .select(
+            F.col("cell"),
+            F.col("vec_id").alias("anchor_id"),
+            F.col("v").alias("av"),
+            F.col("nrm").alias("an"),
+        )
+    )
+    sim = (
+        members.join(anchors, "cell")
+        .filter(F.col("anchor_id") < F.col("vec_id"))
+        .withColumn(
+            "cosine", _cosine(F.col("av"), F.col("v"), F.col("an"), F.col("nrm"))
+        )
+        .filter(F.col("cosine") >= SEMDEDUP_TAU)
+    )
+    dups = sim.groupBy("vec_id").agg(F.min("anchor_id").alias("dup_of"))
+    return (
+        cells.join(dups, "vec_id", "left")
+        .select(
+            "vec_id",
+            F.col("cell").cast("long").alias("cell"),
+            F.coalesce(F.col("dup_of"), F.lit(-1)).cast("long").alias("dup_of"),
+            F.col("dup_of").isNotNull().alias("is_semantic_dup"),
+        )
+    )
+
+
+def _semantic_dedup_sql() -> str:
+    ctes, _cfin = _ivf_common_ctes()
+    return f"""
+WITH {ctes},
+{_NORMS_CTE},
+anchors AS (
+  SELECT cell, vec_id AS anchor_id FROM (
+    SELECT cell, vec_id,
+           row_number() OVER (PARTITION BY cell ORDER BY vec_id) AS arnk
+    FROM inv_file
+  ) WHERE arnk <= {SEMDEDUP_ANCHORS}
+),
+pairs AS (
+  SELECT a.anchor_id, m.vec_id
+  FROM inv_file m JOIN anchors a
+    ON a.cell = m.cell AND a.anchor_id < m.vec_id
+),
+pdots AS (
+  SELECT p.anchor_id, p.vec_id, CAST(sum(fa.v * fb.v) AS DOUBLE) / {SCALE2!r} AS dt
+  FROM pairs p
+  JOIN flat fa ON fa.vec_id = p.anchor_id
+  JOIN flat fb ON fb.vec_id = p.vec_id AND fb.i = fa.i
+  GROUP BY p.anchor_id, p.vec_id
+),
+dups AS (
+  SELECT pdots.vec_id AS vec_id, min(pdots.anchor_id) AS dup_of
+  FROM pdots
+  JOIN norms na ON na.vec_id = pdots.anchor_id
+  JOIN norms nb ON nb.vec_id = pdots.vec_id
+  WHERE round(dt / (na.nrm * nb.nrm), 6) >= {SEMDEDUP_TAU}
+  GROUP BY pdots.vec_id
+)
+SELECT f.vec_id, f.cell,
+       coalesce(d.dup_of, -1) AS dup_of,
+       d.dup_of IS NOT NULL AS is_semantic_dup
+FROM inv_file f LEFT JOIN dups d USING (vec_id)
+"""
+
+
+SEMANTIC_DEDUP_SQL = _semantic_dedup_sql()
+
+
 # --- ANN quality audit -----------------------------------------------------
 
 def _recall_against_exact(exact: DataFrame, approx: DataFrame, method: str) -> DataFrame:

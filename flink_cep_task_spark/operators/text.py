@@ -355,6 +355,68 @@ LIMIT {BIGRAM_TOP_N}
 """
 
 
+BOILERPLATE_GRAM = 5
+BOILERPLATE_MIN_DF = 3
+
+
+def boilerplate_ngrams(documents: DataFrame, gram: int = BOILERPLATE_GRAM,
+                       min_df: int = BOILERPLATE_MIN_DF) -> DataFrame:
+    """Corpus boilerplate detector: word-5-grams appearing in ≥ min_df
+    DISTINCT documents, with their document frequency and total occurrence
+    count — the pass that finds shared headers/footers/navigation text
+    before a line-removal step (C4-style boilerplate stripping; no
+    reference analog — training-pipeline extension).
+
+    Scale shape: one corpus scan; grams collapse to (gram, doc_id, count)
+    per document first — a doc that repeats its own header 1000× sends one
+    row per gram to the corpus exchange — then the doc-frequency rollup is
+    a plain count (never count(distinct), which would defeat map-side
+    combining). Both aggregates partial-combine before their shuffles."""
+    toks = tokens(F.col("text"))
+    grams = F.expr(
+        f"transform(sequence(1, size(__t) - {gram - 1}),"
+        f" i -> concat_ws(' ', slice(__t, i, {gram})))"
+    )
+    per_doc = (
+        documents.select("doc_id", toks.alias("__t"))
+        .filter(F.size("__t") >= gram)
+        .select("doc_id", F.explode(grams).alias("g"))
+        .groupBy("doc_id", "g")
+        .agg(F.count(F.lit(1)).alias("occ"))
+    )
+    return (
+        per_doc.groupBy("g")
+        .agg(
+            F.count(F.lit(1)).alias("doc_freq"),
+            F.sum("occ").alias("n_occurrences"),
+        )
+        .filter(F.col("doc_freq") >= min_df)
+        .select(F.col("g").alias("gram"), "doc_freq", "n_occurrences")
+    )
+
+
+BOILERPLATE_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS w
+  FROM documents
+),
+per_doc AS (
+  SELECT doc_id,
+         array_to_string(list_slice(w, i, i + {BOILERPLATE_GRAM - 1}), ' ') AS g,
+         count(*) AS occ
+  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(w) - {BOILERPLATE_GRAM - 1})) AS i) s
+  WHERE len(w) >= {BOILERPLATE_GRAM}
+  GROUP BY doc_id, g
+)
+SELECT g AS gram,
+       count(*) AS doc_freq,
+       CAST(sum(occ) AS BIGINT) AS n_occurrences
+FROM per_doc
+GROUP BY g
+HAVING count(*) >= {BOILERPLATE_MIN_DF}
+"""
+
+
 def repetition_stats(documents: DataFrame) -> DataFrame:
     """Gopher-style within-document repetition signals: token diversity
     (distinct/total), the most-frequent token and its mass fraction, and

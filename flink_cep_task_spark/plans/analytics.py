@@ -579,6 +579,62 @@ GROUP BY p.event_id, p.user_id, p.ts
 """
 
 
+ZSCORE_TAU = 2.5
+
+
+def zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type z-score anomaly flagging: events whose value sits
+    ≥ 2.5 σ from their type's mean. The metric-threshold idea of the
+    reference's rule engine (Rule.java:39-56 fixed limits) generalized to
+    a data-derived limit — the screen used on training-telemetry streams.
+
+    Determinism + scale: the per-type moments are ONE map-side-combinable
+    aggregate over exact DECIMAL sums (value and value² both bounded, so
+    sums are order-independent integers under the hood; a double sum would
+    diverge between engines under different partitionings). The moments
+    table is |event types| rows — broadcast back onto the scan, so the
+    second pass is shuffle-free. z is computed with an identical operand
+    order in both engines and rounded before the threshold compare."""
+    e = load_table(spark, sf_dir, "events")
+    v = F.col("value").cast("decimal(18,2)")
+    stats = (
+        e.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(v).alias("s"),
+            F.sum((v * v).cast("decimal(38,4)")).alias("ss"),
+        )
+    )
+    mean = F.col("s").cast("double") / F.col("n")
+    var = F.col("ss").cast("double") / F.col("n") - mean * mean
+    enriched = e.join(F.broadcast(stats), "event_type").select(
+        "event_id",
+        "event_type",
+        F.round(v.cast("double"), 2).alias("value"),
+        F.round((v.cast("double") - mean) / F.sqrt(var), 6).alias("z"),
+    )
+    return enriched.filter(F.abs(F.col("z")) >= ZSCORE_TAU)
+
+
+ZSCORE_SQL = f"""
+WITH stats AS (
+  SELECT event_type, count(*) AS n,
+         sum(CAST(value AS DECIMAL(18,2))) AS s,
+         sum(CAST(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS ss
+  FROM events GROUP BY event_type
+)
+SELECT e.event_id, e.event_type,
+       round(CAST(CAST(e.value AS DECIMAL(18,2)) AS DOUBLE), 2) AS value,
+       round((CAST(CAST(e.value AS DECIMAL(18,2)) AS DOUBLE) - CAST(s.s AS DOUBLE) / s.n)
+             / sqrt(CAST(s.ss AS DOUBLE) / s.n
+                    - (CAST(s.s AS DOUBLE) / s.n) * (CAST(s.s AS DOUBLE) / s.n)), 6) AS z
+FROM events e JOIN stats s USING (event_type)
+WHERE abs(round((CAST(CAST(e.value AS DECIMAL(18,2)) AS DOUBLE) - CAST(s.s AS DOUBLE) / s.n)
+             / sqrt(CAST(s.ss AS DOUBLE) / s.n
+                    - (CAST(s.s AS DOUBLE) / s.n) * (CAST(s.s AS DOUBLE) / s.n)), 6)) >= {ZSCORE_TAU}
+"""
+
+
 ANALYTICS_QUERIES: dict[str, tuple] = {
     "topk_users_per_type": (topk_users_per_type, TOPK_SQL),
     "sessionize_events": (sessionize, SESSION_SQL),
@@ -599,4 +655,5 @@ ANALYTICS_QUERIES: dict[str, tuple] = {
     "moving_avg_user_value": (moving_avg_user_value, MOVING_AVG_SQL),
     "skewsafe_user_distinct": (skewsafe_user_distinct, SKEWSAFE_DISTINCT_SQL),
     "range_join_clicks": (range_join_clicks, RANGE_JOIN_SQL),
+    "zscore_outliers": (zscore_outliers, ZSCORE_SQL),
 }

@@ -77,4 +77,8 @@ DATAPIPE_QUERIES: dict[str, tuple] = {
     "dedup_retention_report": (_docs(D.dedup_retention_report), D.DEDUP_RETENTION_SQL),
     "embedding_dim_stats": (_embs(S.embedding_dim_stats), S.EMBEDDING_DIM_STATS_SQL),
     "chunk_documents": (_docs(T.chunk_documents), T.CHUNK_DOCUMENTS_SQL),
+    "dedup_prefix": (_docs(D.dedup_prefix), D.DEDUP_PREFIX_SQL),
+    "cross_source_overlap": (_docs(D.cross_source_overlap), D.CROSS_SOURCE_OVERLAP_SQL),
+    "boilerplate_ngrams": (_docs(T.boilerplate_ngrams), T.BOILERPLATE_SQL),
+    "semantic_dedup": (_embs(S.semantic_dedup), S.SEMANTIC_DEDUP_SQL),
 }

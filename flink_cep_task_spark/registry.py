@@ -72,6 +72,12 @@ OVERFLOW_LAST = (
     "embedding_dim_stats",
     "cep_many_rules",
     "chunk_documents",
+    # round-7 additions
+    "dedup_prefix",
+    "cross_source_overlap",
+    "boilerplate_ngrams",
+    "zscore_outliers",
+    "semantic_dedup",
 )
 
 
