@@ -51,12 +51,22 @@ def first_event_aligned_tumbling(
     # microsecond timestamps (53-bit mantissa), which would shift buckets
     # relative to the oracle's epoch_ms.
     ts_ms = F.unix_millis(F.col(ts_col))
-    w = Window.partitionBy(*group_cols)
-    t0 = F.min(ts_ms).over(w)
+    # t0 via AGGREGATE + broadcast join, not min() OVER (PARTITION BY grp):
+    # the window form shuffles every event into |groups| partitions — at a
+    # handful of groups that is a handful of tasks each holding a group's
+    # whole history, which cannot survive a 100× scale-up. The aggregate is
+    # map-side combinable (one row per group crosses the wire) and the
+    # broadcast join leaves the event scan un-shuffled; group cardinality
+    # must therefore stay executor-memory bounded (true for rule/group-tag
+    # keys — for unbounded keys use the stateful streaming operator).
+    t0s = df.groupBy(*group_cols).agg(F.min(ts_ms).alias("__t0"))
+    t0 = F.col("__t0")
     start = t0 + F.floor((ts_ms - t0) / size_ms) * size_ms
     return (
-        df.withColumn("window_start_ms", start)
-        .withColumn("window_end_ms", start + size_ms)
+        df.join(F.broadcast(t0s), group_cols)
+        .withColumn("window_start_ms", start)
+        .withColumn("window_end_ms", F.col("window_start_ms") + size_ms)
+        .drop("__t0")
         .groupBy(*group_cols, "window_start_ms", "window_end_ms")
         .agg(
             F.sum(value_col).alias("agg_sum"),
