@@ -35,7 +35,17 @@ _SHARED: dict[str, DataFrame] = {}
 
 
 def persisted(df: DataFrame) -> DataFrame:
+    # inputFiles() returns [] once a plan is persist()ed (the InMemory
+    # relation hides the file scan), which silently disabled every
+    # downstream cache keyed on source files (the IVF k-means fit memo —
+    # its refit cost was ~2-7 s PER QUERY at sf0.1). Capture provenance
+    # while the plan still exposes it and carry it on the handle.
+    try:
+        files = tuple(sorted(df.inputFiles()))
+    except Exception:
+        files = ()
     p = df.persist()
+    p._graft_input_files = files
     _PERSISTED.append(p)
     return p
 

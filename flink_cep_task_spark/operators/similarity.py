@@ -597,7 +597,11 @@ def _fit_centroids(base: DataFrame, n_iters: int = IVF_KMEANS_ITERS) -> list[tup
     materialize it once per pass otherwise."""
     import math
 
-    files = tuple(sorted(base.inputFiles()))
+    # persist() hides the file scan from inputFiles(); cache.persisted
+    # stashes the pre-persist provenance on the handle for exactly this key.
+    files = getattr(base, "_graft_input_files", None) or tuple(
+        sorted(base.inputFiles())
+    )
     key = (files, n_iters)
     if files and key in _FIT_CACHE:
         return [(cid, list(v)) for cid, v in _FIT_CACHE[key]]
@@ -803,21 +807,41 @@ def semantic_dedup(embeddings: DataFrame) -> DataFrame:
     cents = _fit_centroids(base)
     cells = _assign_cells(base, cents, 1).filter(F.col("rank") == 0).drop("rank")
     members = cells.join(base, "vec_id")
-    anchors = (
-        members.withColumn(
-            "arnk", F.row_number().over(Window.partitionBy("cell").orderBy("vec_id"))
-        )
-        .filter(F.col("arnk") <= SEMDEDUP_ANCHORS)
-        .select(
-            F.col("cell"),
-            F.col("vec_id").alias("anchor_id"),
-            F.col("v").alias("av"),
-            F.col("nrm").alias("an"),
-        )
-    )
+
+    # Screen-then-verify (the same two-phase shape as the LSH/PPJoin dedup
+    # paths): a naive anchors×members join materializes every within-cell
+    # pair row carrying TWO 64-long arrays (~1 KB/pair — hundreds of MB
+    # through the exchange at even 2k vectors, measured 4.5 s). Instead the
+    # cell's vectors shuffle ONCE (N rows × 64 longs) into a per-cell
+    # numpy screen: one exact-int64 matmul per cell, emitting only id
+    # pairs whose unrounded cosine clears tau - 1e-5 (margin strictly
+    # covers the 0.5e-6 round-up plus float association noise, so the
+    # candidate set is a superset of the final answer). The exact Catalyst
+    # cosine — bit-identical to the oracle's — then decides tau on that
+    # small candidate set only.
+    def _screen(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("vec_id").reset_index(drop=True)
+        m = np.array(pdf["v"].tolist(), dtype=np.int64)
+        nrm = pdf["nrm"].to_numpy()
+        a_cnt = min(len(pdf), SEMDEDUP_ANCHORS)
+        cos = (m[:a_cnt] @ m.T) / SCALE2 / np.outer(nrm[:a_cnt], nrm)
+        ai, vi = np.nonzero(cos >= SEMDEDUP_TAU - 1e-5)
+        ids = pdf["vec_id"].to_numpy()
+        a_ids, v_ids = ids[ai], ids[vi]
+        keep = a_ids < v_ids
+        return pd.DataFrame({"anchor_id": a_ids[keep], "vec_id": v_ids[keep]})
+
+    cand = members.groupBy("cell").applyInPandas(_screen, "anchor_id long, vec_id long")
     sim = (
-        members.join(anchors, "cell")
-        .filter(F.col("anchor_id") < F.col("vec_id"))
+        cand.join(
+            base.select(
+                F.col("vec_id").alias("anchor_id"),
+                F.col("v").alias("av"),
+                F.col("nrm").alias("an"),
+            ),
+            "anchor_id",
+        )
+        .join(base, "vec_id")
         .withColumn(
             "cosine", _cosine(F.col("av"), F.col("v"), F.col("an"), F.col("nrm"))
         )

@@ -4,6 +4,7 @@ multimodal) over documents + embeddings."""
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from flink_cep_task_spark.operators import dedup as D
 from flink_cep_task_spark.operators import multimodal as M
@@ -28,6 +29,35 @@ def _embs(fn):
         return fn(widen_small_scan(load_table(spark, sf_dir, "embeddings")))
 
     return q
+
+
+def rag_retrieve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG retrieval composition: exact top-k cosine neighbors for each
+    query vector (knn_bruteforce), joined to the documents table
+    (vec_id ↔ doc_id in the fixtures) to emit the retrieval payload —
+    source, lang, and a 10-token snippet. The |Q|×k neighbor set is tiny,
+    so it BROADCASTS against the documents scan: one pass over the corpus,
+    no shuffle of document bodies at any scale. Demonstrates the
+    embeddings→documents cross-table composition a retrieval service runs
+    per query batch."""
+    emb = widen_small_scan(load_table(spark, sf_dir, "embeddings"))
+    docs = load_table(spark, sf_dir, "documents")
+    topk = S.knn_bruteforce(emb)
+    snippet = F.array_join(F.slice(T.tokens(F.col("text")), 1, 10), " ")
+    d = docs.select(
+        F.col("doc_id").alias("neighbor_id"), "source", "lang", snippet.alias("snippet")
+    )
+    return d.join(F.broadcast(topk), "neighbor_id").select(
+        "query_id", "neighbor_id", "cosine", "rnk", "source", "lang", "snippet"
+    )
+
+
+RAG_RETRIEVE_SQL = f"""
+WITH topk AS ({S.KNN_SQL})
+SELECT t.query_id, t.neighbor_id, t.cosine, t.rnk, d.source, d.lang,
+       array_to_string(list_slice(regexp_split_to_array(lower(trim(d.text)), '\\s+'), 1, 10), ' ') AS snippet
+FROM topk t JOIN documents d ON d.doc_id = t.neighbor_id
+"""
 
 
 DATAPIPE_QUERIES: dict[str, tuple] = {
@@ -81,4 +111,5 @@ DATAPIPE_QUERIES: dict[str, tuple] = {
     "cross_source_overlap": (_docs(D.cross_source_overlap), D.CROSS_SOURCE_OVERLAP_SQL),
     "boilerplate_ngrams": (_docs(T.boilerplate_ngrams), T.BOILERPLATE_SQL),
     "semantic_dedup": (_embs(S.semantic_dedup), S.SEMANTIC_DEDUP_SQL),
+    "rag_retrieve": (rag_retrieve, RAG_RETRIEVE_SQL),
 }

@@ -78,6 +78,7 @@ OVERFLOW_LAST = (
     "boilerplate_ngrams",
     "zscore_outliers",
     "semantic_dedup",
+    "rag_retrieve",
 )
 
 
