@@ -174,6 +174,56 @@ def test_doc_fingerprint_runs_udf_once(spark):
     assert plan.count("ArrowEvalPython") == 1, "fingerprint UDF evaluated more than once"
 
 
+def test_zscore_moments_broadcast_back_onto_scan(spark):
+    # the per-type moments table is |event types| rows — it must come back
+    # as a broadcast join so the enrichment pass never shuffles the events
+    plan = _plan(spark, "zscore_outliers")
+    assert "BroadcastHashJoin" in plan
+    # and the moments themselves partial-aggregate (map-side combine)
+    assert "partial_count" in plan or "partial_sum" in plan
+
+
+def test_rag_topk_broadcasts_against_documents_scan(spark):
+    # |Q|×k neighbor rows vs the documents corpus: the tiny side must be
+    # the broadcast build side; document bodies never shuffle
+    plan = _plan(spark, "rag_retrieve")
+    assert "BroadcastHashJoin" in plan
+    text_shuffles = [
+        ln for ln in plan.splitlines()
+        if "Exchange hashpartitioning" in ln and "text#" in ln
+    ]
+    assert not text_shuffles, f"document bodies shuffled: {text_shuffles}"
+
+
+def test_boilerplate_doc_freq_avoids_count_distinct(spark):
+    # doc frequency comes from the per-(doc,gram) pre-aggregation + plain
+    # count — a count(DISTINCT doc_id) would plan a non-map-side-combinable
+    # two-phase distinct over the exploded gram stream
+    plan = _plan(spark, "boilerplate_ngrams")
+    assert "distinct" not in plan.lower()
+    assert "partial_count" in plan
+
+
+def test_dedup_prefix_shuffles_hash_not_text(spark):
+    # canonicalization is a map-side-combinable MIN keyed on the 32-byte
+    # prefix hash; the document text must not appear in any exchange key
+    plan = _plan(spark, "dedup_prefix")
+    assert "partial_min" in plan
+    text_shuffles = [
+        ln for ln in plan.splitlines()
+        if "Exchange hashpartitioning" in ln and "text#" in ln
+    ]
+    assert not text_shuffles, f"document text shuffled: {text_shuffles}"
+
+
+def test_semantic_dedup_screens_in_grouped_pandas(spark):
+    # the within-cell screen must be the grouped-map Arrow operator (one
+    # matmul per cell over once-shuffled vectors), never a pair join that
+    # materializes two vectors per candidate row
+    plan = _plan(spark, "semantic_dedup")
+    assert "FlatMapGroupsInPandas" in plan
+
+
 def test_range_join_is_equi_join_not_nested_loop(spark):
     # the banded time-range join's reason to exist: the band predicate is
     # carried by an EQUI join on (user_id, bucket) with the range as a
