@@ -60,6 +60,74 @@ FROM topk t JOIN documents d ON d.doc_id = t.neighbor_id
 """
 
 
+CLUSTER_TOPICS_K = 5
+
+
+def cluster_topics_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-exploration composition: label each embedding cluster (the
+    shared deterministic IVF k-means cells) with its top-5 member-document
+    tokens — the artifact used to eyeball what a semantic-dedup /
+    cluster-sampling pass is about to act on.
+
+    Scale shape: documents join their cell assignment BEFORE the token
+    explode (row-level equi-join on ids — exploding first would shuffle
+    every token through the join), the (cell, token) count is map-side
+    combinable, and the final top-5 window runs over the aggregated
+    counts, not raw tokens."""
+    from flink_cep_task_spark.operators.cache import persisted
+    from pyspark.sql.window import Window
+
+    emb = widen_small_scan(load_table(spark, sf_dir, "embeddings"))
+    docs = widen_small_scan(load_table(spark, sf_dir, "documents"))
+    base = persisted(S._with_norm(emb))
+    cents = S._fit_centroids(base)
+    cells = (
+        S._assign_cells(base, cents, 1)
+        .filter(F.col("rank") == 0)
+        .select(F.col("vec_id").alias("doc_id"), F.col("cell").cast("long").alias("cell"))
+    )
+    toks = docs.join(cells, "doc_id").select(
+        "cell", F.explode(T.tokens(F.col("text"))).alias("tok")
+    )
+    counts = (
+        toks.filter(~F.col("tok").isin(*T.STOPWORDS))
+        .groupBy("cell", "tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("cell").orderBy(F.col("n").desc(), F.col("tok"))
+    return (
+        counts.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= CLUSTER_TOPICS_K)
+        .select("cell", "tok", "n", "rnk")
+    )
+
+
+def _cluster_topics_sql() -> str:
+    ctes, _cfin = S._ivf_common_ctes()
+    stop = ", ".join(f"'{s}'" for s in T.STOPWORDS)
+    return f"""
+WITH {ctes},
+toks AS (
+  SELECT f.cell,
+         unnest(regexp_split_to_array(lower(trim(d.text)), '\\s+')) AS tok
+  FROM documents d JOIN inv_file f ON f.vec_id = d.doc_id
+),
+counts AS (
+  SELECT cell, tok, count(*) AS n
+  FROM toks WHERE tok NOT IN ({stop})
+  GROUP BY cell, tok
+)
+SELECT cell, tok, n, rnk FROM (
+  SELECT cell, tok, n,
+         CAST(row_number() OVER (PARTITION BY cell ORDER BY n DESC, tok) AS INTEGER) AS rnk
+  FROM counts
+) WHERE rnk <= {CLUSTER_TOPICS_K}
+"""
+
+
+CLUSTER_TOPICS_SQL = _cluster_topics_sql()
+
+
 DATAPIPE_QUERIES: dict[str, tuple] = {
     "text_stats": (_docs(T.text_stats), T.TEXT_STATS_SQL),
     "lang_id": (_docs(T.lang_id), T.LANG_ID_SQL),
@@ -112,4 +180,5 @@ DATAPIPE_QUERIES: dict[str, tuple] = {
     "boilerplate_ngrams": (_docs(T.boilerplate_ngrams), T.BOILERPLATE_SQL),
     "semantic_dedup": (_embs(S.semantic_dedup), S.SEMANTIC_DEDUP_SQL),
     "rag_retrieve": (rag_retrieve, RAG_RETRIEVE_SQL),
+    "cluster_topics_report": (cluster_topics_report, CLUSTER_TOPICS_SQL),
 }

@@ -79,6 +79,7 @@ OVERFLOW_LAST = (
     "zscore_outliers",
     "semantic_dedup",
     "rag_retrieve",
+    "cluster_topics_report",
 )
 
 
