@@ -31,7 +31,7 @@ _PERSISTED: list[DataFrame] = []
 # session, and a local checkpoint trades lineage-based recovery for
 # speed (an executor loss would fail the job instead of recomputing —
 # the right trade for kilobyte model/audit outputs, wrong for data).
-_SHARED: dict[str, DataFrame] = {}
+_SHARED: dict[tuple, DataFrame] = {}
 
 
 def persisted(df: DataFrame) -> DataFrame:
@@ -50,8 +50,28 @@ def persisted(df: DataFrame) -> DataFrame:
     return p
 
 
-def persisted_shared(df: DataFrame) -> DataFrame:
-    key = df._jdf.queryExecution().analyzed().canonicalized().toString()
+def persisted_shared(df: DataFrame, src: DataFrame | None = None) -> DataFrame:
+    # The canonicalized plan does NOT identify the input dataset — file
+    # relations print as `Relation [none#…] parquet` with NO path, so two
+    # structurally-identical queries over DIFFERENT datasets collide (the
+    # scaling audit returned 1× results for 16× inputs before this key
+    # carried provenance). inputFiles() on the cached-plan side is empty
+    # once an ancestor is persist()ed, so callers pass their persisted
+    # source handle (`src`), which carries the pre-persist file list that
+    # cache.persisted stashed on it.
+    prov: tuple = ()
+    for cand in (src, df):
+        if cand is None:
+            continue
+        prov = getattr(cand, "_graft_input_files", None) or tuple(
+            sorted(cand.inputFiles())
+        )
+        if prov:
+            break
+    key = (
+        df._jdf.queryExecution().analyzed().canonicalized().toString(),
+        prov,
+    )
     if key in _SHARED:
         return _SHARED[key]
     p = df.localCheckpoint(eager=False)

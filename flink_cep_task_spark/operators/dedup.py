@@ -270,7 +270,7 @@ def dedup_minhash_lsh(documents: DataFrame) -> DataFrame:
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    return persisted_shared(_pair_jaccard(sh, cand, MINHASH_TAU))
+    return persisted_shared(_pair_jaccard(sh, cand, MINHASH_TAU), src=sh)
 
 
 def _minhash_sql() -> str:

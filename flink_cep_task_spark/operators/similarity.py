@@ -112,7 +112,8 @@ def knn_bruteforce(embeddings: DataFrame) -> DataFrame:
     return persisted_shared(
         ranked.filter(F.col("rnk") <= TOP_K).select(
             "query_id", "neighbor_id", "cosine", "rnk"
-        )
+        ),
+        src=base,
     )
 
 
@@ -258,7 +259,8 @@ def ann_lsh(embeddings: DataFrame) -> DataFrame:
     return persisted_shared(
         ranked.filter(F.col("rnk") <= TOP_K).select(
             "query_id", "neighbor_id", "cosine", "rnk"
-        )
+        ),
+        src=base,
     )
 
 
@@ -687,7 +689,8 @@ def ann_ivf(embeddings: DataFrame) -> DataFrame:
     return persisted_shared(
         ranked.filter(F.col("rnk") <= TOP_K).select(
             "query_id", "neighbor_id", "cosine", "rnk"
-        )
+        ),
+        src=base,
     )
 
 

@@ -1,0 +1,194 @@
+"""Scaling audit: measure headline operators at 1x / 4x / 16x the sf0.1
+row counts and record the slope — the empirical side of the "would this
+plan survive a 100x scale-up" question the plan audits (tests/test_plans
+.py) answer structurally.
+
+Method
+------
+Scaled inputs are derived from /root/testdata/sf0.1 (the driver's own
+fixtures — the audit never invents distributions for the BASE data):
+
+* events / lineitem: k shifted copies (event_id/user_id, l_orderkey
+  offsets) — same value distributions, k x the rows and k x the user
+  cardinality.
+* documents: k copies with every token suffixed by the copy index, so
+  copies are mutually DISSIMILAR (cross-copy Jaccard ~ 0) and the
+  per-copy duplicate structure matches the base corpus. Without this the
+  near-dup operators would legitimately produce quadratically growing
+  OUTPUT (16-member clusters of identical docs), which measures cluster
+  growth, not engine scaling.
+* embeddings: k-1 additional pseudo-random corpora (md5-derived
+  components, deterministic) — fresh vectors, so LSH buckets / IVF cells
+  grow in COUNT, not in per-bucket occupancy.
+
+Each (query, scale) runs twice; the MIN is recorded (the second run
+strips the one-time plan-compile/codegen constant, which is fixed cost
+at any scale and would otherwise flatten the measured slope at these
+small absolute sizes).
+
+Output: one JSON line per query to stdout plus SCALING.md-ready rows —
+t1/t4/t16 seconds and the 16x/1x ratio. A ratio near 1 means constant
+overhead still dominates at 1.6M events; materially BELOW 16 means the
+plan scales sub-linearly in wall-clock on 32 cores; near or above 16
+would flag a super-linear operator (none expected: the plan audits forbid
+cartesians and unbounded candidate joins).
+
+Run: python scripts/scaling_audit.py  (writes nothing to the repo).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+SCALES = (1, 4, 16)
+QUERIES = [
+    "cep_multi_rule",
+    "cep_many_rules",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "token_counts",
+    "corpus_quality_report",
+    "q1_pricing_summary",
+    "sessionize_events",
+    "zscore_outliers",
+    "knn_bruteforce",
+    "ann_lsh",
+    "range_join_clicks",
+    "semantic_dedup",
+]
+BASE = "/root/testdata/sf0.1"
+
+
+def build_scaled(spark, k: int) -> str:
+    out = tempfile.mkdtemp(prefix=f"scale_{k}x_")
+
+    ev = spark.read.parquet(f"{BASE}/events.parquet")
+    n_ev = ev.count()
+    copies = []
+    for i in range(k):
+        copies.append(
+            ev.select(
+                (F.col("event_id") + i * n_ev).alias("event_id"),
+                "ts",
+                (F.col("user_id") + i * 1_000_000).alias("user_id"),
+                "event_type",
+                "value",
+                "props",
+            )
+        )
+    u = copies[0]
+    for c in copies[1:]:
+        u = u.unionByName(c)
+    u.repartition(32).write.mode("overwrite").parquet(f"{out}/events.parquet")
+
+    li = spark.read.parquet(f"{BASE}/lineitem.parquet")
+    lcopies = [
+        li.withColumn("l_orderkey", F.col("l_orderkey") + F.lit(i * 10_000_000))
+        for i in range(k)
+    ]
+    ul = lcopies[0]
+    for c in lcopies[1:]:
+        ul = ul.unionByName(c)
+    ul.repartition(32).write.mode("overwrite").parquet(f"{out}/lineitem.parquet")
+
+    docs = spark.read.parquet(f"{BASE}/documents.parquet")
+    n_docs = docs.count()
+    dcopies = []
+    for i in range(k):
+        tagged = F.array_join(
+            F.transform(
+                F.split(F.col("text"), r"\s+"), lambda x: F.concat(x, F.lit(f"_{i}"))
+            ),
+            " ",
+        )
+        dcopies.append(
+            docs.select(
+                (F.col("doc_id") + i * n_docs).alias("doc_id"),
+                (tagged if i else F.col("text")).alias("text"),
+                "lang",
+                "source",
+                "n_chars",
+            )
+        )
+    ud = dcopies[0]
+    for c in dcopies[1:]:
+        ud = ud.unionByName(c)
+    ud.repartition(32).write.mode("overwrite").parquet(f"{out}/documents.parquet")
+
+    emb = spark.read.parquet(f"{BASE}/embeddings.parquet")
+    n_emb = emb.count()
+    ecopies = [emb]
+    for i in range(1, k):
+        # deterministic pseudo-random components in [-1, 1): fresh vectors
+        # per copy so bucket/cell OCCUPANCY stays flat while counts grow
+        def _comp(j, _i=i):
+            h = F.md5(
+                F.concat(
+                    F.col("vec_id").cast("string"), F.lit(f"_{_i}_"), j.cast("string")
+                )
+            )
+            raw = F.conv(F.substring(h, 1, 6), 16, 10).cast("long") % 2000
+            return (raw.cast("double") / 1000.0 - 1.0).cast("float")
+
+        ecopies.append(
+            emb.select(
+                (F.col("vec_id") + i * n_emb).alias("vec_id"),
+                F.transform(F.sequence(F.lit(0), F.lit(63)), _comp).alias("embedding"),
+                "label",
+            )
+        )
+    ue = ecopies[0]
+    for c in ecopies[1:]:
+        ue = ue.unionByName(c)
+    ue.repartition(8).write.mode("overwrite").parquet(f"{out}/embeddings.parquet")
+    return out
+
+
+def main() -> None:
+    import __spark_entry__ as entrymod
+    from flink_cep_task_spark.session import get_spark
+
+    spark = entrymod._configure(
+        get_spark(app_name="scaling_audit", extra_conf={"spark.ui.showConsoleProgress": "false"})
+    )
+    qs = entrymod.queries()
+
+    dirs = {}
+    for k in SCALES:
+        t = time.perf_counter()
+        dirs[k] = build_scaled(spark, k)
+        print(f"# built {k}x in {time.perf_counter()-t:.1f}s -> {dirs[k]}", flush=True)
+
+    results = {}
+    for name in QUERIES:
+        row = {}
+        for k in SCALES:
+            best = float("inf")
+            for _rep in range(2):
+                t = time.perf_counter()
+                qs[name](spark, dirs[k]).write.format("noop").mode("overwrite").save()
+                best = min(best, time.perf_counter() - t)
+            row[k] = round(best, 2)
+        row["ratio_16x"] = round(row[16] / row[1], 1) if row[1] else None
+        results[name] = row
+        print(json.dumps({"query": name, **{f"t{k}": row[k] for k in SCALES},
+                          "ratio_16x": row["ratio_16x"]}), flush=True)
+
+    print("\n| query | 1x (s) | 4x (s) | 16x (s) | 16x/1x |")
+    print("|---|---|---|---|---|")
+    for name, row in results.items():
+        print(f"| {name} | {row[1]} | {row[4]} | {row[16]} | {row['ratio_16x']} |")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
