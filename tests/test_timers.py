@@ -1,0 +1,115 @@
+"""Timer-fired tumbling windows (streaming/timers.py): the
+transformWithStateInPandas operator with per-window registered EVENT-TIME
+timers must produce exactly the batch tumbling aggregation — and the fired
+window's state must be evicted (re-fire impossible)."""
+
+from __future__ import annotations
+
+import importlib.util
+import os
+import time
+import uuid
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from flink_cep_task_spark.streaming.pipeline import await_stream
+from flink_cep_task_spark.streaming.timers import timer_tumbling_windows
+
+# transformWithStateInPandas speaks protobuf to the JVM state server; the
+# sandbox image ships no google.protobuf and installs are disallowed, so
+# this test runs wherever the dependency exists (any standard PySpark 4
+# deployment) and SKIPS here — the operator itself is plain public API.
+def _has_protobuf() -> bool:
+    try:
+        return importlib.util.find_spec("google.protobuf") is not None
+    except ModuleNotFoundError:
+        return False
+
+
+pytestmark = pytest.mark.skipif(
+    not _has_protobuf(),
+    reason="google.protobuf absent in this container; "
+    "transformWithState state protocol requires it",
+)
+
+BASE = 1_700_000_000  # epoch seconds
+
+
+def _write_batches(dirpath, batches):
+    """One parquet file per batch, mtimes ordered so maxFilesPerTrigger=1
+    replays them as separate micro-batches."""
+    schema = pa.schema(
+        [
+            pa.field("event_time", pa.timestamp("us"), nullable=False),
+            pa.field("group_id", pa.string(), nullable=False),
+            pa.field("v", pa.int64(), nullable=False),
+        ]
+    )
+    t0 = time.time() - 60
+    for i, rows in enumerate(batches):
+        tbl = pa.Table.from_pylist(
+            [
+                {"event_time": (BASE + off) * 1_000_000, "group_id": g, "v": v}
+                for off, g, v in rows
+            ],
+            schema=schema,
+        )
+        p = os.path.join(dirpath, f"{i:04d}.parquet")
+        pq.write_table(tbl, p)
+        os.utime(p, (t0 + i, t0 + i))
+
+
+def test_timer_windows_match_batch_and_evict(spark, tmp_path):
+    src = tmp_path / "timer-src"
+    src.mkdir()
+    day = 86_400
+    _write_batches(
+        src,
+        [
+            # batch 0: two windows of g1, one of g2
+            [(0, "g1", 5), (30, "g1", 7), (90, "g1", 1), (10, "g2", 3)],
+            # batch 1: watermark pusher (its own window fires later)
+            [(day, "zz", 0)],
+            # batch 2: second pusher — watermark passes every data window end
+            [(day + 120, "zz", 0)],
+        ],
+    )
+    stream = (
+        spark.readStream.schema("event_time TIMESTAMP, group_id STRING, v LONG")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    out = timer_tumbling_windows(stream, size_s=60, watermark="1 minute")
+    name = f"timer_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_timer"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    await_stream(q, 180)
+    got = {
+        (r.group_id, r.window_start, r.window_end): (
+            r.agg_sum,
+            r.agg_cnt,
+            r.agg_min,
+            r.agg_max,
+        )
+        for r in spark.sql(f"select * from {name}").collect()
+        if r.group_id != "zz"
+    }
+    expected = {
+        ("g1", BASE - BASE % 60, BASE - BASE % 60 + 60): (12, 2, 5, 7),
+        ("g1", BASE + 90 - (BASE + 90) % 60, BASE + 90 - (BASE + 90) % 60 + 60): (1, 1, 1, 1),
+        ("g2", BASE - BASE % 60, BASE - BASE % 60 + 60): (3, 1, 3, 3),
+    }
+    assert got == expected, f"timer windows diverged: {got}"
+    # each window fired exactly once (fire-then-evict): no duplicates in
+    # append output
+    rows = spark.sql(f"select group_id, window_start, count(*) c from {name} "
+                     "group by group_id, window_start having count(*) > 1").collect()
+    assert not rows, f"window fired more than once: {rows}"
