@@ -967,3 +967,74 @@ SELECT a.source AS source_a, b.source AS source_b,
 FROM per_src a JOIN per_src b ON a.k = b.k AND a.source < b.source
 GROUP BY a.source, b.source
 """
+
+
+# --- minhash estimation-quality audit -------------------------------------
+
+def minhash_est_error_report(documents: DataFrame) -> DataFrame:
+    """Per-verified-pair audit of the MinHash sketch itself: signature
+    agreement fraction (the k/16 Jaccard ESTIMATE the bands act on) next
+    to the exact Jaccard, with the absolute error — the artifact used to
+    size NUM_PERMS/band layout before trusting the sketch on a new corpus
+    (the MinHash analog of ann_recall_report).
+
+    Cost shape: the pair set is the already-verified LSH output (session-
+    shared, tiny), signatures join to it by doc id, and the agreement sum
+    is 16 column equalities — no new corpus scan beyond the shared shingle
+    cache. est and error are exact in both engines: k/16 is a dyadic
+    rational (exact double) and the exact jaccard is pre-rounded."""
+    sh = _persisted(shingles_hashed(documents))
+    sig = _minhash_from_shingles(sh)
+    pairs = dedup_minhash_lsh(documents).select("doc_a", "doc_b", "jaccard")
+    a = sig.select(
+        F.col("doc_id").alias("doc_a"), *[F.col(f"mh{p}").alias(f"a{p}") for p in range(NUM_PERMS)]
+    )
+    b = sig.select(
+        F.col("doc_id").alias("doc_b"), *[F.col(f"mh{p}").alias(f"b{p}") for p in range(NUM_PERMS)]
+    )
+    agree = None
+    for p in range(NUM_PERMS):
+        term = F.when(F.col(f"a{p}") == F.col(f"b{p}"), 1).otherwise(0)
+        agree = term if agree is None else agree + term
+    est = agree.cast("double") / float(NUM_PERMS)
+    return (
+        pairs.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "jaccard",
+            est.alias("jaccard_est"),
+            F.round(F.abs(est - F.col("jaccard")), 6).alias("abs_err"),
+        )
+    )
+
+
+def _minhash_est_error_sql() -> str:
+    mh_aggs = ",\n    ".join(
+        "min({h}) AS mh{p}".format(h=perm_hash_sql("sh", p), p=p)
+        for p in range(NUM_PERMS)
+    )
+    agree = " + ".join(
+        f"CASE WHEN sa.mh{p} = sb.mh{p} THEN 1 ELSE 0 END" for p in range(NUM_PERMS)
+    )
+    return f"""
+WITH pairs AS ({_minhash_sql()}),
+{SHINGLES_HASHED_CTE.strip().replace('sh AS (', 'sh2 AS (').replace('shh AS (SELECT doc_id,', 'shh2 AS (SELECT doc_id,').replace('FROM sh)', 'FROM sh2)').replace('AS shingle', 'AS shingle')},
+sig2 AS (
+  SELECT doc_id,
+    {mh_aggs}
+  FROM shh2
+  GROUP BY doc_id
+)
+SELECT p.doc_a, p.doc_b, p.jaccard,
+       CAST(({agree}) AS DOUBLE) / {float(NUM_PERMS)!r} AS jaccard_est,
+       round(abs(CAST(({agree}) AS DOUBLE) / {float(NUM_PERMS)!r} - p.jaccard), 6)
+         AS abs_err
+FROM pairs p
+JOIN sig2 sa ON sa.doc_id = p.doc_a
+JOIN sig2 sb ON sb.doc_id = p.doc_b
+"""
+
+
+MINHASH_EST_ERROR_SQL = _minhash_est_error_sql()

@@ -192,3 +192,63 @@ SELECT source, n_tokens,
              / (CAST(n_tokens AS DOUBLE) / total), 6) AS boost
 FROM per_src, tot
 """
+
+
+# --- deterministic train/eval split ---------------------------------------
+
+EVAL_PCT = 5  # hold out ~5 docs per 100
+_SPLIT_SALT = "split:"
+
+
+def split_train_eval(documents: DataFrame, eval_pct: int = EVAL_PCT) -> DataFrame:
+    """Reproducible train/eval holdout assignment plus the per-source
+    audit a pipeline records next to the split: each doc is labeled by a
+    pure function of its id (salted portable hash, independent of the
+    sampling decision above), so the split survives retries,
+    repartitioning, engine changes, and incremental corpus growth
+    (existing docs never flip sides when new docs arrive — the property
+    rand()-based splits lack). Output is the per-(source, split) rollup:
+    doc count, token mass, observed eval share."""
+    split = F.when(
+        h64(F.concat(F.lit(_SPLIT_SALT), F.col("doc_id").cast("string"))) % 100
+        < eval_pct,
+        F.lit("eval"),
+    ).otherwise(F.lit("train"))
+    n_tok = F.size(F.split(F.lower(F.trim(F.col("text"))), r"\s+"))
+    per = (
+        documents.select("source", split.alias("split"), n_tok.alias("n_tok"))
+        .groupBy("source", "split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("n_tokens"),
+        )
+    )
+    w = Window.partitionBy("source")
+    return per.select(
+        "source",
+        "split",
+        "n_docs",
+        "n_tokens",
+        F.round(F.col("n_docs").cast("double") / F.sum("n_docs").over(w), 6).alias(
+            "doc_share"
+        ),
+    )
+
+
+_SPLIT_BUCKET_SQL = f"{h64_sql(f'{_SPLIT_SALT!r} || CAST(doc_id AS VARCHAR)')} % 100"
+
+SPLIT_TRAIN_EVAL_SQL = f"""
+WITH labeled AS (
+  SELECT source,
+         CASE WHEN {_SPLIT_BUCKET_SQL} < {EVAL_PCT} THEN 'eval' ELSE 'train' END AS split,
+         len(regexp_split_to_array(lower(trim(text)), '\\s+')) AS n_tok
+  FROM documents
+), per AS (
+  SELECT source, split, count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens
+  FROM labeled GROUP BY source, split
+)
+SELECT source, split, n_docs, n_tokens,
+       round(CAST(n_docs AS DOUBLE) / sum(n_docs) OVER (PARTITION BY source), 6)
+         AS doc_share
+FROM per
+"""

@@ -181,4 +181,9 @@ DATAPIPE_QUERIES: dict[str, tuple] = {
     "semantic_dedup": (_embs(S.semantic_dedup), S.SEMANTIC_DEDUP_SQL),
     "rag_retrieve": (rag_retrieve, RAG_RETRIEVE_SQL),
     "cluster_topics_report": (cluster_topics_report, CLUSTER_TOPICS_SQL),
+    "split_train_eval": (_docs(SM.split_train_eval), SM.SPLIT_TRAIN_EVAL_SQL),
+    "minhash_est_error_report": (
+        _docs(D.minhash_est_error_report),
+        D.MINHASH_EST_ERROR_SQL,
+    ),
 }

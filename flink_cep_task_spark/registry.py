@@ -80,6 +80,8 @@ OVERFLOW_LAST = (
     "semantic_dedup",
     "rag_retrieve",
     "cluster_topics_report",
+    "split_train_eval",
+    "minhash_est_error_report",
 )
 
 
