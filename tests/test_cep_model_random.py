@@ -18,11 +18,12 @@ import math
 import random
 from decimal import Decimal
 
+import pytest
+
 from flink_cep_task_spark.plans.cep import evaluate_rules
 from flink_cep_task_spark.rules import Rule
 from flink_cep_task_spark.schemas import METRIC_SCHEMA
 
-SEED = 20260814
 
 
 def _model(events, rules):
@@ -83,8 +84,9 @@ def _model(events, rules):
     return out
 
 
-def test_random_rules_match_python_model(spark):
-    rng = random.Random(SEED)
+@pytest.mark.parametrize("seed", [20260814, 7, 9001])
+def test_random_rules_match_python_model(spark, seed):
+    rng = random.Random(seed)
     tagsets = {"t_a": ["a1", "a2", "a3"], "t_b": ["b1", "b2"]}
     fields = ["m1", "m2"]
 
