@@ -34,16 +34,32 @@ _PERSISTED: list[DataFrame] = []
 _SHARED: dict[tuple, DataFrame] = {}
 
 
+def copy_provenance(dst: DataFrame, src: DataFrame) -> DataFrame:
+    """Carry the source-file provenance attribute through a
+    transformation. inputFiles() is unreliable for provenance once ANY
+    canonically-equal plan sits in Spark's CacheManager (cache
+    substitution hides the file scan and it returns []), so operators
+    whose results feed file-keyed caches thread the attribute explicitly
+    from load_table onward."""
+    files = getattr(src, "_graft_input_files", None)
+    if files:
+        dst._graft_input_files = files
+    return dst
+
+
 def persisted(df: DataFrame) -> DataFrame:
-    # inputFiles() returns [] once a plan is persist()ed (the InMemory
-    # relation hides the file scan), which silently disabled every
-    # downstream cache keyed on source files (the IVF k-means fit memo —
-    # its refit cost was ~2-7 s PER QUERY at sf0.1). Capture provenance
-    # while the plan still exposes it and carry it on the handle.
-    try:
-        files = tuple(sorted(df.inputFiles()))
-    except Exception:
-        files = ()
+    # Provenance for file-keyed caches (the IVF fit memo, the shared
+    # result tier): prefer the explicitly-threaded attribute; fall back to
+    # inputFiles(), which works only when the plan is neither persisted
+    # nor shadowed by a canonically-equal CacheManager entry — both bit
+    # this code before (refit per query; a second pair-set build missing
+    # the shared cache because its provenance came back empty).
+    files = getattr(df, "_graft_input_files", None)
+    if not files:
+        try:
+            files = tuple(sorted(df.inputFiles()))
+        except Exception:
+            files = ()
     p = df.persist()
     p._graft_input_files = files
     _PERSISTED.append(p)

@@ -165,9 +165,12 @@ def shingles_hashed(documents: DataFrame) -> DataFrame:
     source, so every downstream join/shuffle/aggregation moves 8-byte keys
     instead of ~20-char strings (the set algebra is identical modulo md5
     collisions, which are negligible)."""
+    from flink_cep_task_spark.operators.cache import copy_provenance
+
     udf = _make_shingle_udf()
-    return documents.select(
-        "doc_id", F.explode(udf(F.col("text"))).alias("sh")
+    return copy_provenance(
+        documents.select("doc_id", F.explode(udf(F.col("text"))).alias("sh")),
+        documents,
     )
 
 

@@ -80,11 +80,16 @@ def _cosine(va: Column, vb: Column, na: Column, nb: Column) -> Column:
 
 
 def _with_norm(df: DataFrame) -> DataFrame:
+    from flink_cep_task_spark.operators.cache import copy_provenance
+
     v = _vec_int(F.col("embedding"))
-    return df.select(
-        "vec_id",
-        v.alias("v"),
-        F.sqrt(_idot(v, v).cast("double") / F.lit(SCALE2)).alias("nrm"),
+    return copy_provenance(
+        df.select(
+            "vec_id",
+            v.alias("v"),
+            F.sqrt(_idot(v, v).cast("double") / F.lit(SCALE2)).alias("nrm"),
+        ),
+        df,
     )
 
 

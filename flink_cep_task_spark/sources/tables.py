@@ -65,6 +65,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
                     )
                 ),
             )
+    # explicit provenance for file-keyed caches downstream (see
+    # operators/cache.py copy_provenance: inputFiles() is unreliable once
+    # a canonically-equal plan is persisted anywhere in the session)
+    df._graft_input_files = (f"{sf_dir}/{name}.parquet",)
     return df
 
 
@@ -85,7 +89,9 @@ def widen_small_scan(df: DataFrame, target: int | None = None) -> DataFrame:
     target = target or spark.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() >= min(target, 8):
         return df
-    return df.repartition(target)
+    from flink_cep_task_spark.operators.cache import copy_provenance
+
+    return copy_provenance(df.repartition(target), df)
 
 
 def register_views(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES) -> None:
