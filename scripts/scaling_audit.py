@@ -68,6 +68,56 @@ QUERIES = [
 BASE = "/root/testdata/sf0.1"
 
 
+def build_scaled_tpch(spark, k: int) -> str:
+    """Referentially-consistent k× copies of the TPC-H-ish tables: every
+    copy shifts its own keys AND the foreign keys into other copied
+    tables by the same per-table stride, so join selectivities match the
+    base corpus exactly; region/nation stay single-copy shared dims
+    (their keys are not shifted anywhere)."""
+    out = tempfile.mkdtemp(prefix=f"scale_tpch_{k}x_")
+    strides = {}
+    for t, keycols in (
+        ("customer", ["c_custkey"]),
+        ("supplier", ["s_suppkey"]),
+        ("part", ["p_partkey"]),
+        ("orders", ["o_orderkey", "o_custkey"]),
+        (
+            "lineitem",
+            ["l_orderkey", "l_partkey", "l_suppkey"],
+        ),
+    ):
+        df = spark.read.parquet(f"{BASE}/{t}.parquet")
+        # stride for THIS table's primary key = its own row count; foreign
+        # keys use the referenced table's stride (recorded earlier —
+        # ordering above guarantees referenced tables come first)
+        strides[t] = df.count()
+        col_table = {
+            "c_custkey": "customer",
+            "s_suppkey": "supplier",
+            "p_partkey": "part",
+            "o_orderkey": "orders",
+            "o_custkey": "customer",
+            "l_orderkey": "orders",
+            "l_partkey": "part",
+            "l_suppkey": "supplier",
+        }
+        copies = []
+        for i in range(k):
+            c = df
+            for col in keycols:
+                c = c.withColumn(col, F.col(col) + F.lit(i * strides[col_table[col]]))
+            copies.append(c)
+        u = copies[0]
+        for c in copies[1:]:
+            u = u.unionByName(c)
+        u.repartition(32).write.mode("overwrite").parquet(f"{out}/{t}.parquet")
+    for t in ("region", "nation"):
+        spark.read.parquet(f"{BASE}/{t}.parquet").write.mode("overwrite").parquet(
+            f"{out}/{t}.parquet"
+        )
+    return out
+
+
 def build_scaled(spark, k: int) -> str:
     out = tempfile.mkdtemp(prefix=f"scale_{k}x_")
 
