@@ -182,6 +182,8 @@ FROM events GROUP BY user_id
 # --- set operations ------------------------------------------------------
 
 def users_purchase_no_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operation EXCEPT: users who purchased and never hit an error —
+    two distinct sets, anti-joined."""
     e = _events(spark, sf_dir)
     purchasers = e.filter(F.col("event_type") == "purchase").select("user_id").distinct()
     errorers = e.filter(F.col("event_type") == "error").select("user_id").distinct()
@@ -196,6 +198,8 @@ SELECT DISTINCT user_id FROM events WHERE event_type = 'error'
 
 
 def users_purchase_and_signup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operation INTERSECT: users present in both the purchase and the
+    signup event sets."""
     e = _events(spark, sf_dir)
     a = e.filter(F.col("event_type") == "purchase").select("user_id").distinct()
     b = e.filter(F.col("event_type") == "signup").select("user_id").distinct()

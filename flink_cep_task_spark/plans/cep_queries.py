@@ -110,6 +110,13 @@ def _rule_query(rules: list[Rule]):
     def q(spark: SparkSession, sf_dir: str) -> DataFrame:
         return evaluate_rules_on_events(spark, sf_dir, rules)
 
+    desc = "; ".join(
+        f"rule {r.rule_id}: {r.window_type} {r.agg_type}({r.agg_field}) by "
+        f"{','.join(r.grouping_keys) or '(no keys)'} where agg {r.limit_op} {r.limit}"
+        for r in rules
+        if r.rule_state == "ACTIVE"
+    )
+    q.__doc__ = f"CEP rule evaluation over the events table — {desc}."
     return q
 
 

@@ -201,6 +201,9 @@ WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-0
 # --- Q10: returned items (join + group + top-k by revenue) ---------------
 
 def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10: top-20 customers by revenue lost to returned items in one
+    quarter — returnflag-filtered lineitem joined to date-filtered orders,
+    customer and nation dims broadcast."""
     c = load_table(spark, sf_dir, "customer")
     n = load_table(spark, sf_dir, "nation")
     o = load_table(spark, sf_dir, "orders").filter(
