@@ -252,3 +252,79 @@ SELECT source, split, n_docs, n_tokens,
          AS doc_share
 FROM per
 """
+
+
+# --- quality-weighted source mixing ---------------------------------------
+
+def quality_mix_report(documents: DataFrame, temperature: float = MIX_TEMPERATURE) -> DataFrame:
+    """Pipeline composition: temperature-flattened mixing weights
+    (mix_temperature) scaled by each source's mean quality score
+    (corpus_quality_report's metric) and renormalized — the static form of
+    quality-aware mixture reweighting (small sources are upsampled by
+    temperature, low-quality sources are damped by their measured quality).
+
+    Determinism across engines: both factors are rounded to 6 dp first, so
+    their product is an exact ≤12-significant-digit value (exact in a
+    double); it is then CAST to DECIMAL(28,12) — which both engines
+    recover exactly from the double — so the renormalization SUM is exact
+    decimal arithmetic, immune to partitioning order. Only the final
+    division is floating point, with identical operands. Scale shape: one
+    corpus aggregate (map-side combined), then arithmetic over the
+    |sources|-row table with broadcast scalar joins."""
+    from flink_cep_task_spark.operators.text import _quality_score, tokens
+
+    alpha = 1.0 / temperature
+    per_src = documents.groupBy("source").agg(
+        F.sum(F.size(tokens(F.col("text"))).cast("long")).alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(_quality_score().cast("decimal(9,6)")).alias("__qsum"),
+    )
+    totals = per_src.agg(F.sum(F.pow(F.col("n_tokens").cast("double"), alpha)).alias("__z"))
+    avg_q = F.round(F.col("__qsum").cast("double") / F.col("n_docs"), 6)
+    w_t = F.round(F.pow(F.col("n_tokens").cast("double"), alpha) / F.col("__z"), 6)
+    staged = (
+        per_src.join(F.broadcast(totals))
+        .withColumn("avg_quality", avg_q)
+        .withColumn("mix_weight", w_t)
+        .withColumn(
+            "__wq", (F.col("mix_weight") * F.col("avg_quality")).cast("decimal(28,12)")
+        )
+    )
+    norm = staged.agg(F.sum("__wq").alias("__norm"))
+    return staged.join(F.broadcast(norm)).select(
+        "source",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        "avg_quality",
+        "mix_weight",
+        F.round(
+            F.col("__wq").cast("double") / F.col("__norm").cast("double"), 6
+        ).alias("final_weight"),
+    )
+
+
+from flink_cep_task_spark.operators.text import STOPWORDS as _STOP
+_STOP_SQL = ", ".join("'" + w + "'" for w in _STOP)
+
+QUALITY_MIX_SQL = f"""
+WITH per_src AS (
+  SELECT source,
+         CAST(sum(len(regexp_split_to_array(lower(trim(text)), '\\s+'))) AS BIGINT) AS n_tokens,
+         count(*) AS n_docs,
+         sum(CAST(round(least(1.0, CAST(len(regexp_split_to_array(lower(trim(text)), '\\s+')) AS DOUBLE) / 100.0)
+               * (1.0 - CAST(len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), x -> x IN ({_STOP_SQL}))) AS DOUBLE)
+                        / len(regexp_split_to_array(lower(trim(text)), '\\s+'))), 6) AS DECIMAL(9,6))) AS qsum
+  FROM documents GROUP BY source
+), tot AS (
+  SELECT sum(pow(CAST(n_tokens AS DOUBLE), {1.0 / MIX_TEMPERATURE})) AS z FROM per_src
+), staged AS (
+  SELECT source, n_tokens,
+         round(CAST(qsum AS DOUBLE) / n_docs, 6) AS avg_quality,
+         round(pow(CAST(n_tokens AS DOUBLE), {1.0 / MIX_TEMPERATURE}) / z, 6) AS mix_weight,
+         CAST(round(pow(CAST(n_tokens AS DOUBLE), {1.0 / MIX_TEMPERATURE}) / z, 6)
+              * round(CAST(qsum AS DOUBLE) / n_docs, 6) AS DECIMAL(28,12)) AS wq
+  FROM per_src, tot
+), norm AS (SELECT sum(wq) AS nz FROM staged)
+SELECT source, n_tokens, avg_quality, mix_weight,
+       round(CAST(wq AS DOUBLE) / CAST(nz AS DOUBLE), 6) AS final_weight
+FROM staged, norm
+"""

@@ -186,4 +186,5 @@ DATAPIPE_QUERIES: dict[str, tuple] = {
         _docs(D.minhash_est_error_report),
         D.MINHASH_EST_ERROR_SQL,
     ),
+    "quality_mix_report": (_docs(SM.quality_mix_report), SM.QUALITY_MIX_SQL),
 }

@@ -82,6 +82,7 @@ OVERFLOW_LAST = (
     "cluster_topics_report",
     "split_train_eval",
     "minhash_est_error_report",
+    "quality_mix_report",
 )
 
 
