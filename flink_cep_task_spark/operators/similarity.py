@@ -1053,3 +1053,51 @@ FROM mem GROUP BY cell
 
 
 IVF_CELL_REPORT_SQL = _ivf_cell_report_sql()
+
+
+# --- cluster-balanced sampling --------------------------------------------
+
+CLUSTER_SAMPLE_K = 20
+
+
+def cluster_balanced_sample(embeddings: DataFrame, k: int = CLUSTER_SAMPLE_K) -> DataFrame:
+    """Curation sampling that preserves semantic coverage: keep (up to) k
+    vectors per IVF k-means cell, chosen by a salted deterministic hash —
+    the cluster-balanced subset used after a SemDeDup-style pass so rare
+    semantic regions survive downsampling (a uniform sample would keep
+    them in proportion to their mass, i.e. barely). No RNG state: the
+    per-cell ranking is a pure function of vec_id, reproducible across
+    engines/retries/partitionings like operators/sampling.py. The rank
+    window sorts one cell per partition — cells are fit-balanced, so no
+    partition degenerates."""
+    from flink_cep_task_spark.functions.hashing import h64
+    from flink_cep_task_spark.operators.cache import persisted
+
+    base = persisted(_with_norm(embeddings))
+    cents = _fit_centroids(base)
+    cells = _assign_cells(base, cents, 1).filter(F.col("rank") == 0).drop("rank")
+    order = h64(F.concat(F.lit("cbs:"), F.col("vec_id").cast("string")))
+    w = Window.partitionBy("cell").orderBy(order, "vec_id")
+    return (
+        cells.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("vec_id", F.col("cell").cast("long").alias("cell"), "rnk")
+    )
+
+
+def _cluster_balanced_sample_sql() -> str:
+    from flink_cep_task_spark.functions.hashing import h64_sql
+
+    ctes, _cfin = _ivf_common_ctes()
+    order = h64_sql("'cbs:' || CAST(vec_id AS VARCHAR)")
+    return f"""
+WITH {ctes}
+SELECT vec_id, cell, rnk FROM (
+  SELECT vec_id, cell,
+         CAST(row_number() OVER (PARTITION BY cell ORDER BY {order}, vec_id) AS INTEGER) AS rnk
+  FROM inv_file
+) WHERE rnk <= {CLUSTER_SAMPLE_K}
+"""
+
+
+CLUSTER_BALANCED_SAMPLE_SQL = _cluster_balanced_sample_sql()

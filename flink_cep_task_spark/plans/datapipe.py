@@ -187,4 +187,8 @@ DATAPIPE_QUERIES: dict[str, tuple] = {
         D.MINHASH_EST_ERROR_SQL,
     ),
     "quality_mix_report": (_docs(SM.quality_mix_report), SM.QUALITY_MIX_SQL),
+    "cluster_balanced_sample": (
+        _embs(S.cluster_balanced_sample),
+        S.CLUSTER_BALANCED_SAMPLE_SQL,
+    ),
 }

@@ -83,6 +83,7 @@ OVERFLOW_LAST = (
     "split_train_eval",
     "minhash_est_error_report",
     "quality_mix_report",
+    "cluster_balanced_sample",
 )
 
 
