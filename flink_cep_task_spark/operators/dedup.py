@@ -1046,3 +1046,71 @@ JOIN sig2 sb ON sb.doc_id = p.doc_b
 
 
 MINHASH_EST_ERROR_SQL = _minhash_est_error_sql()
+
+
+# --- dedup method-agreement matrix ----------------------------------------
+
+def dedup_method_agreement(documents: DataFrame) -> DataFrame:
+    """Which near-dup detectors agree: the (exact, MinHash-LSH, SimHash)
+    membership matrix over the union of all flagged pairs — the audit a
+    pipeline runs before committing to one method's threshold (exact ⊆
+    minhash by construction: identical docs share signatures; the
+    interesting rows are the sketch methods' disagreements).
+
+    Cost shape: reuses the session-shared verified MinHash pair set and
+    the banded SimHash join; the exact-pair arm is the same
+    one-exchange-reused hash self-join as dedup_exact. Output is ≤ 2³
+    rows."""
+    k = F.md5(F.coalesce(_norm(F.col("text")), F.lit("\x00null")))
+    d = documents.select("doc_id", k.alias("k")).repartition("k")
+    a, b = d.alias("a"), d.alias("b")
+    ex = a.join(
+        b, (F.col("a.k") == F.col("b.k")) & (F.col("a.doc_id") < F.col("b.doc_id"))
+    ).select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+    mh = dedup_minhash_lsh(documents).select("doc_a", "doc_b")
+    sh = dedup_simhash(documents).select("doc_a", "doc_b")
+    u = (
+        ex.withColumn("m", F.lit("e"))
+        .unionByName(mh.withColumn("m", F.lit("m")))
+        .unionByName(sh.withColumn("m", F.lit("s")))
+    )
+    flags = u.groupBy("doc_a", "doc_b").agg(
+        F.max((F.col("m") == "e").cast("int")).alias("__e"),
+        F.max((F.col("m") == "m").cast("int")).alias("__m"),
+        F.max((F.col("m") == "s").cast("int")).alias("__s"),
+    )
+    return (
+        flags.groupBy(
+            (F.col("__e") == 1).alias("in_exact"),
+            (F.col("__m") == 1).alias("in_minhash"),
+            (F.col("__s") == 1).alias("in_simhash"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+
+
+DEDUP_AGREEMENT_SQL = f"""
+WITH keyed AS (
+  SELECT doc_id,
+         md5(coalesce({_NORM_SQL}, chr(0) || 'null')) AS k
+  FROM documents
+),
+u AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, 'e' AS m
+  FROM keyed a JOIN keyed b ON a.k = b.k AND a.doc_id < b.doc_id
+  UNION ALL
+  SELECT doc_a, doc_b, 'm' AS m FROM ({MINHASH_LSH_SQL})
+  UNION ALL
+  SELECT doc_a, doc_b, 's' AS m FROM ({SIMHASH_SQL})
+),
+flags AS (
+  SELECT doc_a, doc_b,
+         max(CASE WHEN m = 'e' THEN 1 ELSE 0 END) AS e,
+         max(CASE WHEN m = 'm' THEN 1 ELSE 0 END) AS mm,
+         max(CASE WHEN m = 's' THEN 1 ELSE 0 END) AS s
+  FROM u GROUP BY doc_a, doc_b
+)
+SELECT e = 1 AS in_exact, mm = 1 AS in_minhash, s = 1 AS in_simhash,
+       count(*) AS n_pairs
+FROM flags GROUP BY 1, 2, 3
+"""

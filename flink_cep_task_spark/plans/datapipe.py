@@ -191,4 +191,8 @@ DATAPIPE_QUERIES: dict[str, tuple] = {
         _embs(S.cluster_balanced_sample),
         S.CLUSTER_BALANCED_SAMPLE_SQL,
     ),
+    "dedup_method_agreement": (
+        _docs(D.dedup_method_agreement),
+        D.DEDUP_AGREEMENT_SQL,
+    ),
 }

@@ -84,6 +84,7 @@ OVERFLOW_LAST = (
     "minhash_est_error_report",
     "quality_mix_report",
     "cluster_balanced_sample",
+    "dedup_method_agreement",
 )
 
 
