@@ -224,6 +224,41 @@ def test_semantic_dedup_screens_in_grouped_pandas(spark):
     assert "FlatMapGroupsInPandas" in plan
 
 
+def test_cluster_topics_joins_before_token_explode(spark):
+    # docs join their cell assignment at row level; the token Generate must
+    # sit ABOVE the join (exploding first would shuffle every token through
+    # the join). Physical plans print root-first, so the explode line must
+    # appear before the docs-side join seen from the top.
+    plan = _plan(spark, "cluster_topics_report")
+    gen = plan.find("Generate explode")
+    assert gen != -1, "no token explode in cluster_topics plan"
+    join_markers = [
+        plan.find(m) for m in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin")
+        if plan.find(m) != -1
+    ]
+    assert join_markers and gen < min(join_markers), (
+        "token explode runs below the cell join"
+    )
+
+
+def test_split_train_eval_never_shuffles_text(spark):
+    plan = _plan(spark, "split_train_eval")
+    text_shuffles = [
+        ln for ln in plan.splitlines()
+        if "Exchange hashpartitioning" in ln and "text#" in ln
+    ]
+    assert not text_shuffles, f"document text shuffled: {text_shuffles}"
+
+
+def test_cluster_balanced_sample_window_partitions_by_cell(spark):
+    import re
+
+    plan = _plan(spark, "cluster_balanced_sample")
+    w = re.search(r"Window \[.*", plan)
+    assert w, "no window node in cluster_balanced_sample plan"
+    assert "cell" in w.group(0), f"rank window not partitioned by cell: {w.group(0)}"
+
+
 def test_range_join_is_equi_join_not_nested_loop(spark):
     # the banded time-range join's reason to exist: the band predicate is
     # carried by an EQUI join on (user_id, bucket) with the range as a
