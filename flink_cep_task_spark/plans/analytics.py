@@ -583,6 +583,67 @@ GROUP BY p.event_id, p.user_id, p.ts
 """
 
 
+NOT_FOLLOW_WINDOW_S = 3600
+
+
+def not_followed_by_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CEP NEGATION as a batch query: signups NOT followed by a purchase
+    from the same user within 1 h — the timeout/absence pattern the
+    reference's threshold model cannot express (its streaming twin is
+    followed_by_timeout_stream in streaming/ops.py; this is the
+    oracle-checked batch semantics).
+
+    A naive NOT EXISTS over a time band plans as a nested-loop anti join
+    (per-user cross product). Same cure as range_join_clicks: bucket both
+    sides at the band width so existence checking is an EQUI semi-join —
+    each signup probes its own bucket and the next one (two buckets always
+    cover a forward 1 h band), the residual range predicate filters
+    post-join, and the final step is a LEFT ANTI on event_id against the
+    matched set. Every join is hash-partitionable and AQE-skew-splittable."""
+    e = _events(spark, sf_dir)
+    s = e.filter(F.col("event_type") == "signup").select("event_id", "user_id", "ts_s")
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts_s").alias("p_ts"),
+        F.floor(F.col("ts_s") / NOT_FOLLOW_WINDOW_S).alias("p_bucket"),
+    )
+    sb = s.withColumn(
+        "b",
+        F.explode(
+            F.array(
+                F.floor(F.col("ts_s") / NOT_FOLLOW_WINDOW_S),
+                F.floor(F.col("ts_s") / NOT_FOLLOW_WINDOW_S) + 1,
+            )
+        ),
+    )
+    matched = (
+        sb.join(
+            p,
+            (sb["user_id"] == p["p_user"])
+            & (sb["b"] == p["p_bucket"])
+            & (p["p_ts"] > sb["ts_s"])
+            & (p["p_ts"] <= sb["ts_s"] + NOT_FOLLOW_WINDOW_S),
+        )
+        .select("event_id")
+        .distinct()
+    )
+    return s.join(matched, "event_id", "left_anti").select("event_id", "user_id", "ts_s")
+
+
+NOT_FOLLOWED_BY_SQL = f"""
+SELECT s.event_id, s.user_id, CAST(floor(epoch(s.ts)) AS BIGINT) AS ts_s
+FROM events s
+WHERE s.event_type = 'signup'
+  AND NOT EXISTS (
+    SELECT 1 FROM events p
+    WHERE p.event_type = 'purchase' AND p.user_id = s.user_id
+      AND CAST(floor(epoch(p.ts)) AS BIGINT) > CAST(floor(epoch(s.ts)) AS BIGINT)
+      AND CAST(floor(epoch(p.ts)) AS BIGINT)
+          <= CAST(floor(epoch(s.ts)) AS BIGINT) + {NOT_FOLLOW_WINDOW_S}
+  )
+"""
+
+
 ZSCORE_TAU = 2.5
 
 
@@ -660,4 +721,5 @@ ANALYTICS_QUERIES: dict[str, tuple] = {
     "skewsafe_user_distinct": (skewsafe_user_distinct, SKEWSAFE_DISTINCT_SQL),
     "range_join_clicks": (range_join_clicks, RANGE_JOIN_SQL),
     "zscore_outliers": (zscore_outliers, ZSCORE_SQL),
+    "not_followed_by_purchase": (not_followed_by_purchase, NOT_FOLLOWED_BY_SQL),
 }

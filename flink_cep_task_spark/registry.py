@@ -85,6 +85,7 @@ OVERFLOW_LAST = (
     "quality_mix_report",
     "cluster_balanced_sample",
     "dedup_method_agreement",
+    "not_followed_by_purchase",
 )
 
 

@@ -269,3 +269,12 @@ def test_range_join_is_equi_join_not_nested_loop(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_not_followed_by_is_banded_anti_join(spark):
+    # temporal negation: the band existence check must be a bucketed EQUI
+    # join + LEFT ANTI, never a nested-loop NOT EXISTS
+    plan = _plan(spark, "not_followed_by_purchase")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "LeftAnti" in plan
