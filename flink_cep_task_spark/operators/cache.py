@@ -104,10 +104,17 @@ def release_caches() -> None:
 
 
 def release_shared() -> None:
-    """Drop the session-shared tier too (tests / session teardown)."""
+    """Drop the session-shared tier too (tests / session teardown).
+
+    The storage handle matters: a localCheckpoint()ed DataFrame's `.rdd`
+    (and queryExecution().toRdd()) are freshly DERIVED RDDs with no
+    storage level — unpersisting them frees nothing (verified against
+    sc.getPersistentRDDs). The materialized blocks belong to the RDD
+    inside the plan's LogicalRDD node; unpersisting THAT drops the entry
+    from the persistent-RDD registry immediately."""
     for p in _SHARED.values():
         try:
-            p.rdd.unpersist()
+            p._jdf.queryExecution().analyzed().rdd().unpersist(False)
         except Exception:
-            pass  # never-materialized lazy checkpoint
+            pass  # never-materialized lazy checkpoint / non-RDD plan
     _SHARED.clear()

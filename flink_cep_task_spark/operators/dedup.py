@@ -174,12 +174,21 @@ def shingles_hashed(documents: DataFrame) -> DataFrame:
     )
 
 
-SHINGLES_HASHED_CTE = (
-    SHINGLES_CTE.strip()
-    + f""",
-shh AS (SELECT doc_id, {h64_sql("shingle")} AS sh FROM sh)
+def shingles_hashed_cte(suffix: str = "") -> str:
+    """The shingle-extraction CTE pair with parameterizable names, for
+    oracles that need a SECOND independent copy next to one already
+    embedded in a subquery (string-replace surgery on the shared constant
+    silently breaks when the constant is reformatted)."""
+    return f"""sh{suffix} AS (
+  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+  FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS w FROM documents),
+       LATERAL (SELECT unnest(generate_series(1, len(w) - 2)) AS i) s
+),
+shh{suffix} AS (SELECT doc_id, {h64_sql("shingle")} AS sh FROM sh{suffix})
 """
-)
+
+
+SHINGLES_HASHED_CTE = shingles_hashed_cte()
 
 
 def _pair_jaccard(sh: DataFrame, candidates: DataFrame, tau: float) -> DataFrame:
@@ -1028,7 +1037,7 @@ def _minhash_est_error_sql() -> str:
     )
     return f"""
 WITH pairs AS ({_minhash_sql()}),
-{SHINGLES_HASHED_CTE.strip().replace('sh AS (', 'sh2 AS (').replace('shh AS (SELECT doc_id,', 'shh2 AS (SELECT doc_id,').replace('FROM sh)', 'FROM sh2)').replace('AS shingle', 'AS shingle')},
+{shingles_hashed_cte("2").strip()},
 sig2 AS (
   SELECT doc_id,
     {mh_aggs}

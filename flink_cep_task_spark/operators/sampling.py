@@ -209,12 +209,14 @@ def split_train_eval(documents: DataFrame, eval_pct: int = EVAL_PCT) -> DataFram
     (existing docs never flip sides when new docs arrive — the property
     rand()-based splits lack). Output is the per-(source, split) rollup:
     doc count, token mass, observed eval share."""
+    from flink_cep_task_spark.operators.text import tokens
+
     split = F.when(
         h64(F.concat(F.lit(_SPLIT_SALT), F.col("doc_id").cast("string"))) % 100
         < eval_pct,
         F.lit("eval"),
     ).otherwise(F.lit("train"))
-    n_tok = F.size(F.split(F.lower(F.trim(F.col("text"))), r"\s+"))
+    n_tok = F.size(tokens(F.col("text")))
     per = (
         documents.select("source", split.alias("split"), n_tok.alias("n_tok"))
         .groupBy("source", "split")

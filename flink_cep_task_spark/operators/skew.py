@@ -83,7 +83,19 @@ def salted_join(
     Pass salt_cols explicitly when the skewed side carries unhashable
     columns (MAP types).
 
+    Only ``inner`` and ``left`` (outer) joins are result-identical to the
+    unsalted form: `other` is REPLICATED across shards, so a right/full
+    outer join would emit each unmatched `other` row once per shard, and
+    semi/anti joins have no `other` columns to select — all rejected
+    explicitly rather than silently corrupting results.
+
     Output columns = the plain join's (shard column dropped)."""
+    if how not in ("inner", "left", "leftouter", "left_outer"):
+        raise ValueError(
+            f"salted_join supports inner/left joins only (got {how!r}): the "
+            "replicated side would duplicate unmatched rows under "
+            "right/full, and semi/anti drop the replicated side entirely"
+        )
     out_cols = list(skewed.columns)
     other_cols = list(other.columns)
     s = skewed.withColumn(

@@ -672,11 +672,20 @@ def zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     mean = F.col("s").cast("double") / F.col("n")
     var = F.col("ss").cast("double") / F.col("n") - mean * mean
-    enriched = e.join(F.broadcast(stats), "event_type").select(
-        "event_id",
-        "event_type",
-        F.round(v.cast("double"), 2).alias("value"),
-        F.round((v.cast("double") - mean) / F.sqrt(var), 6).alias("z"),
+    # an all-equal (or near-equal) group makes the textbook variance a tiny
+    # NEGATIVE double: DuckDB's sqrt raises on it while Spark yields NaN
+    # (and NaN passes Spark's >= filter) — so degenerate groups are
+    # excluded identically in both engines BEFORE any sqrt runs; no z-score
+    # is definable at zero variance anyway.
+    enriched = (
+        e.join(F.broadcast(stats), "event_type")
+        .filter(var > 0)
+        .select(
+            "event_id",
+            "event_type",
+            F.round(v.cast("double"), 2).alias("value"),
+            F.round((v.cast("double") - mean) / F.sqrt(var), 6).alias("z"),
+        )
     )
     return enriched.filter(F.abs(F.col("z")) >= ZSCORE_TAU)
 
@@ -687,16 +696,26 @@ WITH stats AS (
          sum(CAST(value AS DECIMAL(18,2))) AS s,
          sum(CAST(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS ss
   FROM events GROUP BY event_type
+),
+ok AS (
+  -- degenerate (zero/negative-variance) groups are excluded BEFORE any
+  -- sqrt evaluates: DuckDB's sqrt raises on the tiny negative double an
+  -- all-equal group produces (no short-circuit guarantees inside WHERE,
+  -- hence the separate CTE); the Spark plan filters identically
+  SELECT event_type, n,
+         CAST(s AS DOUBLE) / n AS mean,
+         CAST(ss AS DOUBLE) / n - (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n) AS var
+  FROM stats
+  WHERE CAST(ss AS DOUBLE) / n - (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n) > 0
 )
-SELECT e.event_id, e.event_type,
-       round(CAST(CAST(e.value AS DECIMAL(18,2)) AS DOUBLE), 2) AS value,
-       round((CAST(CAST(e.value AS DECIMAL(18,2)) AS DOUBLE) - CAST(s.s AS DOUBLE) / s.n)
-             / sqrt(CAST(s.ss AS DOUBLE) / s.n
-                    - (CAST(s.s AS DOUBLE) / s.n) * (CAST(s.s AS DOUBLE) / s.n)), 6) AS z
-FROM events e JOIN stats s USING (event_type)
-WHERE abs(round((CAST(CAST(e.value AS DECIMAL(18,2)) AS DOUBLE) - CAST(s.s AS DOUBLE) / s.n)
-             / sqrt(CAST(s.ss AS DOUBLE) / s.n
-                    - (CAST(s.s AS DOUBLE) / s.n) * (CAST(s.s AS DOUBLE) / s.n)), 6)) >= {ZSCORE_TAU}
+SELECT event_id, event_type, value, z FROM (
+  SELECT e.event_id, e.event_type,
+         round(CAST(CAST(e.value AS DECIMAL(18,2)) AS DOUBLE), 2) AS value,
+         round((CAST(CAST(e.value AS DECIMAL(18,2)) AS DOUBLE) - o.mean)
+               / sqrt(o.var), 6) AS z
+  FROM events e JOIN ok o USING (event_type)
+)
+WHERE abs(z) >= {ZSCORE_TAU}
 """
 
 

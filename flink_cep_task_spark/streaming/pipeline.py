@@ -36,7 +36,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from flink_cep_task_spark.operators.fanout import fanout_rules
-from flink_cep_task_spark.operators.windows import apply_threshold
+from flink_cep_task_spark.operators.windows import apply_threshold, round_half_up
 from flink_cep_task_spark.rules import Rule, compact_rules, rules_df
 from flink_cep_task_spark.sources.jsonline import parse_metric_lines
 
@@ -224,7 +224,10 @@ def _agg_and_gate(grouped, extra_cols: list) -> DataFrame:
         "group_id",
         *extra_cols,
         "agg_type",
-        F.round("agg_value", 4).alias("agg_value"),
+        # the ONE rounding formula every engine surface applies — F.round
+        # here would diverge from batch/live/oracle within one ulp of a
+        # half (see operators/windows.round_half_up)
+        round_half_up("agg_value", 4).alias("agg_value"),
     )
 
 

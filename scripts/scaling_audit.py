@@ -203,6 +203,30 @@ def build_scaled(spark, k: int) -> str:
     return out
 
 
+def main_tpch() -> None:
+    """`python scripts/scaling_audit.py tpch` — the TPC-H variant behind
+    SCALING.md's q-family tables: referentially-consistent 16× copies,
+    every q-query timed min-of-2."""
+    import __spark_entry__ as entrymod
+    from flink_cep_task_spark.session import get_spark
+
+    spark = entrymod._configure(
+        get_spark(app_name="scaling_audit_tpch", extra_conf={"spark.ui.showConsoleProgress": "false"})
+    )
+    qs = entrymod.queries()
+    t = time.perf_counter()
+    d = build_scaled_tpch(spark, 16)
+    print(f"# built tpch 16x in {time.perf_counter()-t:.1f}s -> {d}", flush=True)
+    for name in sorted(n for n in qs if n.startswith("q")):
+        best = float("inf")
+        for _rep in range(2):
+            t = time.perf_counter()
+            qs[name](spark, d).write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t)
+        print(json.dumps({"query": name, "t16": round(best, 2)}), flush=True)
+    spark.stop()
+
+
 def main() -> None:
     import __spark_entry__ as entrymod
     from flink_cep_task_spark.session import get_spark
@@ -241,4 +265,7 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 1 and sys.argv[1] == "tpch":
+        main_tpch()
+    else:
+        main()

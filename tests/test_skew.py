@@ -70,3 +70,51 @@ def test_salted_join_left_keeps_unmatched(spark):
     got = salted_join(big, dim, "k", "dk", n_salts=4, how="left")
     exp = big.join(dim, big.k == dim.dk, "left")
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, exp.collect()))
+
+
+def test_salted_join_rejects_replication_unsafe_how(spark):
+    import pytest
+
+    df = _skewed_df(spark)
+    dim = spark.range(10).select(F.concat(F.lit("t"), F.col("id").cast("string")).alias("dk"))
+    for how in ("right", "full", "left_semi", "left_anti"):
+        with pytest.raises(ValueError, match="inner/left"):
+            salted_join(df, dim, "k", "dk", how=how)
+
+
+def test_cep_fanout_aggregation_stays_partial_under_hot_group(spark):
+    """Pipeline-level skew pin (structural, not timing): the CEP
+    fan-out → groupBy path must keep MAP-SIDE partial aggregation, so a
+    dominant group's rows combine before the single data shuffle instead
+    of melting one reducer. A change that breaks partial-agg placement
+    (non-combinable aggregate, repartition above the aggregate) fails
+    here."""
+    import datetime as dt
+    from decimal import Decimal
+
+    from flink_cep_task_spark.plans.cep import evaluate_rules
+    from flink_cep_task_spark.rules import Rule
+    from flink_cep_task_spark.schemas import METRIC_SCHEMA
+
+    # 90% of events in one group
+    rows = [
+        (
+            dt.datetime.utcfromtimestamp(i % 600),
+            {"t_g": "hot" if i % 10 else f"t{i % 7}"},
+            {"m": Decimal(i % 50)},
+        )
+        for i in range(500)
+    ]
+    metrics = spark.createDataFrame(rows, METRIC_SCHEMA)
+    rule = Rule(rule_id=1, window_type="tumbling", window_minutes=1,
+                grouping_keys=("t_g",), agg_type="SUM", agg_field="m",
+                limit_op=">", limit="0")
+    out = evaluate_rules(spark, metrics, [rule])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # partial aggregate BELOW the group exchange, final above it
+    pre, _, post = plan.partition("Exchange hashpartitioning")
+    assert "partial_sum" in post, "no map-side partial aggregation before the shuffle"
+    assert "HashAggregate" in pre, "no final aggregate above the shuffle"
+    # and the result itself is correct for the molten group
+    got = {(r.group_id, r.window_start): r.agg_value for r in out.collect()}
+    assert any(g.startswith("1_hot") for (g, _w) in got), "hot group missing"

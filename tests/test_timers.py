@@ -28,7 +28,7 @@ def _has_protobuf() -> bool:
         return False
 
 
-pytestmark = pytest.mark.skipif(
+_needs_protobuf = pytest.mark.skipif(
     not _has_protobuf(),
     reason="google.protobuf absent in this container; "
     "transformWithState state protocol requires it",
@@ -61,6 +61,7 @@ def _write_batches(dirpath, batches):
         os.utime(p, (t0 + i, t0 + i))
 
 
+@_needs_protobuf
 def test_timer_windows_match_batch_and_evict(spark, tmp_path):
     src = tmp_path / "timer-src"
     src.mkdir()
@@ -113,3 +114,71 @@ def test_timer_windows_match_batch_and_evict(spark, tmp_path):
     rows = spark.sql(f"select group_id, window_start, count(*) c from {name} "
                      "group by group_id, window_start having count(*) > 1").collect()
     assert not rows, f"window fired more than once: {rows}"
+
+
+class _FakeMapState:
+    def __init__(self):
+        self.d = {}
+
+    def containsKey(self, key):
+        return key in self.d
+
+    def getValue(self, key):
+        return self.d[key]
+
+    def updateValue(self, key, value):
+        self.d[key] = value
+
+    def removeKey(self, key):
+        del self.d[key]
+
+
+class _FakeHandle:
+    def __init__(self):
+        self.state = _FakeMapState()
+        self.timers = []
+
+    def getMapState(self, name, kschema, vschema):
+        return self.state
+
+    def registerTimer(self, expiry_ms):
+        self.timers.append(expiry_ms)
+
+
+def test_processor_logic_with_fake_handle():
+    """The operator's STATE/TIMER logic runs fine without Spark (the
+    protobuf-gated test above covers the plumbing on full deployments):
+    per-window running aggregates merge across batches, one timer per
+    window registered on first touch, fire-then-evict on expiry."""
+    import pandas as pd
+
+    from flink_cep_task_spark.streaming.timers import TumblingTimerProcessor
+
+    p = TumblingTimerProcessor(size_s=60)
+    handle = _FakeHandle()
+    p.init(handle)
+
+    key = ("g1",)
+    batch1 = pd.DataFrame({"ts_s": [0, 30, 90], "v": [5, 7, 1]})
+    list(p.handleInputRows(key, iter([batch1]), None))
+    assert handle.state.d == {(0,): (12, 2, 5, 7), (60,): (1, 1, 1, 1)}
+    assert sorted(handle.timers) == [60_000, 120_000]
+
+    # second batch touches an EXISTING window: merged, no re-registration
+    batch2 = pd.DataFrame({"ts_s": [59], "v": [100]})
+    list(p.handleInputRows(key, iter([batch2]), None))
+    assert handle.state.d[(0,)] == (112, 3, 5, 100)
+    assert len(handle.timers) == 2
+
+    class _Info:
+        def getExpiryTimeInMs(self):
+            return 60_000
+
+    fired = list(p.handleExpiredTimer(key, None, _Info()))
+    assert len(fired) == 1
+    row = fired[0].iloc[0]
+    assert (row["window_start"], row["window_end"]) == (0, 60)
+    assert (row["agg_sum"], row["agg_cnt"], row["agg_min"], row["agg_max"]) == (112, 3, 5, 100)
+    assert (0,) not in handle.state.d, "fired window not evicted"
+    # re-fire of the same timer finds no state and emits nothing
+    assert list(p.handleExpiredTimer(key, None, _Info())) == []
