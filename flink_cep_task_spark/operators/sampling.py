@@ -160,12 +160,19 @@ def mix_temperature(documents: DataFrame, temperature: float = MIX_TEMPERATURE) 
     per_src = documents.groupBy("source").agg(
         F.sum(F.size(tokens(F.col("text"))).cast("long")).alias("n_tokens")
     )
+    # the normalizer sums IRRATIONAL doubles — rounded per-term to 6 dp and
+    # summed as exact decimal so the total is partitioning-order-immune
+    # (a raw double sum can differ in the last ulp between partitionings
+    # and engines); magnitudes are n_tokens^(1/T) ≤ ~1e6 at any corpus.
+    zterm = F.round(F.pow(F.col("n_tokens").cast("double"), alpha), 6).cast(
+        "decimal(28,6)"
+    )
     totals = per_src.agg(
         F.sum("n_tokens").alias("__total"),
-        F.sum(F.pow(F.col("n_tokens").cast("double"), alpha)).alias("__z"),
+        F.sum(zterm).alias("__z"),
     )
     share = F.col("n_tokens").cast("double") / F.col("__total")
-    weight = F.pow(F.col("n_tokens").cast("double"), alpha) / F.col("__z")
+    weight = F.pow(F.col("n_tokens").cast("double"), alpha) / F.col("__z").cast("double")
     return per_src.join(F.broadcast(totals)).select(
         "source",
         F.col("n_tokens").cast("long").alias("n_tokens"),
@@ -182,7 +189,7 @@ WITH per_src AS (
   FROM documents GROUP BY source
 ), tot AS (
   SELECT CAST(sum(n_tokens) AS DOUBLE) AS total,
-         sum(pow(CAST(n_tokens AS DOUBLE), {1.0 / MIX_TEMPERATURE})) AS z
+         CAST(sum(CAST(round(pow(CAST(n_tokens AS DOUBLE), {1.0 / MIX_TEMPERATURE}), 6) AS DECIMAL(28,6))) AS DOUBLE) AS z
   FROM per_src
 )
 SELECT source, n_tokens,
@@ -281,7 +288,13 @@ def quality_mix_report(documents: DataFrame, temperature: float = MIX_TEMPERATUR
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(_quality_score().cast("decimal(9,6)")).alias("__qsum"),
     )
-    totals = per_src.agg(F.sum(F.pow(F.col("n_tokens").cast("double"), alpha)).alias("__z"))
+    totals = per_src.agg(
+        F.sum(
+            F.round(F.pow(F.col("n_tokens").cast("double"), alpha), 6).cast(
+                "decimal(28,6)"
+            )
+        ).alias("__zd")
+    ).select(F.col("__zd").cast("double").alias("__z"))
     avg_q = F.round(F.col("__qsum").cast("double") / F.col("n_docs"), 6)
     w_t = F.round(F.pow(F.col("n_tokens").cast("double"), alpha) / F.col("__z"), 6)
     staged = (
@@ -317,7 +330,7 @@ WITH per_src AS (
                         / len(regexp_split_to_array(lower(trim(text)), '\\s+'))), 6) AS DECIMAL(9,6))) AS qsum
   FROM documents GROUP BY source
 ), tot AS (
-  SELECT sum(pow(CAST(n_tokens AS DOUBLE), {1.0 / MIX_TEMPERATURE})) AS z FROM per_src
+  SELECT CAST(sum(CAST(round(pow(CAST(n_tokens AS DOUBLE), {1.0 / MIX_TEMPERATURE}), 6) AS DECIMAL(28,6))) AS DOUBLE) AS z FROM per_src
 ), staged AS (
   SELECT source, n_tokens,
          round(CAST(qsum AS DOUBLE) / n_docs, 6) AS avg_quality,

@@ -679,14 +679,20 @@ def unigram_logprob_score(documents: DataFrame) -> DataFrame:
     )
     vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
     total = vocab.agg(F.sum("c").cast("double").alias("__total"))
+    # each term is rounded to 9 dp and summed as EXACT decimal: a raw
+    # double sum is order-dependent under repartitioning (associativity),
+    # which is exactly the class of latent cross-engine divergence the
+    # decimal-sum convention exists to rule out; 9 dp per-term precision
+    # sits three digits under the 6 dp output rounding.
+    nll = F.round(-F.log(F.col("c") / F.col("__total")), 9).cast("decimal(18,9)")
     scored = (
         toks.join(F.broadcast(vocab), "tok")
         .join(F.broadcast(total))
-        .select("doc_id", (-F.log(F.col("c") / F.col("__total"))).alias("nll"))
+        .select("doc_id", nll.alias("nll"))
     )
     return scored.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_tokens"),
-        F.round(F.sum("nll") / F.count(F.lit(1)), 6).alias("avg_neg_logprob"),
+        F.round(F.sum("nll").cast("double") / F.count(F.lit(1)), 6).alias("avg_neg_logprob"),
     )
 
 
@@ -700,7 +706,8 @@ WITH toks AS (
   SELECT CAST(count(*) AS DOUBLE) AS total FROM toks
 )
 SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
-       round(sum(-ln(CAST(c AS DOUBLE) / total)) / count(*), 6) AS avg_neg_logprob
+       round(CAST(sum(CAST(round(-ln(CAST(c AS DOUBLE) / total), 9) AS DECIMAL(18,9))) AS DOUBLE)
+             / count(*), 6) AS avg_neg_logprob
 FROM toks JOIN vocab USING (tok), tot
 GROUP BY doc_id
 """
