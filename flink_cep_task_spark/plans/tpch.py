@@ -83,9 +83,11 @@ GROUP BY l_returnflag, l_linestatus
 # --- Q3: shipping priority (3-way join + top-k) --------------------------
 
 def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """customer is the small side → broadcast; orders⋈lineitem shuffles on
-    o_orderkey (the natural co-partition key at scale). Top-k is a total
-    sort of an already-aggregated small result."""
+    """orders⋈lineitem shuffles on o_orderkey (the natural co-partition key
+    at scale). customer scales linearly with SF, so it carries NO static
+    broadcast hint — AQE picks broadcast at runtime when the measured size
+    fits (it does at test SF). Top-k is a total sort of an
+    already-aggregated small result."""
     c = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     o = load_table(spark, sf_dir, "orders").filter(
         F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
@@ -96,7 +98,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     revenue = _dec("l_extendedprice") * (F.lit(1).cast(DEC) - _dec("l_discount"))
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(F.round(F.sum(revenue).cast("double"), 2).alias("revenue"))
         .select(
@@ -129,9 +131,11 @@ LIMIT 10
 # --- Q5: local supplier volume (5-way join through region) ---------------
 
 def q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """All dims (region/nation/supplier/customer) broadcast; the only big
-    shuffle is orders⋈lineitem. The c_nationkey = s_nationkey equi-condition
-    rides on the join, pruning before aggregation."""
+    """Fixed-cardinality dims (region/nation) broadcast statically; the
+    SF-scaling supplier/customer joins carry no hint (AQE broadcasts at
+    runtime when small). The only big shuffle is orders⋈lineitem. The
+    c_nationkey = s_nationkey equi-condition rides on the join, pruning
+    before aggregation."""
     r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     n = load_table(spark, sf_dir, "nation")
     s = load_table(spark, sf_dir, "supplier")
@@ -144,8 +148,8 @@ def q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     revenue = _dec("l_extendedprice") * (F.lit(1).cast(DEC) - _dec("l_discount"))
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
-        .join(F.broadcast(c), (o.o_custkey == c.c_custkey) & (c.c_nationkey == s.s_nationkey))
+        .join(s, l.l_suppkey == s.s_suppkey)
+        .join(c, (o.o_custkey == c.c_custkey) & (c.c_nationkey == s.s_nationkey))
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("n_name")
@@ -202,8 +206,9 @@ WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-0
 
 def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q10: top-20 customers by revenue lost to returned items in one
-    quarter — returnflag-filtered lineitem joined to date-filtered orders,
-    customer and nation dims broadcast."""
+    quarter — returnflag-filtered lineitem joined to date-filtered orders.
+    nation broadcasts (25 rows, fixed); customer scales with SF so its
+    join is unhinted, left to AQE."""
     c = load_table(spark, sf_dir, "customer")
     n = load_table(spark, sf_dir, "nation")
     o = load_table(spark, sf_dir, "orders").filter(
@@ -214,7 +219,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     revenue = _dec("l_extendedprice") * (F.lit(1).cast(DEC) - _dec("l_discount"))
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
         .agg(F.round(F.sum(revenue).cast("double"), 2).alias("revenue"))
@@ -346,15 +351,16 @@ GROUP BY l_returnflag
 # --- Q14 shape: conditional revenue share ---------------------------------
 
 def q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PROMO revenue share for one ship month: broadcast part join +
-    global conditional ratio (two exact sums, one double division)."""
+    """PROMO revenue share for one ship month: part join (unhinted —
+    part scales with SF; AQE broadcasts when small) + global conditional
+    ratio (two exact sums, one double division)."""
     l = load_table(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1997-03-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
     )
     p = load_table(spark, sf_dir, "part")
     rev = _dec("l_extendedprice") * (F.lit(1).cast(DEC) - _dec("l_discount"))
-    j = l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+    j = l.join(p, l.l_partkey == p.p_partkey)
     promo = F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0).cast("decimal(18,4)")))
     total = F.sum(rev)
     return j.agg(
@@ -382,7 +388,7 @@ def q19_bracket_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     (common p_size/l_quantity bounds push into both scans)."""
     l = load_table(spark, sf_dir, "lineitem")
     p = load_table(spark, sf_dir, "part")
-    j = l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+    j = l.join(p, l.l_partkey == p.p_partkey)
     rev = _dec("l_extendedprice") * (F.lit(1).cast(DEC) - _dec("l_discount"))
     b1 = (
         (F.col("p_brand") == "Brand#12")
@@ -452,11 +458,12 @@ GROUP BY c_mktsegment
 
 def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bidirectional trade volume between two nations by ship year.
-    lineitem⋈orders shuffles on the natural orderkey; supplier, customer
-    and BOTH nation copies broadcast (dims are KBs); the nation-pair
-    disjunction is evaluated post-join on broadcast columns, so the big
-    fact side never fans out. Adapted to this schema: no l_commitdate
-    etc., year comes from l_shipdate."""
+    lineitem⋈orders shuffles on the natural orderkey; BOTH nation copies
+    broadcast (25 rows, fixed); supplier/customer scale with SF so their
+    joins are unhinted (AQE broadcasts at runtime when small); the
+    nation-pair disjunction is evaluated post-join on broadcast columns, so
+    the big fact side never fans out. Adapted to this schema: no
+    l_commitdate etc., year comes from l_shipdate."""
     l = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
@@ -474,8 +481,8 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(s, l.l_suppkey == s.s_suppkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("sn_key"))
         .join(F.broadcast(n2), F.col("c_nationkey") == F.col("cn_key"))
         .filter(pair)
@@ -543,8 +550,10 @@ GROUP BY c_count
 def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Suppliers achieving the MAX quarterly revenue: revenue per supplier
     (one shuffle on suppkey), then the scalar max broadcasts back as a
-    filter — the view+scalar-subquery shape of TPC-H Q15. Ties all
-    surface (no arbitrary pick), so the result is deterministic."""
+    filter (single row — that hint stays static) — the view+scalar-subquery
+    shape of TPC-H Q15. The supplier enrich join is unhinted (supplier
+    scales with SF; AQE decides). Ties all surface (no arbitrary pick), so
+    the result is deterministic."""
     l = load_table(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
@@ -556,7 +565,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         per_supp.join(F.broadcast(max_rev))
         .filter(F.col("__rev") == F.col("__max"))
-        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .join(s, F.col("l_suppkey") == s.s_suppkey)
         .select(
             "s_suppkey",
             "s_name",
@@ -585,13 +594,14 @@ def q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Average yearly revenue lost to small orders: lineitems of one brand
     whose quantity is below 20% of that part's average quantity. The
     per-part average is a second aggregate over the SAME join key
-    (l_partkey) — at scale both sides shuffle once on partkey and the
-    brand filter broadcasts from part, pruning the fact scan before the
-    heavy agg. The threshold compare uses the identical
-    CAST(sum)/count double in both engines."""
+    (l_partkey) — at scale both sides shuffle once on partkey; the
+    brand-filtered part join prunes the fact rows before the heavy agg
+    (unhinted: part scales with SF, AQE broadcasts when small). The
+    threshold compare uses the identical CAST(sum)/count double in both
+    engines."""
     p = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#3")
     l = load_table(spark, sf_dir, "lineitem")
-    branded = l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+    branded = l.join(p, l.l_partkey == p.p_partkey)
     avg_qty = branded.groupBy(F.col("l_partkey").alias("__pk")).agg(
         (F.sum(_dec("l_quantity")).cast("double") / F.count(F.lit(1))).alias("__avg")
     )
@@ -646,7 +656,7 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         o.join(big, o.o_orderkey == F.col("l_orderkey"))
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .select(
             "c_name",
             "c_custkey",
@@ -680,8 +690,9 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """For each mid-size part of one type class, the supplier(s) that
     shipped it at the MINIMUM observed unit price within one region — the
     correlated-min-subquery shape of TPC-H Q2. Per-part min is one shuffle
-    on partkey; the min re-joins as a broadcast (tiny: one row per
-    qualifying part); supplier/nation/region dims broadcast. Unit price is
+    on partkey; the min re-joins unhinted (one row per qualifying part —
+    scales with part); nation/region broadcast statically (fixed rows),
+    part/supplier joins are left to AQE. Unit price is
     decimal(18,6)-exact so the equality re-join is bit-stable across
     engines."""
     p = load_table(spark, sf_dir, "part").filter(
@@ -693,8 +704,8 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = load_table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 0)
     unit = (_dec("l_extendedprice") / _dec("l_quantity")).cast("decimal(18,6)")
     offers = (
-        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
-        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        l.join(p, l.l_partkey == p.p_partkey)
+        .join(s, l.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .select(
@@ -748,9 +759,10 @@ GROUP BY p_partkey, p_name, s_suppkey, s_name, n_name
 def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Share of one nation's suppliers in a region's order revenue, by
     order year — the ratio-of-conditional-sum-over-sum shape of TPC-H Q8.
-    lineitem⋈orders is the only big shuffle; part prunes the fact scan via
-    broadcast; both nation roles broadcast. The share divides two exact
-    decimal sums as doubles, identically in DuckDB."""
+    lineitem⋈orders is the only big shuffle; both nation roles and region
+    broadcast statically (fixed rows); part/customer/supplier joins are
+    unhinted (SF-scaling — AQE broadcasts at runtime when small). The share
+    divides two exact decimal sums as doubles, identically in DuckDB."""
     p = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
     l = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders").filter(
@@ -766,12 +778,12 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rev = _dec("l_extendedprice") * (F.lit(1).cast(DEC) - _dec("l_discount"))
     vol = (
-        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        l.join(p, l.l_partkey == p.p_partkey)
         .join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n1), c.c_nationkey == n1.n_nationkey)
         .join(F.broadcast(r), n1.n_regionkey == r.r_regionkey)
-        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(s, l.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n2), F.col("s_nationkey") == F.col("sn_key"))
         .select(F.year("o_orderdate").alias("o_year"), rev.alias("rev"), "supp_nation")
     )
@@ -813,9 +825,9 @@ GROUP BY o_year
 
 def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Profit on name-matched parts grouped by supplier nation and ship
-    year. part broadcast prunes the fact scan BEFORE the orders join (name
-    filter is selective); profit math is decimal(18,4)-exact until the
-    final double round."""
+    year. The selective name-filtered part join prunes fact rows early
+    (unhinted — part scales with SF, AQE broadcasts when small); profit
+    math is decimal(18,4)-exact until the final double round."""
     p = load_table(spark, sf_dir, "part").filter(F.col("p_name").contains("widget"))
     l = load_table(spark, sf_dir, "lineitem")
     s = load_table(spark, sf_dir, "supplier")
@@ -825,8 +837,8 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         _dec("l_extendedprice") * (F.lit(1).cast(DEC) - _dec("l_discount"))
     ).cast("decimal(18,4)") - (cost_per_unit * _dec("l_quantity")).cast("decimal(18,4)")
     return (
-        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
-        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        l.join(p, l.l_partkey == p.p_partkey)
+        .join(s, l.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .groupBy(F.col("n_name").alias("nation"), F.year("l_shipdate").alias("o_year"))
         .agg(F.round(F.sum(profit).cast("double"), 2).alias("sum_profit"))
@@ -857,13 +869,14 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Parts whose shipped value from one nation exceeds a fixed fraction
     of that nation's total — the group-sum vs scalar-total-subquery shape
     of TPC-H Q11. Both aggregates share one shuffled base (value per
-    part); the scalar total broadcasts back as a filter."""
+    part); the scalar total broadcasts back as a filter (single row —
+    static hint OK). supplier join is unhinted (scales with SF)."""
     l = load_table(spark, sf_dir, "lineitem")
     s = load_table(spark, sf_dir, "supplier")
     n = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
     value = _dec("l_extendedprice") * _dec("l_quantity").cast("decimal(18,2)")
     base = (
-        l.join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        l.join(s, l.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .groupBy("l_partkey")
         .agg(F.sum(value.cast("decimal(18,4)")).alias("__val"))
@@ -897,7 +910,8 @@ WHERE CAST(val AS DOUBLE) > 0.001 * (SELECT CAST(sum(val) AS DOUBLE) FROM base)
 def q16_parts_supplier_relation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct suppliers per (brand, type, size) bracket, EXCLUDING
     negative-balance suppliers — the count-distinct + NOT-IN-subquery
-    shape of TPC-H Q16. The exclusion list is a broadcast anti join;
+    shape of TPC-H Q16. The exclusion anti-join and the part join are
+    unhinted (both sides scale with SF; AQE picks broadcast at runtime);
     count-distinct shuffles once on the bracket key with partial distinct
     map-side."""
     p = load_table(spark, sf_dir, "part").filter(
@@ -906,8 +920,8 @@ def q16_parts_supplier_relation(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = load_table(spark, sf_dir, "lineitem")
     bad = load_table(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0)
     return (
-        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
-        .join(F.broadcast(bad), l.l_suppkey == bad.s_suppkey, "left_anti")
+        l.join(p, l.l_partkey == p.p_partkey)
+        .join(bad, l.l_suppkey == bad.s_suppkey, "left_anti")
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
     )
@@ -932,8 +946,9 @@ def q20_potential_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Suppliers in one nation who moved MORE than a threshold quantity of
     name-matched parts in one year — TPC-H Q20's nested-subquery chain as
     aggregate → semi-join. The inner aggregate shuffles on (suppkey,
-    partkey); qualifying suppkeys collapse to a DISTINCT broadcast for the
-    outer semi join; supplier⋈nation broadcasts. All nations kept (single-
+    partkey); qualifying suppkeys collapse to a DISTINCT set for the outer
+    semi join (unhinted — grows with supplier; AQE broadcasts when small);
+    nation broadcasts (fixed 25 rows). All nations kept (single-
     nation filter empties the synthetic data at small SF); nation is a
     group key instead."""
     p = load_table(spark, sf_dir, "part").filter(F.col("p_name").startswith("small"))
@@ -944,7 +959,7 @@ def q20_potential_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = load_table(spark, sf_dir, "supplier")
     n = load_table(spark, sf_dir, "nation")
     movers = (
-        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        l.join(p, l.l_partkey == p.p_partkey)
         .groupBy("l_suppkey", "l_partkey")
         .agg(F.sum(_dec("l_quantity")).alias("__qty"))
         .filter(F.col("__qty") > Q20_QTY_THRESHOLD)
@@ -953,7 +968,7 @@ def q20_potential_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
-        .join(F.broadcast(movers), s.s_suppkey == F.col("l_suppkey"), "left_semi")
+        .join(movers, s.s_suppkey == F.col("l_suppkey"), "left_semi")
         .select(
             "s_suppkey", "s_name", "n_name",
             F.round(F.col("s_acctbal"), 2).alias("s_acctbal"),
@@ -986,7 +1001,8 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     TPC-H Q21's EXISTS + NOT-EXISTS double correlation, expressed as two
     per-order aggregates (distinct supplier count, distinct LATE supplier
     count) joined back to the late lines: one shuffle on orderkey feeds
-    both aggregates, and the per-order summary is a broadcast. F-status
+    both aggregates, and the per-order summary re-joins on that same
+    orderkey partitioning (no static hint; AQE may broadcast). F-status
     filter stands in for o_orderstatus='F'. Nation rides as a group key
     (a one-nation filter empties the synthetic data at small SF)."""
     o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
@@ -1012,7 +1028,7 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_orderkey") == F.col("__ok"),
             "left_semi",
         )
-        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .join(s, F.col("l_suppkey") == s.s_suppkey)
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .groupBy("s_name", "n_name")
         .agg(F.countDistinct("l_orderkey").alias("numwait"))

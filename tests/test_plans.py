@@ -117,6 +117,55 @@ def test_no_broadcast_hint_on_fact_keyed_aggregates(spark):
                 )
 
 
+def test_no_static_broadcast_on_sf_scaling_tables(spark):
+    """Customer, supplier and part grow LINEARLY with the scale factor —
+    at a 100 TB lineitem, customer is ~2 TB. A static F.broadcast() hint is
+    unconditional (AQE cannot override it), so any hint surviving into a
+    TPC-H plan must sit on a side that is provably bounded: the
+    fixed-cardinality region/nation dims (5/25 rows forever) or a
+    single-row scalar aggregate. Walks every Join's JoinHint in the
+    optimized logical plan and checks the hinted side's provenance."""
+    from flink_cep_task_spark.plans.tpch import TPCH_QUERIES
+
+    # columns a legitimately-hinted side may expose: nation/region columns
+    # (incl. the q7/q8 role-aliased nation projections)
+    FIXED_DIM_COLS = ("r_", "n_")
+    FIXED_DIM_ALIASES = {"sn_key", "supp_nation", "cn_key", "cust_nation"}
+
+    def nodes(p):
+        yield p
+        ch = p.children()
+        for i in range(ch.size()):
+            yield from nodes(ch.apply(i))
+
+    def hinted_sides(join):
+        h = join.hint()
+        for opt, side in ((h.leftHint(), join.left()), (h.rightHint(), join.right())):
+            if opt.isDefined():
+                strat = opt.get().strategy()
+                if strat.isDefined() and "broadcast" in strat.get().toString().lower():
+                    yield side
+
+    for name, (fn, _sql) in TPCH_QUERIES.items():
+        plan = fn(spark, SF_DIR)._jdf.queryExecution().optimizedPlan()
+        for node in nodes(plan):
+            if node.getClass().getSimpleName() != "Join":
+                continue
+            for side in hinted_sides(node):
+                mr = side.maxRows()
+                if mr.isDefined() and int(str(mr.get())) <= 1:
+                    continue  # scalar aggregate: bounded by construction
+                out = side.output()
+                cols = [out.apply(i).name() for i in range(out.size())]
+                assert all(
+                    c.startswith(FIXED_DIM_COLS) or c in FIXED_DIM_ALIASES
+                    for c in cols
+                ), (
+                    f"{name}: static broadcast hint on an SF-scaling side "
+                    f"with columns {cols} — remove the hint, let AQE decide"
+                )
+
+
 def test_new_tpch_dims_broadcast_no_cartesians(spark):
     # TPC-H widening: every dimension join broadcasts; the q11 scalar-total
     # join broadcasts too (single row). Fact-keyed aggregate joins
