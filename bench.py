@@ -116,6 +116,11 @@ def main() -> None:
         for s in os.environ.get("SPARK_GRAFT_BENCH_ONLY", "").split(",")
         if s.strip()
     }
+    unknown = only - set(entrymod.queries())
+    if unknown:
+        # a typo would otherwise run ZERO queries and write an empty
+        # BENCH_DETAIL_PARTIAL.json with no hint why
+        sys.exit(f"SPARK_GRAFT_BENCH_ONLY names not in registry: {sorted(unknown)}")
     timings: dict[str, float] = {}
     for name, fn in entrymod.queries().items():
         if only and name not in only:
@@ -147,6 +152,19 @@ def main() -> None:
                     "ranged 102-164s for identical code); treat per-query "
                     "deltas under ~2x as noise and re-run in isolation "
                     "before bisecting.",
+                    "Round-5 isolation rerun of the r3->r4 suspects "
+                    "(SPARK_GRAFT_BENCH_ONLY=dedup_minhash_lsh,"
+                    "dedup_ngram_jaccard,dedup_clusters): 3.85/4.81/2.06 s "
+                    "- at or below the r4 in-bench numbers (4.19/5.15/1.90),"
+                    " and the (minhash+clusters) shared-cache pair totals "
+                    "5.9 s vs r3's 8.6 s split differently: the r4 deltas "
+                    "were cost re-attribution to the session-shared pair "
+                    "set, not regressions.",
+                    "Round-5 streaming replay: scaffold now writes ONE "
+                    "watermark pusher and lets Spark's no-data batch fire "
+                    "all event-time timeouts (result-identical, verified "
+                    "by oracle hash); replay workdir moved to /dev/shm. "
+                    "Streaming trio in isolation: 17.8 s -> 14.2 s.",
                     "Round-4 audit of the r02->r03 suspects: "
                     "media_feature_stats / media_frame_sample / "
                     "knn_bruteforce re-run 3x in isolation at sf0.1 gave "
