@@ -79,11 +79,27 @@ def persisted_shared(df: DataFrame, src: DataFrame | None = None) -> DataFrame:
     for cand in (src, df):
         if cand is None:
             continue
-        prov = getattr(cand, "_graft_input_files", None) or tuple(
-            sorted(cand.inputFiles())
-        )
-        if prov:
+        files = getattr(cand, "_graft_input_files", None)
+        if not files:
+            try:
+                files = tuple(sorted(cand.inputFiles()))
+            except Exception:
+                files = ()
+        if files:
+            prov = files
             break
+    if not prov:
+        # no file provenance (e.g. createDataFrame input): the key would
+        # degenerate to the canonicalized plan STRING alone, and two
+        # different in-memory datasets with the same plan shape would
+        # collide (LocalRelation prints no data) — the bug class the
+        # provenance component exists to prevent. semanticHash covers the
+        # LocalRelation's rows, so it discriminates datasets; it is only
+        # stable for rebuilds from the SAME source handle (a fresh
+        # createDataFrame of identical rows hashes differently), which is
+        # exactly the shared tier's reuse pattern — a cold miss there is
+        # a recompute, never a wrong result.
+        prov = ("semhash", df.semanticHash())
     key = (
         df._jdf.queryExecution().analyzed().canonicalized().toString(),
         prov,

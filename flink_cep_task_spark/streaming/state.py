@@ -59,14 +59,24 @@ def first_event_aligned_tumbling(
     # broadcast join leaves the event scan un-shuffled; group cardinality
     # must therefore stay executor-memory bounded (true for rule/group-tag
     # keys — for unbounded keys use the stateful streaming operator).
-    t0s = df.groupBy(*group_cols).agg(F.min(ts_ms).alias("__t0"))
+    # null-safe re-join: a name-list equi-join would silently DROP rows
+    # whose group key is NULL (NULL never equi-matches), whereas the
+    # min() OVER window form this replaced treated NULL as its own group —
+    # eqNullSafe preserves that semantic for general callers.
+    t0s = df.groupBy(
+        *[F.col(c).alias(f"__g_{c}") for c in group_cols]
+    ).agg(F.min(ts_ms).alias("__t0"))
+    cond = None
+    for c in group_cols:
+        clause = df[c].eqNullSafe(F.col(f"__g_{c}"))
+        cond = clause if cond is None else (cond & clause)
     t0 = F.col("__t0")
     start = t0 + F.floor((ts_ms - t0) / size_ms) * size_ms
     return (
-        df.join(F.broadcast(t0s), group_cols)
+        df.join(F.broadcast(t0s), cond)
         .withColumn("window_start_ms", start)
         .withColumn("window_end_ms", F.col("window_start_ms") + size_ms)
-        .drop("__t0")
+        .drop("__t0", *[f"__g_{c}" for c in group_cols])
         .groupBy(*group_cols, "window_start_ms", "window_end_ms")
         .agg(
             F.sum(value_col).alias("agg_sum"),

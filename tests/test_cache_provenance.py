@@ -43,3 +43,31 @@ def test_shared_cache_distinguishes_datasets(spark, tmp_path):
         "knn over a different dataset returned the cached neighbors of the "
         "first dataset — persisted_shared key is missing input provenance"
     )
+
+
+def test_shared_tier_no_collision_for_in_memory_inputs(spark):
+    """createDataFrame inputs have no file provenance — the shared-tier key
+    must still distinguish two different in-memory datasets with the same
+    plan shape (semanticHash fallback covers the LocalRelation rows)."""
+    from flink_cep_task_spark.operators import dedup as D
+    from flink_cep_task_spark.operators.cache import release_shared
+
+    release_shared()
+    try:
+        near_dup = spark.createDataFrame(
+            [(i, "alpha beta gamma delta epsilon zeta eta theta") for i in range(8)],
+            ["doc_id", "text"],
+        )
+        all_unique = spark.createDataFrame(
+            [(i, " ".join(f"w{i}_{j}" for j in range(8))) for i in range(8)],
+            ["doc_id", "text"],
+        )
+        dup_pairs = D.dedup_minhash_lsh(near_dup).count()
+        uniq_pairs = D.dedup_minhash_lsh(all_unique).count()
+        assert dup_pairs > 0, "identical docs produced no near-dup pairs"
+        assert uniq_pairs == 0, (
+            "distinct-doc dataset returned the near-dup dataset's cached "
+            "pairs — shared-tier key collided on in-memory inputs"
+        )
+    finally:
+        release_shared()

@@ -172,6 +172,26 @@ def test_first_event_aligned_tumbling_compat(spark):
     assert float(by_start[240001].agg_sum) == 4.0
 
 
+def test_first_event_aligned_tumbling_keeps_null_groups(spark):
+    """The t0 re-join is null-safe: rows whose group key is NULL form their
+    own group (the min() OVER window semantics this helper replaced) — a
+    plain equi-join would silently drop them."""
+    rows = [
+        (0.001, {"t_other": "x"}, {"m": 1}),   # no t_g tag → NULL group
+        (0.005, {"t_other": "x"}, {"m": 2}),
+        (0.002, {"t_g": "y"}, {"m": 4}),
+    ]
+    df = _metrics_df(spark, rows).withColumn(
+        "agg_input", F.element_at("metrics", "m")
+    ).withColumn("group_id", F.element_at("tags", "t_g"))
+    out = first_event_aligned_tumbling(df, ["group_id"], window_minutes=4).collect()
+    by_group = {r.group_id: r for r in out}
+    assert set(by_group) == {None, "y"}
+    assert float(by_group[None].agg_sum) == 3.0
+    assert by_group[None].window_start_ms == 1  # t0 from the NULL group itself
+    assert float(by_group["y"].agg_sum) == 4.0
+
+
 def test_epoch_vs_first_event_alignment_divergence(spark):
     """Documents the Q3 divergence: default engine = epoch-aligned (event at
     t=1ms falls in window [0, 240s)), compat mode = first-event-aligned
