@@ -3,9 +3,11 @@ processed with Arrow-batched mapInPandas.
 
 Real multimodal pipelines carry image/audio/video as BINARY columns with a
 metadata struct, and run decode/resize/feature-extract as vectorized pandas
-UDFs. The decode libraries are not in this container, so `decode_image` is
-a clearly-marked stub (NotImplementedError) and `extract_features` uses a
-deterministic byte-level fake — but the Spark-side plumbing (schema, Arrow
+UDFs. `decode_image` dispatches to PIL when the codec is importable and
+raises NotImplementedError on codec-less containers (like this test one);
+`image_dimensions` degrades per-row to NULL dims + decoder='fallback' so
+the plumbing is environment-independent. `extract_features` uses a
+deterministic byte-level fake — the Spark-side plumbing (schema, Arrow
 batch shape, mapInPandas signature, partition behavior) is real and tested.
 
 Scale notes: mapInPandas streams Arrow record batches — constant memory per
@@ -59,12 +61,75 @@ def documents_as_media(documents: DataFrame) -> DataFrame:
     )
 
 
-def decode_image(payload: bytes) -> object:
-    """STUB: real implementation requires an image codec (PIL/opencv),
-    which is not available in this environment."""
-    raise NotImplementedError(
-        "image decode requires a codec library not present in this container"
-    )
+def decode_image(payload: bytes) -> dict:
+    """Decode an image payload to {width, height, mode} via PIL when the
+    codec is importable in the environment; raises NotImplementedError on
+    codec-less containers (this test container has no PIL — the
+    NotImplementedError branch is the one its tests exercise; the PIL
+    branch is covered with an injected fake module)."""
+    try:
+        from PIL import Image  # noqa: PLC0415 — worker-side optional codec
+    except ImportError as exc:
+        raise NotImplementedError(
+            "image decode requires a codec library (PIL) not present in "
+            "this container"
+        ) from exc
+    import io
+
+    with Image.open(io.BytesIO(payload)) as im:
+        return {"width": im.width, "height": im.height, "mode": im.mode}
+
+
+IMAGE_DIM_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("width", LongType(), True),
+        StructField("height", LongType(), True),
+        StructField("mode", StringType(), True),
+        StructField("decoder", StringType(), False),
+    ]
+)
+
+
+def image_dimensions(media: DataFrame) -> DataFrame:
+    """Per-payload image dimensions through the real mapInPandas plumbing.
+
+    Each worker probes for the codec ONCE per partition: with PIL present
+    every decodable payload yields (width, height, mode, decoder='pil');
+    without it (or for undecodable payloads) the row degrades to NULL
+    dims with decoder='fallback' — the operator's schema, batching and
+    partition behavior are identical in both environments, so pipelines
+    built on it don't fork on codec availability."""
+
+    def dims(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        try:
+            decode_image(b"")  # probe: raises NotImplementedError iff no codec
+            have_codec = True
+        except NotImplementedError:
+            have_codec = False
+        except Exception:
+            have_codec = True  # codec present; empty payload just isn't an image
+
+        for pdf in batches:
+            rows: dict[str, list] = {k.name: [] for k in IMAGE_DIM_SCHEMA.fields}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                w = h = mode = None
+                decoder = "fallback"
+                if have_codec and payload is not None:
+                    try:
+                        d = decode_image(payload)
+                        w, h, mode = d["width"], d["height"], d["mode"]
+                        decoder = "pil"
+                    except Exception:
+                        pass  # undecodable payload → fallback row
+                rows["doc_id"].append(doc_id)
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["mode"].append(mode)
+                rows["decoder"].append(decoder)
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(dims, schema=IMAGE_DIM_SCHEMA)
 
 
 def extract_features(media: DataFrame) -> DataFrame:

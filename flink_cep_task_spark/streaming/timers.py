@@ -118,6 +118,120 @@ class TumblingTimerProcessor(StatefulProcessor):
         pass
 
 
+GS_STATE_SCHEMA = (
+    "starts ARRAY<LONG>, sums ARRAY<LONG>, cnts ARRAY<LONG>, "
+    "mins ARRAY<LONG>, maxs ARRAY<LONG>"
+)
+
+
+def timer_tumbling_windows_gs(
+    metrics: DataFrame, size_s: int, watermark: str = "1 minute"
+) -> DataFrame:
+    """GroupState edition of timer_tumbling_windows: identical contract and
+    output schema, driven by applyInPandasWithState EVENT-TIME timeouts —
+    which need no protobuf runtime (unlike transformWithState's state
+    server protocol), so the timer-fired path is end-to-end testable in
+    every environment, including this container.
+
+    The GroupState API carries ONE timeout per key, so the reference's
+    one-timer-per-window registration (TriggerCenter.java:22-26) is
+    emulated the standard way: the timeout always sits at the EARLIEST
+    open window's end; firing emits every window the watermark has passed
+    (fire-then-evict, Window.java:58-63) and re-arms for the next earliest.
+    Observationally identical — each window fires exactly once when the
+    watermark passes its end."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    size = size_s
+
+    def load(state: "GroupState") -> dict[int, list[int]]:
+        if not state.exists:
+            return {}
+        starts, sums, cnts, mins, maxs = state.get
+        return {
+            ws: [s, c, mn, mx]
+            for ws, s, c, mn, mx in zip(starts, sums, cnts, mins, maxs)
+        }
+
+    def fire_and_save(
+        key: tuple, win: dict[int, list[int]], state: "GroupState", wm: int
+    ):
+        closed = {
+            ws: agg for ws, agg in win.items() if (ws + size) * 1000 <= wm
+        }
+        for ws in closed:
+            del win[ws]  # fire-then-evict: a re-fire finds no state
+        state.update((
+            list(win.keys()),
+            [a[0] for a in win.values()],
+            [a[1] for a in win.values()],
+            [a[2] for a in win.values()],
+            [a[3] for a in win.values()],
+        ))
+        if win:
+            # timer for the earliest still-open window end (strictly past
+            # the current watermark, as the API requires)
+            state.setTimeoutTimestamp(max((min(win) + size) * 1000, wm + 1))
+        if not closed:
+            return
+        starts = sorted(closed)
+        yield pd.DataFrame(
+            {
+                "group_id": [key[0]] * len(starts),
+                "window_start": starts,
+                "window_end": [ws + size for ws in starts],
+                "agg_sum": [closed[ws][0] for ws in starts],
+                "agg_cnt": [closed[ws][1] for ws in starts],
+                "agg_min": [closed[ws][2] for ws in starts],
+                "agg_max": [closed[ws][3] for ws in starts],
+            }
+        )
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: "GroupState"
+    ) -> Iterator[pd.DataFrame]:
+        wm = state.getCurrentWatermarkMs()
+        win = load(state)
+        if not state.hasTimedOut:
+            for pdf in pdfs:
+                ws_col = (pdf["ts_s"] // size) * size
+                stats = (
+                    pdf.assign(ws=ws_col).groupby("ws")["v"]
+                    .agg(["sum", "count", "min", "max"])
+                )
+                for ws, row in stats.iterrows():
+                    ws = int(ws)
+                    if (ws + size) * 1000 <= wm:
+                        continue  # late row: its window already fired
+                    agg = win.get(ws)
+                    if agg is None:
+                        win[ws] = [
+                            int(row["sum"]), int(row["count"]),
+                            int(row["min"]), int(row["max"]),
+                        ]
+                    else:
+                        agg[0] += int(row["sum"])
+                        agg[1] += int(row["count"])
+                        agg[2] = min(agg[2], int(row["min"]))
+                        agg[3] = max(agg[3], int(row["max"]))
+        yield from fire_and_save(key, win, state, wm)
+
+    src = metrics.withWatermark("event_time", watermark).select(
+        "group_id",
+        F.col("event_time").cast("long").alias("ts_s"),
+        "v",
+        "event_time",
+    )
+    return src.groupBy("group_id").applyInPandasWithState(
+        update,
+        outputStructType=TIMER_OUTPUT_SCHEMA,
+        stateStructType=GS_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+
+
 def timer_tumbling_windows(
     metrics: DataFrame, size_s: int, watermark: str = "1 minute"
 ) -> DataFrame:

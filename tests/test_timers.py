@@ -61,8 +61,18 @@ def _write_batches(dirpath, batches):
         os.utime(p, (t0 + i, t0 + i))
 
 
-@_needs_protobuf
-def test_timer_windows_match_batch_and_evict(spark, tmp_path):
+# The shared oracle: both timer operators replay the same 3-batch stream
+# and must produce exactly these windows (also the batch tumbling result).
+TIMER_EXPECTED = {
+    ("g1", BASE - BASE % 60, BASE - BASE % 60 + 60): (12, 2, 5, 7),
+    ("g1", BASE + 90 - (BASE + 90) % 60, BASE + 90 - (BASE + 90) % 60 + 60): (1, 1, 1, 1),
+    ("g2", BASE - BASE % 60, BASE - BASE % 60 + 60): (3, 1, 3, 3),
+}
+
+
+def _run_timer_replay(spark, tmp_path, build) -> str:
+    """Replay the canonical 3-batch stream through a timer operator
+    builder; returns the memory-sink table name."""
     src = tmp_path / "timer-src"
     src.mkdir()
     day = 86_400
@@ -82,7 +92,7 @@ def test_timer_windows_match_batch_and_evict(spark, tmp_path):
         .option("maxFilesPerTrigger", 1)
         .parquet(str(src))
     )
-    out = timer_tumbling_windows(stream, size_s=60, watermark="1 minute")
+    out = build(stream, size_s=60, watermark="1 minute")
     name = f"timer_{uuid.uuid4().hex[:8]}"
     q = (
         out.writeStream.format("memory")
@@ -93,6 +103,10 @@ def test_timer_windows_match_batch_and_evict(spark, tmp_path):
         .start()
     )
     await_stream(q, 180)
+    return name
+
+
+def _assert_timer_oracle(spark, name: str) -> None:
     got = {
         (r.group_id, r.window_start, r.window_end): (
             r.agg_sum,
@@ -103,17 +117,31 @@ def test_timer_windows_match_batch_and_evict(spark, tmp_path):
         for r in spark.sql(f"select * from {name}").collect()
         if r.group_id != "zz"
     }
-    expected = {
-        ("g1", BASE - BASE % 60, BASE - BASE % 60 + 60): (12, 2, 5, 7),
-        ("g1", BASE + 90 - (BASE + 90) % 60, BASE + 90 - (BASE + 90) % 60 + 60): (1, 1, 1, 1),
-        ("g2", BASE - BASE % 60, BASE - BASE % 60 + 60): (3, 1, 3, 3),
-    }
-    assert got == expected, f"timer windows diverged: {got}"
+    assert got == TIMER_EXPECTED, f"timer windows diverged: {got}"
     # each window fired exactly once (fire-then-evict): no duplicates in
     # append output
     rows = spark.sql(f"select group_id, window_start, count(*) c from {name} "
                      "group by group_id, window_start having count(*) > 1").collect()
     assert not rows, f"window fired more than once: {rows}"
+
+
+@_needs_protobuf
+def test_timer_windows_match_batch_and_evict(spark, tmp_path):
+    name = _run_timer_replay(spark, tmp_path, timer_tumbling_windows)
+    _assert_timer_oracle(spark, name)
+
+
+def test_groupstate_timer_windows_match_batch_and_evict(spark, tmp_path):
+    """The timer-fired path END-TO-END in this container: the GroupState
+    edition (applyInPandasWithState EventTimeTimeout — no protobuf state
+    server) replays the same stream as the transformWithState test and
+    must hit the identical oracle. This is the runnable proof of the
+    T1/T3 timer semantics (register at window end, fire-then-evict) that
+    the protobuf-gated twin can only provide on full deployments."""
+    from flink_cep_task_spark.streaming.timers import timer_tumbling_windows_gs
+
+    name = _run_timer_replay(spark, tmp_path, timer_tumbling_windows_gs)
+    _assert_timer_oracle(spark, name)
 
 
 class _FakeMapState:
