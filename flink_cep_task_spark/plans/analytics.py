@@ -509,6 +509,59 @@ FROM events GROUP BY event_type
 """
 
 
+SALTED_JOIN_FIRST_WEEK_MS = 7 * 86_400_000
+
+
+def salted_hot_user_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The salted-JOIN leg of operators/skew.py on a live query shape:
+    every event joins back to its user's profile (first-seen timestamp —
+    the classic enrich join that hot-spots on heavy users). The skewed
+    event side shards by a deterministic whole-row salt, the profile side
+    replicates across the n_salts shards, and the join runs on
+    (user_id, shard) — a hot user's rows spread over n_salts reducers
+    where AQE's skew split can't see the join (stream-static / forced
+    shuffled-hash). Result-identical to the plain join: the oracle is the
+    unsalted SQL. Rollup: per event_type, total events, events inside the
+    user's first week, exact value sum."""
+    from flink_cep_task_spark.operators.skew import salted_join
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    profile = ev.groupBy(F.col("user_id").alias("p_user")).agg(
+        F.min("ts").alias("first_ts")
+    )
+    j = salted_join(ev, profile, "user_id", "p_user", n_salts=8)
+    first_week = (
+        F.unix_millis(F.col("ts")) - F.unix_millis(F.col("first_ts"))
+    ) < SALTED_JOIN_FIRST_WEEK_MS
+    return (
+        j.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.when(first_week, 1).otherwise(0)).cast("long").alias("n_first_week"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,2)")).cast("double"), 2
+            ).alias("sum_value"),
+        )
+    )
+
+
+SALTED_JOIN_SQL = f"""
+WITH profile AS (
+  SELECT user_id AS p_user, min(ts) AS first_ts FROM events GROUP BY user_id
+)
+SELECT event_type,
+       count(*) AS n_events,
+       CAST(sum(CASE WHEN epoch_ms(ts) - epoch_ms(first_ts)
+                          < {SALTED_JOIN_FIRST_WEEK_MS} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_first_week,
+       round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_value
+FROM events e JOIN profile ON e.user_id = p_user
+GROUP BY event_type
+"""
+
+
 RANGE_JOIN_WINDOW_S = 600  # look-back band: clicks in [p_ts - 600, p_ts)
 
 
@@ -738,6 +791,7 @@ ANALYTICS_QUERIES: dict[str, tuple] = {
     "funnel_signup_click_purchase": (funnel_signup_click_purchase, FUNNEL_SQL),
     "moving_avg_user_value": (moving_avg_user_value, MOVING_AVG_SQL),
     "skewsafe_user_distinct": (skewsafe_user_distinct, SKEWSAFE_DISTINCT_SQL),
+    "salted_hot_user_join": (salted_hot_user_join, SALTED_JOIN_SQL),
     "range_join_clicks": (range_join_clicks, RANGE_JOIN_SQL),
     "zscore_outliers": (zscore_outliers, ZSCORE_SQL),
     "not_followed_by_purchase": (not_followed_by_purchase, NOT_FOLLOWED_BY_SQL),

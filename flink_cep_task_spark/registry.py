@@ -86,6 +86,8 @@ OVERFLOW_LAST = (
     "cluster_balanced_sample",
     "dedup_method_agreement",
     "not_followed_by_purchase",
+    # round-5 (second batch) additions
+    "salted_hot_user_join",
 )
 
 

@@ -170,16 +170,48 @@ def metric_source(spark: SparkSession, kind: str, **opts) -> DataFrame:
             spark, opts.get("host", "127.0.0.1"), opts.get("port", 9999)
         )
     if kind == "kafka":
-        # requires the spark-sql-kafka connector on the classpath (not
-        # bundled here); the record value is the same JSON line format.
-        records = (
-            spark.readStream.format("kafka")
-            .option("kafka.bootstrap.servers", opts["servers"])
-            .option("subscribe", opts["topic"])
-            .load()
-        )
+        # `records` seam: a pre-built kafka-wire-schema stream (e.g. from
+        # kafka_shaped_file_records) substitutes for the connector read in
+        # connector-less environments — everything downstream of the
+        # connector (binary value decode, JSON parse, drop) runs
+        # unmodified. Without it, requires spark-sql-kafka on the
+        # classpath; the record value is the same JSON line format.
+        records = opts.get("records")
+        if records is None:
+            records = (
+                spark.readStream.format("kafka")
+                .option("kafka.bootstrap.servers", opts["servers"])
+                .option("subscribe", opts["topic"])
+                .load()
+            )
         return kafka_records_to_metrics(records)
     raise ValueError(f"unknown metric source kind {kind!r}")
+
+
+def kafka_shaped_file_records(
+    spark: SparkSession, path: str, topic: str = "metrics",
+    max_files_per_trigger: int = 1,
+) -> DataFrame:
+    """File-backed kafka fake: a JSON-lines file stream re-shaped to the
+    EXACT record schema the kafka connector emits (key/value BINARY, topic,
+    partition, offset, timestamp, timestampType — Spark docs, Structured
+    Streaming + Kafka Integration Guide), so `metric_source(kind="kafka",
+    records=...)` exercises the whole kafka ingest path end-to-end without
+    a broker or connector jar. Offsets are per-micro-batch placeholders
+    (nothing downstream of the decode consumes them)."""
+    lines = (
+        spark.readStream.option("maxFilesPerTrigger", max_files_per_trigger)
+        .text(path)
+    )
+    return lines.select(
+        F.lit(None).cast("binary").alias("key"),
+        F.encode(F.col("value"), "UTF-8").alias("value"),
+        F.lit(topic).alias("topic"),
+        F.lit(0).cast("int").alias("partition"),
+        F.lit(-1).cast("long").alias("offset"),
+        F.current_timestamp().alias("timestamp"),
+        F.lit(0).cast("int").alias("timestampType"),
+    )
 
 
 def kafka_records_to_metrics(records: DataFrame) -> DataFrame:

@@ -320,6 +320,17 @@ def test_range_join_is_equi_join_not_nested_loop(spark):
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
 
 
+def test_salted_join_plan_shows_shard_expansion(spark):
+    # the skew-mitigation contract: the replicated side carries the salt
+    # explode (Generate of the 0..n_salts-1 sequence) and the join key
+    # includes the shard column — a plan that lost either has silently
+    # degenerated to the unsalted hot-key join
+    plan = _plan(spark, "salted_hot_user_join")
+    assert "Generate explode" in plan, "salt replication explode missing"
+    assert "__shard" in plan, "join no longer keyed by the salt shard"
+    assert "CartesianProduct" not in plan
+
+
 def test_not_followed_by_is_banded_anti_join(spark):
     # temporal negation: the band existence check must be a bucketed EQUI
     # join + LEFT ANTI, never a nested-loop NOT EXISTS
