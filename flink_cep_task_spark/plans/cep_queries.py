@@ -386,6 +386,84 @@ def q_global_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.filter(~F.col("group_id").contains("zz_flush"))
 
 
+TIMER_WINDOW_S = 86_400  # epoch-aligned daily tumbling windows
+
+
+def q_timer_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING parity query #4 — the TIMER-fired operator
+    (streaming/timers.timer_tumbling_windows_gs): per-key epoch-aligned
+    tumbling windows whose firing is driven by REGISTERED event-time
+    timers (register at window end on first event, fire-then-evict — the
+    principled analog of the reference's TriggerCenter.java:22-26 /
+    Window.java:58-63, swapping wall-clock for the watermark so windows
+    are never silently lost, SURVEY quirk Q4). Same replay scaffold as
+    the other streaming parity queries; the oracle is the plain batch
+    tumbling SQL, so the timer path is hash-checked end-to-end."""
+    import os
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from flink_cep_task_spark.schemas import METRIC_SCHEMA
+    from flink_cep_task_spark.streaming.pipeline import (
+        await_stream,
+        metrics_stream_from_parquet,
+    )
+    from flink_cep_task_spark.streaming.timers import timer_tumbling_windows_gs
+
+    work, n_parts = _events_stream_workdir(spark, sf_dir, "timer_cep_")
+    metrics = metrics_stream_from_parquet(
+        spark, os.path.join(work, "src"), METRIC_SCHEMA,
+        max_files_per_trigger=n_parts + 1,
+    )
+    # Metric shape → the operator's (event_time, group_id, v) contract:
+    # cents pre-scaling keeps the fold exact and order-independent. The
+    # watermark pusher carries no 'value' measure — coalesce keeps it
+    # alive to advance the watermark; its zz_flush group is dropped below.
+    keyed = metrics.select(
+        "event_time",
+        F.element_at("tags", "t_event_type").alias("group_id"),
+        F.coalesce(
+            (F.element_at("metrics", "value") * 100).cast("long"), F.lit(0)
+        ).alias("v"),
+    )
+    out = timer_tumbling_windows_gs(keyed, size_s=TIMER_WINDOW_S, watermark="1 minute")
+    name = f"timer_cep_{uuid.uuid4().hex[:8]}"
+    with _shuffle_partitions(spark, 8):
+        q = (
+            out.writeStream.format("memory").queryName(name).outputMode("append")
+            .option("checkpointLocation", os.path.join(work, f"ckpt_{name}"))
+            .trigger(availableNow=True).start()
+        )
+        await_stream(q, 600)
+    t = spark.table(name).filter(~F.col("group_id").contains("zz_flush"))
+    return t.select(
+        "group_id",
+        "window_start",
+        "window_end",
+        (F.col("agg_sum").cast("double") / 100.0).alias("agg_sum"),
+        "agg_cnt",
+        (F.col("agg_min").cast("double") / 100.0).alias("agg_min"),
+        (F.col("agg_max").cast("double") / 100.0).alias("agg_max"),
+    )
+
+
+TIMER_WINDOWS_SQL = f"""
+WITH base AS (
+  SELECT event_type AS group_id,
+         ((CAST(floor(epoch(ts)) AS BIGINT) // {TIMER_WINDOW_S}) * {TIMER_WINDOW_S}) AS ws,
+         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+  FROM events
+)
+SELECT group_id, ws AS window_start, ws + {TIMER_WINDOW_S} AS window_end,
+       CAST(sum(cents) AS DOUBLE) / 100.0 AS agg_sum,
+       count(*) AS agg_cnt,
+       CAST(min(cents) AS DOUBLE) / 100.0 AS agg_min,
+       CAST(max(cents) AS DOUBLE) / 100.0 AS agg_max
+FROM base GROUP BY group_id, ws
+"""
+
+
 LIVE_STREAMING_RULES = [
     r for r in ALL_RULES + [R_UNGROUPED_AVG] if r.window_type != "global"
 ]
@@ -559,6 +637,7 @@ CEP_QUERIES: dict[str, tuple] = {
     # registered past the driver gate (registry.OVERFLOW_LAST); locally
     # oracle-gated like every other entry
     "cep_global_live": (q_global_live, cep_oracle_sql([R_GLOBAL_MAX])),
+    "cep_timer_windows": (q_timer_windows, TIMER_WINDOWS_SQL),
     "cep_comparator_matrix": (
         _rule_query(COMPARATOR_RULES),
         cep_oracle_sql(COMPARATOR_RULES),

@@ -88,6 +88,7 @@ OVERFLOW_LAST = (
     "not_followed_by_purchase",
     # round-5 (second batch) additions
     "salted_hot_user_join",
+    "cep_timer_windows",
 )
 
 
