@@ -772,6 +772,75 @@ WHERE abs(z) >= {ZSCORE_TAU}
 """
 
 
+# --- sketch family: approximate aggregates with verifiable bounds --------
+# At 100 TB, exact COUNT(DISTINCT) and exact percentiles are the two
+# aggregations whose memory is NOT bounded per key — sketches (HLL++, GK)
+# are the production path. A sketch estimate can't be hash-compared across
+# engines (DuckDB's HLL ≠ Spark's), so the report surfaces the EXACT value
+# plus a boolean pinning the estimate inside its published error bound —
+# deterministic in both engines (Spark's sketches are seed-free), so the
+# oracle is plain SQL.
+
+HLL_RSD = 0.05  # approx_count_distinct relative standard deviation
+
+
+def approx_distinct_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type distinct users: exact (the expensive shuffle of user
+    ids) next to HyperLogLog++ (one pass, mergeable map-side partials, no
+    user_id shuffle — the only per-key-bounded-memory option at corpus
+    scale), with the estimate pinned inside 3×rsd of truth."""
+    ev = load_table(spark, sf_dir, "events")
+    per = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_exact"),
+        F.approx_count_distinct("user_id", HLL_RSD).alias("__est"),
+    )
+    return per.select(
+        "event_type",
+        "n_exact",
+        (
+            F.abs(F.col("__est") - F.col("n_exact"))
+            <= F.ceil(F.lit(3 * HLL_RSD) * F.col("n_exact"))
+        ).alias("within_bound"),
+    )
+
+
+APPROX_DISTINCT_SQL = """
+SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact,
+       TRUE AS within_bound
+FROM events GROUP BY event_type
+"""
+
+PCT_ACCURACY = 10_000  # approx_percentile accuracy → rank error ≤ n/accuracy
+
+
+def approx_quantiles_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type median via the Greenwald-Khanna sketch
+    (approx_percentile — mergeable, bounded memory; exact percentile
+    buffers every value of a key) pinned between the exact 45th and 55th
+    percentiles: rank error at this accuracy is ≤ n/10000, orders of
+    magnitude inside the ±5-rank-percentile bracket."""
+    ev = load_table(spark, sf_dir, "events")
+    per = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.expr(f"approx_percentile(value, 0.5, {PCT_ACCURACY})").alias("__p50"),
+        F.expr("percentile(value, 0.45)").alias("__lo"),
+        F.expr("percentile(value, 0.55)").alias("__hi"),
+    )
+    return per.select(
+        "event_type",
+        "n_rows",
+        ((F.col("__p50") >= F.col("__lo")) & (F.col("__p50") <= F.col("__hi"))).alias(
+            "p50_within_bracket"
+        ),
+    )
+
+
+APPROX_QUANTILES_SQL = """
+SELECT event_type, count(*) AS n_rows, TRUE AS p50_within_bracket
+FROM events GROUP BY event_type
+"""
+
+
 ANALYTICS_QUERIES: dict[str, tuple] = {
     "topk_users_per_type": (topk_users_per_type, TOPK_SQL),
     "sessionize_events": (sessionize, SESSION_SQL),
@@ -795,4 +864,6 @@ ANALYTICS_QUERIES: dict[str, tuple] = {
     "range_join_clicks": (range_join_clicks, RANGE_JOIN_SQL),
     "zscore_outliers": (zscore_outliers, ZSCORE_SQL),
     "not_followed_by_purchase": (not_followed_by_purchase, NOT_FOLLOWED_BY_SQL),
+    "approx_distinct_report": (approx_distinct_report, APPROX_DISTINCT_SQL),
+    "approx_quantiles_report": (approx_quantiles_report, APPROX_QUANTILES_SQL),
 }

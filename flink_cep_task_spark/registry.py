@@ -89,6 +89,8 @@ OVERFLOW_LAST = (
     # round-5 (second batch) additions
     "salted_hot_user_join",
     "cep_timer_windows",
+    "approx_distinct_report",
+    "approx_quantiles_report",
 )
 
 
