@@ -179,6 +179,39 @@ LANG_ID_SQL = (
 )
 
 
+def lang_id_confusion(documents: DataFrame) -> DataFrame:
+    """Classifier-vs-gold audit over the lang-id heuristic: the
+    (labeled, predicted) confusion matrix with each cell's share of its
+    labeled row — the shape of every model-quality audit at corpus scale.
+    One pass over the corpus collapses to |langs|² rows; the share is a
+    window over that tiny aggregate, so nothing heavy shuffles twice."""
+    from pyspark.sql.window import Window
+
+    per_doc = lang_id(documents).select("labeled_lang", "pred_lang")
+    conf = per_doc.groupBy("labeled_lang", "pred_lang").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    label_total = F.sum("n_docs").over(Window.partitionBy("labeled_lang"))
+    return conf.select(
+        "labeled_lang",
+        "pred_lang",
+        "n_docs",
+        F.round(
+            F.col("n_docs").cast("double") / label_total.cast("double"), 6
+        ).alias("label_share"),
+    )
+
+
+LANG_CONFUSION_SQL = (
+    "WITH per AS (" + LANG_ID_SQL + ")\n"
+    "SELECT labeled_lang, pred_lang, count(*) AS n_docs,\n"
+    "  round(CAST(count(*) AS DOUBLE) /\n"
+    "        CAST(sum(count(*)) OVER (PARTITION BY labeled_lang) AS DOUBLE), 6)"
+    " AS label_share\n"
+    "FROM per GROUP BY labeled_lang, pred_lang"
+)
+
+
 BPE_TOKEN_RE = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
 
 

@@ -131,6 +131,7 @@ CLUSTER_TOPICS_SQL = _cluster_topics_sql()
 DATAPIPE_QUERIES: dict[str, tuple] = {
     "text_stats": (_docs(T.text_stats), T.TEXT_STATS_SQL),
     "lang_id": (_docs(T.lang_id), T.LANG_ID_SQL),
+    "lang_id_confusion": (_docs(T.lang_id_confusion), T.LANG_CONFUSION_SQL),
     "doc_fingerprint": (_docs(T.doc_fingerprint), T.DOC_FINGERPRINT_SQL),
     "dedup_exact": (_docs(D.dedup_exact), D.DEDUP_EXACT_SQL),
     "dedup_minhash_lsh": (_docs(D.dedup_minhash_lsh), D.MINHASH_LSH_SQL),

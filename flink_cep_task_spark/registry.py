@@ -91,6 +91,7 @@ OVERFLOW_LAST = (
     "cep_timer_windows",
     "approx_distinct_report",
     "approx_quantiles_report",
+    "lang_id_confusion",
 )
 
 

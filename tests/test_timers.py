@@ -210,3 +210,81 @@ def test_processor_logic_with_fake_handle():
     assert (0,) not in handle.state.d, "fired window not evicted"
     # re-fire of the same timer finds no state and emits nothing
     assert list(p.handleExpiredTimer(key, None, _Info())) == []
+
+
+def test_groupstate_timer_restart_resume(spark, tmp_path):
+    """R1 for the timer path: stop after half the input (nothing has fired
+    yet — the first window's partials live only in state), restart a NEW
+    query from the SAME checkpoint, feed the rest + the watermark pusher.
+    Every window fires exactly once, including the one whose partials were
+    built before the restart."""
+    from flink_cep_task_spark.streaming.timers import timer_tumbling_windows_gs
+
+    src = tmp_path / "timer-rs-src"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt_timer_rs")
+    out_dir = str(tmp_path / "timer_rs_out")
+    day = 86_400
+
+    def run_once() -> None:
+        stream = (
+            spark.readStream.schema("event_time TIMESTAMP, group_id STRING, v LONG")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+        out = timer_tumbling_windows_gs(stream, size_s=60, watermark="1 minute")
+        q = (
+            out.writeStream.format("parquet")
+            .outputMode("append")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        await_stream(q, 180)
+
+    # run 1: first half — watermark never passes a window end, so all
+    # partials are state-only at shutdown
+    _write_batches(src, [[(0, "g1", 5), (30, "g1", 7), (10, "g2", 3)]])
+    run_once()
+    if os.path.exists(out_dir):
+        assert spark.read.parquet(out_dir).count() == 0
+
+    # run 2 (SAME checkpoint): second half + pusher
+    schema_rows = [
+        [(90, "g1", 1)],
+        [(day, "zz", 0)],
+    ]
+    # append with later mtimes than run 1's files
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    schema = pa.schema(
+        [
+            pa.field("event_time", pa.timestamp("us"), nullable=False),
+            pa.field("group_id", pa.string(), nullable=False),
+            pa.field("v", pa.int64(), nullable=False),
+        ]
+    )
+    t0 = time.time() - 30
+    for i, rows in enumerate(schema_rows):
+        tbl = pa.Table.from_pylist(
+            [
+                {"event_time": (BASE + off) * 1_000_000, "group_id": g, "v": v}
+                for off, g, v in rows
+            ],
+            schema=schema,
+        )
+        p = os.path.join(str(src), f"late_{i:04d}.parquet")
+        pq.write_table(tbl, p)
+        os.utime(p, (t0 + i, t0 + i))
+    run_once()
+
+    got = {
+        (r.group_id, r.window_start, r.window_end): (
+            r.agg_sum, r.agg_cnt, r.agg_min, r.agg_max
+        )
+        for r in spark.read.parquet(out_dir).collect()
+        if r.group_id != "zz"
+    }
+    assert got == TIMER_EXPECTED, f"restart lost or duplicated windows: {got}"
