@@ -164,10 +164,20 @@ def _events_stream_workdir(spark: SparkSession, sf_dir: str, prefix: str) -> tup
         return cached
 
     # harness scaffold only (replay source + checkpoints + sinks) — put it
-    # on tmpfs when available: every micro-batch commits state files per
-    # partition, and ext4 fsync latency is pure harness overhead. A real
+    # on tmpfs when available AND big enough: every micro-batch commits
+    # state files per partition, and ext4 fsync latency is pure harness
+    # overhead. Docker's default /dev/shm is 64 MB, far below the replay's
+    # footprint (events parquet + checkpoints + sinks), so require a 2 GiB
+    # cushion and otherwise fall back to the normal temp dir. A real
     # deployment points checkpointLocation at durable storage instead.
-    shm = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    shm = None
+    if os.path.isdir("/dev/shm"):
+        try:
+            st = os.statvfs("/dev/shm")
+            if st.f_bavail * st.f_frsize >= 2 << 30:
+                shm = "/dev/shm"
+        except OSError:
+            pass
     work = tempfile.mkdtemp(prefix=prefix, dir=shm)
     src = os.path.join(work, "src")
     ev = events_to_metrics(load_table(spark, sf_dir, "events"))
@@ -417,15 +427,21 @@ def q_timer_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         max_files_per_trigger=n_parts + 1,
     )
     # Metric shape → the operator's (event_time, group_id, v) contract:
-    # cents pre-scaling keeps the fold exact and order-independent. The
-    # watermark pusher carries no 'value' measure — coalesce keeps it
-    # alive to advance the watermark; its zz_flush group is dropped below.
-    keyed = metrics.select(
-        "event_time",
-        F.element_at("tags", "t_event_type").alias("group_id"),
-        F.coalesce(
-            (F.element_at("metrics", "value") * 100).cast("long"), F.lit(0)
-        ).alias("v"),
+    # cents pre-scaling keeps the fold exact and order-independent. Rows
+    # with a NULL 'value' measure are DROPPED (SQL aggregates skip NULLs;
+    # a coalesce-to-0 would drag agg_min and inflate agg_cnt) — except
+    # the watermark pusher, which carries no 'value' by design and must
+    # survive to advance the watermark; its zz_flush group never reaches
+    # the output. The oracle filters NULLs identically.
+    cents = (F.element_at("metrics", "value") * 100).cast("long")
+    keyed = (
+        metrics.select(
+            "event_time",
+            F.element_at("tags", "t_event_type").alias("group_id"),
+            cents.alias("v"),
+        )
+        .filter(F.col("v").isNotNull() | (F.col("group_id") == "zz_flush"))
+        .fillna({"v": 0})
     )
     out = timer_tumbling_windows_gs(keyed, size_s=TIMER_WINDOW_S, watermark="1 minute")
     name = f"timer_cep_{uuid.uuid4().hex[:8]}"
@@ -454,6 +470,7 @@ WITH base AS (
          ((CAST(floor(epoch(ts)) AS BIGINT) // {TIMER_WINDOW_S}) * {TIMER_WINDOW_S}) AS ws,
          CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
   FROM events
+  WHERE value IS NOT NULL
 )
 SELECT group_id, ws AS window_start, ws + {TIMER_WINDOW_S} AS window_end,
        CAST(sum(cents) AS DOUBLE) / 100.0 AS agg_sum,

@@ -36,6 +36,11 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # the streaming replay relies on the no-data micro-batch to fire
+        # event-time timeouts after the final watermark pusher — pin the
+        # default so a deployment override can't silently drop every
+        # stream's final windows
+        .config("spark.sql.streaming.noDataMicroBatches.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))

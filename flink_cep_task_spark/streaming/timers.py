@@ -162,17 +162,22 @@ def timer_tumbling_windows_gs(
         }
         for ws in closed:
             del win[ws]  # fire-then-evict: a re-fire finds no state
-        state.update((
-            list(win.keys()),
-            [a[0] for a in win.values()],
-            [a[1] for a in win.values()],
-            [a[2] for a in win.values()],
-            [a[3] for a in win.values()],
-        ))
         if win:
+            state.update((
+                list(win.keys()),
+                [a[0] for a in win.values()],
+                [a[1] for a in win.values()],
+                [a[2] for a in win.values()],
+                [a[3] for a in win.values()],
+            ))
             # timer for the earliest still-open window end (strictly past
             # the current watermark, as the API requires)
             state.setTimeoutTimestamp(max((min(win) + size) * 1000, wm + 1))
+        elif state.exists:
+            # last window fired: REMOVE the key's state instead of keeping
+            # an empty-arrays entry forever — with churning keys an
+            # un-removed entry per key-ever-seen is an unbounded state leak
+            state.remove()
         if not closed:
             return
         starts = sorted(closed)

@@ -70,6 +70,7 @@ def main() -> int:
                     "mode": "rows_only", "spark_rows": len(sdf),
                     "ok": True, "err": None,
                 }
+                print(f"{name}: rows-only ({time.time() - t0:.1f}s)", flush=True)
                 continue
             odf = con.execute(osql[name]).df()
             rows_match = len(sdf) == len(odf)
