@@ -288,3 +288,147 @@ def test_groupstate_timer_restart_resume(spark, tmp_path):
         if r.group_id != "zz"
     }
     assert got == TIMER_EXPECTED, f"restart lost or duplicated windows: {got}"
+
+
+class _FakeGroupState:
+    """Pure-python GroupState for model-testing the update function."""
+
+    def __init__(self):
+        self.value = None
+        self.timeout = None
+        self.wm = 0
+        self.hasTimedOut = False
+
+    @property
+    def exists(self):
+        return self.value is not None
+
+    @property
+    def get(self):
+        return self.value
+
+    def update(self, v):
+        self.value = v
+
+    def remove(self):
+        self.value = None
+        self.timeout = None
+
+    def setTimeoutTimestamp(self, ms):
+        self.timeout = ms
+
+    def getCurrentWatermarkMs(self):
+        return self.wm
+
+
+def test_groupstate_timer_model_random():
+    """Property test of the timer update function against a pandas batch
+    oracle, replaying Spark's invocation protocol with a fake state:
+    per micro-batch, data keys get hasTimedOut=False calls; expired
+    dataless keys get hasTimedOut=True calls; the watermark advances
+    from the PREVIOUS batches' max event time. Every non-late row is
+    aggregated into its epoch window, every window fires exactly once,
+    and all state is removed after the final flush."""
+    import random
+
+    import pandas as pd
+
+    from flink_cep_task_spark.streaming.timers import timer_tumbling_windows_gs
+
+    # reach the inner update function through the public builder is not
+    # possible without a stream; reimplement the invocation instead by
+    # importing the module and building the closure via a tiny shim
+    import flink_cep_task_spark.streaming.timers as timers_mod
+
+    size = 60
+    delay_ms = 60_000
+    rng = random.Random(7)
+
+    for trial in range(8):
+        n = rng.randint(1, 60)
+        rows = [
+            (rng.randint(0, 600), rng.choice(["g0", "g1", "g2"]), rng.randint(-5, 50))
+            for _ in range(n)
+        ]
+        n_batches = rng.randint(1, 4)
+        batches = [rows[i::n_batches] for i in range(n_batches)]
+        batches.append([(100_000, "zz", 0)])  # flush pusher
+
+        # --- build the same update closure the operator uses ---------
+        captured = {}
+
+        class _CaptureGroupBy:
+            def applyInPandasWithState(self, fn, **kw):
+                captured["fn"] = fn
+                raise RuntimeError("capture-only")
+
+        class _CaptureDF:
+            def withWatermark(self, *a):
+                return self
+
+            def select(self, *a):
+                return self
+
+            def groupBy(self, *a):
+                return _CaptureGroupBy()
+
+        try:
+            timer_tumbling_windows_gs(_CaptureDF(), size_s=size)
+        except RuntimeError:
+            pass
+        update = captured["fn"]
+
+        # --- replay Spark's protocol ---------------------------------
+        states: dict[str, _FakeGroupState] = {}
+        fired: list[tuple] = []
+        oracle: dict[tuple, list] = {}
+        wm = 0
+        seen_max_ms = 0
+        for batch in batches + [[]]:  # trailing no-data batch
+            by_group: dict[str, list] = {}
+            for ts, g, v in batch:
+                by_group.setdefault(g, []).append((ts, v))
+                seen_max_ms = max(seen_max_ms, ts * 1000)
+            for g, evs in by_group.items():
+                st = states.setdefault(g, _FakeGroupState())
+                st.wm, st.hasTimedOut = wm, False
+                pdf = pd.DataFrame(
+                    {"ts_s": [e[0] for e in evs], "v": [e[1] for e in evs]}
+                )
+                for out in update((g,), iter([pdf]), st):
+                    fired.extend(map(tuple, out.itertuples(index=False)))
+                # oracle: non-late rows only (window end past current wm)
+                for ts, v in evs:
+                    ws = (ts // size) * size
+                    if (ws + size) * 1000 <= wm:
+                        continue
+                    agg = oracle.setdefault((g, ws), [0, 0, None, None])
+                    agg[0] += v
+                    agg[1] += 1
+                    agg[2] = v if agg[2] is None else min(agg[2], v)
+                    agg[3] = v if agg[3] is None else max(agg[3], v)
+            # end of batch: watermark advances, expired dataless keys fire
+            wm = max(wm, seen_max_ms - delay_ms)
+            for g, st in states.items():
+                if g in by_group or st.timeout is None or st.timeout > wm:
+                    continue
+                st.wm, st.hasTimedOut = wm, True
+                st.timeout = None
+                for out in update((g,), iter([]), st):
+                    fired.extend(map(tuple, out.itertuples(index=False)))
+
+        got = {
+            (g, ws, we): (s, c, mn, mx) for g, ws, we, s, c, mn, mx in fired
+            if g != "zz"
+        }
+        expected = {
+            (g, ws, ws + size): tuple(agg)
+            for (g, ws), agg in oracle.items()
+            if g != "zz"
+        }
+        assert got == expected, f"trial {trial}: {got} != {expected}"
+        assert len(got) == len([k for k in fired if k[0] != "zz"]), "double fire"
+        # after the flush, every data key's state is fully removed
+        for g, st in states.items():
+            if g != "zz":
+                assert not st.exists, f"state leak for {g}: {st.value}"
