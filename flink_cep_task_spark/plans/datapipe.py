@@ -128,10 +128,104 @@ SELECT cell, tok, n, rnk FROM (
 CLUSTER_TOPICS_SQL = _cluster_topics_sql()
 
 
+def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END curation pipeline composition — the per-source funnel a
+    training-data run reports: raw docs → Gopher quality gate → exact
+    dedup AMONG the survivors → deterministic train/eval split of the
+    unique set. Each stage is the production operator itself
+    (filter_gopher / dedup_exact / the salted split hash), not a re-
+    implementation, so this query proves the stages COMPOSE. All stage
+    flags collapse to one row per (doc) before the per-source rollup —
+    document text crosses the wire only inside dedup_exact's fixed-width
+    md5 key, never in the funnel joins."""
+    from flink_cep_task_spark.functions.hashing import h64
+    from flink_cep_task_spark.operators.sampling import _SPLIT_SALT, EVAL_PCT
+
+    docs = widen_small_scan(load_table(spark, sf_dir, "documents"))
+    gate = T.filter_gopher(docs).select("doc_id", "kept")
+    kept_docs = docs.join(gate.filter(F.col("kept")), "doc_id").select(
+        "doc_id", "text", "source"
+    )
+    canon = D.dedup_exact(kept_docs).select("doc_id", "is_duplicate")
+    split = F.when(
+        h64(F.concat(F.lit(_SPLIT_SALT), F.col("doc_id").cast("string"))) % 100
+        < EVAL_PCT,
+        F.lit("eval"),
+    ).otherwise(F.lit("train"))
+    flags = (
+        docs.select("doc_id", "source", split.alias("split"))
+        .join(gate, "doc_id")
+        .join(canon, "doc_id", "left")  # null is_duplicate = failed the gate
+    )
+    uniq = F.col("kept") & ~F.coalesce(F.col("is_duplicate"), F.lit(True))
+    return flags.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_raw"),
+        F.sum(F.when(F.col("kept"), 1).otherwise(0)).cast("long").alias("n_quality"),
+        F.sum(F.when(uniq, 1).otherwise(0)).cast("long").alias("n_unique"),
+        F.sum(F.when(uniq & (F.col("split") == "train"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_train"),
+        F.sum(F.when(uniq & (F.col("split") == "eval"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_eval"),
+        F.round(
+            F.sum(F.when(uniq, 1).otherwise(0)).cast("double")
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("retained_frac"),
+    )
+
+
+def _curation_funnel_sql() -> str:
+    from flink_cep_task_spark.functions.hashing import h64_sql
+    from flink_cep_task_spark.operators.sampling import _SPLIT_SALT, EVAL_PCT
+
+    split_bucket = h64_sql(f"{_SPLIT_SALT!r} || CAST(doc_id AS VARCHAR)")
+    norm_k = (
+        "md5(coalesce(trim(regexp_replace(regexp_replace(lower(trim(text)),"
+        " '[^a-z0-9\\s]', '', 'g'), '\\s+', ' ', 'g')), chr(0) || 'null'))"
+    )
+    return f"""
+WITH gate AS ({T.FILTER_GOPHER_SQL.strip()}),
+kept AS (
+  SELECT d.doc_id, d.source,
+         CASE WHEN {split_bucket} % 100 < {EVAL_PCT} THEN 'eval' ELSE 'train' END AS split,
+         {norm_k} AS k
+  FROM documents d JOIN gate g USING (doc_id)
+  WHERE g.kept
+),
+uniq AS (
+  SELECT doc_id, source, split,
+         doc_id = min(doc_id) OVER (PARTITION BY k) AS is_canon
+  FROM kept
+),
+per AS (
+  SELECT source,
+         count(*) AS n_quality,
+         CAST(sum(CASE WHEN is_canon THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,
+         CAST(sum(CASE WHEN is_canon AND split = 'train' THEN 1 ELSE 0 END) AS BIGINT) AS n_train,
+         CAST(sum(CASE WHEN is_canon AND split = 'eval' THEN 1 ELSE 0 END) AS BIGINT) AS n_eval
+  FROM uniq GROUP BY source
+)
+SELECT r.source, r.n_raw,
+       coalesce(p.n_quality, 0) AS n_quality,
+       coalesce(p.n_unique, 0) AS n_unique,
+       coalesce(p.n_train, 0) AS n_train,
+       coalesce(p.n_eval, 0) AS n_eval,
+       round(CAST(coalesce(p.n_unique, 0) AS DOUBLE) / CAST(r.n_raw AS DOUBLE), 6) AS retained_frac
+FROM (SELECT source, count(*) AS n_raw FROM documents GROUP BY source) r
+LEFT JOIN per p USING (source)
+"""
+
+
+CURATION_FUNNEL_SQL = _curation_funnel_sql()
+
+
 DATAPIPE_QUERIES: dict[str, tuple] = {
     "text_stats": (_docs(T.text_stats), T.TEXT_STATS_SQL),
     "lang_id": (_docs(T.lang_id), T.LANG_ID_SQL),
     "lang_id_confusion": (_docs(T.lang_id_confusion), T.LANG_CONFUSION_SQL),
+    "curation_funnel": (curation_funnel, CURATION_FUNNEL_SQL),
     "doc_fingerprint": (_docs(T.doc_fingerprint), T.DOC_FINGERPRINT_SQL),
     "dedup_exact": (_docs(D.dedup_exact), D.DEDUP_EXACT_SQL),
     "dedup_minhash_lsh": (_docs(D.dedup_minhash_lsh), D.MINHASH_LSH_SQL),

@@ -92,6 +92,7 @@ OVERFLOW_LAST = (
     "approx_distinct_report",
     "approx_quantiles_report",
     "lang_id_confusion",
+    "curation_funnel",
 )
 
 

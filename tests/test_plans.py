@@ -325,6 +325,19 @@ def test_range_join_is_equi_join_not_nested_loop(spark):
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
 
 
+def test_curation_funnel_never_shuffles_text(spark):
+    # the funnel's claim: document bodies reach only the md5 projection
+    # inside dedup_exact; every funnel join/aggregate moves doc_id-keyed
+    # flags or 32-byte hashes, never text
+    plan = _plan(spark, "curation_funnel")
+    text_shuffles = [
+        ln for ln in plan.splitlines()
+        if "Exchange hashpartitioning" in ln and "text#" in ln
+    ]
+    assert not text_shuffles, f"document text shuffled: {text_shuffles}"
+    assert "CartesianProduct" not in plan
+
+
 def test_salted_join_plan_shows_shard_expansion(spark):
     # the skew-mitigation contract: the replicated side carries the salt
     # explode (Generate of the 0..n_salts-1 sequence) and the join key
