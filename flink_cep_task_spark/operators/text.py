@@ -243,6 +243,74 @@ FROM (SELECT doc_id, lower(trim(text)) AS t FROM documents)
 """
 
 
+def tokenizer_fertility_report(documents: DataFrame) -> DataFrame:
+    """Per-LANGUAGE tokenizer fertility: BPE-ish pieces per whitespace
+    word, the number that drives context-budget planning per language in
+    a multilingual corpus. Exact integer token sums aggregate map-side
+    (one shuffle of |langs| partial rows); the division happens once per
+    language on the aggregated sums, so the ratio is bit-stable across
+    engines."""
+    t = F.lower(F.trim(F.col("text")))
+    ws = F.size(F.split(t, r"\s+"))
+    bpe = F.size(F.regexp_extract_all(t, F.lit(BPE_TOKEN_RE), 0))
+    return (
+        documents.select("lang", ws.alias("__ws"), bpe.alias("__bpe"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("__ws").cast("long").alias("n_ws_tokens"),
+            F.sum("__bpe").cast("long").alias("n_bpe_tokens"),
+            F.round(
+                F.sum("__bpe").cast("double") / F.sum("__ws").cast("double"), 6
+            ).alias("fertility"),
+        )
+    )
+
+
+TOKENIZER_FERTILITY_SQL = f"""
+SELECT lang, count(*) AS n_docs,
+       CAST(sum(len(regexp_split_to_array(t, '\\s+'))) AS BIGINT) AS n_ws_tokens,
+       CAST(sum(len(regexp_extract_all(t, '{BPE_TOKEN_RE}'))) AS BIGINT) AS n_bpe_tokens,
+       round(CAST(sum(len(regexp_extract_all(t, '{BPE_TOKEN_RE}'))) AS DOUBLE)
+             / CAST(sum(len(regexp_split_to_array(t, '\\s+'))) AS DOUBLE), 6) AS fertility
+FROM (SELECT lang, lower(trim(text)) AS t FROM documents)
+GROUP BY lang
+"""
+
+
+def doc_length_histogram(documents: DataFrame) -> DataFrame:
+    """Per-source log2-bucketed document-length distribution — the
+    curation audit that exposes truncation spikes and boilerplate combs a
+    mean/percentile summary hides. Buckets are floor(log2(n_chars)), so
+    the histogram has O(log max_len) rows per source regardless of corpus
+    size; the bucket's lower bound rides along for readability. log2 is
+    exact at every power of two in both engines, so bucket edges can't
+    disagree."""
+    bucket = F.floor(F.log2(F.greatest(F.col("n_chars"), F.lit(1)))).cast("long")
+    return (
+        documents.select("source", bucket.alias("len_bucket"))
+        .groupBy("source", "len_bucket")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .select(
+            "source",
+            "len_bucket",
+            F.pow(F.lit(2.0), F.col("len_bucket")).cast("long").alias("min_chars"),
+            "n_docs",
+        )
+    )
+
+
+DOC_LENGTH_HIST_SQL = """
+SELECT source, len_bucket,
+       CAST(pow(2.0, len_bucket) AS BIGINT) AS min_chars,
+       count(*) AS n_docs
+FROM (SELECT source,
+             CAST(floor(log2(greatest(n_chars, 1))) AS BIGINT) AS len_bucket
+      FROM documents)
+GROUP BY source, len_bucket
+"""
+
+
 CURATE_TOP_K = 10
 
 

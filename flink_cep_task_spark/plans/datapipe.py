@@ -226,6 +226,11 @@ DATAPIPE_QUERIES: dict[str, tuple] = {
     "lang_id": (_docs(T.lang_id), T.LANG_ID_SQL),
     "lang_id_confusion": (_docs(T.lang_id_confusion), T.LANG_CONFUSION_SQL),
     "curation_funnel": (curation_funnel, CURATION_FUNNEL_SQL),
+    "tokenizer_fertility_report": (
+        _docs(T.tokenizer_fertility_report),
+        T.TOKENIZER_FERTILITY_SQL,
+    ),
+    "doc_length_histogram": (_docs(T.doc_length_histogram), T.DOC_LENGTH_HIST_SQL),
     "doc_fingerprint": (_docs(T.doc_fingerprint), T.DOC_FINGERPRINT_SQL),
     "dedup_exact": (_docs(D.dedup_exact), D.DEDUP_EXACT_SQL),
     "dedup_minhash_lsh": (_docs(D.dedup_minhash_lsh), D.MINHASH_LSH_SQL),

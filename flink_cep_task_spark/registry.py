@@ -93,6 +93,8 @@ OVERFLOW_LAST = (
     "approx_quantiles_report",
     "lang_id_confusion",
     "curation_funnel",
+    "tokenizer_fertility_report",
+    "doc_length_histogram",
 )
 
 
