@@ -855,6 +855,57 @@ FROM events GROUP BY event_type
 """
 
 
+_FK_LEGS = [
+    ("orders.o_custkey->customer.c_custkey", "orders", "o_custkey", "customer", "c_custkey"),
+    ("lineitem.l_orderkey->orders.o_orderkey", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem.l_partkey->part.p_partkey", "lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem.l_suppkey->supplier.s_suppkey", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("customer.c_nationkey->nation.n_nationkey", "customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier.s_nationkey->nation.n_nationkey", "supplier", "s_nationkey", "nation", "n_nationkey"),
+]
+
+
+def referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FK orphan audit across the star schema — the data-validation pass a
+    pipeline runs before joining 100 TB of facts against its dimensions
+    (an orphan rate > 0 silently becomes dropped revenue in every inner
+    join downstream). Each leg projects the child to its KEY ONLY before
+    a left join against the DISTINCT parent keys, so the exchanges move
+    fixed-width keys, never fact payloads; a NULL child key counts as an
+    orphan (it matches nothing downstream either)."""
+    parts = []
+    for name, child_t, ck, parent_t, pk in _FK_LEGS:
+        c = load_table(spark, sf_dir, child_t).select(F.col(ck).alias("k"))
+        p = (
+            load_table(spark, sf_dir, parent_t)
+            .select(F.col(pk).alias("k"))
+            .distinct()
+            .withColumn("__hit", F.lit(1))
+        )
+        parts.append(
+            c.join(p, "k", "left").agg(
+                F.lit(name).alias("relationship"),
+                F.count(F.lit(1)).alias("n_child"),
+                F.sum(F.when(F.col("__hit").isNull(), 1).otherwise(0))
+                .cast("long")
+                .alias("n_orphans"),
+            )
+        )
+    out = parts[0]
+    for pdf in parts[1:]:
+        out = out.unionByName(pdf)
+    return out
+
+
+REFERENTIAL_INTEGRITY_SQL = "\nUNION ALL\n".join(
+    f"""SELECT '{name}' AS relationship, count(*) AS n_child,
+       CAST(sum(CASE WHEN p.k IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_orphans
+FROM (SELECT {ck} AS k FROM {child_t}) c
+LEFT JOIN (SELECT DISTINCT {pk} AS k FROM {parent_t}) p USING (k)"""
+    for name, child_t, ck, parent_t, pk in _FK_LEGS
+)
+
+
 ANALYTICS_QUERIES: dict[str, tuple] = {
     "topk_users_per_type": (topk_users_per_type, TOPK_SQL),
     "sessionize_events": (sessionize, SESSION_SQL),
@@ -880,4 +931,8 @@ ANALYTICS_QUERIES: dict[str, tuple] = {
     "not_followed_by_purchase": (not_followed_by_purchase, NOT_FOLLOWED_BY_SQL),
     "approx_distinct_report": (approx_distinct_report, APPROX_DISTINCT_SQL),
     "approx_quantiles_report": (approx_quantiles_report, APPROX_QUANTILES_SQL),
+    "referential_integrity_audit": (
+        referential_integrity_audit,
+        REFERENTIAL_INTEGRITY_SQL,
+    ),
 }

@@ -95,6 +95,7 @@ OVERFLOW_LAST = (
     "curation_funnel",
     "tokenizer_fertility_report",
     "doc_length_histogram",
+    "referential_integrity_audit",
 )
 
 
