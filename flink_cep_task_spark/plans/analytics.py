@@ -855,6 +855,62 @@ FROM events GROUP BY event_type
 """
 
 
+RESAMPLE_STEP_S = 3600  # hourly grid
+
+
+def resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series RESAMPLE + forward fill — the gap-filling shape every
+    metrics store serves (dashboards need a value for every tick, not
+    just observed ones): per event_type, an hourly grid spanning the
+    key's observed range, carrying the hour's MAX value and forward-
+    filling empty hours with the last known value, flagged as gaps.
+
+    Scale shape: raw events collapse to per-(key, hour) partials FIRST
+    (map-side combinable), so the fill window runs over grid rows —
+    bounded by the TIME SPAN, not the corpus size; the per-key window is
+    O(span/step) rows regardless of how many billions of events fed it."""
+    ev = load_table(spark, sf_dir, "events")
+    h = (F.col("ts").cast("long") / RESAMPLE_STEP_S).cast("long") * RESAMPLE_STEP_S
+    obs = ev.groupBy("event_type", h.alias("h")).agg(F.max("value").alias("v"))
+    span = obs.groupBy("event_type").agg(
+        F.min("h").alias("h0"), F.max("h").alias("h1")
+    )
+    grid = span.select(
+        "event_type",
+        F.explode(F.sequence("h0", "h1", F.lit(RESAMPLE_STEP_S))).alias("h"),
+    )
+    j = grid.join(obs, ["event_type", "h"], "left")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return j.select(
+        "event_type",
+        F.col("h").alias("grid_ts"),
+        F.round(F.last("v", ignorenulls=True).over(w), 2).alias("filled_value"),
+        F.col("v").isNull().alias("is_gap"),
+    )
+
+
+RESAMPLE_FFILL_SQL = f"""
+WITH obs AS (
+  SELECT event_type,
+         (CAST(floor(epoch(ts)) AS BIGINT) // {RESAMPLE_STEP_S}) * {RESAMPLE_STEP_S} AS h,
+         max(value) AS v
+  FROM events GROUP BY event_type, h
+),
+span AS (SELECT event_type, min(h) AS h0, max(h) AS h1 FROM obs GROUP BY event_type),
+grid AS (SELECT event_type, unnest(generate_series(h0, h1, {RESAMPLE_STEP_S})) AS h FROM span),
+j AS (SELECT g.event_type, g.h, o.v FROM grid g LEFT JOIN obs o USING (event_type, h))
+SELECT event_type, h AS grid_ts,
+       round(last_value(v IGNORE NULLS) OVER (
+         PARTITION BY event_type ORDER BY h ROWS UNBOUNDED PRECEDING), 2) AS filled_value,
+       v IS NULL AS is_gap
+FROM j
+"""
+
+
 _FK_LEGS = [
     ("orders.o_custkey->customer.c_custkey", "orders", "o_custkey", "customer", "c_custkey"),
     ("lineitem.l_orderkey->orders.o_orderkey", "lineitem", "l_orderkey", "orders", "o_orderkey"),
@@ -935,4 +991,5 @@ ANALYTICS_QUERIES: dict[str, tuple] = {
         referential_integrity_audit,
         REFERENTIAL_INTEGRITY_SQL,
     ),
+    "resample_ffill": (resample_ffill, RESAMPLE_FFILL_SQL),
 }

@@ -96,6 +96,7 @@ OVERFLOW_LAST = (
     "tokenizer_fertility_report",
     "doc_length_histogram",
     "referential_integrity_audit",
+    "resample_ffill",
 )
 
 
