@@ -296,11 +296,15 @@ def build_streaming_cep(
             global_part = g if global_part is None else global_part.unionByName(g)
             continue
         dur = f"{minutes} minutes"
-        win = (
-            F.window("event_time", dur)
-            if wtype == "tumbling"
-            else F.window("event_time", dur, f"{slide} minutes")
-        )
+        if wtype == "session":
+            # gap-merged sessions ride the NATIVE F.session_window state
+            # (windowMinutes = the gap, matching the batch engine's
+            # evaluate_session_windows: bounds [min_ts, last_ts + gap))
+            win = F.session_window("event_time", dur)
+        elif wtype == "tumbling":
+            win = F.window("event_time", dur)
+        else:
+            win = F.window("event_time", dur, f"{slide} minutes")
         grouped = part.groupBy(
             "rule_id", "group_id", win.alias("w"), "agg_type", "limit_op", "limit"
         )

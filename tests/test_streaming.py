@@ -297,3 +297,33 @@ def test_native_checkpoint_restart_resume(spark, tmp_path):
     got = sorted(key(r) for r in rows
                  if r.rule_id == 7 and FLUSH_TAG not in r.group_id)
     assert got == [(0, 120, 2.0), (120, 240, 2.0), (240, 360, 2.0), (360, 480, 2.0)]
+
+
+def test_streaming_session_rule_matches_batch(spark, tmp_path):
+    """A SESSION-window rule through build_streaming_cep rides the native
+    F.session_window state and must equal the batch engine's session
+    evaluation on the same data (the spec-group branch used to fall
+    through to the sliding arm and mis-window)."""
+    s_rule = Rule(rule_id=9, window_type="session", window_minutes=2,
+                  grouping_keys=("t_g",), agg_type="SUM", agg_field="m",
+                  limit_op=">", limit="0")
+    events = _events(60)
+    src = _write_chunks(tmp_path, events, n_chunks=2)
+    metrics = metrics_stream_from_text(spark, src, max_files_per_trigger=1)
+    windowed, global_s = build_streaming_cep(
+        metrics, spark, [s_rule], watermark="1 minute"
+    )
+    assert global_s is None
+    name = f"sess_{uuid.uuid4().hex[:8]}"
+    run_to_memory(windowed, name, "append", str(tmp_path / "ckpt_sess"))
+    got = (
+        spark.table(name).filter(~F.col("group_id").contains(FLUSH_TAG)).collect()
+    )
+    batch_metrics = parse_metric_lines(
+        spark.createDataFrame([(json.dumps(e),) for e in events], ["value"])
+    )
+    expected = evaluate_rules(spark, batch_metrics, [s_rule]).collect()
+    key = lambda r: (r.rule_id, r.group_id, r.window_start, r.window_end,
+                     r.agg_type, r.agg_value)
+    assert sorted(map(key, got)) == sorted(map(key, expected))
+    assert len(got) > 0
