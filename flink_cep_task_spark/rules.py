@@ -60,8 +60,9 @@ class Rule:
             raise ValueError("sliding rule requires windowMinutes and windowSlideMinute")
         # engine extension beyond the reference's three types (CEPEngine.java:
         # 75-81): gap-based session windows; windowMinutes is the inactivity
-        # gap. Wire parity is preserved — from_wire still coerces unknown
-        # types to global — so session rules are created via this API only.
+        # gap. "session" is a first-class windowType on the wire too (the
+        # reference never emits the keyword, so reference docs are
+        # unaffected); truly-unknown strings still coerce to global.
         if self.window_type == "session" and not self.window_minutes:
             raise ValueError("session rule requires windowMinutes (the gap)")
 
@@ -71,7 +72,8 @@ class Rule:
 
         Lenient like the reference's fastjson parse (CEPTaskRunner.java:54-56):
         groupingKeyNames may be an array or a bare string; windowType other
-        than tumbling/sliding means a global window (CEPEngine.java:75-81).
+        than tumbling/sliding/session means a global window
+        (CEPEngine.java:75-81 — "session" is this engine's extension).
         An explicit "seq" in the doc overrides the caller's (file-based rule
         stores carry it; socket arrival order supplies it otherwise) — kept
         in lockstep with parse_rule_lines_df.
@@ -80,7 +82,7 @@ class Rule:
         if isinstance(gk, str):
             gk = [gk]
         wt = doc.get("windowType") or "global"
-        if wt not in ("tumbling", "sliding"):
+        if wt not in ("tumbling", "sliding", "session"):
             wt = "global"
         seq = int(doc.get("seq", seq))
         return cls(
@@ -146,8 +148,8 @@ def parse_rule_lines_df(lines: DataFrame, value_col: str = "value") -> DataFrame
         unknown symbols drop the rule.
       * groupingKeyNames may be a JSON array OR a bare string — parsed
         twice (array + string) and coalesced.
-      * windowType other than tumbling/sliding ⇒ global
-        (CEPEngine.java:75-81).
+      * windowType other than tumbling/sliding/session ⇒ global
+        (CEPEngine.java:75-81; "session" is this engine's extension).
       * a bad line/doc ⇒ null ⇒ filtered (parse-error→null→filter,
         CEPTaskRunner.java:40), including structurally-invalid rules
         (tumbling without windowMinutes etc. — Rule.__post_init__ twins).
@@ -166,7 +168,9 @@ def parse_rule_lines_df(lines: DataFrame, value_col: str = "value") -> DataFrame
     r = F.col("r")
     state = F.coalesce(r["ruleState"], F.lit("ACTIVE"))
     wt_raw = r["windowType"]
-    wt = F.when(wt_raw.isin("tumbling", "sliding"), wt_raw).otherwise(F.lit("global"))
+    wt = F.when(
+        wt_raw.isin("tumbling", "sliding", "session"), wt_raw
+    ).otherwise(F.lit("global"))
     gk = F.coalesce(
         r["groupingKeyNames"],
         F.when(F.col("gk_str").isNotNull(), F.array(F.col("gk_str"))),
@@ -207,6 +211,10 @@ def parse_rule_lines_df(lines: DataFrame, value_col: str = "value") -> DataFrame
                         (F.col("window_type") == "sliding")
                         & F.col("window_minutes").isNotNull()
                         & F.col("window_slide_minutes").isNotNull()
+                    )
+                    | (
+                        (F.col("window_type") == "session")
+                        & F.col("window_minutes").isNotNull()
                     )
                 )
             )

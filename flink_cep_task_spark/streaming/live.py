@@ -382,9 +382,17 @@ def build_live_cep(
     dynamic-window stateful CEP. Output schema matches the batch engine
     (evaluate_windows), so streaming results are directly comparable.
 
-    Covers tumbling/sliding rules; global-window rules (unbounded, never
-    fire in append mode — reference quirk Q5) run through
-    run_live_cep_global's update-mode path instead."""
+    Covers tumbling/sliding rules DYNAMICALLY (window size is a column —
+    add/resize mid-run, next batch applies it) and session rules via
+    native F.session_window branches built from the store's gaps AT PLAN
+    TIME: session state lives in Spark's session-merging state store,
+    whose gap must be a literal, so a session rule with a NEW gap needs a
+    restart (threshold/agg upserts still apply per batch — config rides
+    the refreshed rows). Global-window rules (unbounded, never fire in
+    append mode — reference quirk Q5) run through run_live_cep_global's
+    update-mode path instead."""
+    from flink_cep_task_spark.rules import parse_rule_lines  # noqa: PLC0415
+
     rules = rules_from_store(spark, rule_store_path)
     compacted = compact_rules(rules)
     wm = metrics.withWatermark("event_time", watermark)
@@ -393,7 +401,51 @@ def build_live_cep(
         "agg_cents",
         (F.col("agg_input") * 100).cast("long"),
     )
-    return live_cep_windows(fanned, state_buckets=state_buckets)
+    out = live_cep_windows(
+        fanned.filter(F.col("window_type") != "session"),
+        state_buckets=state_buckets,
+    )
+    # session gaps known at build time (snapshot read of the store file,
+    # compacted last-writer-wins by seq like the in-plan path)
+    with open(rule_store_path) as fh:
+        docs = json.load(fh)
+    parsed = parse_rule_lines([json.dumps(d) for d in docs])
+    latest: dict[int, object] = {}
+    for r in sorted(parsed, key=lambda r: r.seq):
+        latest[r.rule_id] = r
+    session_gaps = sorted(
+        {
+            r.window_minutes
+            for r in latest.values()
+            if r.window_type == "session" and r.rule_state == "ACTIVE"
+        }
+    )
+    if session_gaps:
+        from flink_cep_task_spark.streaming.pipeline import _agg_and_gate
+
+        for gap in session_gaps:
+            part = fanned.filter(
+                (F.col("window_type") == "session")
+                & (F.col("window_minutes") == gap)
+            )
+            grouped = part.groupBy(
+                "rule_id",
+                "group_id",
+                F.session_window("event_time", f"{gap} minutes").alias("w"),
+                "agg_type",
+                "limit_op",
+                "limit",
+            )
+            out = out.unionByName(
+                _agg_and_gate(
+                    grouped,
+                    [
+                        F.col("w.start").cast("long").alias("window_start"),
+                        F.col("w.end").cast("long").alias("window_end"),
+                    ],
+                )
+            )
+    return out
 
 
 def run_live_cep_global(

@@ -68,3 +68,36 @@ def test_df_parser_compaction(spark):
     assert {r.rule_id for r in compacted} == {21, 23}
     lim = {r.rule_id: float(r.limit) for r in compacted}
     assert lim[21] == 500.0  # seq-6 upsert won
+
+
+def test_session_is_first_class_on_the_wire(spark):
+    """'session' (this engine's extension keyword, never emitted by the
+    reference) parses as a session rule in BOTH parser twins; a session
+    doc missing windowMinutes is invalid and drops; truly-unknown window
+    types still coerce to global (CEPEngine.java:75-81)."""
+    from flink_cep_task_spark.rules import Rule, parse_rule_lines, parse_rule_lines_df
+
+    lines = [
+        '{"ruleId": 1, "windowType": "session", "windowMinutes": 3,'
+        ' "groupingKeyNames": ["t_g"], "aggregatorFunctionType": "SUM",'
+        ' "aggregateFieldName": "m", "limitOperatorType": ">", "limit": 0}',
+        '{"ruleId": 2, "windowType": "session",'
+        ' "aggregatorFunctionType": "SUM"}',          # no gap → dropped
+        '{"ruleId": 3, "windowType": "lifetime",'
+        ' "aggregatorFunctionType": "MAX", "aggregateFieldName": "m",'
+        ' "limitOperatorType": ">=", "limit": 1}',    # unknown → global
+    ]
+    py = {r.rule_id: r for r in parse_rule_lines(lines)}
+    assert py[1].window_type == "session" and py[1].window_minutes == 3
+    assert 2 not in py
+    assert py[3].window_type == "global"
+
+    df = {
+        r["rule_id"]: r
+        for r in parse_rule_lines_df(
+            spark.createDataFrame([(ln,) for ln in lines], ["value"])
+        ).collect()
+    }
+    assert df[1]["window_type"] == "session" and df[1]["window_minutes"] == 3
+    assert 2 not in df
+    assert df[3]["window_type"] == "global"

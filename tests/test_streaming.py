@@ -327,3 +327,45 @@ def test_streaming_session_rule_matches_batch(spark, tmp_path):
                      r.agg_type, r.agg_value)
     assert sorted(map(key, got)) == sorted(map(key, expected))
     assert len(got) > 0
+
+
+def test_live_engine_mixed_session_and_tumbling_rules(spark, tmp_path):
+    """The LIVE engine with a MIXED rule store (dynamic tumbling rule +
+    session rule): the session spec rides a native F.session_window
+    branch unioned onto the dynamic-window operator, and the combined
+    append stream equals the batch engine on the same data. (Session rows
+    used to flow into the dynamic operator's sliding arm.)"""
+    from flink_cep_task_spark.streaming.live import RuleFileStore, build_live_cep
+
+    events = _events(80)
+    src = _write_chunks(tmp_path, events, n_chunks=2)
+    store = RuleFileStore(str(tmp_path / "rules_mixed.json"))
+    store.upsert({"ruleId": 1, "windowType": "tumbling", "windowMinutes": 5,
+                  "groupingKeyNames": ["t_g"], "aggregatorFunctionType": "SUM",
+                  "aggregateFieldName": "m", "limitOperatorType": ">", "limit": 50})
+    store.upsert({"ruleId": 9, "windowType": "session", "windowMinutes": 2,
+                  "groupingKeyNames": ["t_g"], "aggregatorFunctionType": "SUM",
+                  "aggregateFieldName": "m", "limitOperatorType": ">", "limit": 0})
+    metrics = metrics_stream_from_text(spark, src, max_files_per_trigger=1)
+    out = build_live_cep(metrics, spark, store.path, watermark="1 minute")
+    name = f"mixed_{uuid.uuid4().hex[:8]}"
+    run_to_memory(out, name, "append", str(tmp_path / "ckpt_mixed"), timeout_s=300)
+    got = (
+        spark.table(name).filter(~F.col("group_id").contains(FLUSH_TAG)).collect()
+    )
+    batch_metrics = parse_metric_lines(
+        spark.createDataFrame([(json.dumps(e),) for e in events], ["value"])
+    )
+    rules = [
+        Rule(rule_id=1, window_type="tumbling", window_minutes=5,
+             grouping_keys=("t_g",), agg_type="SUM", agg_field="m",
+             limit_op=">", limit="50"),
+        Rule(rule_id=9, window_type="session", window_minutes=2,
+             grouping_keys=("t_g",), agg_type="SUM", agg_field="m",
+             limit_op=">", limit="0"),
+    ]
+    expected = evaluate_rules(spark, batch_metrics, rules).collect()
+    key = lambda r: (r.rule_id, r.group_id, r.window_start, r.window_end,
+                     r.agg_type, r.agg_value)
+    assert sorted(map(key, got)) == sorted(map(key, expected))
+    assert {r.rule_id for r in got} == {1, 9}, "one rule family produced nothing"
