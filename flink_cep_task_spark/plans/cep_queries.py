@@ -515,6 +515,13 @@ WIRE_RULE_LINES = [
     ' "windowMinutes": 1440, "groupingKeyNames": ["t_event_type"],'
     ' "aggregatorFunctionType": "SUM", "aggregateFieldName": "value",'
     ' "limitOperatorType": ">", "limit": 500, "seq": 6}',
+    # session windows as a first-class WIRE type (engine extension; the
+    # reference coerces unknown types to global — ours does too for
+    # truly-unknown strings, but "session" is recognized)
+    '{"ruleId": 26, "windowType": "session", "windowMinutes": 180,'
+    ' "groupingKeyNames": ["t_event_type"], "aggregatorFunctionType": "SUM",'
+    ' "aggregateFieldName": "value", "limitOperatorType": ">", "limit": 0,'
+    ' "seq": 7}',
 ]
 
 
@@ -582,6 +589,8 @@ def q_rules_from_wire(spark: SparkSession, sf_dir: str) -> DataFrame:
     bad-line drop), compacted, and evaluated against events. The oracle is
     generated from the Python parser's view of the same lines, so the two
     parsers and the evaluation are pinned against each other."""
+    from pyspark.sql import functions as F
+
     from flink_cep_task_spark.operators.fanout import fanout_rules
     from flink_cep_task_spark.operators.windows import evaluate_windows
     from flink_cep_task_spark.rules import compact_rules, parse_rule_lines_df
@@ -589,7 +598,26 @@ def q_rules_from_wire(spark: SparkSession, sf_dir: str) -> DataFrame:
     lines_df = spark.createDataFrame([(l,) for l in WIRE_RULE_LINES], ["value"])
     rules = compact_rules(parse_rule_lines_df(lines_df))
     metrics = events_to_metrics(widen_small_scan(load_table(spark, sf_dir, "events")))
-    return evaluate_windows(fanout_rules(metrics, rules))
+    fanned = fanout_rules(metrics, rules)
+    # session routing mirrors plans/cep.evaluate_rules: the python twin's
+    # view of the same lines decides (plan-shape decision; both parsers
+    # are pinned identical by tests/test_rules_wire.py)
+    latest: dict[int, object] = {}
+    for r in sorted(parse_rule_lines(WIRE_RULE_LINES), key=lambda r: r.seq):
+        latest[r.rule_id] = r
+    has_session = any(
+        r.window_type == "session" and r.rule_state == "ACTIVE"
+        for r in latest.values()
+    )
+    if not has_session:
+        return evaluate_windows(fanned)
+    from flink_cep_task_spark.operators.windows import evaluate_session_windows
+
+    return evaluate_windows(
+        fanned.filter(F.col("window_type") != "session")
+    ).unionByName(
+        evaluate_session_windows(fanned.filter(F.col("window_type") == "session"))
+    )
 
 
 def q_jsonline_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
