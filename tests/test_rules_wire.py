@@ -19,8 +19,8 @@ def test_python_parser_semantics():
     rules = parse_rule_lines(WIRE_RULE_LINES)
     by_id_seq = {(r.rule_id, r.seq): r for r in rules}
     # bad JSON, missing windowMinutes, bad operator symbol → dropped
-    assert len(rules) == 4
-    assert {r.rule_id for r in rules} == {21, 22, 23}
+    assert len(rules) == 5
+    assert {r.rule_id for r in rules} == {21, 22, 23, 26}
     # bare-string groupingKeyNames → singleton list
     assert by_id_seq[(22, 2)].grouping_keys == ("t_event_type",)
     # symbolic operator preserved
@@ -29,6 +29,9 @@ def test_python_parser_semantics():
     assert by_id_seq[(23, 3)].window_type == "global"
     # explicit seq from the doc
     assert (21, 6) in by_id_seq and by_id_seq[(21, 6)].limit == "500"
+    # session is first-class on the wire (engine extension keyword)
+    assert by_id_seq[(26, 7)].window_type == "session"
+    assert by_id_seq[(26, 7)].window_minutes == 180
 
 
 def test_from_wire_defaults_and_delete():
@@ -62,10 +65,10 @@ def test_df_parser_agrees_with_python(spark):
 
 
 def test_df_parser_compaction(spark):
-    lines = WIRE_RULE_LINES + ['{"ruleId": 22, "ruleState": "DELETE", "seq": 7}']
+    lines = WIRE_RULE_LINES + ['{"ruleId": 22, "ruleState": "DELETE", "seq": 8}']
     lines_df = spark.createDataFrame([(l,) for l in lines], ["value"])
     compacted = compact_rules(parse_rule_lines_df(lines_df)).collect()
-    assert {r.rule_id for r in compacted} == {21, 23}
+    assert {r.rule_id for r in compacted} == {21, 23, 26}
     lim = {r.rule_id: float(r.limit) for r in compacted}
     assert lim[21] == 500.0  # seq-6 upsert won
 
