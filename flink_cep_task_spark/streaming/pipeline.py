@@ -296,6 +296,7 @@ def build_streaming_cep(
             global_part = g if global_part is None else global_part.unionByName(g)
             continue
         dur = f"{minutes} minutes"
+        end_col = F.col("w.end").cast("long")
         if wtype == "session":
             # gap-merged sessions ride the NATIVE F.session_window state
             # (windowMinutes = the gap, matching the batch engine's
@@ -303,6 +304,19 @@ def build_streaming_cep(
             win = F.session_window("event_time", dur)
         elif wtype == "tumbling":
             win = F.window("event_time", dur)
+        elif slide > minutes:
+            # slide > size ⇒ SAMPLED (gap) windows, which F.window rejects
+            # outright. A gap window [k·slide, k·slide+size) is exactly a
+            # slide-length tumbling window restricted to its first `size`
+            # minutes: filter events to the sampled region (epoch-aligned,
+            # like the batch assigner), tumble by the slide, and re-derive
+            # the window end as start+size. Events between windows belong
+            # to NOTHING — the filter drops them before any state.
+            part = part.filter(
+                F.col("event_time").cast("long") % (slide * 60) < minutes * 60
+            )
+            win = F.window("event_time", f"{slide} minutes")
+            end_col = F.col("w.start").cast("long") + minutes * 60
         else:
             win = F.window("event_time", dur, f"{slide} minutes")
         grouped = part.groupBy(
@@ -313,7 +327,7 @@ def build_streaming_cep(
                 grouped,
                 [
                     F.col("w.start").cast("long").alias("window_start"),
-                    F.col("w.end").cast("long").alias("window_end"),
+                    end_col.alias("window_end"),
                 ],
             )
         )

@@ -369,3 +369,34 @@ def test_live_engine_mixed_session_and_tumbling_rules(spark, tmp_path):
                      r.agg_type, r.agg_value)
     assert sorted(map(key, got)) == sorted(map(key, expected))
     assert {r.rule_id for r in got} == {1, 9}, "one rule family produced nothing"
+
+
+def test_streaming_gap_sliding_rule_matches_batch(spark, tmp_path):
+    """slide > size (SAMPLED gap windows — F.window rejects the spec
+    outright): the streaming path expresses a gap window as a
+    slide-length tumble over the sample-filtered region with the end
+    re-derived as start+size, and must equal the batch engine's gap
+    assignment — including that events BETWEEN windows count nowhere."""
+    r = Rule(rule_id=5, window_type="sliding", window_minutes=4,
+             window_slide_minutes=10, grouping_keys=("t_g",),
+             agg_type="SUM", agg_field="m", limit_op=">", limit="0")
+    events = _events(60)
+    src = _write_chunks(tmp_path, events, n_chunks=2)
+    metrics = metrics_stream_from_text(spark, src, max_files_per_trigger=1)
+    windowed, global_s = build_streaming_cep(
+        metrics, spark, [r], watermark="1 minute"
+    )
+    assert global_s is None
+    name = f"gap_{uuid.uuid4().hex[:8]}"
+    run_to_memory(windowed, name, "append", str(tmp_path / "ckpt_gap"))
+    got = (
+        spark.table(name).filter(~F.col("group_id").contains(FLUSH_TAG)).collect()
+    )
+    batch_metrics = parse_metric_lines(
+        spark.createDataFrame([(json.dumps(e),) for e in events], ["value"])
+    )
+    expected = evaluate_rules(spark, batch_metrics, [r]).collect()
+    key = lambda r: (r.rule_id, r.group_id, r.window_start, r.window_end,
+                     r.agg_type, r.agg_value)
+    assert sorted(map(key, got)) == sorted(map(key, expected))
+    assert len(got) > 0
