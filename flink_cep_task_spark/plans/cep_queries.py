@@ -481,8 +481,19 @@ FROM base GROUP BY group_id, ws
 """
 
 
+R_GAP_SLIDING_SUM = Rule(
+    # slide > size: SAMPLED (gap) windows — the live operator's vectorized
+    # window assignment must leave between-window events unassigned;
+    # riding in the gated live parity query completes the
+    # spec-type × engine-path matrix under the oracle.
+    rule_id=7, window_type="sliding", window_minutes=240,
+    window_slide_minutes=1440, grouping_keys=("t_event_type",),
+    agg_type="SUM", agg_field="value", limit_op=">", limit="0",
+)
+
 LIVE_STREAMING_RULES = [
-    r for r in ALL_RULES + [R_UNGROUPED_AVG] if r.window_type != "global"
+    r for r in ALL_RULES + [R_UNGROUPED_AVG, R_GAP_SLIDING_SUM]
+    if r.window_type != "global"
 ]
 NATIVE_STREAMING_RULES = [R_TUMBLING_SUM, R_SLIDING_AVG]
 
