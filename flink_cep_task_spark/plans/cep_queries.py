@@ -491,8 +491,17 @@ R_GAP_SLIDING_SUM = Rule(
     agg_type="SUM", agg_field="value", limit_op=">", limit="0",
 )
 
+R_TUMBLING_MAX_LIVE = Rule(
+    # completes the agg-type matrix on the LIVE path: SUM/AVG/MIN ride the
+    # other roster rules, MAX otherwise only ran through the update-mode
+    # global path
+    rule_id=8, window_type="tumbling", window_minutes=1440,
+    grouping_keys=("t_user",), agg_type="MAX", agg_field="value",
+    limit_op=">=", limit="120",
+)
+
 LIVE_STREAMING_RULES = [
-    r for r in ALL_RULES + [R_UNGROUPED_AVG, R_GAP_SLIDING_SUM]
+    r for r in ALL_RULES + [R_UNGROUPED_AVG, R_GAP_SLIDING_SUM, R_TUMBLING_MAX_LIVE]
     if r.window_type != "global"
 ]
 NATIVE_STREAMING_RULES = [R_TUMBLING_SUM, R_SLIDING_AVG]
