@@ -91,12 +91,19 @@ def dedup_exact(documents: DataFrame) -> DataFrame:
     )
 
 
-DEDUP_EXACT_SQL = """
+# the normalized-text dedup key, shared verbatim by every SQL oracle that
+# composes exact dedup (DEDUP_EXACT_SQL, the curation funnel) — a drifted
+# copy would compute a DIFFERENT duplicate relation than the operator
+DEDUP_KEY_SQL = (
+    "md5(coalesce(trim(regexp_replace(regexp_replace(lower(trim(text)),"
+    " '[^a-z0-9\\s]', '', 'g'), '\\s+', ' ', 'g')), chr(0) || 'null'))"
+)
+
+DEDUP_EXACT_SQL = f"""
 SELECT doc_id,
        min(doc_id) OVER (PARTITION BY k) AS canonical_id,
        doc_id <> min(doc_id) OVER (PARTITION BY k) AS is_duplicate
-FROM (SELECT doc_id,
-             md5(coalesce(trim(regexp_replace(regexp_replace(lower(trim(text)), '[^a-z0-9\\s]', '', 'g'), '\\s+', ' ', 'g')), chr(0) || 'null')) AS k
+FROM (SELECT doc_id, {DEDUP_KEY_SQL} AS k
       FROM documents)
 """
 

@@ -44,6 +44,11 @@ def fanout_rules(metrics: DataFrame, rules: DataFrame) -> DataFrame:
         "agg_field",
         "limit_op",
         "limit",
+        # rule VERSION rides every fanned row: live operators that must
+        # gate with "config as of the key's latest data" (mid-run
+        # upserts) pick the highest-seq config via max_by — batch paths
+        # simply ignore the column
+        "seq",
     )
     # tag-containment: every grouping key exists in this row's tags
     # (Rule.java:63-66), expressed WITHOUT a higher-order-function lambda:
@@ -85,5 +90,6 @@ def fanout_rules(metrics: DataFrame, rules: DataFrame) -> DataFrame:
         "agg_type",
         "limit_op",
         "limit",
+        "seq",
         agg_input.alias("agg_input"),
     )

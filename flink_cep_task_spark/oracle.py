@@ -15,7 +15,7 @@ Portability contract (kept in lockstep with operators/windows.py):
 
 from __future__ import annotations
 
-from flink_cep_task_spark.rules import Rule
+from flink_cep_task_spark.rules import Rule, compact_rule_list
 
 # tag/measure name → SQL expression over the raw `events` view; mirror of
 # sources.tables.events_to_metrics.
@@ -30,12 +30,7 @@ MEASURE_SQL = {
 TS_S = "CAST(floor(epoch(ts)) AS BIGINT)"
 
 
-def _compact(rules: list[Rule]) -> list[Rule]:
-    """Python mirror of rules.compact_rules + ACTIVE filter."""
-    latest: dict[int, Rule] = {}
-    for r in sorted(rules, key=lambda r: r.seq):
-        latest[r.rule_id] = r
-    return [r for r in latest.values() if r.rule_state == "ACTIVE"]
+_compact = compact_rule_list  # shared python mirror of compact_rules
 
 
 def _value_sql(r: Rule) -> str:

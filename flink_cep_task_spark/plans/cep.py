@@ -23,7 +23,12 @@ from pyspark.sql import functions as F
 
 from flink_cep_task_spark.operators.fanout import fanout_rules
 from flink_cep_task_spark.operators.windows import evaluate_windows
-from flink_cep_task_spark.rules import Rule, compact_rules, rules_df
+from flink_cep_task_spark.rules import (
+    Rule,
+    compact_rule_list,
+    compact_rules,
+    rules_df,
+)
 from flink_cep_task_spark.sources.tables import (
     events_to_metrics,
     load_table,
@@ -49,11 +54,7 @@ def evaluate_rules(spark: SparkSession, metrics: DataFrame, rules: list[Rule]) -
     """
     compacted = compact_rules(rules_df(spark, rules))
     fanned = fanout_rules(metrics, compacted)
-    # Python mirror of compact_rules: last seq wins, DELETE drops, ACTIVE only
-    latest: dict[int, Rule] = {}
-    for r in sorted(rules, key=lambda r: r.seq):
-        latest[r.rule_id] = r
-    active = [r for r in latest.values() if r.rule_state == "ACTIVE"]
+    active = compact_rule_list(rules)
     has_session = any(r.window_type == "session" for r in active)
     if not has_session:
         return evaluate_windows(fanned)

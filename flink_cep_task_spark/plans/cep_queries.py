@@ -622,12 +622,11 @@ def q_rules_from_wire(spark: SparkSession, sf_dir: str) -> DataFrame:
     # session routing mirrors plans/cep.evaluate_rules: the python twin's
     # view of the same lines decides (plan-shape decision; both parsers
     # are pinned identical by tests/test_rules_wire.py)
-    latest: dict[int, object] = {}
-    for r in sorted(parse_rule_lines(WIRE_RULE_LINES), key=lambda r: r.seq):
-        latest[r.rule_id] = r
+    from flink_cep_task_spark.rules import compact_rule_list
+
     has_session = any(
-        r.window_type == "session" and r.rule_state == "ACTIVE"
-        for r in latest.values()
+        r.window_type == "session"
+        for r in compact_rule_list(parse_rule_lines(WIRE_RULE_LINES))
     )
     if not has_session:
         return evaluate_windows(fanned)

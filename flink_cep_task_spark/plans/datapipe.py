@@ -154,13 +154,17 @@ def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).otherwise(F.lit("train"))
     flags = (
         docs.select("doc_id", "source", split.alias("split"))
-        .join(gate, "doc_id")
+        # LEFT joins both times: n_raw must count EVERY raw doc, and a doc
+        # with no gate row at all (null text emits no repetition_stats row)
+        # is simply not kept — an inner join here silently shrank n_raw
+        .join(gate, "doc_id", "left")
         .join(canon, "doc_id", "left")  # null is_duplicate = failed the gate
     )
-    uniq = F.col("kept") & ~F.coalesce(F.col("is_duplicate"), F.lit(True))
+    kept_flag = F.coalesce(F.col("kept"), F.lit(False))
+    uniq = kept_flag & ~F.coalesce(F.col("is_duplicate"), F.lit(True))
     return flags.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_raw"),
-        F.sum(F.when(F.col("kept"), 1).otherwise(0)).cast("long").alias("n_quality"),
+        F.sum(F.when(kept_flag, 1).otherwise(0)).cast("long").alias("n_quality"),
         F.sum(F.when(uniq, 1).otherwise(0)).cast("long").alias("n_unique"),
         F.sum(F.when(uniq & (F.col("split") == "train"), 1).otherwise(0))
         .cast("long")
@@ -181,10 +185,7 @@ def _curation_funnel_sql() -> str:
     from flink_cep_task_spark.operators.sampling import _SPLIT_SALT, EVAL_PCT
 
     split_bucket = h64_sql(f"{_SPLIT_SALT!r} || CAST(doc_id AS VARCHAR)")
-    norm_k = (
-        "md5(coalesce(trim(regexp_replace(regexp_replace(lower(trim(text)),"
-        " '[^a-z0-9\\s]', '', 'g'), '\\s+', ' ', 'g')), chr(0) || 'null'))"
-    )
+    norm_k = D.DEDUP_KEY_SQL  # the SAME key expression dedup_exact publishes
     return f"""
 WITH gate AS ({T.FILTER_GOPHER_SQL.strip()}),
 kept AS (

@@ -54,17 +54,24 @@ class Rule:
             raise ValueError(f"bad aggregatorFunctionType {self.agg_type!r}")
         if self.limit_op not in LIMIT_OPS:
             raise ValueError(f"bad limitOperatorType {self.limit_op!r}")
-        if self.window_type == "tumbling" and not self.window_minutes:
-            raise ValueError("tumbling rule requires windowMinutes")
-        if self.window_type == "sliding" and not (self.window_minutes and self.window_slide_minutes):
-            raise ValueError("sliding rule requires windowMinutes and windowSlideMinute")
+        def _pos(v) -> bool:
+            return v is not None and v > 0
+
+        if self.window_type == "tumbling" and not _pos(self.window_minutes):
+            raise ValueError("tumbling rule requires a positive windowMinutes")
+        if self.window_type == "sliding" and not (
+            _pos(self.window_minutes) and _pos(self.window_slide_minutes)
+        ):
+            raise ValueError(
+                "sliding rule requires positive windowMinutes and windowSlideMinute"
+            )
         # engine extension beyond the reference's three types (CEPEngine.java:
         # 75-81): gap-based session windows; windowMinutes is the inactivity
         # gap. "session" is a first-class windowType on the wire too (the
         # reference never emits the keyword, so reference docs are
         # unaffected); truly-unknown strings still coerce to global.
-        if self.window_type == "session" and not self.window_minutes:
-            raise ValueError("session rule requires windowMinutes (the gap)")
+        if self.window_type == "session" and not _pos(self.window_minutes):
+            raise ValueError("session rule requires a positive windowMinutes (the gap)")
 
     @classmethod
     def from_wire(cls, doc: dict, seq: int = 0) -> "Rule":
@@ -115,6 +122,19 @@ class Rule:
             Decimal(self.limit),
             self.seq,
         )
+
+
+def compact_rule_list(rules: list["Rule"]) -> list["Rule"]:
+    """Python mirror of compact_rules (the DataFrame twin): last seq wins
+    per rule_id, then ACTIVE only (DELETE tombstones and PAUSEd rules
+    drop). The ONE implementation every driver-side consumer shares —
+    the oracle generator, plan-shape routing, and window-spec grouping
+    must stay in lockstep with the in-plan compaction, and five
+    hand-rolled copies of this loop once drifted one semantic apart."""
+    latest: dict[int, Rule] = {}
+    for r in sorted(rules, key=lambda r: r.seq):
+        latest[r.rule_id] = r
+    return [r for r in latest.values() if r.rule_state == "ACTIVE"]
 
 
 def parse_rule_lines(lines: list[str]) -> list[Rule]:
@@ -202,19 +222,23 @@ def parse_rule_lines_df(lines: DataFrame, value_col: str = "value") -> DataFrame
                 F.col("agg_type").isin(*AGG_TYPES)
                 & F.col("limit_op").isin(*LIMIT_OPS)
                 & (
+                    # strictly-positive windows, in LOCKSTEP with
+                    # Rule.__post_init__ (a falsy/negative size is a
+                    # droppable bad doc, and `> 0` is null-safe false —
+                    # NULL never passes)
                     (F.col("window_type") == "global")
                     | (
                         (F.col("window_type") == "tumbling")
-                        & F.col("window_minutes").isNotNull()
+                        & (F.col("window_minutes") > 0)
                     )
                     | (
                         (F.col("window_type") == "sliding")
-                        & F.col("window_minutes").isNotNull()
-                        & F.col("window_slide_minutes").isNotNull()
+                        & (F.col("window_minutes") > 0)
+                        & (F.col("window_slide_minutes") > 0)
                     )
                     | (
                         (F.col("window_type") == "session")
-                        & F.col("window_minutes").isNotNull()
+                        & (F.col("window_minutes") > 0)
                     )
                 )
             )

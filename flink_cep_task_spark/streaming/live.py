@@ -74,6 +74,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from flink_cep_task_spark.operators.fanout import fanout_rules
+from flink_cep_task_spark.operators.windows import apply_threshold
 from flink_cep_task_spark.operators.windows import round_half_up as _round_half_up_col
 from flink_cep_task_spark.rules import compact_rules, parse_rule_lines_df
 
@@ -386,16 +387,22 @@ def build_live_cep(
     add/resize mid-run, next batch applies it) and session rules via
     native F.session_window branches built from the store's gaps AT PLAN
     TIME: session state lives in Spark's session-merging state store,
-    whose gap must be a literal, so a session rule with a NEW gap needs a
-    restart (threshold/agg upserts still apply per batch — config rides
-    the refreshed rows). Global-window rules (unbounded, never fire in
-    append mode — reference quirk Q5) run through run_live_cep_global's
-    update-mode path instead."""
-    from flink_cep_task_spark.rules import parse_rule_lines  # noqa: PLC0415
-
+    whose gap must be a literal, so a session rule with a BRAND-NEW gap
+    needs a restart (gaps are snapshotted from the whole changelog
+    including PAUSEd rules, so pausing/unpausing or re-adding an existing
+    gap works mid-run; threshold/agg upserts apply via max_by(seq) config
+    selection — "config as of the session's latest data", the same
+    semantics the dynamic operator documents). Global-window rules
+    (unbounded, never fire in append mode — reference quirk Q5) run
+    through run_live_cep_global's update-mode path instead."""
     rules = rules_from_store(spark, rule_store_path)
     compacted = compact_rules(rules)
-    wm = metrics.withWatermark("event_time", watermark)
+    # second-truncate before the watermark: the engine's time domain is
+    # epoch seconds (see build_streaming_cep) — session-merge distances
+    # in the native session branch must match the batch islands exactly
+    wm = metrics.withColumn(
+        "event_time", F.date_trunc("second", F.col("event_time"))
+    ).withWatermark("event_time", watermark)
     fanned = fanout_rules(wm, compacted).withColumn(
         # DECIMAL(18,2) × 100 → exact integer cents (see LIVE_STATE_SCHEMA)
         "agg_cents",
@@ -405,46 +412,74 @@ def build_live_cep(
         fanned.filter(F.col("window_type") != "session"),
         state_buckets=state_buckets,
     )
-    # session gaps known at build time (snapshot read of the store file,
-    # compacted last-writer-wins by seq like the in-plan path)
-    with open(rule_store_path) as fh:
-        docs = json.load(fh)
-    parsed = parse_rule_lines([json.dumps(d) for d in docs])
-    latest: dict[int, object] = {}
-    for r in sorted(parsed, key=lambda r: r.seq):
-        latest[r.rule_id] = r
+    # session gaps known at build time: collected from the Spark-parsed
+    # changelog itself (tiny control-plane collect — works for any store
+    # path spark.read.text can resolve, local or remote). ALL changelog
+    # entries contribute, not just currently-ACTIVE ones, so a PAUSEd
+    # rule's gap has a live branch the moment it re-activates; only a
+    # gap never seen before plan time needs a restart. Tombstones carry
+    # no windowType and coerce to global, so they never add a gap.
     session_gaps = sorted(
-        {
-            r.window_minutes
-            for r in latest.values()
-            if r.window_type == "session" and r.rule_state == "ACTIVE"
-        }
+        int(r.window_minutes)
+        for r in rules.filter(F.col("window_type") == "session")
+        .select("window_minutes")
+        .distinct()
+        .collect()
+        if r.window_minutes
     )
-    if session_gaps:
-        from flink_cep_task_spark.streaming.pipeline import _agg_and_gate
-
-        for gap in session_gaps:
-            part = fanned.filter(
-                (F.col("window_type") == "session")
-                & (F.col("window_minutes") == gap)
+    for gap in session_gaps:
+        part = fanned.filter(
+            (F.col("window_type") == "session")
+            & (F.col("window_minutes") == gap)
+        )
+        # config (agg/threshold) must NOT be a grouping key: a mid-run
+        # upsert would fork the session state and emit overlapping
+        # duplicate windows. Partials are config-free; the gating config
+        # is the highest-seq version among the session's own rows —
+        # exactly the dynamic operator's "config as of the key's latest
+        # data" semantics.
+        agg = part.groupBy(
+            "rule_id",
+            "group_id",
+            F.session_window("event_time", f"{gap} minutes").alias("w"),
+        ).agg(
+            F.sum("agg_input").alias("__sum"),
+            F.count("agg_input").alias("__cnt"),
+            F.min("agg_input").alias("__min"),
+            F.max("agg_input").alias("__max"),
+            F.max_by(
+                F.struct("agg_type", "limit_op", "limit"), "seq"
+            ).alias("__cfg"),
+        )
+        value = (
+            F.when(F.col("__cfg.agg_type") == "SUM", F.col("__sum").cast("double"))
+            .when(
+                F.col("__cfg.agg_type") == "AVG",
+                F.col("__sum").cast("double") / F.col("__cnt"),
             )
-            grouped = part.groupBy(
+            .when(F.col("__cfg.agg_type") == "MIN", F.col("__min").cast("double"))
+            .otherwise(F.col("__max").cast("double"))
+        )
+        gated = apply_threshold(
+            agg.select(
                 "rule_id",
                 "group_id",
-                F.session_window("event_time", f"{gap} minutes").alias("w"),
-                "agg_type",
-                "limit_op",
-                "limit",
+                F.col("w.start").cast("long").alias("window_start"),
+                F.col("w.end").cast("long").alias("window_end"),
+                F.col("__cfg.agg_type").alias("agg_type"),
+                F.col("__cfg.limit_op").alias("limit_op"),
+                F.col("__cfg.limit").alias("limit"),
+                value.alias("agg_value"),
             )
-            out = out.unionByName(
-                _agg_and_gate(
-                    grouped,
-                    [
-                        F.col("w.start").cast("long").alias("window_start"),
-                        F.col("w.end").cast("long").alias("window_end"),
-                    ],
-                )
-            )
+        ).select(
+            "rule_id",
+            "group_id",
+            "window_start",
+            "window_end",
+            "agg_type",
+            _round_half_up_col("agg_value", 4).alias("agg_value"),
+        )
+        out = out.unionByName(gated)
     return out
 
 

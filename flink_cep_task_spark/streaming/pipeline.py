@@ -225,13 +225,10 @@ def kafka_records_to_metrics(records: DataFrame) -> DataFrame:
 
 
 def _window_specs(rules: list[Rule]) -> dict[tuple, list[Rule]]:
-    active: dict[int, Rule] = {}
-    for r in sorted(rules, key=lambda r: r.seq):
-        active[r.rule_id] = r
+    from flink_cep_task_spark.rules import compact_rule_list
+
     groups: dict[tuple, list[Rule]] = {}
-    for r in active.values():
-        if r.rule_state != "ACTIVE":
-            continue
+    for r in compact_rule_list(rules):
         key = (r.window_type, r.window_minutes, r.window_slide_minutes)
         groups.setdefault(key, []).append(r)
     return groups
@@ -276,7 +273,15 @@ def build_streaming_cep(
     global_stream: update-mode running aggregates for global-window rules.
     """
     compacted = compact_rules(rules_df(spark, rules))
-    wm = metrics.withWatermark("event_time", watermark)
+    # engine-wide time domain is EPOCH SECONDS (TS_S in every batch
+    # oracle). Boundary-aligned tumbling/sliding assignment is indifferent
+    # to sub-second precision, but SESSION merge distances are not: two
+    # events 120.9 s apart must merge under a 2-minute gap exactly like
+    # the batch engine's second-truncated islands. Truncate before the
+    # watermark so every downstream stateful op lives in the same domain.
+    wm = metrics.withColumn(
+        "event_time", F.date_trunc("second", F.col("event_time"))
+    ).withWatermark("event_time", watermark)
     fanned = fanout_rules(wm, compacted)
 
     windowed_parts: list[DataFrame] = []
@@ -312,6 +317,13 @@ def build_streaming_cep(
             # like the batch assigner), tumble by the slide, and re-derive
             # the window end as start+size. Events between windows belong
             # to NOTHING — the filter drops them before any state.
+            # Known latency: append-mode emission waits for the watermark
+            # to pass the CARRIER window's end (start+slide), up to
+            # slide−size of event time after the logical close — contents
+            # are exact (nothing past start+size can enter: the sample
+            # filter excludes it), results on drained runs identical; a
+            # latency-sensitive consumer should prefer the live engine's
+            # dynamic operator, which closes gap windows at start+size.
             part = part.filter(
                 F.col("event_time").cast("long") % (slide * 60) < minutes * 60
             )

@@ -71,3 +71,47 @@ def test_shared_tier_no_collision_for_in_memory_inputs(spark):
         )
     finally:
         release_shared()
+
+
+def test_curation_funnel_counts_null_text_docs_in_raw(spark, tmp_path):
+    """A null-text doc emits no repetition_stats row (token explode yields
+    nothing), but it IS a raw document: n_raw must count it on both
+    engines (the Spark side used an inner gate join that silently dropped
+    it — latent on the fixtures, which have no null texts)."""
+    import duckdb
+
+    from flink_cep_task_spark.plans.datapipe import (
+        CURATION_FUNNEL_SQL,
+        curation_funnel,
+    )
+    from tests.conftest import SF_DIR
+
+    d = str(tmp_path / "docs_with_null")
+    base = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    extra = spark.createDataFrame(
+        [(999_999, None, "en", "src0", 0)],
+        schema=base.schema,
+    )
+    base.unionByName(extra).write.parquet(d)
+    sf_dir = str(tmp_path)
+    import os, shutil
+
+    os.rename(d, str(tmp_path / "documents.parquet"))
+
+    got = {
+        r["source"]: (r["n_raw"], r["n_quality"], r["n_unique"])
+        for r in curation_funnel(spark, sf_dir).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/documents.parquet/*.parquet')"
+    )
+    exp = {
+        r[0]: (r[1], r[2], r[3])
+        for r in con.execute(CURATION_FUNNEL_SQL).fetchall()
+    }
+    assert got == exp
+    # and the null-text doc is in src0's raw count, not kept
+    base_src0 = base.filter("source = 'src0'").count()
+    assert got["src0"][0] == base_src0 + 1
