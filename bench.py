@@ -152,6 +152,12 @@ def main() -> None:
                     "ranged 102-164s for identical code); treat per-query "
                     "deltas under ~2x as noise and re-run in isolation "
                     "before bisecting.",
+                    "The box shares a host with external tenants: round-5 "
+                    "measured the SAME code at 123s (host load ~0) and "
+                    "330s (host load 5-10, every query uniformly inflated "
+                    "incl. untouched ones). Check `uptime` before trusting "
+                    "any total; a uniformly-slow run is the host, not a "
+                    "regression.",
                     "Round-5 isolation rerun of the r3->r4 suspects "
                     "(SPARK_GRAFT_BENCH_ONLY=dedup_minhash_lsh,"
                     "dedup_ngram_jaccard,dedup_clusters): 3.85/4.81/2.06 s "
