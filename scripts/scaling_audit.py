@@ -64,6 +64,11 @@ QUERIES = [
     "ann_lsh",
     "range_join_clicks",
     "semantic_dedup",
+    # round-5 additions
+    "salted_hot_user_join",
+    "resample_ffill",
+    "curation_funnel",
+    "approx_distinct_report",
 ]
 BASE = "/root/testdata/sf0.1"
 
