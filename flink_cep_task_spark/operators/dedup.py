@@ -59,6 +59,12 @@ def _norm(c: Column) -> Column:
     return F.trim(F.regexp_replace(F.regexp_replace(norm_text(c), r"[^a-z0-9\s]", ""), r"\s+", " "))
 
 
+def _exact_key():
+    """The normalized-text dedup key Column — the Spark twin of
+    DEDUP_KEY_SQL, shared by every operator in the exact-dedup family."""
+    return F.md5(F.coalesce(_norm(F.col("text")), F.lit("\x00null")))
+
+
 def dedup_exact(documents: DataFrame) -> DataFrame:
     """Each doc mapped to the min doc_id sharing its normalized text.
 
@@ -81,7 +87,7 @@ def dedup_exact(documents: DataFrame) -> DataFrame:
     NULL join key that would silently drop null-text documents; the oracle
     COALESCEs identically, so all-null docs form one duplicate cluster in
     both engines."""
-    k = F.md5(F.coalesce(_norm(F.col("text")), F.lit("\x00null")))
+    k = _exact_key()
     d = documents.select("doc_id", k.alias("k")).repartition("k")
     canon = d.groupBy("k").agg(F.min("doc_id").alias("canonical_id"))
     return d.join(canon, "k").select(
@@ -105,6 +111,70 @@ SELECT doc_id,
        doc_id <> min(doc_id) OVER (PARTITION BY k) AS is_duplicate
 FROM (SELECT doc_id, {DEDUP_KEY_SQL} AS k
       FROM documents)
+"""
+
+
+INCREMENTAL_INCOMING_SOURCE = "src0"  # stands in for "today's crawl"
+
+
+def dedup_incremental(
+    documents: DataFrame, incoming_source: str = INCREMENTAL_INCOMING_SOURCE
+) -> DataFrame:
+    """PRODUCTION-shaped incremental dedup: a NEW batch (one source,
+    standing in for today's crawl) checked against the EXISTING corpus
+    (every other source). Each incoming doc is classified:
+
+      corpus_dup — its key already exists in the corpus
+      batch_dup  — new to the corpus but repeats within the batch
+                   (min doc_id of the batch cluster is the canonical)
+      new        — first sighting anywhere
+
+    Scale shape: the corpus side collapses to DISTINCT 32-byte keys
+    before the join (text never leaves its scan), and the incoming batch
+    is typically orders of magnitude smaller than the corpus — AQE
+    broadcasts it. This is the shape a daily pipeline runs; dedup_exact
+    is its full-corpus backfill cousin."""
+    k = _exact_key()
+    inc = documents.filter(F.col("source") == incoming_source).select(
+        "doc_id", k.alias("k")
+    )
+    corpus_keys = (
+        documents.filter(F.col("source") != incoming_source)
+        .select(k.alias("k"))
+        .distinct()
+        .withColumn("__in_corpus", F.lit(1))
+    )
+    batch_canon = inc.groupBy("k").agg(F.min("doc_id").alias("__canon"))
+    return (
+        inc.join(corpus_keys, "k", "left")
+        .join(batch_canon, "k")
+        .select(
+            "doc_id",
+            F.when(F.col("__in_corpus").isNotNull(), F.lit("corpus_dup"))
+            .when(F.col("doc_id") != F.col("__canon"), F.lit("batch_dup"))
+            .otherwise(F.lit("new"))
+            .alias("status"),
+        )
+    )
+
+
+DEDUP_INCREMENTAL_SQL = f"""
+WITH inc AS (
+  SELECT doc_id, {DEDUP_KEY_SQL} AS k FROM documents
+  WHERE source = '{INCREMENTAL_INCOMING_SOURCE}'
+),
+corpus AS (
+  SELECT DISTINCT {DEDUP_KEY_SQL} AS k FROM documents
+  WHERE source <> '{INCREMENTAL_INCOMING_SOURCE}'
+),
+canon AS (SELECT k, min(doc_id) AS canon FROM inc GROUP BY k)
+SELECT i.doc_id,
+       CASE WHEN c.k IS NOT NULL THEN 'corpus_dup'
+            WHEN i.doc_id <> n.canon THEN 'batch_dup'
+            ELSE 'new' END AS status
+FROM inc i
+LEFT JOIN corpus c ON i.k = c.k
+JOIN canon n ON i.k = n.k
 """
 
 
@@ -966,7 +1036,7 @@ def cross_source_overlap(documents: DataFrame) -> DataFrame:
     of distinct sources, not group size — a 1M-copy template counts once
     per source pair), and the final rollup is a map-side-combinable count
     on a (source, source) key. No quadratic blowup on hot groups."""
-    k = F.md5(F.coalesce(_norm(F.col("text")), F.lit("\x00null")))
+    k = _exact_key()
     per_src = documents.select(k.alias("k"), "source").distinct()
     a = per_src.alias("a")
     b = per_src.alias("b")
@@ -1077,7 +1147,7 @@ def dedup_method_agreement(documents: DataFrame) -> DataFrame:
     the banded SimHash join; the exact-pair arm is the same
     one-exchange-reused hash self-join as dedup_exact. Output is ≤ 2³
     rows."""
-    k = F.md5(F.coalesce(_norm(F.col("text")), F.lit("\x00null")))
+    k = _exact_key()
     d = documents.select("doc_id", k.alias("k")).repartition("k")
     a, b = d.alias("a"), d.alias("b")
     ex = a.join(

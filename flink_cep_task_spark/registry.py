@@ -97,6 +97,7 @@ OVERFLOW_LAST = (
     "doc_length_histogram",
     "referential_integrity_audit",
     "resample_ffill",
+    "dedup_incremental",
 )
 
 
