@@ -98,6 +98,7 @@ OVERFLOW_LAST = (
     "referential_integrity_audit",
     "resample_ffill",
     "dedup_incremental",
+    "cogroup_nearest_click",
 )
 
 
