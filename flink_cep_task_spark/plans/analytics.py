@@ -1005,6 +1005,47 @@ FROM j
 """
 
 
+_PROFILE_COLS = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+
+
+def column_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass column profiler — the table-health report every
+    pipeline run logs before trusting a new partition: per column, filled
+    and null counts, in ONE aggregate over one scan (map-side combinable
+    partials; a per-column loop of scans would read the table N times).
+    Emitted long-form (one row per column) so downstream alerting can
+    filter on null_frac without knowing the schema width."""
+    ev = load_table(spark, sf_dir, "events")
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c in _PROFILE_COLS:
+        aggs.append(F.count(c).alias(f"__f_{c}"))
+    wide = ev.agg(*aggs)
+    stack_expr = ", ".join(f"'{c}', __f_{c}" for c in _PROFILE_COLS)
+    return wide.selectExpr(
+        "__n", f"stack({len(_PROFILE_COLS)}, {stack_expr}) AS (column_name, n_filled)"
+    ).select(
+        "column_name",
+        F.col("__n").alias("n_rows"),
+        "n_filled",
+        (F.col("__n") - F.col("n_filled")).alias("n_nulls"),
+        F.round(
+            (F.col("__n") - F.col("n_filled")).cast("double") / F.col("__n"), 6
+        ).alias("null_frac"),
+    )
+
+
+COLUMN_PROFILE_SQL = (
+    "\nUNION ALL\n".join(
+        f"""SELECT '{c}' AS column_name, count(*) AS n_rows,
+       count({c}) AS n_filled,
+       count(*) - count({c}) AS n_nulls,
+       round(CAST(count(*) - count({c}) AS DOUBLE) / count(*), 6) AS null_frac
+FROM events"""
+        for c in _PROFILE_COLS
+    )
+)
+
+
 _FK_LEGS = [
     ("orders.o_custkey->customer.c_custkey", "orders", "o_custkey", "customer", "c_custkey"),
     ("lineitem.l_orderkey->orders.o_orderkey", "lineitem", "l_orderkey", "orders", "o_orderkey"),
@@ -1087,4 +1128,5 @@ ANALYTICS_QUERIES: dict[str, tuple] = {
     ),
     "resample_ffill": (resample_ffill, RESAMPLE_FFILL_SQL),
     "cogroup_nearest_click": (cogroup_nearest_click, NEAREST_CLICK_SQL),
+    "column_profile_events": (column_profile_events, COLUMN_PROFILE_SQL),
 }

@@ -99,6 +99,7 @@ OVERFLOW_LAST = (
     "resample_ffill",
     "dedup_incremental",
     "cogroup_nearest_click",
+    "column_profile_events",
 )
 
 
