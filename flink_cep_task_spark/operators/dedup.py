@@ -158,14 +158,19 @@ def dedup_incremental(
     )
 
 
-DEDUP_INCREMENTAL_SQL = f"""
+def dedup_incremental_sql(incoming_source: str = INCREMENTAL_INCOMING_SOURCE) -> str:
+    """Oracle builder tracking dedup_incremental's `incoming_source`
+    argument — a caller overriding the batch source gets a matching
+    oracle instead of silently diverging from a constant baked with the
+    default (ADVICE r5)."""
+    return f"""
 WITH inc AS (
   SELECT doc_id, {DEDUP_KEY_SQL} AS k FROM documents
-  WHERE source = '{INCREMENTAL_INCOMING_SOURCE}'
+  WHERE source = '{incoming_source}'
 ),
 corpus AS (
   SELECT DISTINCT {DEDUP_KEY_SQL} AS k FROM documents
-  WHERE source <> '{INCREMENTAL_INCOMING_SOURCE}'
+  WHERE source <> '{incoming_source}'
 ),
 canon AS (SELECT k, min(doc_id) AS canon FROM inc GROUP BY k)
 SELECT i.doc_id,
@@ -176,6 +181,9 @@ FROM inc i
 LEFT JOIN corpus c ON i.k = c.k
 JOIN canon n ON i.k = n.k
 """
+
+
+DEDUP_INCREMENTAL_SQL = dedup_incremental_sql()
 
 
 # --- shared shingle extraction ------------------------------------------

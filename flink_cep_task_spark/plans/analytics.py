@@ -800,21 +800,31 @@ def approx_distinct_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     # where a specific dataset's deterministic error can brush past 3σ.
     # The boolean must be TRUE for every dataset the sketch handles
     # correctly — the oracle asserts exactly that.
+    #
+    # Diagnosability (ADVICE r5): a bound miss must be readable from the
+    # report, not just appear as an opaque hash mismatch. `err_bound` is
+    # the allowance itself (deterministic in both engines), and
+    # `est_if_out` carries the raw HLL estimate ONLY when it falls
+    # outside the bound — NULL otherwise, so the engines hash-agree
+    # whenever the sketch behaves and the failing row self-describes
+    # (estimate + bound + exact) when it doesn't.
+    bound = F.greatest(F.ceil(F.lit(4 * HLL_RSD) * F.col("n_exact")), F.lit(32))
+    within = F.abs(F.col("__est") - F.col("n_exact")) <= bound
     return per.select(
         "event_type",
         "n_exact",
-        (
-            F.abs(F.col("__est") - F.col("n_exact"))
-            <= F.greatest(
-                F.ceil(F.lit(4 * HLL_RSD) * F.col("n_exact")), F.lit(32)
-            )
-        ).alias("within_bound"),
+        bound.cast("long").alias("err_bound"),
+        within.alias("within_bound"),
+        F.when(~within, F.col("__est")).cast("long").alias("est_if_out"),
     )
 
 
-APPROX_DISTINCT_SQL = """
+APPROX_DISTINCT_SQL = f"""
 SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact,
-       TRUE AS within_bound
+       CAST(greatest(ceil({4 * HLL_RSD} * count(DISTINCT user_id)), 32) AS BIGINT)
+         AS err_bound,
+       TRUE AS within_bound,
+       CAST(NULL AS BIGINT) AS est_if_out
 FROM events GROUP BY event_type
 """
 
@@ -964,7 +974,11 @@ def resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded by the TIME SPAN, not the corpus size; the per-key window is
     O(span/step) rows regardless of how many billions of events fed it."""
     ev = load_table(spark, sf_dir, "events")
-    h = (F.col("ts").cast("long") / RESAMPLE_STEP_S).cast("long") * RESAMPLE_STEP_S
+    # F.floor, not cast-truncation: cast('long') on the double quotient
+    # truncates toward zero, which diverges from the oracle's '//' (floor)
+    # for pre-1970 negative-epoch timestamps (ADVICE r5). floor matches
+    # the TS_S convention used by every other bucketing query here.
+    h = F.floor(F.col("ts").cast("long") / RESAMPLE_STEP_S).cast("long") * RESAMPLE_STEP_S
     obs = ev.groupBy("event_type", h.alias("h")).agg(F.max("value").alias("v"))
     span = obs.groupBy("event_type").agg(
         F.min("h").alias("h0"), F.max("h").alias("h1")

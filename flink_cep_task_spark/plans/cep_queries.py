@@ -127,6 +127,24 @@ def _rule_query(rules: list[Rule]):
 _WORKDIR_CACHE: dict[str, tuple[str, int]] = {}
 
 
+def _cleanup_workdirs() -> None:
+    """atexit: reclaim the cached replay scaffolds. They often live on
+    RAM-backed /dev/shm, where an unremoved workdir (events parquet +
+    checkpoints + sinks) stays resident across bench/test processes —
+    the 2 GiB free-space guard only stops NEW use once tmpfs fills, it
+    never reclaims (ADVICE r5)."""
+    import shutil
+
+    while _WORKDIR_CACHE:
+        work, _ = _WORKDIR_CACHE.popitem()[1]
+        shutil.rmtree(work, ignore_errors=True)
+
+
+import atexit as _atexit
+
+_atexit.register(_cleanup_workdirs)
+
+
 def _events_stream_workdir(spark: SparkSession, sf_dir: str, prefix: str) -> tuple[str, int]:
     """Replay scaffold shared by the streaming parity queries: the events
     table in Metric shape written as PARQUET (parallel write, columnar

@@ -27,7 +27,36 @@ MUST_BE_GATED = {
     "dedup_embedding_cosine",
     "doc_fingerprint",
     "knn_bruteforce",
+    # round-6 promotions (VERDICT r5 task #1): the flagship operators added
+    # since round 3 must hold driver-gate slots from now on.
+    "cep_session_sum",           # session windows (reference extension)
+    "cep_timer_windows",         # event-time timer register/fire/evict
+    "cep_many_rules",            # 12-rule broadcast fan-out matrix
+    "salted_hot_user_join",      # explicit salting leg AQE can't see
+    "skewsafe_user_distinct",    # two-phase skew-safe distinct
+    "dedup_incremental",         # daily-crawl new-batch-vs-corpus dedup
 }
+
+# rotated out in round 6 — each family keeps another gated representative
+# (see registry.py OVERFLOW_LAST comment); pinned here so they don't
+# silently drift back in and evict a flagship.
+ROTATED_OUT_R6 = {
+    "cep_tumbling_min",
+    "cep_multikey_sum",
+    "q4_order_priority",
+    "q14_promo_share",
+    "token_counts",
+    "pivot_event_counts",
+}
+
+
+def test_rotated_out_queries_are_parked_not_dropped():
+    qs = all_queries()
+    gated = set(list(qs)[:DRIVER_GATE_CAP])
+    for name in ROTATED_OUT_R6:
+        assert name in qs, f"{name} was dropped, not parked"
+        assert name not in gated
+        assert qs[name][1] is not None, f"{name} lost its oracle"
 
 
 def test_gated_prefix_contains_every_required_query():
