@@ -866,6 +866,12 @@ FROM events GROUP BY event_type
 
 
 NEAREST_CLICK_BAND_S = 1800  # ±30 min search band
+# grouped-pandas pays a measured ~1 ms/key/batch of Arrow protocol
+# overhead, so the cogroup is keyed on pmod(hash(user_id), BUCKETS)
+# rather than raw user_id: a bounded number of Arrow round-trips
+# regardless of user cardinality, with the per-user split done by numpy
+# inside each batch (the streaming/live.py:44 state-coarsening pattern).
+NEAREST_CLICK_BUCKETS = 64
 
 
 def cogroup_nearest_click(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -873,40 +879,41 @@ def cogroup_nearest_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     purchases and clicks arrive as TWO aligned pandas frames and the
     nearest click within ±30 min of each purchase — before OR after, the
     shape no running-window as-of trick expresses — is found vectorized
-    (np.searchsorted over the sorted click array). This is the per-key
-    both-tables-at-once pattern feature-backfill jobs use. One shuffle
-    per side on user_id; ties (equidistant before/after) break to the
-    EARLIER click so both engines are deterministic.
+    (np.searchsorted over the user's slice of the sorted click array).
+    This is the per-key both-tables-at-once pattern feature-backfill
+    jobs use. Ties (equidistant before/after) break to the EARLIER click
+    so both engines are deterministic.
 
-    Scale note: grouped-pandas pays a measured ~1 ms/key/batch of Arrow
-    protocol overhead (streaming/live.py coarsens its state keys for the
-    same reason) — at extreme key cardinality, key on
-    pmod(hash(user_id), buckets) and loop users inside the function; the
-    per-user form here is the canonical API shape."""
+    Scale shape: both sides shuffle ONCE on pmod(hash(user_id),
+    NEAREST_CLICK_BUCKETS) — at millions of users the per-user keying
+    this replaces would pay millions of Arrow round-trips (~1 ms each);
+    bucketed, the round-trip count is capped at BUCKETS while the
+    per-user work stays vectorized: clicks are sorted by (user, ts) once
+    per batch and each user's purchases probe their own contiguous
+    slice. Bucket count trades Arrow overhead against batch memory —
+    each batch holds |users/bucket| × their events, the same bound a
+    raw-user-keyed shuffle partition would hold."""
     import numpy as np
     import pandas as pd
 
     e = load_table(spark, sf_dir, "events")
     ts_s = F.col("ts").cast("long")
+    bucket = F.pmod(F.hash(F.col("user_id")), F.lit(NEAREST_CLICK_BUCKETS))
     p = e.filter(F.col("event_type") == "purchase").select(
-        "event_id", "user_id", ts_s.alias("p_ts")
+        "event_id", "user_id", ts_s.alias("p_ts"), bucket.alias("b")
     )
     c = e.filter(F.col("event_type") == "click").select(
-        "user_id", ts_s.alias("c_ts")
+        "user_id", ts_s.alias("c_ts"), bucket.alias("b")
     )
 
-    def nearest(purchases: pd.DataFrame, clicks: pd.DataFrame) -> pd.DataFrame:
-        if not len(purchases):
-            return pd.DataFrame(
-                columns=["event_id", "user_id", "p_ts", "nearest_click_ts", "gap_s"]
-            )
-        out = purchases[["event_id", "user_id", "p_ts"]].copy()
-        if not len(clicks):
-            out["nearest_click_ts"] = pd.array([None] * len(out), dtype="Int64")
-            out["gap_s"] = pd.array([None] * len(out), dtype="Int64")
-            return out
-        cs = np.sort(clicks["c_ts"].to_numpy(dtype=np.int64))
-        pt = out["p_ts"].to_numpy(dtype=np.int64)
+    def nearest_for_user(out: pd.DataFrame, rows, cs: "np.ndarray", nc, gp):
+        """Fill nearest/gap for one user's purchase rows against the
+        user's sorted click timestamps cs (may be empty)."""
+        import numpy as np
+
+        if not len(cs):
+            return
+        pt = out["p_ts"].to_numpy(dtype=np.int64)[rows]
         idx = np.searchsorted(cs, pt)
         lo = cs[np.clip(idx - 1, 0, len(cs) - 1)]
         hi = cs[np.clip(idx, 0, len(cs) - 1)]
@@ -916,17 +923,41 @@ def cogroup_nearest_click(spark: SparkSession, sf_dir: str) -> DataFrame:
         best = np.where(d_lo <= d_hi, lo, hi)
         gap = np.minimum(d_lo, d_hi)
         ok = gap <= NEAREST_CLICK_BAND_S
+        nc[rows] = np.where(ok, best, nc[rows])
+        gp[rows] = np.where(ok, gap, gp[rows])
+
+    def nearest(purchases: pd.DataFrame, clicks: pd.DataFrame) -> pd.DataFrame:
+        if not len(purchases):
+            return pd.DataFrame(
+                columns=["event_id", "user_id", "p_ts", "nearest_click_ts", "gap_s"]
+            )
+        out = purchases[["event_id", "user_id", "p_ts"]].copy()
+        nc = np.full(len(out), -1, dtype=np.int64)
+        gp = np.full(len(out), -1, dtype=np.int64)
+        if len(clicks):
+            c_sorted = clicks.sort_values(["user_id", "c_ts"], kind="mergesort")
+            cu = c_sorted["user_id"].to_numpy(dtype=np.int64)
+            cts = c_sorted["c_ts"].to_numpy(dtype=np.int64)
+            users, starts = np.unique(cu, return_index=True)
+            ends = np.append(starts[1:], len(cu))
+            slices = dict(zip(users.tolist(), zip(starts.tolist(), ends.tolist())))
+            # per-user python loop INSIDE the Arrow batch — bounded by
+            # users-per-bucket, each iteration fully vectorized
+            for uid, rows in out.groupby("user_id", sort=False).indices.items():
+                span = slices.get(uid)
+                if span is not None:
+                    nearest_for_user(out, rows, cts[span[0] : span[1]], nc, gp)
         out["nearest_click_ts"] = pd.array(
-            [int(b) if k else None for b, k in zip(best, ok)], dtype="Int64"
+            [int(v) if v >= 0 else None for v in nc], dtype="Int64"
         )
         out["gap_s"] = pd.array(
-            [int(g) if k else None for g, k in zip(gap, ok)], dtype="Int64"
+            [int(v) if v >= 0 else None for v in gp], dtype="Int64"
         )
         return out
 
     return (
-        p.groupBy("user_id")
-        .cogroup(c.groupBy("user_id"))
+        p.groupBy("b")
+        .cogroup(c.groupBy("b"))
         .applyInPandas(
             lambda l, r: nearest(l, r),
             "event_id LONG, user_id LONG, p_ts LONG, "

@@ -356,3 +356,69 @@ def test_not_followed_by_is_banded_anti_join(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "LeftAnti" in plan
+
+
+def test_cogroup_nearest_click_keys_on_bucket_not_user(spark):
+    # Arrow-overhead contract (VERDICT r5 task #2): the cogroup must key on
+    # pmod(hash(user_id), BUCKETS) — a bounded number of grouped-pandas
+    # round-trips — never on raw user_id (millions of ~1 ms Arrow batches
+    # at production cardinality). The bucket column is what both sides
+    # hash-partition on; user_id must NOT appear in the exchange key.
+    plan = _plan(spark, "cogroup_nearest_click")
+    assert "FlatMapCoGroupsInPandas" in plan
+    exchanges = [
+        ln for ln in plan.splitlines() if "Exchange hashpartitioning" in ln
+    ]
+    assert exchanges, "cogroup lost its co-partitioning exchanges"
+    for ln in exchanges:
+        assert "b#" in ln, f"exchange not keyed on the bucket: {ln}"
+        assert "user_id#" not in ln.split("Exchange")[1].split(")")[0] or "pmod" in ln, (
+            f"exchange keyed on raw user_id: {ln}"
+        )
+
+
+def test_cogroup_nearest_click_bucketed_matches_per_user_form(spark):
+    # result identity: the bucketed grouping + in-batch per-user split must
+    # produce byte-identical results to the naive per-user cogroup it
+    # replaced (same nearest click, same tie-breaks, same band nulls)
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from flink_cep_task_spark.plans.analytics import (
+        NEAREST_CLICK_BAND_S,
+        cogroup_nearest_click,
+    )
+    from flink_cep_task_spark.sources.tables import load_table
+
+    got = (
+        cogroup_nearest_click(spark, SF_DIR)
+        .toPandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+
+    # reference: per-user pandas computation driver-side (sf0.001 is small)
+    e = load_table(spark, SF_DIR, "events").select(
+        "event_id", "user_id", "event_type", F.col("ts").cast("long").alias("s")
+    ).toPandas()
+    p = e[e.event_type == "purchase"]
+    c = e[e.event_type == "click"]
+    rows = []
+    for _, r in p.iterrows():
+        cs = c[c.user_id == r.user_id].s
+        best, gap = None, None
+        if len(cs):
+            d = (cs - r.s).abs()
+            m = d.min()
+            if m <= NEAREST_CLICK_BAND_S:
+                cand = cs[d == m]
+                best, gap = int(cand.min()), int(m)  # earlier click wins ties
+        rows.append((r.event_id, r.user_id, r.s, best, gap))
+    want = pd.DataFrame(
+        rows, columns=["event_id", "user_id", "p_ts", "nearest_click_ts", "gap_s"]
+    ).sort_values("event_id").reset_index(drop=True)
+    assert len(got) == len(want)
+    for col in want.columns:
+        a = got[col].astype("Float64").fillna(-1)
+        b = want[col].astype("Float64").fillna(-1)
+        assert (a == b).all(), f"divergence in {col}"
