@@ -148,7 +148,16 @@ def main() -> None:
                 "sf": sf,
                 "n_queries": len(timings),
                 "notes": [
-                    "Run-to-run variance on this box is large (totals have "
+                    "Round-6 audit of the only >0.3s r4->r5 delta "
+                    "(cep_rules_from_wire 2.21->3.19 s): NOT a regression "
+                    "- commit d2cdc03 (round 5) added a session rule to "
+                    "WIRE_RULE_LINES, so the query now evaluates an extra "
+                    "session-window union branch on top of the tumbling/"
+                    "sliding/global plan; it computes strictly more than "
+                    "in r4. Isolation reruns (3x) gave 4.91/4.86/5.27 s - "
+                    "higher than in-bench because the suite's earlier "
+                    "queries pre-pay the session-window codegen; the "
+                    "in-bench number is the steady-state one.",
                     "ranged 102-164s for identical code); treat per-query "
                     "deltas under ~2x as noise and re-run in isolation "
                     "before bisecting.",

@@ -621,6 +621,64 @@ def q_first_event_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+FIRST_EVENT_NULL_SQL = f"""
+WITH m AS (
+  SELECT nullif(event_type, 'click') AS grp, epoch_ms(ts) AS ts_ms,
+         CAST(value AS DECIMAL(18,2)) AS v
+  FROM events
+), seeded AS (
+  SELECT grp, ts_ms, v,
+         min(ts_ms) OVER (PARTITION BY grp) AS t0
+  FROM m
+), bucketed AS (
+  SELECT grp, v,
+         t0 + ((ts_ms - t0) // {FIRST_EVENT_WINDOW_MIN * 60_000})
+              * {FIRST_EVENT_WINDOW_MIN * 60_000} AS window_start_ms
+  FROM seeded
+)
+SELECT grp, window_start_ms,
+       window_start_ms + {FIRST_EVENT_WINDOW_MIN * 60_000} AS window_end_ms,
+       CAST(sum(v) AS DOUBLE) AS agg_sum,
+       count(v) AS agg_cnt,
+       CAST(min(v) AS DOUBLE) AS agg_min,
+       CAST(max(v) AS DOUBLE) AS agg_max
+FROM bucketed GROUP BY grp, window_start_ms
+"""
+
+
+def q_first_event_null_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The NULL-group-key semantic of first_event_aligned_tumbling, gated
+    (VERDICT r5 task #4): one group key is made NULL ('click' events), and
+    NULL must behave as its own group — seeded by ITS first event, never
+    dropped. This is exactly what the eqNullSafe re-join preserves (a
+    name-list equi-join would silently drop every NULL-group row); the
+    oracle's window form (PARTITION BY grp) gives NULL-as-a-group for
+    free, so a drop or mis-seed on the Spark side hash-mismatches."""
+    from pyspark.sql import functions as F
+
+    from flink_cep_task_spark.streaming.state import first_event_aligned_tumbling
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.when(F.col("event_type") == "click", F.lit(None))
+        .otherwise(F.col("event_type"))
+        .alias("grp"),
+        F.col("ts").alias("event_time"),
+        F.col("value").cast("decimal(18,2)").alias("agg_input"),
+    )
+    out = first_event_aligned_tumbling(
+        ev, ["grp"], window_minutes=FIRST_EVENT_WINDOW_MIN
+    )
+    return out.select(
+        "grp",
+        "window_start_ms",
+        "window_end_ms",
+        F.col("agg_sum").cast("double").alias("agg_sum"),
+        "agg_cnt",
+        F.col("agg_min").cast("double").alias("agg_min"),
+        F.col("agg_max").cast("double").alias("agg_max"),
+    )
+
+
 def q_rules_from_wire(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P3/P4 through the correctness gate: raw wire JSON rule lines are
     parsed IN-PLAN (parse_rule_lines_df — symbolic ops, bare-string keys,
@@ -716,6 +774,7 @@ CEP_QUERIES: dict[str, tuple] = {
         cep_oracle_sql(parse_rule_lines(WIRE_RULE_LINES)),
     ),
     "cep_first_event_tumbling": (q_first_event_tumbling, FIRST_EVENT_SQL),
+    "cep_first_event_null_groups": (q_first_event_null_groups, FIRST_EVENT_NULL_SQL),
     # registered past the driver gate (registry.OVERFLOW_LAST); locally
     # oracle-gated like every other entry
     "cep_global_live": (q_global_live, cep_oracle_sql([R_GLOBAL_MAX])),

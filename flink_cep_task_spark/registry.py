@@ -117,6 +117,8 @@ OVERFLOW_LAST = (
     "resample_ffill",
     "cogroup_nearest_click",
     "column_profile_events",
+    # round-6 additions
+    "cep_first_event_null_groups",
 )
 
 

@@ -192,6 +192,34 @@ def test_first_event_aligned_tumbling_keeps_null_groups(spark):
     assert float(by_group["y"].agg_sum) == 4.0
 
 
+def test_first_event_aligned_tumbling_group_cardinality_guard(spark):
+    """The broadcast-boundedness constraint is executable (VERDICT r5 task
+    #4): past max_broadcast_groups distinct groups the call raises and
+    names the stateful fallback, instead of letting the per-group t0
+    broadcast OOM an executor. Under the limit (and with the guard
+    disabled) the same input evaluates normally."""
+    import pytest
+
+    rows = [
+        (0.001 + i, {"t_g": f"g{i}"}, {"m": 1}) for i in range(5)
+    ]
+    df = _metrics_df(spark, rows).withColumn(
+        "agg_input", F.element_at("metrics", "m")
+    ).withColumn("group_id", F.element_at("tags", "t_g"))
+    with pytest.raises(ValueError, match="streaming_first_event_tumbling"):
+        first_event_aligned_tumbling(
+            df, ["group_id"], window_minutes=4, max_broadcast_groups=3
+        )
+    ok = first_event_aligned_tumbling(
+        df, ["group_id"], window_minutes=4, max_broadcast_groups=5
+    )
+    assert ok.count() == 5
+    no_guard = first_event_aligned_tumbling(
+        df, ["group_id"], window_minutes=4, max_broadcast_groups=None
+    )
+    assert no_guard.count() == 5
+
+
 def test_epoch_vs_first_event_alignment_divergence(spark):
     """Documents the Q3 divergence: default engine = epoch-aligned (event at
     t=1ms falls in window [0, 240s)), compat mode = first-event-aligned
