@@ -127,17 +127,42 @@ def _rule_query(rules: list[Rule]):
 _WORKDIR_CACHE: dict[str, tuple[str, int]] = {}
 
 
+# documents replay scaffold for the streaming-dedup parity query — same
+# lifecycle as _WORKDIR_CACHE
+_DOCS_WORKDIR_CACHE: dict[str, tuple[str, int]] = {}
+
+
+def _pick_tmpfs() -> str | None:
+    """Replay scaffolds (source + checkpoints + sinks) go on tmpfs when
+    available AND big enough: every micro-batch commits state files per
+    partition, and ext4 fsync latency is pure harness overhead. Docker's
+    default /dev/shm is 64 MB, far below a replay's footprint, so require
+    a 2 GiB cushion and otherwise fall back to the normal temp dir. A
+    real deployment points checkpointLocation at durable storage."""
+    import os
+
+    if os.path.isdir("/dev/shm"):
+        try:
+            st = os.statvfs("/dev/shm")
+            if st.f_bavail * st.f_frsize >= 2 << 30:
+                return "/dev/shm"
+        except OSError:
+            pass
+    return None
+
+
 def _cleanup_workdirs() -> None:
     """atexit: reclaim the cached replay scaffolds. They often live on
-    RAM-backed /dev/shm, where an unremoved workdir (events parquet +
+    RAM-backed /dev/shm, where an unremoved workdir (replay parquet +
     checkpoints + sinks) stays resident across bench/test processes —
     the 2 GiB free-space guard only stops NEW use once tmpfs fills, it
     never reclaims (ADVICE r5)."""
     import shutil
 
-    while _WORKDIR_CACHE:
-        work, _ = _WORKDIR_CACHE.popitem()[1]
-        shutil.rmtree(work, ignore_errors=True)
+    for cache in (_WORKDIR_CACHE, _DOCS_WORKDIR_CACHE):
+        while cache:
+            work, _ = cache.popitem()[1]
+            shutil.rmtree(work, ignore_errors=True)
 
 
 import atexit as _atexit
@@ -181,22 +206,7 @@ def _events_stream_workdir(spark: SparkSession, sf_dir: str, prefix: str) -> tup
     if cached is not None and os.path.isdir(os.path.join(cached[0], "src")):
         return cached
 
-    # harness scaffold only (replay source + checkpoints + sinks) — put it
-    # on tmpfs when available AND big enough: every micro-batch commits
-    # state files per partition, and ext4 fsync latency is pure harness
-    # overhead. Docker's default /dev/shm is 64 MB, far below the replay's
-    # footprint (events parquet + checkpoints + sinks), so require a 2 GiB
-    # cushion and otherwise fall back to the normal temp dir. A real
-    # deployment points checkpointLocation at durable storage instead.
-    shm = None
-    if os.path.isdir("/dev/shm"):
-        try:
-            st = os.statvfs("/dev/shm")
-            if st.f_bavail * st.f_frsize >= 2 << 30:
-                shm = "/dev/shm"
-        except OSError:
-            pass
-    work = tempfile.mkdtemp(prefix=prefix, dir=shm)
+    work = tempfile.mkdtemp(prefix=prefix, dir=_pick_tmpfs())
     src = os.path.join(work, "src")
     ev = events_to_metrics(load_table(spark, sf_dir, "events"))
     ev.repartition(8).write.mode("overwrite").parquet(src)
@@ -756,6 +766,108 @@ MANY_RULES = [
 ]
 
 
+def _docs_stream_workdir(spark: SparkSession, sf_dir: str) -> tuple[str, int]:
+    """Replay scaffold for the streaming-dedup parity query: the documents
+    table with a synthesized event_time (doc_id seconds past a fixed
+    base — deterministic, replay-stable) written as 4 parquet files so a
+    maxFilesPerTrigger=1 drain produces 4 micro-batches and duplicate
+    clusters SPAN batches: the dedup state built in batch N must suppress
+    batch N+1's copies, which is the property a batch dedup can't show."""
+    import glob as _glob
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    import shutil
+
+    cached = _DOCS_WORKDIR_CACHE.get(sf_dir)
+    if cached is not None and os.path.isdir(os.path.join(cached[0], "src")):
+        return cached
+    work = tempfile.mkdtemp(prefix="dedup_stream_", dir=_pick_tmpfs())
+    src = os.path.join(work, "src")
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.timestamp_millis(
+            F.lit(1_700_000_000_000) + F.col("doc_id") * 1000
+        ).alias("event_time"),
+        "doc_id",
+        "text",
+    )
+    docs.repartition(4).write.mode("overwrite").parquet(src)
+    parts = _glob.glob(os.path.join(src, "part-*.parquet"))
+    base = max(os.path.getmtime(p) for p in parts)
+    # the testdata documents are NEAR-dup-rich but almost exact-dup-free
+    # (sf0.01: 500 docs, 500 distinct normalized keys), so the replay
+    # injects exact duplicates BY CONSTRUCTION: every 7th doc re-arrives
+    # re-labeled (doc_id + 1e6) with a later event_time, in files whose
+    # mtime sorts AFTER all originals — the file source triggers in
+    # mtime order, so these copies land in later micro-batches and the
+    # dedup state built earlier must suppress them. Copies add no new
+    # keys, so the batch oracle over `documents` is unchanged.
+    dup_dir = os.path.join(work, "dup_src")
+    docs.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("event_time") + F.expr("INTERVAL 30 DAYS")).alias("event_time"),
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        "text",
+    ).repartition(2).write.mode("overwrite").parquet(dup_dir)
+    for i, p in enumerate(_glob.glob(os.path.join(dup_dir, "part-*.parquet"))):
+        dest = os.path.join(src, f"zz_dup_{i}.parquet")
+        shutil.move(p, dest)
+        os.utime(dest, (base + 10, base + 10))
+    shutil.rmtree(dup_dir, ignore_errors=True)
+    n = len(_glob.glob(os.path.join(src, "*.parquet")))
+    _DOCS_WORKDIR_CACHE[sf_dir] = (work, n)
+    return work, n
+
+
+def q_dedup_stream_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING parity for within-watermark dedup (VERDICT r5 task #5):
+    documents replayed across 4 micro-batches through
+    dropDuplicatesWithinWatermark (streaming/ops.dedup_exact_stream),
+    drained with availableNow. Every 7th document re-arrives re-labeled
+    in a LATER micro-batch (see _docs_stream_workdir — the raw table is
+    exact-dup-free, so suppression would otherwise be vacuous). The
+    watermark delay exceeds the replay's whole synthetic time span, so
+    no key is ever evicted or late-dropped and the emitted rows are
+    exactly ONE survivor per normalized-text key — cross-batch copies
+    suppressed by the dedup state. WHICH
+    physical row survives a cluster is arrival-order-dependent (the
+    operator keeps the first seen), so the gated result is the KEY SET —
+    deterministic, and it pins the three properties that matter: no key
+    lost, no key emitted twice, key derivation byte-identical to the
+    batch family's DEDUP_KEY_SQL."""
+    import os
+    import uuid
+
+    from flink_cep_task_spark.streaming.ops import dedup_exact_stream
+    from flink_cep_task_spark.streaming.pipeline import await_stream
+
+    work, n_parts = _docs_stream_workdir(spark, sf_dir)
+    stream = (
+        spark.readStream.schema("event_time timestamp, doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(work, "src"))
+    )
+    # delay > any doc_id gap (doc_id seconds apart): nothing evicts mid-run
+    out = dedup_exact_stream(stream, watermark="52560000 minutes")
+    name = f"dedup_stream_{uuid.uuid4().hex[:8]}"
+    with _shuffle_partitions(spark, 8):
+        q = (
+            out.writeStream.format("memory").queryName(name).outputMode("append")
+            .option("checkpointLocation", os.path.join(work, f"ckpt_{name}"))
+            .trigger(availableNow=True).start()
+        )
+        await_stream(q, 600)
+    return spark.table(name).select("k")
+
+
+from flink_cep_task_spark.operators.dedup import DEDUP_KEY_SQL as _DEDUP_KEY_SQL
+
+DEDUP_STREAM_SQL = f"""
+SELECT DISTINCT {_DEDUP_KEY_SQL} AS k FROM documents
+"""
+
+
 CEP_QUERIES: dict[str, tuple] = {
     # name -> (callable, oracle_sql | None)
     "cep_tumbling_sum": (_rule_query([R_TUMBLING_SUM]), cep_oracle_sql([R_TUMBLING_SUM])),
@@ -790,4 +902,5 @@ CEP_QUERIES: dict[str, tuple] = {
         cep_oracle_sql([R_SESSION_SUM, R_TUMBLING_MIN]),
     ),
     "cep_many_rules": (_rule_query(MANY_RULES), cep_oracle_sql(MANY_RULES)),
+    "dedup_stream_watermark": (q_dedup_stream_watermark, DEDUP_STREAM_SQL),
 }

@@ -119,6 +119,7 @@ OVERFLOW_LAST = (
     "column_profile_events",
     # round-6 additions
     "cep_first_event_null_groups",
+    "dedup_stream_watermark",
 )
 
 

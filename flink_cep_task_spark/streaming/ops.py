@@ -209,8 +209,12 @@ def dedup_exact_stream(
     """Streaming exact dedup: first document per normalized-text md5 key
     within the watermark horizon survives (dropDuplicatesWithinWatermark —
     state holds only keys younger than the delay; the batch twin is
-    operators/dedup.dedup_exact)."""
-    keyed = docs.withColumn("k", F.md5(_norm(F.col(text_col))))
+    operators/dedup.dedup_exact). The key carries the batch family's
+    NULL coalesce so a NULL-text doc gets the same canonical key in both
+    engines (DEDUP_KEY_SQL's chr(0)||'null' sentinel)."""
+    keyed = docs.withColumn(
+        "k", F.md5(F.coalesce(_norm(F.col(text_col)), F.lit("\x00null")))
+    )
     return keyed.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(["k"])
 
 
