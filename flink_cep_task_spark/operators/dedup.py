@@ -661,6 +661,157 @@ MINHASH_LSH_SQL = _minhash_sql()
 SIMHASH_SQL = _simhash_sql()
 
 
+def dedup_incremental_minhash(
+    documents: DataFrame, incoming_source: str = INCREMENTAL_INCOMING_SOURCE
+) -> DataFrame:
+    """Incremental NEAR-dup classification (VERDICT r5 task #6): the daily
+    batch's MinHash signatures banded-joined against CORPUS signatures —
+    dedup_incremental's exact-key shape extended to the near-dup tier, so
+    a rewritten/boilerplate-shifted re-crawl is caught, not just a
+    byte-identical one. Each incoming doc gets:
+
+      near_dup (match_id = best corpus match, exact verified Jaccard) or
+      new      (no corpus doc with Jaccard ≥ tau)
+
+    Best match = max Jaccard, ties to the smallest corpus doc_id — fully
+    deterministic, so the whole report hash-checks against the oracle.
+
+    Scale shape: the candidate step is a (band, sig) EQUI-join between
+    the incoming side's banded signatures and the corpus's — bucketed by
+    construction, never an incoming×corpus cross join (pinned by
+    tests/test_plans.py). Signatures are 16 longs/doc: the corpus side
+    of the join moves |corpus|×BANDS short rows, text stays in its scan;
+    the exact-Jaccard verify touches only surviving candidate pairs via
+    the shared array-intersect machinery (_pair_jaccard). In a real
+    pipeline corpus signatures are PRECOMPUTED (written at each batch's
+    admission), so the daily cost is the incoming batch's shingling plus
+    the banded probe."""
+    sh = _persisted(shingles_hashed(documents))
+    sig = _minhash_from_shingles(sh)
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat_ws(
+                    "_",
+                    *[F.col(f"mh{b * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)],
+                ).alias("sig"),
+            )
+            for b in range(BANDS)
+        ]
+    )
+    banded = sig.select("doc_id", F.explode(band_structs).alias("bs")).select(
+        "doc_id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig")
+    )
+    side = documents.select(
+        "doc_id", (F.col("source") == incoming_source).alias("inc")
+    )
+    banded_s = banded.join(side, "doc_id")
+    inc_b = banded_s.filter(F.col("inc")).select(
+        F.col("doc_id").alias("doc_a"), "band", "sig"
+    )
+    cor_b = banded_s.filter(~F.col("inc")).select(
+        F.col("doc_id").alias("doc_b"), "band", "sig"
+    )
+    cand = inc_b.join(cor_b, ["band", "sig"]).select("doc_a", "doc_b").distinct()
+    pairs = _pair_jaccard(sh, cand, MINHASH_TAU)
+    # max(struct(jaccard, -doc_b)): max Jaccard first, then min corpus id
+    best = (
+        pairs.groupBy("doc_a")
+        .agg(
+            F.max(
+                F.struct(F.col("jaccard").alias("j"), (-F.col("doc_b")).alias("nb"))
+            ).alias("m")
+        )
+        .select(
+            "doc_a",
+            (-F.col("m.nb")).cast("long").alias("match_id"),
+            F.col("m.j").alias("jaccard"),
+        )
+    )
+    inc_docs = documents.filter(F.col("source") == incoming_source).select("doc_id")
+    return (
+        inc_docs.join(best, inc_docs["doc_id"] == best["doc_a"], "left")
+        .select(
+            "doc_id",
+            F.when(F.col("doc_a").isNotNull(), F.lit("near_dup"))
+            .otherwise(F.lit("new"))
+            .alias("status"),
+            "match_id",
+            "jaccard",
+        )
+    )
+
+
+def dedup_incremental_minhash_sql(
+    incoming_source: str = INCREMENTAL_INCOMING_SOURCE,
+) -> str:
+    """Oracle builder tracking dedup_incremental_minhash's argument."""
+    mh_aggs = ",\n    ".join(
+        "min({h}) AS mh{p}".format(h=perm_hash_sql("sh", p), p=p)
+        for p in range(NUM_PERMS)
+    )
+    band_rows = "\n  UNION ALL\n".join(
+        f"  SELECT doc_id, {b} AS band, "
+        + " || '_' || ".join(
+            f"CAST(mh{b * ROWS_PER_BAND + r} AS VARCHAR)" for r in range(ROWS_PER_BAND)
+        )
+        + " AS sig FROM sig"
+        for b in range(BANDS)
+    )
+    return f"""
+WITH {SHINGLES_HASHED_CTE.strip()},
+side AS (SELECT doc_id, source = '{incoming_source}' AS inc FROM documents),
+sig AS (
+  SELECT doc_id,
+    {mh_aggs}
+  FROM shh
+  GROUP BY doc_id
+),
+banded AS (
+{band_rows}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM banded a
+  JOIN side sa ON sa.doc_id = a.doc_id AND sa.inc
+  JOIN banded b ON a.band = b.band AND a.sig = b.sig
+  JOIN side sb ON sb.doc_id = b.doc_id AND NOT sb.inc
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM shh GROUP BY doc_id),
+inter AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS n_common
+  FROM cand c
+  JOIN shh sa ON sa.doc_id = c.doc_a
+  JOIN shh sb ON sb.doc_id = c.doc_b AND sb.sh = sa.sh
+  GROUP BY c.doc_a, c.doc_b
+),
+pairs AS (
+  SELECT i.doc_a, i.doc_b,
+         round(CAST(i.n_common AS DOUBLE) / (za.n + zb.n - i.n_common), 6) AS jaccard
+  FROM inter i
+  JOIN sizes za ON za.doc_id = i.doc_a
+  JOIN sizes zb ON zb.doc_id = i.doc_b
+  WHERE round(CAST(i.n_common AS DOUBLE) / (za.n + zb.n - i.n_common), 6)
+        >= {MINHASH_TAU}
+),
+best AS (
+  SELECT doc_a, doc_b, jaccard,
+         row_number() OVER (PARTITION BY doc_a
+                            ORDER BY jaccard DESC, doc_b) AS rn
+  FROM pairs
+)
+SELECT d.doc_id,
+       CASE WHEN b.doc_a IS NOT NULL THEN 'near_dup' ELSE 'new' END AS status,
+       b.doc_b AS match_id, b.jaccard
+FROM (SELECT doc_id FROM documents WHERE source = '{incoming_source}') d
+LEFT JOIN (SELECT * FROM best WHERE rn = 1) b ON b.doc_a = d.doc_id
+"""
+
+
+DEDUP_INCREMENTAL_MINHASH_SQL = dedup_incremental_minhash_sql()
+
+
 # --- benchmark decontamination --------------------------------------------
 
 EVAL_SET_MAX_ID = 20  # docs with doc_id < 20 stand in for the eval/benchmark set

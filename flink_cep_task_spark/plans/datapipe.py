@@ -235,6 +235,10 @@ DATAPIPE_QUERIES: dict[str, tuple] = {
     "doc_fingerprint": (_docs(T.doc_fingerprint), T.DOC_FINGERPRINT_SQL),
     "dedup_exact": (_docs(D.dedup_exact), D.DEDUP_EXACT_SQL),
     "dedup_incremental": (_docs(D.dedup_incremental), D.DEDUP_INCREMENTAL_SQL),
+    "dedup_incremental_minhash": (
+        _docs(D.dedup_incremental_minhash),
+        D.DEDUP_INCREMENTAL_MINHASH_SQL,
+    ),
     "dedup_minhash_lsh": (_docs(D.dedup_minhash_lsh), D.MINHASH_LSH_SQL),
     "dedup_ngram_jaccard": (_docs(D.dedup_ngram_jaccard), D.NGRAM_JACCARD_SQL),
     "dedup_simhash": (_docs(D.dedup_simhash), D.SIMHASH_SQL),

@@ -120,6 +120,7 @@ OVERFLOW_LAST = (
     # round-6 additions
     "cep_first_event_null_groups",
     "dedup_stream_watermark",
+    "dedup_incremental_minhash",
 )
 
 

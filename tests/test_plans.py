@@ -422,3 +422,19 @@ def test_cogroup_nearest_click_bucketed_matches_per_user_form(spark):
         a = got[col].astype("Float64").fillna(-1)
         b = want[col].astype("Float64").fillna(-1)
         assert (a == b).all(), f"divergence in {col}"
+
+
+def test_dedup_incremental_minhash_is_banded_equi_join(spark):
+    # incremental near-dup contract (VERDICT r5 task #6): the candidate
+    # step must be a (band, sig) equi-join between incoming and corpus
+    # banded signatures — never an incoming×corpus cross/nested-loop join,
+    # and document text must never shuffle (signatures are 16 longs/doc)
+    plan = _plan(spark, "dedup_incremental_minhash")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "band#" in plan and "sig#" in plan, "banded join keys missing"
+    text_shuffles = [
+        ln for ln in plan.splitlines()
+        if "Exchange hashpartitioning" in ln and "text#" in ln
+    ]
+    assert not text_shuffles, f"document text shuffled: {text_shuffles}"
