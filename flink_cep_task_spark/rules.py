@@ -78,31 +78,99 @@ class Rule:
         """Parse one reference-format JSON rule document (Rule.java:12-24).
 
         Lenient like the reference's fastjson parse (CEPTaskRunner.java:54-56):
-        groupingKeyNames may be an array or a bare string; windowType other
+        groupingKeyNames may be an array or a bare scalar; windowType other
         than tumbling/sliding/session means a global window
         (CEPEngine.java:75-81 — "session" is this engine's extension).
         An explicit "seq" in the doc overrides the caller's (file-based rule
         stores carry it; socket arrival order supplies it otherwise) — kept
         in lockstep with parse_rule_lines_df.
+
+        TYPE discipline is strict and shared with the DataFrame twin
+        (pinned by tests/test_rules_fuzz.py): integer fields (ruleId,
+        windowMinutes, windowSlideMinute, seq) must be JSON integers, the
+        limit must be a finite number (or numeric string) representable
+        as DECIMAL(18,4), and groupingKeyNames may not be an object or
+        contain nested containers — any violation drops the WHOLE rule,
+        like a fastjson type mismatch fails the whole document
+        (CEPTaskRunner.java:54-56's parse-error→drop path). One deliberate
+        divergence: numeric STRINGS for integer fields ("windowMinutes":
+        "5") are dropped, not coerced — both engine parsers agree, and
+        the reference never emits them.
         """
-        gk = doc.get("groupingKeyNames") or []
-        if isinstance(gk, str):
-            gk = [gk]
+
+        # a non-object JSON value ("5", "[1,2]") is not a rule document —
+        # from_json yields null for it in the DataFrame twin (this used
+        # to escape as AttributeError, crashing parse_rule_lines)
+        if not isinstance(doc, dict):
+            raise ValueError(f"rule document must be a JSON object, got {doc!r}")
+        # explicit JSON null ≡ absent, matching the DataFrame twin's
+        # per-field coalesce defaults
+        doc = {k: v for k, v in doc.items() if v is not None}
+
+        def as_str(v) -> str:
+            # JSON-ish string form, mirroring from_json's string coercion
+            if isinstance(v, bool):
+                return "true" if v else "false"
+            return str(v)
+
+        def req_int(v, name: str, bits: int = 32):
+            # the DataFrame twin's wire schema types these INT32 (seq:
+            # INT64); an overflowing value nulls the typed parse there and
+            # drops the rule, so the same range is enforced here
+            if v is None:
+                return None
+            if isinstance(v, bool) or not isinstance(v, int):
+                raise ValueError(f"{name} must be a JSON integer, got {v!r}")
+            if not -(2 ** (bits - 1)) <= v < 2 ** (bits - 1):
+                raise ValueError(f"{name} {v!r} overflows int{bits}")
+            return v
+
+        def gk_elem(e) -> str:
+            if isinstance(e, (list, dict)):
+                # from_json coerces a container ELEMENT to its compact
+                # JSON text ('["a"]'); json.dumps with no spaces matches
+                return json.dumps(e, separators=(",", ":"))
+            return as_str(e)
+
+        gk_raw = doc.get("groupingKeyNames")
+        if gk_raw is None:
+            gk: list[str] = []
+        elif isinstance(gk_raw, list):
+            gk = [gk_elem(e) for e in gk_raw]
+        elif isinstance(gk_raw, dict):
+            raise ValueError("groupingKeyNames may not be an object")
+        else:
+            gk = [as_str(gk_raw)]
         wt = doc.get("windowType") or "global"
         if wt not in ("tumbling", "sliding", "session"):
             wt = "global"
-        seq = int(doc.get("seq", seq))
+        seq = req_int(doc.get("seq", seq), "seq", bits=64)
+        lim = doc.get("limit", 0)
+        if isinstance(lim, bool) or isinstance(lim, (list, dict)):
+            raise ValueError(f"limit must be numeric, got {lim!r}")
+        import decimal
+
+        try:
+            lim_d = decimal.Decimal(str(lim)).quantize(
+                decimal.Decimal("0.0001"), rounding=decimal.ROUND_HALF_UP
+            )
+        except decimal.DecimalException as e:
+            raise ValueError(f"bad limit {lim!r}") from e
+        if abs(lim_d) >= decimal.Decimal(10) ** 14:
+            raise ValueError(f"limit {lim!r} out of DECIMAL(18,4) range")
         return cls(
-            rule_id=int(doc["ruleId"]),
-            rule_state=str(doc.get("ruleState", "ACTIVE")),
+            rule_id=req_int(doc["ruleId"], "ruleId"),
+            rule_state=as_str(doc.get("ruleState", "ACTIVE")),
             window_type=wt,
-            window_minutes=doc.get("windowMinutes"),
-            window_slide_minutes=doc.get("windowSlideMinute"),
+            window_minutes=req_int(doc.get("windowMinutes"), "windowMinutes"),
+            window_slide_minutes=req_int(
+                doc.get("windowSlideMinute"), "windowSlideMinute"
+            ),
             grouping_keys=tuple(gk),
-            agg_type=str(doc.get("aggregatorFunctionType", "SUM")),
-            agg_field=str(doc.get("aggregateFieldName", "value")),
-            limit_op=str(doc.get("limitOperatorType", ">")),
-            limit=str(doc.get("limit", "0")),
+            agg_type=as_str(doc.get("aggregatorFunctionType", "SUM")),
+            agg_field=as_str(doc.get("aggregateFieldName", "value")),
+            limit_op=as_str(doc.get("limitOperatorType", ">")),
+            limit=str(lim_d),
             seq=seq,
         )
 
@@ -173,6 +241,12 @@ def parse_rule_lines_df(lines: DataFrame, value_col: str = "value") -> DataFrame
       * a bad line/doc ⇒ null ⇒ filtered (parse-error→null→filter,
         CEPTaskRunner.java:40), including structurally-invalid rules
         (tumbling without windowMinutes etc. — Rule.__post_init__ twins).
+      * TYPE discipline in lockstep with Rule.from_wire (pinned by
+        tests/test_rules_fuzz.py): a field that is PRESENT on the wire
+        but fails its typed parse (limit "abc", windowMinutes 2.5, seq
+        "4", groupingKeyNames as an object) drops the WHOLE rule — a
+        second all-strings parse distinguishes present-but-malformed
+        from absent, mirroring fastjson's whole-document type failure.
 
     Output: internal RULE_SCHEMA columns, ready for compact_rules.
     """
@@ -181,19 +255,31 @@ def parse_rule_lines_df(lines: DataFrame, value_col: str = "value") -> DataFrame
     v = F.col(value_col)
     parsed = lines.select(
         F.from_json(v, RULE_WIRE_SCHEMA).alias("r"),
-        # fallback parse: groupingKeyNames as a bare string (the array
-        # variant in RULE_WIRE_SCHEMA nulls out on a string value).
-        F.from_json(v, "struct<groupingKeyNames:string>")["groupingKeyNames"].alias("gk_str"),
+        # raw all-strings parse: per-field "was it present on the wire?"
+        # (and the bare-string groupingKeyNames fallback). from_json into
+        # string fields keeps the literal text of any scalar, '['/'{'
+        # prefixed text for containers.
+        F.from_json(
+            v,
+            "struct<groupingKeyNames:string, windowMinutes:string,"
+            " windowSlideMinute:string, `limit`:string, seq:string>",
+        ).alias("raw"),
     )
     r = F.col("r")
+    raw = F.col("raw")
     state = F.coalesce(r["ruleState"], F.lit("ACTIVE"))
     wt_raw = r["windowType"]
     wt = F.when(
         wt_raw.isin("tumbling", "sliding", "session"), wt_raw
     ).otherwise(F.lit("global"))
+    gk_str = raw["groupingKeyNames"]
+    # bare-scalar fallback only for true scalars: container-shaped raw
+    # text ('['-prefixed failed arrays can't happen — the typed parse
+    # coerces array elements — but '{'-prefixed objects can) is malformed
+    gk_is_object = gk_str.isNotNull() & gk_str.startswith("{")
     gk = F.coalesce(
         r["groupingKeyNames"],
-        F.when(F.col("gk_str").isNotNull(), F.array(F.col("gk_str"))),
+        F.when(gk_str.isNotNull() & ~gk_is_object, F.array(gk_str)),
         F.array().cast("array<string>"),
     )
     agg_type = F.coalesce(r["aggregatorFunctionType"], F.lit("SUM"))
@@ -212,9 +298,24 @@ def parse_rule_lines_df(lines: DataFrame, value_col: str = "value") -> DataFrame
         F.coalesce(r["limit"], F.lit(0).cast("decimal(18,4)")).alias("limit"),
         F.coalesce(r["seq"], F.lit(0).cast("long")).alias("seq"),
         is_delete.alias("__del"),
+        # present-but-malformed detection: raw text exists, typed parse
+        # nulled out (or, for groupingKeyNames, the raw is an object) —
+        # fastjson fails the whole doc on a field type mismatch, so we
+        # drop the rule rather than coalescing a default over the value
+        (
+            (raw["limit"].isNotNull() & r["limit"].isNull())
+            | (raw["windowMinutes"].isNotNull() & r["windowMinutes"].isNull())
+            | (
+                raw["windowSlideMinute"].isNotNull()
+                & r["windowSlideMinute"].isNull()
+            )
+            | (raw["seq"].isNotNull() & r["seq"].isNull())
+            | (gk_is_object & r["groupingKeyNames"].isNull())
+        ).alias("__malformed"),
     )
     valid = (
         F.col("rule_id").isNotNull()
+        & ~F.col("__malformed")
         & F.col("rule_state").isin(*RULE_STATES)
         & (
             F.col("__del")
@@ -244,7 +345,7 @@ def parse_rule_lines_df(lines: DataFrame, value_col: str = "value") -> DataFrame
             )
         )
     )
-    return out.filter(valid).drop("__del")
+    return out.filter(valid).drop("__del", "__malformed")
 
 
 def compact_rules(changelog: DataFrame) -> DataFrame:

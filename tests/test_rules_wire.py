@@ -27,8 +27,9 @@ def test_python_parser_semantics():
     assert by_id_seq[(22, 2)].limit_op == "<="
     # unknown windowType ⇒ global (CEPEngine.java:75-81)
     assert by_id_seq[(23, 3)].window_type == "global"
-    # explicit seq from the doc
-    assert (21, 6) in by_id_seq and by_id_seq[(21, 6)].limit == "500"
+    # explicit seq from the doc; limit normalized to the internal
+    # DECIMAL(18,4) form the DataFrame twin produces
+    assert (21, 6) in by_id_seq and by_id_seq[(21, 6)].limit == "500.0000"
     # session is first-class on the wire (engine extension keyword)
     assert by_id_seq[(26, 7)].window_type == "session"
     assert by_id_seq[(26, 7)].window_minutes == 180
