@@ -29,6 +29,22 @@ from flink_cep_task_spark.schemas import (
 )
 
 
+# the reference's wire accepts limit operators as ENUM NAMES — fastjson
+# deserializes LimitOperatorType by valueOf, and the reference's own
+# sample rule (resources/rules:1) says "GREATER" — while the symbolic
+# forms come from LimitOperatorType.fromString (Rule.java:99-107, unused
+# by the reference's ingest but part of its declared vocabulary). Both
+# parsers accept both and normalize to the symbol.
+LIMIT_OP_NAMES = {
+    "EQUAL": "=",
+    "NOT_EQUAL": "!=",
+    "GREATER_EQUAL": ">=",
+    "LESS_EQUAL": "<=",
+    "GREATER": ">",
+    "LESS": "<",
+}
+
+
 @dataclass(frozen=True)
 class Rule:
     """Validated engine-internal rule (snake_case mirror of Rule.java:12-24)."""
@@ -158,6 +174,12 @@ class Rule:
             raise ValueError(f"bad limit {lim!r}") from e
         if abs(lim_d) >= decimal.Decimal(10) ** 14:
             raise ValueError(f"limit {lim!r} out of DECIMAL(18,4) range")
+        # field-name alias: the reference's sample rule spells the key
+        # "LimitOperatorType" (capital L — fastjson smart-matches it);
+        # enum NAMES normalize to their symbols (LIMIT_OP_NAMES)
+        op = as_str(
+            doc.get("limitOperatorType", doc.get("LimitOperatorType", ">"))
+        )
         return cls(
             rule_id=req_int(doc["ruleId"], "ruleId"),
             rule_state=as_str(doc.get("ruleState", "ACTIVE")),
@@ -169,7 +191,7 @@ class Rule:
             grouping_keys=tuple(gk),
             agg_type=as_str(doc.get("aggregatorFunctionType", "SUM")),
             agg_field=as_str(doc.get("aggregateFieldName", "value")),
-            limit_op=as_str(doc.get("limitOperatorType", ">")),
+            limit_op=LIMIT_OP_NAMES.get(op, op),
             limit=str(lim_d),
             seq=seq,
         )
@@ -262,7 +284,8 @@ def parse_rule_lines_df(lines: DataFrame, value_col: str = "value") -> DataFrame
         F.from_json(
             v,
             "struct<groupingKeyNames:string, windowMinutes:string,"
-            " windowSlideMinute:string, `limit`:string, seq:string>",
+            " windowSlideMinute:string, `limit`:string, seq:string,"
+            " LimitOperatorType:string>",
         ).alias("raw"),
     )
     r = F.col("r")
@@ -283,7 +306,14 @@ def parse_rule_lines_df(lines: DataFrame, value_col: str = "value") -> DataFrame
         F.array().cast("array<string>"),
     )
     agg_type = F.coalesce(r["aggregatorFunctionType"], F.lit("SUM"))
-    limit_op = F.coalesce(r["limitOperatorType"], F.lit(">"))
+    # capital-L field alias (reference resources/rules:1) + enum-name →
+    # symbol normalization, in lockstep with Rule.from_wire
+    op_raw = F.coalesce(
+        r["limitOperatorType"], raw["LimitOperatorType"], F.lit(">")
+    )
+    limit_op = op_raw
+    for name, sym in LIMIT_OP_NAMES.items():
+        limit_op = F.when(op_raw == name, F.lit(sym)).otherwise(limit_op)
     is_delete = state == "DELETE"
     out = parsed.select(
         r["ruleId"].alias("rule_id"),

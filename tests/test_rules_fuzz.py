@@ -25,7 +25,11 @@ from decimal import Decimal
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
-from flink_cep_task_spark.rules import parse_rule_lines, parse_rule_lines_df
+from flink_cep_task_spark.rules import (
+    LIMIT_OP_NAMES,
+    parse_rule_lines,
+    parse_rule_lines_df,
+)
 from flink_cep_task_spark.schemas import AGG_TYPES, LIMIT_OPS, RULE_STATES
 
 _ascii = st.text(
@@ -70,7 +74,8 @@ _gk = st.one_of(
 _agg = st.one_of(st.sampled_from(sorted(AGG_TYPES)), _ascii, st.none())
 _op = st.one_of(
     st.sampled_from(sorted(LIMIT_OPS)),
-    st.sampled_from(["~", "GREATER", "=>", "<>", ""]),
+    st.sampled_from(sorted(LIMIT_OP_NAMES)),  # reference enum names
+    st.sampled_from(["~", "greater", "=>", "<>", ""]),
     st.integers(min_value=0, max_value=9),
     st.none(),
 )
@@ -137,20 +142,25 @@ def test_wire_parser_twins_agree_and_never_crash(spark, lines):
 
 def test_symbol_operator_matrix_both_twins(spark):
     """Every symbolic operator (Rule.java:99-107) parses in BOTH twins;
-    unknown symbols drop the rule in both."""
+    reference enum NAMES (the wire form fastjson actually accepts —
+    resources/rules:1 says GREATER) normalize to symbols; unknown
+    operators drop the rule in both."""
     ok = sorted(LIMIT_OPS)
-    bad = ["~", "GREATER", "=>", ""]
+    names = sorted(LIMIT_OP_NAMES)  # enum-name forms normalize to symbols
+    bad = ["~", "greater", "=>", ""]
     lines = [
         json.dumps(
             {"ruleId": i, "windowType": "tumbling", "windowMinutes": 5,
              "limitOperatorType": op, "seq": i}
         )
-        for i, op in enumerate(ok + bad)
+        for i, op in enumerate(ok + names + bad)
     ]
+    expect = {i: op for i, op in enumerate(ok)}
+    expect.update({len(ok) + j: LIMIT_OP_NAMES[n] for j, n in enumerate(names)})
     py = {r.rule_id: r.limit_op for r in parse_rule_lines(lines)}
     df = spark.createDataFrame([(ln,) for ln in lines], ["value"])
     dfo = {r.rule_id: r.limit_op for r in parse_rule_lines_df(df).collect()}
-    assert py == dfo == {i: op for i, op in enumerate(ok)}
+    assert py == dfo == expect
 
 
 def test_unknown_window_type_coerces_to_global_both_twins(spark):
