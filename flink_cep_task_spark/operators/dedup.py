@@ -328,6 +328,28 @@ def _minhash_from_shingles(sh: DataFrame) -> DataFrame:
     return sh.groupBy("doc_id").agg(*aggs)
 
 
+def _banded(sig: DataFrame) -> DataFrame:
+    """Explode a 16-column signature frame into (doc_id, band, sig) rows —
+    the LSH banding shared by the full-corpus pair search and the
+    incremental probe (and derivable from a stored signature table, so a
+    signature store needs only the mh columns)."""
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat_ws(
+                    "_",
+                    *[F.col(f"mh{b * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)],
+                ).alias("sig"),
+            )
+            for b in range(BANDS)
+        ]
+    )
+    return sig.select("doc_id", F.explode(band_structs).alias("bs")).select(
+        "doc_id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig")
+    )
+
+
 def dedup_minhash_lsh(documents: DataFrame) -> DataFrame:
     """LSH-candidate pairs verified with exact Jaccard ≥ 0.5.
 
@@ -346,21 +368,7 @@ def dedup_minhash_lsh(documents: DataFrame) -> DataFrame:
 
     sh = _persisted(shingles_hashed(documents))
     sig = _minhash_from_shingles(sh)
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.concat_ws(
-                    "_",
-                    *[F.col(f"mh{b * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)],
-                ).alias("sig"),
-            )
-            for b in range(BANDS)
-        ]
-    )
-    banded = sig.select("doc_id", F.explode(band_structs).alias("bs")).select(
-        "doc_id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig")
-    )
+    banded = _banded(sig)
     a = banded.alias("a")
     b = banded.alias("b")
     cand = (
@@ -688,21 +696,7 @@ def dedup_incremental_minhash(
     the banded probe."""
     sh = _persisted(shingles_hashed(documents))
     sig = _minhash_from_shingles(sh)
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.concat_ws(
-                    "_",
-                    *[F.col(f"mh{b * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)],
-                ).alias("sig"),
-            )
-            for b in range(BANDS)
-        ]
-    )
-    banded = sig.select("doc_id", F.explode(band_structs).alias("bs")).select(
-        "doc_id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig")
-    )
+    banded = _banded(sig)
     side = documents.select(
         "doc_id", (F.col("source") == incoming_source).alias("inc")
     )
@@ -715,6 +709,16 @@ def dedup_incremental_minhash(
     )
     cand = inc_b.join(cor_b, ["band", "sig"]).select("doc_a", "doc_b").distinct()
     pairs = _pair_jaccard(sh, cand, MINHASH_TAU)
+    return _classify_incoming(pairs, documents, incoming_source)
+
+
+def _classify_incoming(
+    pairs: DataFrame, documents: DataFrame, incoming_source: str
+) -> DataFrame:
+    """Shared tail of the incremental near-dup variants: verified
+    (doc_a=incoming, doc_b=corpus, jaccard) pairs → per-incoming-doc
+    near_dup/new report with a deterministic best match (max Jaccard,
+    ties to the smallest corpus id)."""
     # max(struct(jaccard, -doc_b)): max Jaccard first, then min corpus id
     best = (
         pairs.groupBy("doc_a")
@@ -741,6 +745,73 @@ def dedup_incremental_minhash(
             "jaccard",
         )
     )
+
+
+def write_minhash_signature_store(documents: DataFrame, path: str) -> None:
+    """Materialize the PRODUCTION artifact the incremental near-dup probe
+    reads: per doc — source, the 16 MinHash values, and the distinct
+    hashed-shingle SET (needed for the exact-Jaccard verify; 60-bit longs,
+    far smaller than text). Partitioned BY SOURCE, so a daily probe's
+    corpus read (source != today) prunes the incoming partition at the
+    file listing and an admission job appends only its own partition.
+    At 100 TB of text the store is the thing that makes daily dedup
+    affordable: signatures are computed once per document's lifetime,
+    never re-shingled per probe."""
+    sh = _persisted(shingles_hashed(documents))
+    sig = _minhash_from_shingles(sh)
+    sets = sh.groupBy("doc_id").agg(F.collect_list("sh").alias("S"))
+    src = documents.select("doc_id", "source")
+    (
+        sig.join(sets, "doc_id")
+        .join(src, "doc_id")
+        .write.mode("overwrite")
+        .partitionBy("source")
+        .parquet(path)
+    )
+
+
+def dedup_incremental_minhash_from_store(
+    documents: DataFrame,
+    store: DataFrame,
+    incoming_source: str = INCREMENTAL_INCOMING_SOURCE,
+) -> DataFrame:
+    """dedup_incremental_minhash's daily-production twin: corpus
+    signatures come from the PRECOMPUTED store (write_minhash_signature_
+    store) — only the incoming batch is shingled, the corpus text is
+    never touched. `store` is the signature table (typically
+    spark.read.parquet(store_path)); the source != incoming filter lands
+    on the store scan as a partition filter. Result-identical to the
+    inline variant (same oracle SQL; pinned by tests)."""
+    inc_docs = documents.filter(F.col("source") == incoming_source)
+    sh_inc = _persisted(shingles_hashed(inc_docs))
+    inc_b = _banded(_minhash_from_shingles(sh_inc)).select(
+        F.col("doc_id").alias("doc_a"), "band", "sig"
+    )
+    corpus = store.filter(F.col("source") != incoming_source)
+    cor_b = _banded(corpus).select(F.col("doc_id").alias("doc_b"), "band", "sig")
+    cand = inc_b.join(cor_b, ["band", "sig"]).select("doc_a", "doc_b").distinct()
+    # exact verify: incoming sets fresh, corpus sets from the store
+    va = sh_inc.groupBy("doc_id").agg(F.collect_list("sh").alias("Sa"))
+    va = va.select(F.col("doc_id").alias("doc_a"), "Sa", F.size("Sa").alias("na"))
+    vb = corpus.select(
+        F.col("doc_id").alias("doc_b"), F.col("S").alias("Sb"), F.size("S").alias("nb")
+    )
+    pairs = (
+        cand.join(va, "doc_a")
+        .join(vb, "doc_b")
+        .withColumn("n_common", F.size(F.array_intersect("Sa", "Sb")).cast("long"))
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_common").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("n_common")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= MINHASH_TAU)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+    return _classify_incoming(pairs, documents, incoming_source)
 
 
 def dedup_incremental_minhash_sql(

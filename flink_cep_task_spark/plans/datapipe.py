@@ -31,6 +31,54 @@ def _embs(fn):
     return q
 
 
+# per-sf_dir materialized MinHash signature store (the production
+# artifact a daily dedup probe reads); built once per process, reclaimed
+# atexit like the streaming replay scaffolds
+_SIG_STORE_CACHE: dict[str, str] = {}
+
+
+def _signature_store(spark: SparkSession, sf_dir: str) -> str:
+    import os
+    import tempfile
+
+    cached = _SIG_STORE_CACHE.get(sf_dir)
+    if cached is not None and os.path.isdir(cached):
+        return cached
+    path = os.path.join(tempfile.mkdtemp(prefix="sig_store_"), "signatures")
+    D.write_minhash_signature_store(
+        widen_small_scan(load_table(spark, sf_dir, "documents")), path
+    )
+    D.release_caches()
+    _SIG_STORE_CACHE[sf_dir] = path
+    return path
+
+
+def _cleanup_sig_stores() -> None:
+    import shutil
+
+    while _SIG_STORE_CACHE:
+        _, path = _SIG_STORE_CACHE.popitem()
+        shutil.rmtree(path, ignore_errors=True)
+
+
+import atexit as _atexit
+
+_atexit.register(_cleanup_sig_stores)
+
+
+def dedup_incremental_minhash_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dedup_incremental_minhash against a MATERIALIZED signature store
+    (see operators/dedup.write_minhash_signature_store): corpus
+    signatures + shingle sets read back from a source-partitioned parquet
+    store, so the probe shingles ONLY the incoming batch and the corpus
+    read prunes the incoming partition at file listing. Same oracle as
+    the inline variant — the two must agree byte-for-byte."""
+    store = spark.read.parquet(_signature_store(spark, sf_dir))
+    return D.dedup_incremental_minhash_from_store(
+        widen_small_scan(load_table(spark, sf_dir, "documents")), store
+    )
+
+
 def rag_retrieve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RAG retrieval composition: exact top-k cosine neighbors for each
     query vector (knn_bruteforce), joined to the documents table
@@ -237,6 +285,10 @@ DATAPIPE_QUERIES: dict[str, tuple] = {
     "dedup_incremental": (_docs(D.dedup_incremental), D.DEDUP_INCREMENTAL_SQL),
     "dedup_incremental_minhash": (
         _docs(D.dedup_incremental_minhash),
+        D.DEDUP_INCREMENTAL_MINHASH_SQL,
+    ),
+    "dedup_incremental_minhash_stored": (
+        dedup_incremental_minhash_stored,
         D.DEDUP_INCREMENTAL_MINHASH_SQL,
     ),
     "dedup_minhash_lsh": (_docs(D.dedup_minhash_lsh), D.MINHASH_LSH_SQL),

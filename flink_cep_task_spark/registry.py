@@ -121,6 +121,7 @@ OVERFLOW_LAST = (
     "cep_first_event_null_groups",
     "dedup_stream_watermark",
     "dedup_incremental_minhash",
+    "dedup_incremental_minhash_stored",
 )
 
 

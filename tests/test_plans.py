@@ -438,3 +438,29 @@ def test_dedup_incremental_minhash_is_banded_equi_join(spark):
         if "Exchange hashpartitioning" in ln and "text#" in ln
     ]
     assert not text_shuffles, f"document text shuffled: {text_shuffles}"
+
+
+def test_dedup_incremental_stored_prunes_store_and_pushes_incoming_filter(spark):
+    # the signature-store probe's scale contract: the corpus side reads
+    # the source-partitioned store with the != filter applied at FILE
+    # LISTING time (PartitionFilters), the incoming side pushes its
+    # source equality into the documents scan, and the candidate step
+    # stays a (band, sig) equi-join — no cross/nested-loop join anywhere
+    plan = _plan(spark, "dedup_incremental_minhash_stored")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    store_scans = [
+        ln for ln in plan.splitlines()
+        if "FileScan parquet" in ln and "signatures" in ln
+    ]
+    assert store_scans, "signature store scan missing from plan"
+    assert any(
+        "PartitionFilters" in ln and "NOT (source" in ln for ln in store_scans
+    ), "store scan lost its partition-pruning source filter"
+    doc_scans = [
+        ln for ln in plan.splitlines()
+        if "FileScan parquet" in ln and "documents.parquet" in ln
+    ]
+    assert any(
+        "EqualTo(source," in ln for ln in doc_scans
+    ), "incoming-source equality not pushed to the documents scan"
