@@ -69,6 +69,12 @@ QUERIES = [
     "resample_ffill",
     "curation_funnel",
     "approx_distinct_report",
+    # round-6 additions
+    "cogroup_nearest_click",
+    "dedup_incremental",
+    "dedup_incremental_minhash",
+    "dedup_incremental_minhash_stored",
+    "cep_first_event_null_groups",
 ]
 BASE = "/root/testdata/sf0.1"
 
@@ -273,4 +279,9 @@ if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "tpch":
         main_tpch()
     else:
+        # optional filter: `python scripts/scaling_audit.py only a,b,c`
+        # re-audits a subset (new operators) without re-running the roster
+        if len(sys.argv) > 2 and sys.argv[1] == "only":
+            wanted = set(sys.argv[2].split(","))
+            QUERIES[:] = [q for q in QUERIES if q in wanted]
         main()
