@@ -1101,3 +1101,137 @@ SELECT vec_id, cell, rnk FROM (
 
 
 CLUSTER_BALANCED_SAMPLE_SQL = _cluster_balanced_sample_sql()
+
+
+# --- pairwise dimension correlation audit --------------------------------
+
+CORR_TOP_PAIRS = 20
+_CORR_CHUNK = 8192  # int64 Gram safety: |v| ≤ ~1e6 micro-units ⇒ per-term
+                    # products ≤ ~1e12, × 8192 rows ≤ ~1e16 « 2^63
+
+
+def embedding_corr_pairs(embeddings: DataFrame) -> DataFrame:
+    """Top-|corr| DIMENSION pairs of the embedding corpus — the
+    redundancy/collapse audit run before building an index or training a
+    projection: highly-correlated coordinate pairs mean wasted dimensions
+    (and a candidate for PCA/whitening), anti-correlated pairs flag
+    encoder defects.
+
+    Scale shape: ONE pass over the corpus. mapInPandas accumulates a
+    per-chunk integer Gram matrix (numpy int64 matmul over ≤8192-row
+    chunks — the DIM×DIM upper triangle plus per-dim sums, ~2k tiny rows
+    per chunk) and the exchange moves only those partials: O(DIM² ×
+    chunks) rows regardless of corpus size, summed into DECIMAL(38,0)
+    (int64 would overflow across a 1e9-vector corpus). The vectors are
+    quantized IN-PLAN by _vec_int before reaching Python, so the
+    micro-unit rounding is the engine's own decimal cast — the pandas
+    side never re-implements it.
+
+    Determinism: every sum is an exact integer in both engines; the
+    correlation is computed from those integers with an identical
+    double-arithmetic operand order, rounded via the shared
+    floor(x·10⁶+0.5)/10⁶ formula (F.round and DuckDB's round disagree
+    within one ulp of a half — see operators/windows.round_half_up), and
+    ranked with a full deterministic tiebreak (|corr| desc, dim_i,
+    dim_j). Zero-variance dimensions are excluded before any sqrt runs,
+    identically in both engines."""
+    quant = embeddings.select(_vec_int(F.col("embedding")).alias("mv"))
+
+    def gram(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            M = np.stack(pdf["mv"].to_numpy()).astype(np.int64)
+            for lo in range(0, len(M), _CORR_CHUNK):
+                C = M[lo : lo + _CORR_CHUNK]
+                G = C.T @ C
+                iu, ju = np.triu_indices(G.shape[0])
+                s = C.sum(axis=0, dtype=np.int64)
+                rows = {
+                    "i": np.concatenate((iu, np.arange(len(s)), [-1])),
+                    "j": np.concatenate((ju, np.full(len(s), -1), [-1])),
+                    "p": np.concatenate((G[iu, ju], s, [len(C)])),
+                }
+                yield pd.DataFrame(rows)
+
+    parts = quant.mapInPandas(gram, "i INT, j INT, p LONG")
+    sums = parts.groupBy("i", "j").agg(
+        F.sum(F.col("p").cast("decimal(38,0)")).alias("P")
+    )
+    n_total = sums.filter((F.col("i") == -1) & (F.col("j") == -1)).select(
+        F.col("P").cast("double").alias("n")
+    )
+    mom = sums.filter((F.col("j") == -1) & (F.col("i") >= 0)).select(
+        F.col("i").alias("d"), F.col("P").cast("double").alias("s")
+    )
+    diag = sums.filter((F.col("i") == F.col("j")) & (F.col("i") >= 0)).select(
+        F.col("i").alias("d"), F.col("P").cast("double").alias("ss")
+    )
+    dimtab = F.broadcast(mom.join(diag, "d"))
+    pairs = sums.filter((F.col("i") >= 0) & (F.col("j") > F.col("i"))).select(
+        F.col("i").alias("dim_i"),
+        F.col("j").alias("dim_j"),
+        F.col("P").cast("double").alias("p"),
+    )
+    a = dimtab.select(
+        F.col("d").alias("dim_i"), F.col("s").alias("sa"), F.col("ss").alias("ssa")
+    )
+    b = dimtab.select(
+        F.col("d").alias("dim_j"), F.col("s").alias("sb"), F.col("ss").alias("ssb")
+    )
+    j = pairs.join(a, "dim_i").join(b, "dim_j").crossJoin(F.broadcast(n_total))
+    var_a = F.col("n") * F.col("ssa") - F.col("sa") * F.col("sa")
+    var_b = F.col("n") * F.col("ssb") - F.col("sb") * F.col("sb")
+    num = F.col("n") * F.col("p") - F.col("sa") * F.col("sb")
+    corr = F.floor(num / F.sqrt(var_a * var_b) * 1e6 + F.lit(0.5)) / 1e6
+    ranked = (
+        j.filter((var_a > 0) & (var_b > 0))
+        .select(
+            F.col("dim_i").cast("long").alias("dim_i"),
+            F.col("dim_j").cast("long").alias("dim_j"),
+            corr.alias("corr"),
+        )
+        .withColumn(
+            "rnk",
+            F.row_number().over(
+                Window.orderBy(F.abs(F.col("corr")).desc(), "dim_i", "dim_j")
+            ),
+        )
+    )
+    return ranked.filter(F.col("rnk") <= CORR_TOP_PAIRS).drop("rnk")
+
+
+EMBEDDING_CORR_PAIRS_SQL = f"""
+WITH {_FLAT_CTE},
+mom AS (
+  SELECT i, count(*) AS n, sum(v) AS s, sum(v * v) AS ss
+  FROM flat GROUP BY i
+),
+pair AS (
+  SELECT a.i AS ia, b.i AS ib, sum(a.v * b.v) AS p
+  FROM flat a JOIN flat b ON a.vec_id = b.vec_id AND b.i > a.i
+  GROUP BY a.i, b.i
+),
+c AS (
+  SELECT CAST(ia - 1 AS BIGINT) AS dim_i, CAST(ib - 1 AS BIGINT) AS dim_j,
+         floor((CAST(ma.n AS DOUBLE) * CAST(p AS DOUBLE)
+                - CAST(ma.s AS DOUBLE) * CAST(mb.s AS DOUBLE))
+               / sqrt((CAST(ma.n AS DOUBLE) * CAST(ma.ss AS DOUBLE)
+                       - CAST(ma.s AS DOUBLE) * CAST(ma.s AS DOUBLE))
+                      * (CAST(mb.n AS DOUBLE) * CAST(mb.ss AS DOUBLE)
+                         - CAST(mb.s AS DOUBLE) * CAST(mb.s AS DOUBLE)))
+               * 1e6 + 0.5) / 1e6 AS corr
+  FROM pair
+  JOIN mom ma ON ma.i = ia
+  JOIN mom mb ON mb.i = ib
+  WHERE CAST(ma.n AS DOUBLE) * CAST(ma.ss AS DOUBLE)
+        - CAST(ma.s AS DOUBLE) * CAST(ma.s AS DOUBLE) > 0
+    AND CAST(mb.n AS DOUBLE) * CAST(mb.ss AS DOUBLE)
+        - CAST(mb.s AS DOUBLE) * CAST(mb.s AS DOUBLE) > 0
+)
+SELECT dim_i, dim_j, corr FROM (
+  SELECT dim_i, dim_j, corr,
+         row_number() OVER (ORDER BY abs(corr) DESC, dim_i, dim_j) AS rnk
+  FROM c
+) WHERE rnk <= {CORR_TOP_PAIRS}
+"""

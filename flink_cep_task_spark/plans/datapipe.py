@@ -297,6 +297,10 @@ DATAPIPE_QUERIES: dict[str, tuple] = {
     "token_counts": (_docs(T.token_counts), T.TOKEN_COUNTS_SQL),
     "corpus_quality_report": (_docs(T.corpus_quality_report), T.CORPUS_QUALITY_SQL),
     "knn_bruteforce": (_embs(S.knn_bruteforce), S.KNN_SQL),
+    "embedding_corr_pairs": (
+        _embs(S.embedding_corr_pairs),
+        S.EMBEDDING_CORR_PAIRS_SQL,
+    ),
     "ann_lsh": (_embs(S.ann_lsh), S.ANN_LSH_SQL),
     "ann_ivf": (_embs(S.ann_ivf), S.ANN_IVF_SQL),
     "dedup_embedding_cosine": (_embs(S.dedup_embedding_cosine), S.COSINE_DUP_SQL),

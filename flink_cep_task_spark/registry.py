@@ -122,6 +122,7 @@ OVERFLOW_LAST = (
     "dedup_stream_watermark",
     "dedup_incremental_minhash",
     "dedup_incremental_minhash_stored",
+    "embedding_corr_pairs",
 )
 
 
