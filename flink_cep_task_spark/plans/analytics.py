@@ -1142,6 +1142,119 @@ LEFT JOIN (SELECT DISTINCT {pk} AS k FROM {parent_t}) p USING (k)"""
 )
 
 
+# --- changelog → warehouse shapes: SCD2 history + as-of snapshot ---------
+
+SNAPSHOT_ASOF_TS_S = 1_705_276_800  # 2024-01-15T00:00:00Z, mid-corpus
+
+
+def scd2_user_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 slowly-changing-dimension build from a changelog: each
+    user's event_type acts as their current status; consecutive
+    same-status events collapse into one validity segment with
+    [valid_from, valid_to) bounds (valid_to NULL on the open segment) —
+    the dimension-table shape every warehouse derives from CDC feeds,
+    via gaps-and-islands (lag → change flag → running sum → segment
+    aggregate).
+
+    Scale shape: ONE shuffle on user_id; both window passes and the
+    segment aggregate reuse that partitioning (no second exchange), and
+    no global sort exists anywhere. Ordering is fully deterministic:
+    (ts, event_id) breaks same-second ties identically in both engines."""
+    e = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts_s", "event_id")
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    prev = F.lag("event_type").over(w)
+    seg = (
+        e.withColumn(
+            "new_seg",
+            F.when(prev.isNull() | (prev != F.col("event_type")), 1).otherwise(0),
+        )
+        .withColumn("seg_id", F.sum("new_seg").over(wrun))
+        .groupBy("user_id", "seg_id")
+        .agg(
+            F.first("event_type").alias("status"),
+            F.min("ts_s").alias("valid_from"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+    w2 = Window.partitionBy("user_id").orderBy("seg_id")
+    return seg.select(
+        "user_id",
+        F.col("seg_id").cast("long").alias("version"),
+        "status",
+        "valid_from",
+        F.lead("valid_from").over(w2).alias("valid_to"),
+        "n_events",
+        F.lead("valid_from").over(w2).isNull().alias("is_current"),
+    )
+
+
+SCD2_SQL = """
+WITH ordered AS (
+  SELECT user_id, event_id, event_type,
+         CAST(floor(epoch(ts)) AS BIGINT) AS ts_s
+  FROM events
+), flagged AS (
+  SELECT user_id, event_id, event_type, ts_s,
+    CASE WHEN lag(event_type) OVER w IS NULL
+           OR lag(event_type) OVER w <> event_type THEN 1 ELSE 0 END AS new_seg
+  FROM ordered
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts_s, event_id)
+), segs AS (
+  SELECT user_id, event_type, ts_s,
+    CAST(sum(new_seg) OVER (PARTITION BY user_id ORDER BY ts_s, event_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS seg_id
+  FROM flagged
+), grouped AS (
+  SELECT user_id, seg_id, min(event_type) AS status,
+         min(ts_s) AS valid_from, count(*) AS n_events
+  FROM segs GROUP BY user_id, seg_id
+)
+SELECT user_id, seg_id AS version, status, valid_from,
+       lead(valid_from) OVER w2 AS valid_to, n_events,
+       lead(valid_from) OVER w2 IS NULL AS is_current
+FROM grouped
+WINDOW w2 AS (PARTITION BY user_id ORDER BY seg_id)
+"""
+
+
+def state_asof_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time state reconstruction: each user's LAST event at or
+    before the cutoff — the time-travel read a changelog store serves
+    ('what did the dimension look like on the 15th?'). max_by over the
+    deterministic composite order key ts_s·10⁹ + event_id (numeric
+    equivalent of (ts, event_id) lexicographic order while event_id
+    < 10⁹ — true for the fixtures; DuckDB's max_by can't take a struct
+    key): one map-side-combinable aggregate, no window, no sort — the
+    cheapest correct shape (a row_number window would sort every user's
+    history to keep one row)."""
+    e = _events(spark, sf_dir).filter(F.col("ts_s") <= SNAPSHOT_ASOF_TS_S)
+    key = F.col("ts_s") * F.lit(1_000_000_000) + F.col("event_id")
+    return e.groupBy("user_id").agg(
+        F.max_by("event_type", key).alias("status"),
+        F.round(
+            F.max_by(F.col("value").cast("decimal(18,2)"), key).cast("double"), 2
+        ).alias("value"),
+        F.max("ts_s").alias("as_of_ts"),
+        F.count(F.lit(1)).alias("n_events_before"),
+    )
+
+
+STATE_ASOF_SQL = f"""
+SELECT user_id,
+       max_by(event_type, ts_s * 1000000000 + event_id) AS status,
+       round(CAST(max_by(CAST(value AS DECIMAL(18,2)), ts_s * 1000000000 + event_id) AS DOUBLE), 2) AS value,
+       max(ts_s) AS as_of_ts,
+       count(*) AS n_events_before
+FROM (
+  SELECT user_id, event_id, event_type, value,
+         CAST(floor(epoch(ts)) AS BIGINT) AS ts_s
+  FROM events
+) WHERE ts_s <= {SNAPSHOT_ASOF_TS_S}
+GROUP BY user_id
+"""
+
+
 ANALYTICS_QUERIES: dict[str, tuple] = {
     "topk_users_per_type": (topk_users_per_type, TOPK_SQL),
     "sessionize_events": (sessionize, SESSION_SQL),
@@ -1172,6 +1285,8 @@ ANALYTICS_QUERIES: dict[str, tuple] = {
         REFERENTIAL_INTEGRITY_SQL,
     ),
     "resample_ffill": (resample_ffill, RESAMPLE_FFILL_SQL),
+    "scd2_user_history": (scd2_user_history, SCD2_SQL),
+    "state_asof_snapshot": (state_asof_snapshot, STATE_ASOF_SQL),
     "cogroup_nearest_click": (cogroup_nearest_click, NEAREST_CLICK_SQL),
     "column_profile_events": (column_profile_events, COLUMN_PROFILE_SQL),
 }

@@ -123,6 +123,8 @@ OVERFLOW_LAST = (
     "dedup_incremental_minhash",
     "dedup_incremental_minhash_stored",
     "embedding_corr_pairs",
+    "scd2_user_history",
+    "state_asof_snapshot",
 )
 
 
