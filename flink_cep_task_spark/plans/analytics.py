@@ -1225,10 +1225,24 @@ def state_asof_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic composite order key ts_s·10⁹ + event_id (numeric
     equivalent of (ts, event_id) lexicographic order while event_id
     < 10⁹ — true for the fixtures; DuckDB's max_by can't take a struct
-    key): one map-side-combinable aggregate, no window, no sort — the
-    cheapest correct shape (a row_number window would sort every user's
-    history to keep one row)."""
-    e = _events(spark, sf_dir).filter(F.col("ts_s") <= SNAPSHOT_ASOF_TS_S)
+    key).
+
+    Scale shape: the cutoff is applied to the RAW ts column so it
+    reaches the parquet reader as a pushed row-group filter (a predicate
+    on the derived ts_s cast never pushes — the plan audit caught
+    exactly that), phrased ts < cutoff+1 s, identical to ts_s <= cutoff
+    under second truncation. The aggregate is map-side-combinable:
+    partial max_by collapses every partition to one row per user before
+    the exchange, so the shuffle moves |users| rows — unlike the
+    row_number-window formulation, which shuffles and sorts every
+    event's full width. (Spark lowers max_by to a sort-based aggregate,
+    so partitions sort locally by user id; no per-user history is
+    sorted post-shuffle.)"""
+    from flink_cep_task_spark.sources.tables import load_events_before
+
+    e = load_events_before(spark, sf_dir, SNAPSHOT_ASOF_TS_S + 1).withColumn(
+        "ts_s", F.col("ts").cast("long")
+    )
     key = F.col("ts_s") * F.lit(1_000_000_000) + F.col("event_id")
     return e.groupBy("user_id").agg(
         F.max_by("event_type", key).alias("status"),

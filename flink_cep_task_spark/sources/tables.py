@@ -72,6 +72,44 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def load_events_before(
+    spark: SparkSession, sf_dir: str, upper_exclusive_s: int
+) -> DataFrame:
+    """Events with ts strictly before `upper_exclusive_s` (epoch
+    seconds), the time predicate applied to the RAW parquet column
+    BEFORE the ts normalization — so it reaches the reader as a pushed
+    row-group filter. A predicate on load_table's derived instant column
+    can never push (the NTZ→instant conversion wraps the scan column in
+    an expression), and at 100 TB the pushdown IS the query: a
+    point-in-time read should touch only row groups whose min ts
+    precedes the cutoff. Exact for both physical encodings (nanos
+    bigint and TIMESTAMP_NTZ — the normalization re-tags the same
+    instant, so raw-column order equals normalized order)."""
+    import datetime as _dt
+
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ts_type = dict(df.dtypes).get("ts")
+    if ts_type == "bigint":
+        df = df.filter(F.col("ts") < upper_exclusive_s * 1_000_000_000)
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    else:
+        cut = _dt.datetime.utcfromtimestamp(upper_exclusive_s).strftime(
+            "%Y-%m-%d %H:%M:%S"
+        )
+        df = df.filter(F.col("ts") < F.lit(cut).cast("timestamp_ntz"))
+        df = df.withColumn(
+            "ts",
+            F.timestamp_micros(
+                F.expr(
+                    "timestampdiff(MICROSECOND, "
+                    "TIMESTAMP_NTZ'1970-01-01 00:00:00', ts)"
+                )
+            ),
+        )
+    df._graft_input_files = (f"{sf_dir}/events.parquet",)
+    return df
+
+
 def widen_small_scan(df: DataFrame, target: int | None = None) -> DataFrame:
     """Repartition an under-parallel scan BEFORE per-row-expensive work.
 

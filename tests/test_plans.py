@@ -464,3 +464,27 @@ def test_dedup_incremental_stored_prunes_store_and_pushes_incoming_filter(spark)
     assert any(
         "EqualTo(source," in ln for ln in doc_scans
     ), "incoming-source equality not pushed to the documents scan"
+
+
+def test_scd2_single_exchange_on_user(spark):
+    # gaps-and-islands contract: both window passes AND the segment
+    # aggregate reuse ONE hashpartitioning(user_id) exchange — a second
+    # exchange would mean the running-sum or the lead() pass repartitioned
+    plan = _plan(spark, "scd2_user_history")
+    exchanges = [
+        ln for ln in plan.splitlines() if "Exchange hashpartitioning" in ln
+    ]
+    assert len(exchanges) == 1, f"expected 1 exchange, got: {exchanges}"
+    assert "user_id" in exchanges[0]
+
+
+def test_state_asof_pushes_time_cutoff_to_scan(spark):
+    # point-in-time read contract: the cutoff must prune row groups at
+    # the reader (load_events_before filters the RAW column — a predicate
+    # on the derived instant column never pushes), and the aggregate must
+    # carry map-side partials (partial_max_by) so the shuffle moves
+    # |users| rows, not events
+    plan = _plan(spark, "state_asof_snapshot")
+    scan = [ln for ln in plan.splitlines() if "PushedFilters" in ln][0]
+    assert "LessThan(ts" in scan, f"time cutoff not pushed: {scan}"
+    assert "partial_max_by" in plan, "aggregate lost its map-side partial"
