@@ -33,6 +33,17 @@ TS_S = "CAST(floor(epoch(ts)) AS BIGINT)"
 _compact = compact_rule_list  # shared python mirror of compact_rules
 
 
+
+def _fmul(x: str, n: int) -> str:
+    """SQL for floor(x/n)*n over exact integers — DuckDB's integer `//`
+    TRUNCATES toward zero (probed: (-7201)//3600 = -2, floor = -3), so a
+    `//`-built window start diverges from the engine's F.floor bucketing
+    for negative operands (pre-1970 events; sliding's t-size near the
+    epoch). The mod identity x - ((x % n) + n) % n is exact at any
+    magnitude and matches floor for both signs (DuckDB % follows the
+    dividend's sign, like Spark's pmod-free %)."""
+    return f"(({x}) - ((({x}) % {n}) + {n}) % {n})"
+
 def _value_sql(r: Rule) -> str:
     m = MEASURE_SQL[r.agg_field]
     if r.agg_type == "SUM":
@@ -71,7 +82,7 @@ def _rule_sql(r: Rule, events: str = "events") -> str:
     )
     if r.window_type == "tumbling":
         size = r.window_minutes * 60
-        ws = f"(({TS_S}) // {size}) * {size}"
+        ws = _fmul(TS_S, size)
         return (
             f"{head}, {ws} AS window_start, {ws} + {size} AS window_end, {tail} "
             f"FROM {events} GROUP BY group_id, window_start HAVING {having}"
@@ -82,8 +93,8 @@ def _rule_sql(r: Rule, events: str = "events") -> str:
         return (
             f"{head}, w.window_start AS window_start, w.window_start + {size} AS window_end, {tail} "
             f"FROM (SELECT *, {TS_S} AS ts_s FROM {events}) e, "
-            f"LATERAL (SELECT unnest(generate_series(((e.ts_s - {size}) // {slide} + 1) * {slide}, "
-            f"(e.ts_s // {slide}) * {slide}, {slide})) AS window_start) w "
+            f"LATERAL (SELECT unnest(generate_series({_fmul('e.ts_s - ' + str(size), slide)} + {slide}, "
+            f"{_fmul('e.ts_s', slide)}, {slide})) AS window_start) w "
             f"GROUP BY group_id, w.window_start HAVING {having}"
         )
     if r.window_type == "session":

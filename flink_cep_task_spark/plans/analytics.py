@@ -18,6 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from flink_cep_task_spark.oracle import _fmul
 from flink_cep_task_spark.sources.tables import load_table
 from flink_cep_task_spark.streaming.ops import (
     SESSION_WINDOW_SQL as _SESSION_WINDOW_SQL,
@@ -1035,7 +1036,7 @@ def resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
 RESAMPLE_FFILL_SQL = f"""
 WITH obs AS (
   SELECT event_type,
-         (CAST(floor(epoch(ts)) AS BIGINT) // {RESAMPLE_STEP_S}) * {RESAMPLE_STEP_S} AS h,
+         {_fmul("CAST(floor(epoch(ts)) AS BIGINT)", RESAMPLE_STEP_S)} AS h,
          max(value) AS v
   FROM events GROUP BY event_type, h
 ),

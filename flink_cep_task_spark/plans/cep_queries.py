@@ -9,7 +9,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-from flink_cep_task_spark.oracle import cep_oracle_sql
+from flink_cep_task_spark.oracle import _fmul, cep_oracle_sql
 from flink_cep_task_spark.plans.cep import evaluate_rules, evaluate_rules_on_events
 from flink_cep_task_spark.rules import Rule, parse_rule_lines
 from flink_cep_task_spark.sources.jsonline import metric_to_json, parse_metric_lines
@@ -495,7 +495,7 @@ def q_timer_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 TIMER_WINDOWS_SQL = f"""
 WITH base AS (
   SELECT event_type AS group_id,
-         ((CAST(floor(epoch(ts)) AS BIGINT) // {TIMER_WINDOW_S}) * {TIMER_WINDOW_S}) AS ws,
+         {_fmul("CAST(floor(epoch(ts)) AS BIGINT)", TIMER_WINDOW_S)} AS ws,
          CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
   FROM events
   WHERE value IS NOT NULL
