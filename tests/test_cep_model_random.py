@@ -92,7 +92,11 @@ def test_random_rules_match_python_model(spark, seed):
 
     events = []
     for i in range(400):
-        ts_s = rng.randint(0, 7200)
+        # spans the epoch: negative timestamps pin the FLOOR bucketing
+        # convention through the whole engine (python // floors; Spark
+        # F.floor floors; a cast-truncation or DuckDB-`//` regression on
+        # either side shifts every pre-1970 window start — round-6 fix)
+        ts_s = rng.randint(-7200, 7200)
         tags = {
             k: rng.choice(vs) for k, vs in tagsets.items() if rng.random() < 0.8
         }
