@@ -75,6 +75,9 @@ QUERIES = [
     "dedup_incremental_minhash",
     "dedup_incremental_minhash_stored",
     "cep_first_event_null_groups",
+    "embedding_corr_pairs",
+    "scd2_user_history",
+    "state_asof_snapshot",
 ]
 BASE = "/root/testdata/sf0.1"
 
