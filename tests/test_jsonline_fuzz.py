@@ -118,7 +118,10 @@ def test_parser_matches_model_and_never_crashes(spark, lines):
     expected = [m for m in map(_model, lines) if m is not None]
     got = [
         (
-            int(r.event_time.timestamp() * 1000)
+            # round, not int(): timestamp()*1000 is float and a negative
+            # sub-second epoch like -63 ms lands at -62.999…, which int()
+            # truncates toward zero to -62 (hypothesis found this)
+            round(r.event_time.timestamp() * 1000)
             if r.event_time is not None
             else None,
             dict(r.tags),
