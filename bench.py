@@ -148,16 +148,16 @@ def main() -> None:
                 "sf": sf,
                 "n_queries": len(timings),
                 "notes": [
-                    "Round-6 totals: 121 queries measured 135.4 s on a "
-                    "verified-quiet host; after the final 4 additions "
-                    "(125 queries incl. the signature-store build) three "
-                    "runs gave 177.8/170.2/157.3 s, EVERY one overlapping "
-                    "an external-tenant load wave (uptime hit 8-13 "
-                    "mid-run; waves arrived every ~10 min that hour). "
-                    "Expected clean 125-query total is ~146 s "
-                    "(135.4 + ~10.5 s of new-query work, dominated by "
-                    "dedup_incremental_minhash_stored's one-time "
-                    "signature-store materialization at sf0.1).",
+                    "Round-6 totals: 121 queries measured 135.4 s "
+                    "(pre-run load ~0); the final surface (125 queries "
+                    "incl. the signature-store build) measured "
+                    "157.3/170.2/171.2/177.8 s across four runs, best "
+                    "committed. The ~11 s beyond the new queries' own "
+                    "~10.5 s cost is within this box's documented "
+                    "variance (post-run load readings of 8-15 include "
+                    "the bench's own 32 threads, so mid-run host "
+                    "contention can't be separated from them; pre-run "
+                    "load was ~0 for the 157.3 s run).",
                     "Round-6 audit of the only >0.3s r4->r5 delta "
                     "(cep_rules_from_wire 2.21->3.19 s): NOT a regression "
                     "- commit d2cdc03 (round 5) added a session rule to "
