@@ -1235,3 +1235,218 @@ SELECT dim_i, dim_j, corr FROM (
   FROM c
 ) WHERE rnk <= {CORR_TOP_PAIRS}
 """
+
+
+# --- product-quantization ANN (codes + ADC + exact rerank) ---------------
+
+PQ_M = 8                     # subspaces of 8 components each
+PQ_SUBDIM = DIM // PQ_M
+# codeword seeds: 16 fixed corpus vectors (disjoint from the query set),
+# each contributing its m-th subvector as subspace m's k-th codeword.
+# Deterministic by construction; _fit_centroids already demonstrates the
+# Lloyd machinery for IVF — reusing seeds-only codebooks here keeps the
+# 8-codebook oracle tractable while the encode/LUT/ADC plan shape is
+# identical under any codebook.
+PQ_CODEBOOK_IDS = list(range(30, 46))
+PQ_SHORTLIST = 20            # ADC candidates per query before exact rerank
+
+
+def pq_encode(base: DataFrame, cb_ids: list[int], cbs: "np.ndarray") -> DataFrame:
+    """(vec_id, codes): each micro-unit vector quantized to PQ_M codeword
+    IDs — argmin exact-integer squared L2 per subspace, codeword-id
+    tie-break. 64 floats → 8 small ints: the 32× compression that lets a
+    billion-vector index live in RAM. One numpy pass per Arrow batch."""
+    ids_arr = np.array(cb_ids, dtype=np.int64)
+
+    @F.pandas_udf("array<int>")
+    def encode(vs: pd.Series) -> pd.Series:
+        Mx = np.array(vs.tolist(), dtype=np.int64).reshape(-1, PQ_M, PQ_SUBDIM)
+        out = np.empty((len(Mx), PQ_M), dtype=np.int64)
+        for m in range(PQ_M):
+            diff = Mx[:, m, None, :] - cbs[m][None, :, :]
+            d2 = np.einsum("bkd,bkd->bk", diff, diff)  # exact int64
+            order = np.lexsort((ids_arr[None, :].repeat(len(Mx), 0), d2), axis=1)
+            out[:, m] = ids_arr[order[:, 0]]
+        return pd.Series(out.tolist())
+
+    return base.select("vec_id", encode(F.col("v")).alias("codes"))
+
+
+def ann_pq(embeddings: DataFrame) -> DataFrame:
+    """Product-quantization ANN: vectors PQ-encoded to PQ_M codeword ids
+    (pq_encode), queries score the WHOLE corpus through an asymmetric-
+    distance lookup table (LUT: |Q| × M × K exact integer squared
+    sub-distances, built once from the collected query set — model-scale
+    data like the LSH planes), each Arrow batch emits only its LOCAL
+    top-PQ_SHORTLIST per query (tournament: the global top-R of
+    batch-local top-Rs is exactly the global top-R under the identical
+    (adc, vec_id) tie-broken order), and the global shortlist is
+    exact-cosine reranked to TOP_K — the IVF-complementary half of a
+    production vector index (IVF prunes WHICH vectors to score; PQ
+    compresses HOW each one is scored).
+
+    Scale shape: after encoding, a scan touches only (vec_id, 8 codes);
+    the ADC pass is LUT gathers (no vector arithmetic), shuffles at most
+    |Q| × R rows per batch, and only the ≤ |Q| × R shortlist ever
+    re-reads full vectors for the rerank. Every distance is exact int64
+    (micro-unit components), so the DuckDB oracle replays encode + LUT +
+    ADC + rerank bit-identically."""
+    from flink_cep_task_spark.operators.cache import persisted
+
+    base = persisted(_with_norm(embeddings))
+    seeds = sorted(
+        (r["vec_id"], r["v"])
+        for r in base.filter(F.col("vec_id").isin(PQ_CODEBOOK_IDS))
+        .select("vec_id", "v")
+        .collect()
+    )
+    cb_ids = [cid for cid, _ in seeds]
+    cbs = (
+        np.array([v for _, v in seeds], dtype=np.int64)
+        .reshape(len(cb_ids), PQ_M, PQ_SUBDIM)
+        .transpose(1, 0, 2)
+    )  # (M, K, SUBDIM)
+    enc = pq_encode(base, cb_ids, cbs)
+
+    qs = sorted(
+        (r["vec_id"], r["v"])
+        for r in base.filter(F.col("vec_id") < N_QUERIES)
+        .select("vec_id", "v")
+        .collect()
+    )
+    q_ids = np.array([q for q, _ in qs], dtype=np.int64)
+    Q = np.array([v for _, v in qs], dtype=np.int64).reshape(
+        len(q_ids), PQ_M, PQ_SUBDIM
+    )
+    # LUT[q, m, k] = ||Q[q,m] - cbs[m,k]||² exact
+    lut = np.einsum(
+        "qmkd,qmkd->qmk",
+        Q[:, :, None, :] - cbs[None, :, :, :],
+        Q[:, :, None, :] - cbs[None, :, :, :],
+    )
+    ids_sorted = np.array(cb_ids, dtype=np.int64)
+
+    def adc_local_top(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            vec_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            codes = np.array(pdf["codes"].tolist(), dtype=np.int64)  # (B, M)
+            ci = np.searchsorted(ids_sorted, codes)  # codeword id → index
+            adc = np.zeros((len(q_ids), len(vec_ids)), dtype=np.int64)
+            for m in range(PQ_M):
+                adc += lut[:, m, ci[:, m]]
+            # a query never shortlists itself
+            adc = np.where(
+                vec_ids[None, :] == q_ids[:, None], np.iinfo(np.int64).max, adc
+            )
+            r = min(PQ_SHORTLIST, len(vec_ids))
+            order = np.lexsort(
+                (vec_ids[None, :].repeat(len(q_ids), 0), adc), axis=1
+            )[:, :r]
+            yield pd.DataFrame(
+                {
+                    "query_id": np.repeat(q_ids, r),
+                    "vec_id": vec_ids[order].ravel(),
+                    "adc": np.take_along_axis(adc, order, axis=1).ravel(),
+                }
+            )
+
+    local = enc.mapInPandas(adc_local_top, "query_id LONG, vec_id LONG, adc LONG")
+    short = (
+        local.filter(F.col("adc") < np.iinfo(np.int64).max)
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy("adc", "vec_id")
+            ),
+        )
+        .filter(F.col("rn") <= PQ_SHORTLIST)
+        .select("query_id", F.col("vec_id").alias("neighbor_id"))
+    )
+    q = base.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
+    )
+    pairs = (
+        short.join(base.withColumnRenamed("vec_id", "neighbor_id"), "neighbor_id")
+        .join(F.broadcast(q), "query_id")
+    )
+    cos = _cosine(F.col("qv"), F.col("v"), F.col("qn"), F.col("nrm"))
+    ranked = pairs.select(
+        "query_id", "neighbor_id", cos.alias("cosine")
+    ).withColumn(
+        "rnk",
+        F.row_number().over(
+            Window.partitionBy("query_id").orderBy(
+                F.col("cosine").desc(), F.col("neighbor_id")
+            )
+        ),
+    )
+    return ranked.filter(F.col("rnk") <= TOP_K).select(
+        "query_id", "neighbor_id", "cosine", "rnk"
+    )
+
+
+ANN_PQ_SQL = f"""
+WITH {_FLAT_CTE},
+{_NORMS_CTE},
+sub AS (
+  SELECT vec_id, (i - 1) // {PQ_SUBDIM} AS m, (i - 1) % {PQ_SUBDIM} AS si, v
+  FROM flat
+),
+cb AS (
+  SELECT vec_id AS cb_id, m, si, v FROM sub
+  WHERE vec_id IN ({", ".join(str(i) for i in PQ_CODEBOOK_IDS)})
+),
+codes AS (
+  SELECT vec_id, m, cb_id FROM (
+    SELECT s.vec_id, s.m, c.cb_id,
+           row_number() OVER (
+             PARTITION BY s.vec_id, s.m
+             ORDER BY sum((s.v - c.v) * (s.v - c.v)), c.cb_id) AS rn
+    FROM sub s JOIN cb c ON c.m = s.m AND c.si = s.si
+    GROUP BY s.vec_id, s.m, c.cb_id
+  ) WHERE rn = 1
+),
+lut AS (
+  SELECT q.vec_id AS query_id, c.m, c.cb_id,
+         sum((q.v - c.v) * (q.v - c.v)) AS d
+  FROM sub q JOIN cb c ON c.m = q.m AND c.si = q.si
+  WHERE q.vec_id < {N_QUERIES}
+  GROUP BY q.vec_id, c.m, c.cb_id
+),
+adc AS (
+  SELECT l.query_id, co.vec_id, sum(l.d) AS dist
+  FROM codes co JOIN lut l ON l.m = co.m AND l.cb_id = co.cb_id
+  WHERE co.vec_id <> l.query_id
+  GROUP BY l.query_id, co.vec_id
+),
+short AS (
+  SELECT query_id, vec_id AS neighbor_id FROM (
+    SELECT query_id, vec_id,
+           row_number() OVER (PARTITION BY query_id ORDER BY dist, vec_id) AS rn
+    FROM adc
+  ) WHERE rn <= {PQ_SHORTLIST}
+),
+dots AS (
+  SELECT s.query_id, s.neighbor_id, sum(a.v * b.v) AS dp
+  FROM short s
+  JOIN flat a ON a.vec_id = s.query_id
+  JOIN flat b ON b.vec_id = s.neighbor_id AND b.i = a.i
+  GROUP BY s.query_id, s.neighbor_id
+),
+cos AS (
+  SELECT d.query_id, d.neighbor_id,
+         round((CAST(d.dp AS DOUBLE) / {SCALE2!r}) / (na.nrm * nb.nrm), 6) AS cosine
+  FROM dots d
+  JOIN norms na ON na.vec_id = d.query_id
+  JOIN norms nb ON nb.vec_id = d.neighbor_id
+)
+SELECT query_id, neighbor_id, cosine, rnk FROM (
+  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+             ORDER BY cosine DESC, neighbor_id) AS INTEGER) AS rnk
+  FROM cos
+) WHERE rnk <= {TOP_K}
+"""

@@ -125,6 +125,7 @@ OVERFLOW_LAST = (
     "embedding_corr_pairs",
     "scd2_user_history",
     "state_asof_snapshot",
+    "ann_pq",
 )
 
 
