@@ -78,6 +78,7 @@ QUERIES = [
     "embedding_corr_pairs",
     "scd2_user_history",
     "state_asof_snapshot",
+    "ann_pq",
 ]
 BASE = "/root/testdata/sf0.1"
 
