@@ -1450,3 +1450,191 @@ SELECT query_id, neighbor_id, cosine, rnk FROM (
   FROM cos
 ) WHERE rnk <= {TOP_K}
 """
+
+
+def ann_ivf_pq(embeddings: DataFrame) -> DataFrame:
+    """The production billion-vector index shape — IVF × PQ composed
+    (FAISS's IVFPQ): the inverted file prunes WHICH vectors each query
+    scores (nprobe nearest cells), PQ's asymmetric-distance LUT prices
+    HOW each survivor is scored (8 code gathers, no vector arithmetic),
+    and only the ≤ |Q| × PQ_SHORTLIST shortlist re-reads full vectors
+    for the exact-cosine rerank. Every stage is the already-gated
+    machinery (_fit_centroids / _assign_cells / pq_encode) composed, and
+    every distance is exact int64 — the oracle replays the full
+    fit + invert + probe + encode + LUT + ADC + rerank pipeline in SQL.
+
+    Scale shape: candidate generation is the IVF equi-join on cell id;
+    the ADC column is a per-row LUT gather over the candidate set only
+    (|Q| × nprobe × cell size rows), and nothing downstream of the scan
+    ever moves a full vector except the fixed-size shortlist."""
+    from flink_cep_task_spark.operators.cache import persisted
+
+    base = persisted(_with_norm(embeddings))
+    cents = _fit_centroids(base)
+    inv_file = _assign_cells(base, cents, 1).filter(F.col("rank") == 0).drop("rank")
+    probes = (
+        _assign_cells(base.filter(F.col("vec_id") < N_QUERIES), cents, IVF_NPROBE)
+        .drop("rank")
+        .withColumnRenamed("vec_id", "query_id")
+    )
+    cand = (
+        inv_file.join(F.broadcast(probes), "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id")
+        .distinct()
+    )
+
+    seeds = sorted(
+        (r["vec_id"], r["v"])
+        for r in base.filter(F.col("vec_id").isin(PQ_CODEBOOK_IDS))
+        .select("vec_id", "v")
+        .collect()
+    )
+    cb_ids = [cid for cid, _ in seeds]
+    cbs = (
+        np.array([v for _, v in seeds], dtype=np.int64)
+        .reshape(len(cb_ids), PQ_M, PQ_SUBDIM)
+        .transpose(1, 0, 2)
+    )
+    enc = pq_encode(base, cb_ids, cbs)
+
+    qs = sorted(
+        (r["vec_id"], r["v"])
+        for r in base.filter(F.col("vec_id") < N_QUERIES)
+        .select("vec_id", "v")
+        .collect()
+    )
+    q_ids = np.array([q for q, _ in qs], dtype=np.int64)
+    Q = np.array([v for _, v in qs], dtype=np.int64).reshape(
+        len(q_ids), PQ_M, PQ_SUBDIM
+    )
+    diffq = Q[:, :, None, :] - cbs[None, :, :, :]
+    lut = np.einsum("qmkd,qmkd->qmk", diffq, diffq)
+    ids_sorted = np.array(cb_ids, dtype=np.int64)
+
+    @F.pandas_udf("long")
+    def adc(query_ids: pd.Series, codes: pd.Series) -> pd.Series:
+        qi = np.searchsorted(q_ids, query_ids.to_numpy(dtype=np.int64))
+        ci = np.searchsorted(ids_sorted, np.array(codes.tolist(), dtype=np.int64))
+        total = np.zeros(len(qi), dtype=np.int64)
+        for m in range(PQ_M):
+            total += lut[qi, m, ci[:, m]]
+        return pd.Series(total)
+
+    scored = cand.join(enc, "vec_id").select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        adc(F.col("query_id"), F.col("codes")).alias("adc"),
+    )
+    short = (
+        scored.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy("adc", "neighbor_id")
+            ),
+        )
+        .filter(F.col("rn") <= PQ_SHORTLIST)
+        .select("query_id", "neighbor_id")
+    )
+    q = base.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
+    )
+    pairs = (
+        short.join(base.withColumnRenamed("vec_id", "neighbor_id"), "neighbor_id")
+        .join(F.broadcast(q), "query_id")
+    )
+    cos = _cosine(F.col("qv"), F.col("v"), F.col("qn"), F.col("nrm"))
+    ranked = pairs.select(
+        "query_id", "neighbor_id", cos.alias("cosine")
+    ).withColumn(
+        "rnk",
+        F.row_number().over(
+            Window.partitionBy("query_id").orderBy(
+                F.col("cosine").desc(), F.col("neighbor_id")
+            )
+        ),
+    )
+    return ranked.filter(F.col("rnk") <= TOP_K).select(
+        "query_id", "neighbor_id", "cosine", "rnk"
+    )
+
+
+def _ann_ivf_pq_sql() -> str:
+    ctes, _cfin = _ivf_common_ctes()
+    return f"""
+WITH {ctes},
+probes AS (
+  SELECT vec_id AS query_id, cid AS cell FROM ranked_cells
+  WHERE rnk <= {IVF_NPROBE} AND vec_id < {N_QUERIES}
+),
+cand AS (
+  SELECT DISTINCT p.query_id, f.vec_id AS neighbor_id
+  FROM inv_file f JOIN probes p USING (cell)
+  WHERE f.vec_id <> p.query_id
+),
+sub AS (
+  SELECT vec_id, (i - 1) // {PQ_SUBDIM} AS m, (i - 1) % {PQ_SUBDIM} AS si, v
+  FROM flat
+),
+cb AS (
+  SELECT vec_id AS cb_id, m, si, v FROM sub
+  WHERE vec_id IN ({", ".join(str(i) for i in PQ_CODEBOOK_IDS)})
+),
+codes AS (
+  SELECT vec_id, m, cb_id FROM (
+    SELECT s.vec_id, s.m, c.cb_id,
+           row_number() OVER (
+             PARTITION BY s.vec_id, s.m
+             ORDER BY sum((s.v - c.v) * (s.v - c.v)), c.cb_id) AS rn
+    FROM sub s JOIN cb c ON c.m = s.m AND c.si = s.si
+    GROUP BY s.vec_id, s.m, c.cb_id
+  ) WHERE rn = 1
+),
+lut AS (
+  SELECT q.vec_id AS query_id, c.m, c.cb_id,
+         sum((q.v - c.v) * (q.v - c.v)) AS d
+  FROM sub q JOIN cb c ON c.m = q.m AND c.si = q.si
+  WHERE q.vec_id < {N_QUERIES}
+  GROUP BY q.vec_id, c.m, c.cb_id
+),
+adcd AS (
+  SELECT c.query_id, c.neighbor_id, sum(l.d) AS dist
+  FROM cand c
+  JOIN codes co ON co.vec_id = c.neighbor_id
+  JOIN lut l ON l.m = co.m AND l.cb_id = co.cb_id AND l.query_id = c.query_id
+  GROUP BY c.query_id, c.neighbor_id
+),
+short AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (
+             PARTITION BY query_id ORDER BY dist, neighbor_id) AS rn
+    FROM adcd
+  ) WHERE rn <= {PQ_SHORTLIST}
+),
+{_NORMS_CTE},
+pair_dots AS (
+  SELECT s.query_id, s.neighbor_id, sum(a.v * b.v) AS dp
+  FROM short s
+  JOIN flat a ON a.vec_id = s.query_id
+  JOIN flat b ON b.vec_id = s.neighbor_id AND b.i = a.i
+  GROUP BY s.query_id, s.neighbor_id
+),
+cosd AS (
+  SELECT d.query_id, d.neighbor_id,
+         round((CAST(d.dp AS DOUBLE) / {SCALE2!r}) / (na.nrm * nb.nrm), 6) AS cosine
+  FROM pair_dots d
+  JOIN norms na ON na.vec_id = d.query_id
+  JOIN norms nb ON nb.vec_id = d.neighbor_id
+)
+SELECT query_id, neighbor_id, cosine, rnk FROM (
+  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+             ORDER BY cosine DESC, neighbor_id) AS INTEGER) AS rnk
+  FROM cosd
+) WHERE rnk <= {TOP_K}
+"""
+
+
+ANN_IVF_PQ_SQL = _ann_ivf_pq_sql()

@@ -126,6 +126,7 @@ OVERFLOW_LAST = (
     "scd2_user_history",
     "state_asof_snapshot",
     "ann_pq",
+    "ann_ivf_pq",
 )
 
 
