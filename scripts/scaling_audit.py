@@ -79,6 +79,7 @@ QUERIES = [
     "scd2_user_history",
     "state_asof_snapshot",
     "ann_pq",
+    "ann_ivf_pq",
 ]
 BASE = "/root/testdata/sf0.1"
 
