@@ -192,3 +192,53 @@ def test_dedup_clusters_restores_session_confs(spark):
     dedup_clusters(load_table(spark, SF_DIR, "documents")).collect()
     after = {k: spark.conf.get(k) for k in before}
     assert after == before, f"session confs not restored: {after} != {before}"
+
+
+def test_incremental_minhash_store_matches_inline_for_other_sources(spark, tmp_path):
+    """The incoming_source parameter is real, not decorative: for a
+    NON-default batch source the store-backed probe must classify
+    identically to the inline variant, and both must match the DuckDB
+    oracle built with the same argument (dedup_incremental_minhash_sql
+    tracks its caller — ADVICE r5's builder pattern)."""
+    import duckdb
+
+    from flink_cep_task_spark.operators.dedup import (
+        dedup_incremental_minhash,
+        dedup_incremental_minhash_from_store,
+        dedup_incremental_minhash_sql,
+        write_minhash_signature_store,
+    )
+    from flink_cep_task_spark.sources.tables import load_table, widen_small_scan
+    from tests.conftest import SF_DIR
+
+    sf = SF_DIR
+    docs = widen_small_scan(load_table(spark, sf, "documents"))
+    store_path = str(tmp_path / "sigs")
+    write_minhash_signature_store(docs, store_path)
+    store = spark.read.parquet(store_path)
+
+    for src in ("src1", "src2"):
+        inline = {
+            tuple(r) for r in dedup_incremental_minhash(docs, src).collect()
+        }
+        stored = {
+            tuple(r)
+            for r in dedup_incremental_minhash_from_store(docs, store, src).collect()
+        }
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{sf}/documents.parquet')"
+        )
+        oracle = {
+            tuple(r)
+            for r in con.execute(dedup_incremental_minhash_sql(src))
+            .df()
+            .itertuples(index=False)
+        }
+        norm = lambda s: {
+            (d, st, None if m is None or m != m else int(m),
+             None if j is None or j != j else round(float(j), 6))
+            for d, st, m, j in s
+        }
+        assert norm(inline) == norm(stored) == norm(oracle), src
