@@ -148,6 +148,13 @@ def main() -> None:
                 "sf": sf,
                 "n_queries": len(timings),
                 "notes": [
+                    "Round-6 final surface (127 queries): 162.0 s with "
+                    "ann_pq recorded at 10.5 s in-bench - an outlier: "
+                    "isolation reruns gave ann_pq 3.7/4.1 s and "
+                    "ann_ivf_pq 4.8/5.7 s (both dominated by per-query "
+                    "driver collects + Python-UDF stage warmup at this "
+                    "tiny SF; the scaling audit's steady state is "
+                    "1.3-1.9 s, flat to 16x).",
                     "Round-6 totals: 121 queries measured 135.4 s "
                     "(pre-run load ~0); the final surface (125 queries "
                     "incl. the signature-store build) measured "
