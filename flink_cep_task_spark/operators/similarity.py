@@ -1638,3 +1638,53 @@ SELECT query_id, neighbor_id, cosine, rnk FROM (
 
 
 ANN_IVF_PQ_SQL = _ann_ivf_pq_sql()
+
+
+def pq_codes(embeddings: DataFrame) -> DataFrame:
+    """Gate projection of the PQ code TABLE itself — the artifact a
+    production index stores (8 codeword ids standing in for 64 floats):
+    (vec_id, codes_csv). Auditable independently of any query that
+    consumes it, the same way embedding_quantize gates the int8 path."""
+    from flink_cep_task_spark.operators.cache import persisted
+
+    base = persisted(_with_norm(embeddings))
+    seeds = sorted(
+        (r["vec_id"], r["v"])
+        for r in base.filter(F.col("vec_id").isin(PQ_CODEBOOK_IDS))
+        .select("vec_id", "v")
+        .collect()
+    )
+    cb_ids = [cid for cid, _ in seeds]
+    cbs = (
+        np.array([v for _, v in seeds], dtype=np.int64)
+        .reshape(len(cb_ids), PQ_M, PQ_SUBDIM)
+        .transpose(1, 0, 2)
+    )
+    enc = pq_encode(base, cb_ids, cbs)
+    return enc.select("vec_id", F.array_join(F.col("codes"), ",").alias("codes_csv"))
+
+
+PQ_CODES_SQL = f"""
+WITH {_FLAT_CTE},
+sub AS (
+  SELECT vec_id, (i - 1) // {PQ_SUBDIM} AS m, (i - 1) % {PQ_SUBDIM} AS si, v
+  FROM flat
+),
+cb AS (
+  SELECT vec_id AS cb_id, m, si, v FROM sub
+  WHERE vec_id IN ({", ".join(str(i) for i in PQ_CODEBOOK_IDS)})
+),
+codes AS (
+  SELECT vec_id, m, cb_id FROM (
+    SELECT s.vec_id, s.m, c.cb_id,
+           row_number() OVER (
+             PARTITION BY s.vec_id, s.m
+             ORDER BY sum((s.v - c.v) * (s.v - c.v)), c.cb_id) AS rn
+    FROM sub s JOIN cb c ON c.m = s.m AND c.si = s.si
+    GROUP BY s.vec_id, s.m, c.cb_id
+  ) WHERE rn = 1
+)
+SELECT vec_id,
+       array_to_string(list(CAST(cb_id AS VARCHAR) ORDER BY m), ',') AS codes_csv
+FROM codes GROUP BY vec_id
+"""

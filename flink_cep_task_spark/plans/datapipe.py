@@ -305,6 +305,7 @@ DATAPIPE_QUERIES: dict[str, tuple] = {
     "ann_ivf": (_embs(S.ann_ivf), S.ANN_IVF_SQL),
     "ann_pq": (_embs(S.ann_pq), S.ANN_PQ_SQL),
     "ann_ivf_pq": (_embs(S.ann_ivf_pq), S.ANN_IVF_PQ_SQL),
+    "pq_codes": (_embs(S.pq_codes), S.PQ_CODES_SQL),
     "dedup_embedding_cosine": (_embs(S.dedup_embedding_cosine), S.COSINE_DUP_SQL),
     "media_feature_stats": (_docs(M.media_feature_stats), M.MEDIA_FEATURES_SQL),
     "media_frame_sample": (_docs(M.media_frame_sample), M.MEDIA_FRAME_SQL),

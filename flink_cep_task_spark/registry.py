@@ -127,6 +127,7 @@ OVERFLOW_LAST = (
     "state_asof_snapshot",
     "ann_pq",
     "ann_ivf_pq",
+    "pq_codes",
 )
 
 
