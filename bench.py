@@ -175,6 +175,7 @@ def main() -> None:
                     "higher than in-bench because the suite's earlier "
                     "queries pre-pay the session-window codegen; the "
                     "in-bench number is the steady-state one.",
+                    "Run-to-run variance on this box is large (totals have "
                     "ranged 102-164s for identical code); treat per-query "
                     "deltas under ~2x as noise and re-run in isolation "
                     "before bisecting.",

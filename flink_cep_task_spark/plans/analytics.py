@@ -948,11 +948,15 @@ def cogroup_nearest_click(spark: SparkSession, sf_dir: str) -> DataFrame:
                 span = slices.get(uid)
                 if span is not None:
                     nearest_for_user(out, rows, cts[span[0] : span[1]], nc, gp)
+        # validity is the gap, never the timestamp value: a nearest click
+        # at a negative (pre-1970) epoch second is a real match, while
+        # gap_s is >= 0 by construction whenever one was found
+        ok_mask = gp >= 0
         out["nearest_click_ts"] = pd.array(
-            [int(v) if v >= 0 else None for v in nc], dtype="Int64"
+            [int(v) if ok else None for v, ok in zip(nc, ok_mask)], dtype="Int64"
         )
         out["gap_s"] = pd.array(
-            [int(v) if v >= 0 else None for v in gp], dtype="Int64"
+            [int(v) if ok else None for v, ok in zip(gp, ok_mask)], dtype="Int64"
         )
         return out
 
@@ -1245,10 +1249,20 @@ def state_asof_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ts_s", F.col("ts").cast("long")
     )
     key = F.col("ts_s") * F.lit(1_000_000_000) + F.col("event_id")
+    # Spark's max_by returns the (possibly NULL) value at the max key;
+    # DuckDB's max_by SKIPS NULL arguments and would surface an earlier
+    # event's value. Coalesce to an out-of-range sentinel before the
+    # fold and nullif it back so both engines agree: NULL iff the
+    # latest pre-cutoff event's value is NULL.
+    sent = F.expr("CAST('-9999999999999999.99' AS DECIMAL(18,2))")
     return e.groupBy("user_id").agg(
         F.max_by("event_type", key).alias("status"),
         F.round(
-            F.max_by(F.col("value").cast("decimal(18,2)"), key).cast("double"), 2
+            F.nullif(
+                F.max_by(F.coalesce(F.col("value").cast("decimal(18,2)"), sent), key),
+                sent,
+            ).cast("double"),
+            2,
         ).alias("value"),
         F.max("ts_s").alias("as_of_ts"),
         F.count(F.lit(1)).alias("n_events_before"),
@@ -1258,7 +1272,11 @@ def state_asof_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
 STATE_ASOF_SQL = f"""
 SELECT user_id,
        max_by(event_type, ts_s * 1000000000 + event_id) AS status,
-       round(CAST(max_by(CAST(value AS DECIMAL(18,2)), ts_s * 1000000000 + event_id) AS DOUBLE), 2) AS value,
+       round(CAST(nullif(
+         max_by(coalesce(CAST(value AS DECIMAL(18,2)),
+                         CAST('-9999999999999999.99' AS DECIMAL(18,2))),
+                ts_s * 1000000000 + event_id),
+         CAST('-9999999999999999.99' AS DECIMAL(18,2))) AS DOUBLE), 2) AS value,
        max(ts_s) AS as_of_ts,
        count(*) AS n_events_before
 FROM (

@@ -769,10 +769,13 @@ MANY_RULES = [
 def _docs_stream_workdir(spark: SparkSession, sf_dir: str) -> tuple[str, int]:
     """Replay scaffold for the streaming-dedup parity query: the documents
     table with a synthesized event_time (doc_id seconds past a fixed
-    base — deterministic, replay-stable) written as 4 parquet files so a
-    maxFilesPerTrigger=1 drain produces 4 micro-batches and duplicate
-    clusters SPAN batches: the dedup state built in batch N must suppress
-    batch N+1's copies, which is the property a batch dedup can't show."""
+    base — deterministic, replay-stable) written as 4 original parquet
+    files plus 2 later-mtime duplicate-injection files (the testdata
+    documents are exact-dup-free, so suppression would be vacuous
+    without them), so a maxFilesPerTrigger=1 drain produces 6
+    micro-batches and duplicate clusters SPAN batches: the dedup state
+    built in batch N must suppress batch N+1's copies, which is the
+    property a batch dedup can't show."""
     import glob as _glob
     import os
     import tempfile
