@@ -1143,6 +1143,131 @@ GROUP BY doc_id
 """
 
 
+# --- substring-level dedup via winnowing fingerprints --------------------
+
+WINNOW_K = 5            # words per k-gram
+WINNOW_W = 4            # winnowing window (consecutive k-gram hashes)
+WINNOW_MIN_SHARED = 2   # pairs must share >= this many fingerprints
+WINNOW_MAX_DOCS_PER_FP = 128  # boilerplate stop-fingerprint cap
+
+
+def dedup_substring(
+    documents: DataFrame,
+    k: int = WINNOW_K,
+    w: int = WINNOW_W,
+    min_shared: int = WINNOW_MIN_SHARED,
+    max_docs_per_fp: int = WINNOW_MAX_DOCS_PER_FP,
+) -> DataFrame:
+    """SHIFT-INVARIANT substring-level dedup via winnowing fingerprints
+    (Schleimer et al. 2003, the MOSS algorithm) — the scalable stand-in
+    for suffix-array exact-substring dedup (Lee et al. 2021).
+
+    dedup_passages hashes NON-overlapping fixed-word chunks, so a
+    duplicated passage shifted by one word realigns every chunk and
+    becomes invisible. Here every OVERLAPPING k-word gram is hashed
+    (rolling window over the token stream), then winnowing selects the
+    minimum hash in each window of w consecutive k-gram hashes: any
+    shared substring of >= k+w-1 words is guaranteed to contribute at
+    least one identical fingerprint regardless of its offset in either
+    document, while expected fingerprint density stays bounded at
+    2/(w+1) per k-gram. Documents sharing >= min_shared fingerprints
+    are reported as substring-duplicate pairs with a containment score.
+
+    Plan shape: all k-gram hashing + window-min selection happens
+    IN-ROW via higher-order functions (transform over sequence +
+    array_min over slice) — the document text never shuffles; the only
+    exchange key is the 32-byte fingerprint hash. Pair generation is an
+    equi-self-join on that key, with fingerprints occurring in more
+    than max_docs_per_fp documents dropped first (MOSS's over-common
+    cull): corpus-wide boilerplate would otherwise make one fingerprint
+    bucket quadratic. With the cap, any fingerprint contributes at most
+    cap^2/2 candidate pairs, so the join output is linearly bounded in
+    the fingerprint count. The per-doc fingerprint counts reuse the
+    same exploded frame, and the two doc-keyed joins that attach them
+    run on the already-aggregated (pair) side."""
+    toks = tokens(F.col("text"))
+    kg = F.expr(
+        f"transform(sequence(0, size(__w) - {k}), "
+        f"i -> md5(concat_ws(' ', slice(__w, i + 1, {k}))))"
+    )
+    # winnowing: one window per position while m >= w; a single window
+    # covering everything when 1 <= m < w (short docs keep one
+    # fingerprint, as in the original scheme)
+    sel = F.expr(
+        f"array_distinct(transform(sequence(0, greatest(size(__kg) - {w}, 0)), "
+        f"j -> array_min(slice(__kg, j + 1, least({w}, size(__kg))))))"
+    )
+    fps = (
+        documents.select("doc_id", toks.alias("__w"))
+        .filter(F.size("__w") >= k)
+        .select("doc_id", kg.alias("__kg"))
+        .select("doc_id", F.explode(sel).alias("fp"))
+    )
+    freq = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("nd"))
+    eligible = fps.join(freq.filter(F.col("nd") <= max_docs_per_fp), "fp")
+    n_fps = fps.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_fps"))
+    a = eligible.select(F.col("doc_id").alias("doc_a"), "fp")
+    b = eligible.select(F.col("doc_id").alias("doc_b"), "fp")
+    pairs = (
+        a.join(b, "fp")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("shared_fps"))
+        .filter(F.col("shared_fps") >= min_shared)
+    )
+    return (
+        pairs.join(n_fps.select(F.col("doc_id").alias("doc_a"), F.col("n_fps").alias("n_fps_a")), "doc_a")
+        .join(n_fps.select(F.col("doc_id").alias("doc_b"), F.col("n_fps").alias("n_fps_b")), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "shared_fps",
+            "n_fps_a",
+            "n_fps_b",
+            F.round(
+                F.col("shared_fps").cast("double")
+                / F.least("n_fps_a", "n_fps_b"),
+                6,
+            ).alias("containment"),
+        )
+    )
+
+
+DEDUP_SUBSTRING_SQL = f"""
+WITH words AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS w FROM documents
+), kg AS (
+  SELECT doc_id, i, md5(array_to_string(w[i:(i + {WINNOW_K} - 1)], ' ')) AS h
+  FROM words, LATERAL (SELECT unnest(range(1, len(w) - {WINNOW_K} + 2))::BIGINT AS i) s
+), win AS (
+  SELECT doc_id, i,
+         min(h) OVER (PARTITION BY doc_id ORDER BY i
+                      ROWS BETWEEN CURRENT ROW AND {WINNOW_W - 1} FOLLOWING) AS wmin,
+         count(*) OVER (PARTITION BY doc_id) AS m
+  FROM kg
+), fps AS (
+  SELECT DISTINCT doc_id, wmin AS fp
+  FROM win WHERE i <= greatest(m - {WINNOW_W} + 1, 1)
+), freq AS (
+  SELECT fp FROM fps GROUP BY fp HAVING count(*) <= {WINNOW_MAX_DOCS_PER_FP}
+), eligible AS (
+  SELECT doc_id, fp FROM fps JOIN freq USING (fp)
+), n_fps AS (
+  SELECT doc_id, count(*) AS n_fps FROM fps GROUP BY doc_id
+), pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared_fps
+  FROM eligible a JOIN eligible b ON a.fp = b.fp AND a.doc_id < b.doc_id
+  GROUP BY 1, 2 HAVING count(*) >= {WINNOW_MIN_SHARED}
+)
+SELECT doc_a, doc_b, shared_fps, na.n_fps AS n_fps_a, nb.n_fps AS n_fps_b,
+       round(CAST(shared_fps AS DOUBLE) / least(na.n_fps, nb.n_fps), 6)
+         AS containment
+FROM pairs
+JOIN n_fps na ON na.doc_id = doc_a
+JOIN n_fps nb ON nb.doc_id = doc_b
+"""
+
+
 # --- dedup retention report (clusters applied as a corpus filter) ---------
 
 def dedup_retention_report(documents: DataFrame) -> DataFrame:

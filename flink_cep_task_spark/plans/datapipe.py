@@ -329,6 +329,7 @@ DATAPIPE_QUERIES: dict[str, tuple] = {
     "source_mix_report": (_docs(T.source_mix_report), T.SOURCE_MIX_SQL),
     "filter_gopher": (_docs(T.filter_gopher), T.FILTER_GOPHER_SQL),
     "dedup_passages": (_docs(D.dedup_passages), D.DEDUP_PASSAGES_SQL),
+    "dedup_substring": (_docs(D.dedup_substring), D.DEDUP_SUBSTRING_SQL),
     "pack_sequences": (_docs(SM.pack_sequences), SM.PACK_SEQUENCES_SQL),
     "mix_temperature": (_docs(SM.mix_temperature), SM.MIX_TEMPERATURE_SQL),
     "unigram_logprob_score": (

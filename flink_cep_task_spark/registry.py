@@ -128,6 +128,8 @@ OVERFLOW_LAST = (
     "ann_pq",
     "ann_ivf_pq",
     "pq_codes",
+    # round-7 additions
+    "dedup_substring",
 )
 
 

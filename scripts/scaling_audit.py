@@ -80,8 +80,16 @@ QUERIES = [
     "state_asof_snapshot",
     "ann_pq",
     "ann_ivf_pq",
+    # round-7 additions
+    "dedup_substring",
 ]
 BASE = "/root/testdata/sf0.1"
+
+# SPARK_GRAFT_SCALES=1,64 overrides for deeper audits (e.g. the 64x
+# check of the round-6 batch, VERDICT r6 task #5) without paying the
+# full roster at every scale.
+if os.environ.get("SPARK_GRAFT_SCALES"):
+    SCALES = tuple(int(x) for x in os.environ["SPARK_GRAFT_SCALES"].split(","))
 
 
 def build_scaled_tpch(spark, k: int) -> str:
@@ -268,15 +276,20 @@ def main() -> None:
                 qs[name](spark, dirs[k]).write.format("noop").mode("overwrite").save()
                 best = min(best, time.perf_counter() - t)
             row[k] = round(best, 2)
-        row["ratio_16x"] = round(row[16] / row[1], 1) if row[1] else None
+        hi, lo = max(SCALES), min(SCALES)
+        ratio_key = f"ratio_{hi}x"
+        row[ratio_key] = round(row[hi] / row[lo], 1) if row[lo] else None
         results[name] = row
         print(json.dumps({"query": name, **{f"t{k}": row[k] for k in SCALES},
-                          "ratio_16x": row["ratio_16x"]}), flush=True)
+                          ratio_key: row[ratio_key]}), flush=True)
 
-    print("\n| query | 1x (s) | 4x (s) | 16x (s) | 16x/1x |")
-    print("|---|---|---|---|---|")
+    hi, lo = max(SCALES), min(SCALES)
+    print("\n| query | " + " | ".join(f"{k}x (s)" for k in SCALES)
+          + f" | {hi}x/{lo}x |")
+    print("|---" * (len(SCALES) + 2) + "|")
     for name, row in results.items():
-        print(f"| {name} | {row[1]} | {row[4]} | {row[16]} | {row['ratio_16x']} |")
+        cells = " | ".join(str(row[k]) for k in SCALES)
+        print(f"| {name} | {cells} | {row[f'ratio_{hi}x']} |")
     spark.stop()
 
 

@@ -242,3 +242,81 @@ def test_incremental_minhash_store_matches_inline_for_other_sources(spark, tmp_p
             for d, st, m, j in s
         }
         assert norm(inline) == norm(stored) == norm(oracle), src
+
+
+def test_winnowing_catches_one_word_shift_that_passages_misses(spark):
+    """The defining property of dedup_substring (VERDICT r6 task #1): a
+    duplicated passage shifted by ONE word realigns every non-overlapping
+    chunk, so dedup_passages sees nothing — winnowing fingerprints are
+    computed over every overlapping k-gram, so the shifted copy still
+    collides."""
+    from flink_cep_task_spark.operators.dedup import (
+        dedup_passages,
+        dedup_substring,
+    )
+
+    body = " ".join(f"tok{i}" for i in range(40))  # 40 distinct words
+    df = spark.createDataFrame(
+        [
+            (1, body),
+            (2, "shiftpad " + body),  # same text, offset by one word
+            (3, " ".join(f"other{i}" for i in range(40))),  # unrelated
+        ],
+        ["doc_id", "text"],
+    )
+
+    # passages: every 8-word chunk of doc 2 straddles doc 1's chunk
+    # boundaries, so NO passage recurs anywhere
+    pas = {r.doc_id: r.n_dup_passages for r in dedup_passages(df).collect()}
+    assert pas == {1: 0, 2: 0, 3: 0}
+
+    # winnowing: the pair is caught, with near-total containment
+    subs = {(r.doc_a, r.doc_b): r for r in dedup_substring(df).collect()}
+    assert set(subs) == {(1, 2)}
+    r = subs[(1, 2)]
+    assert r.shared_fps >= 2
+    assert r.containment >= 0.8
+
+
+def test_winnowing_shared_substring_guarantee(spark):
+    """Winnowing's coverage guarantee: ANY shared run of >= k+w-1 words
+    produces at least one identical fingerprint, wherever it sits in
+    either document. Embed the same 8-word phrase at different offsets
+    inside otherwise-disjoint documents."""
+    import random
+
+    from flink_cep_task_spark.operators.dedup import (
+        WINNOW_K,
+        WINNOW_W,
+        dedup_substring,
+    )
+
+    rng = random.Random(11)
+    phrase = " ".join(f"shared{i}" for i in range(WINNOW_K + WINNOW_W - 1))
+    rows = []
+    for d in range(6):
+        pre = " ".join(f"a{d}x{i}" for i in range(rng.randint(0, 15)))
+        post = " ".join(f"b{d}y{i}" for i in range(rng.randint(5, 15)))
+        rows.append((d, f"{pre} {phrase} {post}".strip()))
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        (r.doc_a, r.doc_b)
+        for r in dedup_substring(df, min_shared=1).collect()
+    }
+    want = {(a, b) for a in range(6) for b in range(a + 1, 6)}
+    assert got >= want, f"missing pairs: {want - got}"
+
+
+def test_winnowing_short_doc_keeps_one_fingerprint(spark):
+    """Documents with fewer than w k-grams still emit one fingerprint
+    (the global minimum), so short duplicated snippets remain findable."""
+    from flink_cep_task_spark.operators.dedup import dedup_substring
+
+    snippet = "alpha beta gamma delta epsilon zeta"  # 6 words -> 2 kgrams < w
+    df = spark.createDataFrame(
+        [(1, snippet), (2, snippet), (3, "one two three four five six")],
+        ["doc_id", "text"],
+    )
+    got = {(r.doc_a, r.doc_b): r for r in dedup_substring(df, min_shared=1).collect()}
+    assert set(got) == {(1, 2)}
+    assert got[(1, 2)].n_fps_a == got[(1, 2)].n_fps_b == 1

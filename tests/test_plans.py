@@ -488,3 +488,20 @@ def test_state_asof_pushes_time_cutoff_to_scan(spark):
     scan = [ln for ln in plan.splitlines() if "PushedFilters" in ln][0]
     assert "LessThan(ts" in scan, f"time cutoff not pushed: {scan}"
     assert "partial_max_by" in plan, "aggregate lost its map-side partial"
+
+
+def test_dedup_substring_shuffles_fingerprints_not_text(spark):
+    # winnowing dedup's scale contract: all k-gram hashing + window-min
+    # selection happens in-row (higher-order functions), so the ONLY
+    # exchange keys are the 32-byte fingerprint hash and doc ids — the
+    # document text must never shuffle, and pair generation must be an
+    # fp equi-join (never a cross/nested-loop join)
+    plan = _plan(spark, "dedup_substring")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "fp#" in plan, "fingerprint join key missing"
+    text_shuffles = [
+        ln for ln in plan.splitlines()
+        if "Exchange hashpartitioning" in ln and "text#" in ln
+    ]
+    assert not text_shuffles, f"document text shuffled: {text_shuffles}"
