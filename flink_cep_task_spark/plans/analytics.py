@@ -1288,6 +1288,148 @@ GROUP BY user_id
 """
 
 
+# --- incremental aggregate maintenance (partial-aggregate store) ---------
+
+# corpus/batch split: partials cover days strictly before this instant
+# (2024-01-29T00:00:00Z, near the end of the 30-day fixture range), the
+# "daily batch" is everything at or after it.
+ROLLUP_CUTOFF_TS_S = 1_706_486_400
+
+_ROLLUP_STORE_CACHE: dict[str, str] = {}
+
+# explicit schema for store reads: a store for a corpus with zero
+# pre-cutoff days is a legitimate empty directory (first day of a new
+# pipeline) and schema inference would fail on it
+ROLLUP_STORE_SCHEMA = (
+    "event_type STRING, n_events LONG, n_vals LONG, "
+    "sum_value DECIMAL(28,2), min_value DOUBLE, max_value DOUBLE, day LONG"
+)
+
+
+def read_rollup_partial_store(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.schema(ROLLUP_STORE_SCHEMA).parquet(path)
+
+
+def write_rollup_partial_store(events: DataFrame, path: str) -> None:
+    """Persist MERGEABLE per-(day, event_type) partial aggregates — the
+    aggregate analog of the MinHash signature store: a daily pipeline
+    appends one day-partition of partials per run, and any corpus-wide
+    rollup is produced by COMBINING partials instead of rescanning the
+    corpus. Only algebraic aggregates are stored (count / count-non-null
+    / exact decimal sum / min / max); avg is derived at merge time, and
+    anything non-mergeable (exact distinct) belongs in a sketch store
+    instead. Day is the tz-free epoch-day index (ts_s div 86400) and is
+    the partition column, so a re-run of one day overwrites one
+    directory."""
+    e = events.withColumn("ts_s", F.col("ts").cast("long")).withColumn(
+        "day", F.expr("ts_s div 86400")
+    )
+    (
+        e.groupBy("day", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count("value").alias("n_vals"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("sum_value"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+        .write.partitionBy("day")
+        .mode("overwrite")
+        .parquet(path)
+    )
+
+
+def _rollup_store(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize (once per process per sf_dir) the pre-cutoff partial
+    store, via the raw-column pushed filter so the build itself never
+    reads post-cutoff row groups."""
+    import os
+    import tempfile
+
+    from flink_cep_task_spark.sources.tables import load_events_before
+
+    cached = _ROLLUP_STORE_CACHE.get(sf_dir)
+    if cached is not None and os.path.isdir(cached):
+        return cached
+    path = os.path.join(tempfile.mkdtemp(prefix="rollup_store_"), "rollup_partials")
+    write_rollup_partial_store(
+        load_events_before(spark, sf_dir, ROLLUP_CUTOFF_TS_S), path
+    )
+    _ROLLUP_STORE_CACHE[sf_dir] = path
+    return path
+
+
+def _cleanup_rollup_stores() -> None:
+    import os
+    import shutil
+
+    while _ROLLUP_STORE_CACHE:
+        _, path = _ROLLUP_STORE_CACHE.popitem()
+        shutil.rmtree(os.path.dirname(path), ignore_errors=True)
+
+
+import atexit as _atexit
+
+_atexit.register(_cleanup_rollup_stores)
+
+
+def incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate maintenance: the corpus-wide per-event_type
+    rollup produced by merging the STORED pre-cutoff partials with
+    today's batch — the corpus side of the plan reads only the partial
+    store (|days|×|event_types| rows), never the raw corpus, and the
+    batch side's time predicate is pushed to the raw events column
+    (load_events_since), so a daily run's scan cost is one day of
+    events + a partial store that grows by |event_types| rows per day.
+    Result is IDENTICAL to the full recompute (the oracle): counts and
+    min/max merge trivially, the sum is kept as an exact DECIMAL so
+    merge order can't drift the float, and avg is derived post-merge."""
+    from flink_cep_task_spark.sources.tables import load_events_since
+
+    store = read_rollup_partial_store(spark, _rollup_store(spark, sf_dir))
+    batch = load_events_since(spark, sf_dir, ROLLUP_CUTOFF_TS_S)
+    bp = batch.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count("value").alias("n_vals"),
+        F.sum(F.col("value").cast("decimal(18,2)")).alias("sum_value"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+    )
+    merged = store.select(
+        "event_type", "n_events", "n_vals", "sum_value", "min_value", "max_value"
+    ).unionByName(bp)
+    g = merged.groupBy("event_type").agg(
+        F.sum("n_events").cast("long").alias("n_events"),
+        F.sum("n_vals").cast("long").alias("n_vals"),
+        F.sum("sum_value").alias("_sum"),
+        F.min("min_value").alias("min_value"),
+        F.max("max_value").alias("max_value"),
+    )
+    return g.select(
+        "event_type",
+        "n_events",
+        "n_vals",
+        F.round(F.col("_sum").cast("double"), 2).alias("total_value"),
+        "min_value",
+        "max_value",
+        F.round(F.col("_sum").cast("double") / F.col("n_vals"), 6).alias("avg_value"),
+    )
+
+
+INCREMENTAL_ROLLUP_SQL = """
+SELECT event_type,
+       count(*) AS n_events,
+       count(value) AS n_vals,
+       round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_value,
+       min(value) AS min_value,
+       max(value) AS max_value,
+       round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(value), 6)
+         AS avg_value
+FROM events
+GROUP BY event_type
+"""
+
+
 ANALYTICS_QUERIES: dict[str, tuple] = {
     "topk_users_per_type": (topk_users_per_type, TOPK_SQL),
     "sessionize_events": (sessionize, SESSION_SQL),
@@ -1320,6 +1462,7 @@ ANALYTICS_QUERIES: dict[str, tuple] = {
     "resample_ffill": (resample_ffill, RESAMPLE_FFILL_SQL),
     "scd2_user_history": (scd2_user_history, SCD2_SQL),
     "state_asof_snapshot": (state_asof_snapshot, STATE_ASOF_SQL),
+    "incremental_rollup": (incremental_rollup, INCREMENTAL_ROLLUP_SQL),
     "cogroup_nearest_click": (cogroup_nearest_click, NEAREST_CLICK_SQL),
     "column_profile_events": (column_profile_events, COLUMN_PROFILE_SQL),
 }

@@ -130,6 +130,7 @@ OVERFLOW_LAST = (
     "pq_codes",
     # round-7 additions
     "dedup_substring",
+    "incremental_rollup",
 )
 
 

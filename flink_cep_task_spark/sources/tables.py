@@ -110,6 +110,40 @@ def load_events_before(
     return df
 
 
+def load_events_since(
+    spark: SparkSession, sf_dir: str, lower_inclusive_s: int
+) -> DataFrame:
+    """Events with ts at or after `lower_inclusive_s` (epoch seconds) —
+    the mirror of load_events_before, for incremental pipelines whose
+    'today's batch' is the tail of the table: the predicate is applied
+    to the RAW parquet column before the ts normalization so it reaches
+    the reader as a pushed row-group filter, and at 100 TB the daily
+    batch read touches only the trailing row groups / partitions."""
+    import datetime as _dt
+
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ts_type = dict(df.dtypes).get("ts")
+    if ts_type == "bigint":
+        df = df.filter(F.col("ts") >= lower_inclusive_s * 1_000_000_000)
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    else:
+        cut = _dt.datetime.utcfromtimestamp(lower_inclusive_s).strftime(
+            "%Y-%m-%d %H:%M:%S"
+        )
+        df = df.filter(F.col("ts") >= F.lit(cut).cast("timestamp_ntz"))
+        df = df.withColumn(
+            "ts",
+            F.timestamp_micros(
+                F.expr(
+                    "timestampdiff(MICROSECOND, "
+                    "TIMESTAMP_NTZ'1970-01-01 00:00:00', ts)"
+                )
+            ),
+        )
+    df._graft_input_files = (f"{sf_dir}/events.parquet",)
+    return df
+
+
 def widen_small_scan(df: DataFrame, target: int | None = None) -> DataFrame:
     """Repartition an under-parallel scan BEFORE per-row-expensive work.
 

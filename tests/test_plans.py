@@ -505,3 +505,25 @@ def test_dedup_substring_shuffles_fingerprints_not_text(spark):
         if "Exchange hashpartitioning" in ln and "text#" in ln
     ]
     assert not text_shuffles, f"document text shuffled: {text_shuffles}"
+
+
+def test_incremental_rollup_reads_store_not_corpus(spark):
+    # incremental aggregate maintenance contract (VERDICT r6 task #6):
+    # the corpus side must come from the materialized partial store, and
+    # the only raw-events scan is the batch side with its time predicate
+    # pushed to the parquet reader — re-aggregating the corpus would show
+    # an unfiltered events scan
+    plan = _plan(spark, "incremental_rollup")
+    store_scans = [
+        ln for ln in plan.splitlines()
+        if "FileScan parquet" in ln and "rollup_partials" in ln
+    ]
+    assert store_scans, "partial store scan missing from plan"
+    event_scans = [
+        ln for ln in plan.splitlines()
+        if "FileScan parquet" in ln and "events.parquet" in ln
+    ]
+    assert len(event_scans) == 1, f"expected ONE raw events scan: {event_scans}"
+    assert "GreaterThanOrEqual(ts" in event_scans[0], (
+        "batch-side time cutoff not pushed to the events scan"
+    )
