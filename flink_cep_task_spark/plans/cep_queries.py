@@ -131,6 +131,10 @@ _WORKDIR_CACHE: dict[str, tuple[str, int]] = {}
 # lifecycle as _WORKDIR_CACHE
 _DOCS_WORKDIR_CACHE: dict[str, tuple[str, int]] = {}
 
+# two-phase (batch1 / batch2 / pusher) replay scaffold for the mid-replay
+# rule-upsert and late-data-policy parity queries — same lifecycle
+_SPLIT_WORKDIR_CACHE: dict[str, tuple[str, int, int]] = {}
+
 
 def _pick_tmpfs() -> str | None:
     """Replay scaffolds (source + checkpoints + sinks) go on tmpfs when
@@ -159,9 +163,9 @@ def _cleanup_workdirs() -> None:
     never reclaims (ADVICE r5)."""
     import shutil
 
-    for cache in (_WORKDIR_CACHE, _DOCS_WORKDIR_CACHE):
+    for cache in (_WORKDIR_CACHE, _DOCS_WORKDIR_CACHE, _SPLIT_WORKDIR_CACHE):
         while cache:
-            work, _ = cache.popitem()[1]
+            work = cache.popitem()[1][0]
             shutil.rmtree(work, ignore_errors=True)
 
 
@@ -192,13 +196,9 @@ def _events_stream_workdir(spark: SparkSession, sf_dir: str, prefix: str) -> tup
     timeout/window close — measured result-identical to a second explicit
     pusher batch, one ~1.2 s batch cheaper. Per-batch fixed cost (state
     commit + Arrow exchange) is the replay's dominant term."""
-    import decimal as _decimal
     import glob as _glob
     import os
     import tempfile
-
-    import pyarrow as pa
-    import pyarrow.parquet as pq
 
     from pyspark.sql import functions as F
 
@@ -213,33 +213,50 @@ def _events_stream_workdir(spark: SparkSession, sf_dir: str, prefix: str) -> tup
     max_ms = ev.agg(F.max((F.col("event_time").cast("double") * 1000).cast("long"))).first()[0]
     parts = _glob.glob(os.path.join(src, "part-*.parquet"))
     base = max(os.path.getmtime(p) for p in parts)
-    # pusher files written directly with pyarrow (a 1-row Spark parquet
-    # write costs whole seconds of job/committer overhead, ×2)
+    t_us = (max_ms + 40 * 86_400_000) * 1000
+    dest = os.path.join(src, "zz_flush_0.parquet")
+    _write_metric_file(
+        dest,
+        [(t_us, {"t_event_type": "zz_flush", "t_user": "zz"}, {"zzf": "0.00"})],
+    )
+    os.utime(dest, (base + 10, base + 10))
+    _WORKDIR_CACHE[sf_dir] = (work, len(parts))
+    return work, len(parts)
+
+
+def _write_metric_file(dest: str, rows: list[tuple]) -> None:
+    """Write Metric-shaped rows (t_us, tags dict, metrics dict of decimal
+    strings) straight with pyarrow — a 1-row Spark parquet write costs
+    whole seconds of job/committer overhead. Used for watermark pushers
+    and for injected straggler/late rows in the replay scaffolds."""
+    import decimal as _decimal
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
     pa_schema = pa.schema([
         pa.field("event_time", pa.timestamp("us"), nullable=False),
         pa.field("tags", pa.map_(pa.string(), pa.string()), nullable=False),
         pa.field("metrics", pa.map_(pa.string(), pa.decimal128(18, 2)), nullable=False),
     ])
-    t_us = (max_ms + 40 * 86_400_000) * 1000
     table = pa.Table.from_arrays(
         [
-            pa.array([t_us], type=pa.timestamp("us")),
+            pa.array([r[0] for r in rows], type=pa.timestamp("us")),
             pa.array(
-                [[("t_event_type", "zz_flush"), ("t_user", "zz")]],
+                [list(r[1].items()) for r in rows],
                 type=pa.map_(pa.string(), pa.string()),
             ),
             pa.array(
-                [[("zzf", _decimal.Decimal("0.00"))]],
+                [
+                    [(k, _decimal.Decimal(v)) for k, v in r[2].items()]
+                    for r in rows
+                ],
                 type=pa.map_(pa.string(), pa.decimal128(18, 2)),
             ),
         ],
         schema=pa_schema,
     )
-    dest = os.path.join(src, "zz_flush_0.parquet")
     pq.write_table(table, dest)
-    os.utime(dest, (base + 10, base + 10))
-    _WORKDIR_CACHE[sf_dir] = (work, len(parts))
-    return work, len(parts)
 
 
 class _shuffle_partitions:
@@ -871,6 +888,261 @@ SELECT DISTINCT {_DEDUP_KEY_SQL} AS k FROM documents
 """
 
 
+# --- two-phase replays: mid-replay rule upsert + late-data policy --------
+
+# mid-day split (2024-01-15T12:00:00Z): no daily window boundary falls in
+# (wm1, split], so "window_end <= wm1" cleanly separates windows fired
+# under config v1 from windows fired after the mid-replay upsert.
+SPLIT_TS_S = 1_705_320_000
+RULE_UPDATE_LIMIT_V1 = "2500"
+RULE_UPDATE_LIMIT_V2 = "3500"
+
+LATE_RULE_LIMIT = "2500"
+# injected into batch 2 only: (t_event_type, epoch_s, value). The first
+# two sit DAYS below the run-1 watermark — the policy says they are
+# dropped, and their huge values make any leak flip a window's hash. The
+# in-delay straggler arrives out-of-order in batch 2 but ABOVE the
+# watermark, so it MUST be counted (its window hasn't closed).
+LATE_STRAGGLERS = [
+    ("click", SPLIT_TS_S - 3 * 86_400 + 30, "99999.99"),
+    ("view", SPLIT_TS_S - 5 * 86_400 + 30, "88888.88"),
+]
+IN_DELAY_STRAGGLER = ("click", SPLIT_TS_S - 1, "77.77")
+
+
+def _split_stream_workdir(spark: SparkSession, sf_dir: str) -> tuple[str, int, int]:
+    """Replay scaffold for the two-phase parity queries: the events table
+    in Metric shape split at SPLIT_TS_S into batch1/ and batch2/ parquet
+    directories plus a pusher template (see _events_stream_workdir for
+    pusher mechanics). Each query invocation HARDLINKS these into its own
+    src dir, so the expensive writes happen once per (process, sf_dir)."""
+    import glob as _glob
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    cached = _SPLIT_WORKDIR_CACHE.get(sf_dir)
+    if cached is not None and os.path.isdir(os.path.join(cached[0], "batch1")):
+        return cached
+    work = tempfile.mkdtemp(prefix="split_cep_", dir=_pick_tmpfs())
+    ev = events_to_metrics(load_table(spark, sf_dir, "events"))
+    cut = F.timestamp_seconds(F.lit(SPLIT_TS_S))
+    ev.filter(F.col("event_time") < cut).repartition(4).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(work, "batch1"))
+    ev.filter(F.col("event_time") >= cut).repartition(4).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(work, "batch2"))
+    max_ms = ev.agg(
+        F.max((F.col("event_time").cast("double") * 1000).cast("long"))
+    ).first()[0]
+    _write_metric_file(
+        os.path.join(work, "pusher.parquet"),
+        [(
+            (max_ms + 40 * 86_400_000) * 1000,
+            {"t_event_type": "zz_flush", "t_user": "zz"},
+            {"zzf": "0.00"},
+        )],
+    )
+    n1 = len(_glob.glob(os.path.join(work, "batch1", "part-*.parquet")))
+    n2 = len(_glob.glob(os.path.join(work, "batch2", "part-*.parquet")))
+    _SPLIT_WORKDIR_CACHE[sf_dir] = (work, n1, n2)
+    return work, n1, n2
+
+
+def _daily_sum_rule_doc(rule_id: int, limit: str) -> dict:
+    return {
+        "ruleId": rule_id, "windowType": "tumbling", "windowMinutes": 1440,
+        "groupingKeyNames": ["t_event_type"],
+        "aggregatorFunctionType": "SUM", "aggregateFieldName": "value",
+        "limitOperatorType": ">", "limit": float(limit),
+    }
+
+
+def _run_two_phase_live(
+    spark: SparkSession,
+    sf_dir: str,
+    rule_doc_v1: dict,
+    rule_doc_v2: dict | None = None,
+    extra_batch2_rows: list[tuple] | None = None,
+) -> DataFrame:
+    """Deterministic mid-replay CRUD: drain batch1 under rule config v1
+    with an availableNow trigger, then mutate the rule store (and/or
+    inject straggler rows) and drain batch2 + pusher RESUMING THE SAME
+    CHECKPOINT — the sequential-drain equivalent of a live upsert
+    between micro-batches, with none of the wall-clock races a
+    mid-`start()` upsert would have. State (open windows, rule config,
+    watermark) carries across the two drains through the checkpoint,
+    exactly as a production restart does."""
+    import glob as _glob
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from flink_cep_task_spark.schemas import METRIC_SCHEMA
+    from flink_cep_task_spark.streaming.live import (
+        LIVE_OUTPUT_SCHEMA,
+        RuleFileStore,
+        build_live_cep,
+    )
+    from flink_cep_task_spark.streaming.pipeline import (
+        await_stream,
+        metrics_stream_from_parquet,
+    )
+
+    work, n1, n2 = _split_stream_workdir(spark, sf_dir)
+    run = tempfile.mkdtemp(prefix="run_", dir=work)
+    src = os.path.join(run, "src")
+    os.makedirs(src)
+    for i, p in enumerate(sorted(_glob.glob(os.path.join(work, "batch1", "part-*.parquet")))):
+        os.link(p, os.path.join(src, f"b1_{i:03d}.parquet"))
+    store = RuleFileStore(os.path.join(run, "rules.json"))
+    store.upsert(rule_doc_v1)
+    ckpt = os.path.join(run, "ckpt")
+    sink = os.path.join(run, "sink")
+
+    def drain(n_files: int) -> None:
+        metrics = metrics_stream_from_parquet(
+            spark, src, METRIC_SCHEMA, max_files_per_trigger=n_files
+        )
+        out = build_live_cep(metrics, spark, store.path, watermark="1 minute")
+        with _shuffle_partitions(spark, 8):
+            q = (
+                out.writeStream.format("parquet").option("path", sink)
+                .option("checkpointLocation", ckpt).outputMode("append")
+                .trigger(availableNow=True).start()
+            )
+            await_stream(q, 600)
+
+    drain(n1)
+
+    if rule_doc_v2 is not None:
+        store.upsert(rule_doc_v2)
+    base = max(
+        os.path.getmtime(p) for p in _glob.glob(os.path.join(src, "*.parquet"))
+    )
+    for i, p in enumerate(sorted(_glob.glob(os.path.join(work, "batch2", "part-*.parquet")))):
+        d = os.path.join(src, f"b2_{i:03d}.parquet")
+        os.link(p, d)
+        os.utime(d, (base + 5, base + 5))
+    n_extra = 0
+    if extra_batch2_rows:
+        d = os.path.join(src, "b2_injected.parquet")
+        _write_metric_file(
+            d,
+            [
+                (
+                    ts_s * 1_000_000,
+                    {"t_event_type": etype, "t_user": "9999"},
+                    {"value": val},
+                )
+                for (etype, ts_s, val) in extra_batch2_rows
+            ],
+        )
+        os.utime(d, (base + 5, base + 5))
+        n_extra = 1
+    d = os.path.join(src, "zz_flush_1.parquet")
+    os.link(os.path.join(work, "pusher.parquet"), d)
+    os.utime(d, (base + 10, base + 10))
+
+    drain(n2 + n_extra + 1)
+
+    if not _glob.glob(os.path.join(sink, "*.parquet")):
+        return spark.createDataFrame([], LIVE_OUTPUT_SCHEMA)
+    return spark.read.schema(LIVE_OUTPUT_SCHEMA).parquet(sink).filter(
+        ~F.col("group_id").contains("zz_flush")
+    )
+
+
+def q_rule_update_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING parity query — MID-REPLAY RULE UPSERT (SURVEY quirk Q6
+    made checkable): rule 8's limit changes 2500 → 3500 between the two
+    drains. Windows the watermark closed under v1 stay gated at 2500;
+    every window still open at the upsert fires under v2 — the dynamic
+    operator's "config as of the key's latest data" (live.py pdf.iloc[-1]
+    / fanout seq column) semantics, which the oracle replays via the
+    run-1 watermark cutoff. (The reference never re-delivers an updated
+    rule to existing groups, CEPEngine.java:55-64; our next-batch
+    semantics is the documented divergence.)"""
+    return _run_two_phase_live(
+        spark,
+        sf_dir,
+        _daily_sum_rule_doc(8, RULE_UPDATE_LIMIT_V1),
+        rule_doc_v2=_daily_sum_rule_doc(8, RULE_UPDATE_LIMIT_V2),
+    )
+
+
+def q_late_data_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING parity query — LATE-DATA POLICY (T2/T3's principled
+    replacement made explicit): batch 2 injects two stragglers DAYS below
+    the run-1 watermark (dropped — their windows already fired; values
+    chosen so any leak flips the hash) and one out-of-order row 1 s
+    before the split but ABOVE the watermark (counted — its window is
+    still open). The reference loses whole windows to wall-clock timers
+    (TriggerCenter.java:22-26); the watermark policy drops exactly the
+    beyond-delay rows, which the oracle replays literally."""
+    return _run_two_phase_live(
+        spark,
+        sf_dir,
+        _daily_sum_rule_doc(9, LATE_RULE_LIMIT),
+        extra_batch2_rows=LATE_STRAGGLERS + [IN_DELAY_STRAGGLER],
+    )
+
+
+_TS_S_SQL = "CAST(floor(epoch(ts)) AS BIGINT)"
+
+
+def _rule_update_oracle_sql() -> str:
+    """Daily tumbling SUM by event_type where the gating limit is v1 for
+    windows the run-1 watermark closed (end <= max(batch1 ts) - 60s) and
+    v2 for everything later — the exact cutoff the engine's checkpointed
+    watermark draws."""
+    ws = _fmul("ts_s", 86400)
+    return f"""
+WITH e AS (
+  SELECT event_type, {_TS_S_SQL} AS ts_s, CAST(value AS DECIMAL(18,2)) AS v
+  FROM events
+), wm AS (
+  SELECT max(ts_s) - 60 AS wm1 FROM e WHERE ts_s < {SPLIT_TS_S}
+), w AS (
+  SELECT event_type, {ws} AS ws, CAST(sum(v) AS DOUBLE) AS val
+  FROM e GROUP BY event_type, {ws}
+)
+SELECT CAST(8 AS INTEGER) AS rule_id, concat('8_', event_type) AS group_id,
+       ws AS window_start, ws + 86400 AS window_end,
+       'SUM' AS agg_type, floor(val * 10000.0 + 0.5) / 10000.0 AS agg_value
+FROM w, wm
+WHERE val > CASE WHEN ws + 86400 <= wm.wm1
+                 THEN CAST('{RULE_UPDATE_LIMIT_V1}' AS DOUBLE)
+                 ELSE CAST('{RULE_UPDATE_LIMIT_V2}' AS DOUBLE) END
+"""
+
+
+def _late_data_oracle_sql() -> str:
+    """Full recompute that includes the in-delay straggler and excludes
+    exactly the beyond-watermark ones — the watermark policy in SQL."""
+    ws = _fmul("ts_s", 86400)
+    etype, ts_s, val = IN_DELAY_STRAGGLER
+    return f"""
+WITH e AS (
+  SELECT event_type, {_TS_S_SQL} AS ts_s, CAST(value AS DECIMAL(18,2)) AS v
+  FROM events
+  UNION ALL
+  SELECT '{etype}', {ts_s}, CAST('{val}' AS DECIMAL(18,2))
+), w AS (
+  SELECT event_type, {ws} AS ws, CAST(sum(v) AS DOUBLE) AS val
+  FROM e GROUP BY event_type, {ws}
+)
+SELECT CAST(9 AS INTEGER) AS rule_id, concat('9_', event_type) AS group_id,
+       ws AS window_start, ws + 86400 AS window_end,
+       'SUM' AS agg_type, floor(val * 10000.0 + 0.5) / 10000.0 AS agg_value
+FROM w
+WHERE val > CAST('{LATE_RULE_LIMIT}' AS DOUBLE)
+"""
+
+
 CEP_QUERIES: dict[str, tuple] = {
     # name -> (callable, oracle_sql | None)
     "cep_tumbling_sum": (_rule_query([R_TUMBLING_SUM]), cep_oracle_sql([R_TUMBLING_SUM])),
@@ -906,4 +1178,6 @@ CEP_QUERIES: dict[str, tuple] = {
     ),
     "cep_many_rules": (_rule_query(MANY_RULES), cep_oracle_sql(MANY_RULES)),
     "dedup_stream_watermark": (q_dedup_stream_watermark, DEDUP_STREAM_SQL),
+    "rule_update_live": (q_rule_update_live, _rule_update_oracle_sql()),
+    "cep_late_data_policy": (q_late_data_policy, _late_data_oracle_sql()),
 }

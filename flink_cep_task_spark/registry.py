@@ -131,6 +131,8 @@ OVERFLOW_LAST = (
     # round-7 additions
     "dedup_substring",
     "incremental_rollup",
+    "rule_update_live",
+    "cep_late_data_policy",
 )
 
 
