@@ -1197,7 +1197,14 @@ def dedup_substring(
         f"array_distinct(transform(sequence(0, greatest(size(__kg) - {w}, 0)), "
         f"j -> array_min(slice(__kg, j + 1, least({w}, size(__kg))))))"
     )
-    fps = (
+    # persist the extracted fingerprints: the k-gram + winnowing pass is
+    # the expensive leg and the plan reads it FOUR times (freq, both
+    # self-join sides, per-doc counts) — unpersisted, the 64× scaling
+    # audit measured the whole query at ~4× the extraction cost, i.e.
+    # the extraction re-ran per consumer. At production scale this frame
+    # is the materialized fingerprint store a daily pipeline would keep
+    # (32-byte hash + doc id — a few % of the text size).
+    fps = _persisted(
         documents.select("doc_id", toks.alias("__w"))
         .filter(F.size("__w") >= k)
         .select("doc_id", kg.alias("__kg"))

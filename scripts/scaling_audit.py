@@ -82,6 +82,7 @@ QUERIES = [
     "ann_ivf_pq",
     # round-7 additions
     "dedup_substring",
+    "incremental_rollup",
 ]
 BASE = "/root/testdata/sf0.1"
 
