@@ -153,6 +153,16 @@ def main() -> None:
                 "sf": sf,
                 "n_queries": len(timings),
                 "notes": [
+                    "Round-7 isolation reruns of the two r5->r6 in-bench "
+                    "drifts (VERDICT r6 task #4; 3 runs each, pre-run "
+                    "load ~0.3): dedup_ngram_jaccard 4.79/5.50/5.69 s "
+                    "and cep_live_streaming 6.88/6.43/6.47 s. Neither is "
+                    "a regression: ngram's 4.8-5.7 band brackets the r6 "
+                    "in-bench 5.07 (the r5 3.78 was the favorable "
+                    "outlier; r4 in-bench was 5.15, r5 isolation 4.81); "
+                    "the live replay's 6.4-6.9 steady state confirms the "
+                    "r6 in-bench 6.69 (replay totals are micro-batch "
+                    "fixed cost, documented +-2x band). No plan changed.",
                     "Round-6 final surface (127 queries): 162.0 s with "
                     "ann_pq recorded at 10.5 s in-bench - an outlier: "
                     "isolation reruns gave ann_pq 3.7/4.1 s and "
