@@ -1151,6 +1151,32 @@ WINNOW_MIN_SHARED = 2   # pairs must share >= this many fingerprints
 WINNOW_MAX_DOCS_PER_FP = 128  # boilerplate stop-fingerprint cap
 
 
+def _winnow_fps(documents: DataFrame, k: int = WINNOW_K, w: int = WINNOW_W) -> DataFrame:
+    """(doc_id, fp) winnowing fingerprints, extracted fully IN-ROW:
+    every overlapping k-word gram is hashed via transform over a
+    position sequence, then winnowing selects the minimum hash per
+    window of w consecutive k-gram hashes — one window per position
+    while m >= w, a single window covering everything when 1 <= m < w
+    (short docs keep one fingerprint, as in the original scheme). The
+    document text never leaves its scan; only the 32-byte fingerprints
+    explode."""
+    toks = tokens(F.col("text"))
+    kg = F.expr(
+        f"transform(sequence(0, size(__w) - {k}), "
+        f"i -> md5(concat_ws(' ', slice(__w, i + 1, {k}))))"
+    )
+    sel = F.expr(
+        f"array_distinct(transform(sequence(0, greatest(size(__kg) - {w}, 0)), "
+        f"j -> array_min(slice(__kg, j + 1, least({w}, size(__kg))))))"
+    )
+    return (
+        documents.select("doc_id", toks.alias("__w"))
+        .filter(F.size("__w") >= k)
+        .select("doc_id", kg.alias("__kg"))
+        .select("doc_id", F.explode(sel).alias("fp"))
+    )
+
+
 def dedup_substring(
     documents: DataFrame,
     k: int = WINNOW_K,
@@ -1185,31 +1211,15 @@ def dedup_substring(
     the fingerprint count. The per-doc fingerprint counts reuse the
     same exploded frame, and the two doc-keyed joins that attach them
     run on the already-aggregated (pair) side."""
-    toks = tokens(F.col("text"))
-    kg = F.expr(
-        f"transform(sequence(0, size(__w) - {k}), "
-        f"i -> md5(concat_ws(' ', slice(__w, i + 1, {k}))))"
-    )
-    # winnowing: one window per position while m >= w; a single window
-    # covering everything when 1 <= m < w (short docs keep one
-    # fingerprint, as in the original scheme)
-    sel = F.expr(
-        f"array_distinct(transform(sequence(0, greatest(size(__kg) - {w}, 0)), "
-        f"j -> array_min(slice(__kg, j + 1, least({w}, size(__kg))))))"
-    )
     # persist the extracted fingerprints: the k-gram + winnowing pass is
     # the expensive leg and the plan reads it FOUR times (freq, both
     # self-join sides, per-doc counts) — unpersisted, the 64× scaling
     # audit measured the whole query at ~4× the extraction cost, i.e.
     # the extraction re-ran per consumer. At production scale this frame
     # is the materialized fingerprint store a daily pipeline would keep
-    # (32-byte hash + doc id — a few % of the text size).
-    fps = _persisted(
-        documents.select("doc_id", toks.alias("__w"))
-        .filter(F.size("__w") >= k)
-        .select("doc_id", kg.alias("__kg"))
-        .select("doc_id", F.explode(sel).alias("fp"))
-    )
+    # (32-byte hash + doc id — a few % of the text size; see
+    # write_winnow_fingerprint_store).
+    fps = _persisted(_winnow_fps(documents, k, w))
     freq = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("nd"))
     eligible = fps.join(freq.filter(F.col("nd") <= max_docs_per_fp), "fp")
     n_fps = fps.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_fps"))
@@ -1273,6 +1283,165 @@ FROM pairs
 JOIN n_fps na ON na.doc_id = doc_a
 JOIN n_fps nb ON nb.doc_id = doc_b
 """
+
+
+def write_winnow_fingerprint_store(documents: DataFrame, path: str) -> None:
+    """Materialize the winnowing-fingerprint store — the substring-dedup
+    analog of write_minhash_signature_store: per doc the selected
+    (doc_id, fp) fingerprints plus the source, partitioned BY SOURCE so
+    a daily probe's corpus read (source != today) prunes the incoming
+    partition at the file listing and an admission job appends only its
+    own partition. Fingerprints are computed once per document's
+    lifetime; no probe ever re-tokenizes corpus text."""
+    fps = _winnow_fps(documents)
+    src = documents.select("doc_id", "source")
+    (
+        fps.join(src, "doc_id")
+        .write.mode("overwrite")
+        .partitionBy("source")
+        .parquet(path)
+    )
+
+
+def dedup_substring_incremental_from_store(
+    documents: DataFrame,
+    store: DataFrame,
+    incoming_source: str = INCREMENTAL_INCOMING_SOURCE,
+    min_shared: int = WINNOW_MIN_SHARED,
+    max_docs_per_fp: int = WINNOW_MAX_DOCS_PER_FP,
+) -> DataFrame:
+    """Incremental SUBSTRING-level dedup: the daily batch's winnowing
+    fingerprints (computed inline — only incoming text is tokenized)
+    probed against the PRECOMPUTED corpus fingerprint store. Each
+    incoming doc gets:
+
+      substring_dup (match_id = best corpus match) or new
+
+    Best match = most shared fingerprints, ties to the smallest corpus
+    doc_id — fully deterministic. Completes the incremental family:
+    dedup_incremental catches byte-identical re-crawls, the minhash
+    variant whole-doc near-dups, this one a shared shifted PASSAGE
+    inside an otherwise-new document (the k+w-1-word winnowing
+    guarantee, offset-independent).
+
+    Scale shape: candidates are an fp equi-join between the incoming
+    batch's fingerprints and the store's (source != incoming lands as a
+    partition filter on the store scan — never incoming×corpus); the
+    over-common cull runs on the CORPUS side frequencies (precomputable
+    at admission), bounding any fingerprint's contribution at
+    max_docs_per_fp candidate rows per incoming fingerprint."""
+    inc_docs = documents.filter(F.col("source") == incoming_source)
+    fa = _persisted(_winnow_fps(inc_docs))
+    corpus = store.filter(F.col("source") != incoming_source)
+    cfreq = corpus.groupBy("fp").agg(F.count(F.lit(1)).alias("nd"))
+    cor_ok = corpus.join(cfreq.filter(F.col("nd") <= max_docs_per_fp), "fp")
+    na = fa.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_a"))
+    nb = corpus.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_b"))
+    pairs = (
+        fa.select(F.col("doc_id").alias("doc_a"), "fp")
+        .join(cor_ok.select(F.col("doc_id").alias("doc_b"), "fp"), "fp")
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("shared_fps"))
+        .filter(F.col("shared_fps") >= min_shared)
+    )
+    scored = (
+        pairs.join(na.select(F.col("doc_id").alias("doc_a"), "n_a"), "doc_a")
+        .join(nb.select(F.col("doc_id").alias("doc_b"), "n_b"), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "shared_fps",
+            F.round(
+                F.col("shared_fps").cast("double") / F.least("n_a", "n_b"), 6
+            ).alias("containment"),
+        )
+    )
+    best = (
+        scored.groupBy("doc_a")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("shared_fps").alias("s"),
+                    (-F.col("doc_b")).alias("nb"),
+                    F.col("containment").alias("c"),
+                )
+            ).alias("m")
+        )
+        .select(
+            "doc_a",
+            (-F.col("m.nb")).cast("long").alias("match_id"),
+            F.col("m.s").alias("shared_fps"),
+            F.col("m.c").alias("containment"),
+        )
+    )
+    inc_ids = inc_docs.select("doc_id")
+    return inc_ids.join(best, inc_ids["doc_id"] == best["doc_a"], "left").select(
+        "doc_id",
+        F.when(F.col("doc_a").isNotNull(), F.lit("substring_dup"))
+        .otherwise(F.lit("new"))
+        .alias("status"),
+        "match_id",
+        "shared_fps",
+        "containment",
+    )
+
+
+def dedup_substring_incremental_sql(
+    incoming_source: str = INCREMENTAL_INCOMING_SOURCE,
+) -> str:
+    return f"""
+WITH words AS (
+  SELECT doc_id, source, regexp_split_to_array(lower(trim(text)), '\\s+') AS w
+  FROM documents
+), kg AS (
+  SELECT doc_id, source, i,
+         md5(array_to_string(w[i:(i + {WINNOW_K} - 1)], ' ')) AS h
+  FROM words, LATERAL (SELECT unnest(range(1, len(w) - {WINNOW_K} + 2))::BIGINT AS i) s
+), win AS (
+  SELECT doc_id, source, i,
+         min(h) OVER (PARTITION BY doc_id ORDER BY i
+                      ROWS BETWEEN CURRENT ROW AND {WINNOW_W - 1} FOLLOWING) AS wmin,
+         count(*) OVER (PARTITION BY doc_id) AS m
+  FROM kg
+), fps AS (
+  SELECT DISTINCT doc_id, source, wmin AS fp
+  FROM win WHERE i <= greatest(m - {WINNOW_W} + 1, 1)
+), inc AS (
+  SELECT doc_id, fp FROM fps WHERE source = '{incoming_source}'
+), cor AS (
+  SELECT doc_id, fp FROM fps WHERE source <> '{incoming_source}'
+), cfreq AS (
+  SELECT fp FROM cor GROUP BY fp HAVING count(*) <= {WINNOW_MAX_DOCS_PER_FP}
+), na AS (
+  SELECT doc_id, count(*) AS n FROM inc GROUP BY doc_id
+), nb AS (
+  SELECT doc_id, count(*) AS n FROM cor GROUP BY doc_id
+), pairs AS (
+  SELECT a.doc_id AS doc_a, c.doc_id AS doc_b, count(*) AS shared
+  FROM inc a JOIN (SELECT cor.doc_id, cor.fp FROM cor JOIN cfreq USING (fp)) c
+    ON a.fp = c.fp
+  GROUP BY 1, 2 HAVING count(*) >= {WINNOW_MIN_SHARED}
+), scored AS (
+  SELECT doc_a, doc_b, shared,
+         round(CAST(shared AS DOUBLE) / least(na.n, nb.n), 6) AS containment
+  FROM pairs JOIN na ON na.doc_id = doc_a JOIN nb ON nb.doc_id = doc_b
+), best AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY doc_a ORDER BY shared DESC, doc_b) AS rn
+    FROM scored
+  ) WHERE rn = 1
+)
+SELECT d.doc_id,
+       CASE WHEN b.doc_a IS NULL THEN 'new' ELSE 'substring_dup' END AS status,
+       b.doc_b AS match_id,
+       CAST(b.shared AS BIGINT) AS shared_fps,
+       b.containment
+FROM (SELECT doc_id FROM documents WHERE source = '{incoming_source}') d
+LEFT JOIN best b ON b.doc_a = d.doc_id
+"""
+
+
+DEDUP_SUBSTRING_INCREMENTAL_SQL = dedup_substring_incremental_sql()
 
 
 # --- dedup retention report (clusters applied as a corpus filter) ---------

