@@ -1091,6 +1091,110 @@ def q_late_data_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rollup_stream_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING incremental-view maintenance: the day-partitioned
+    partial-aggregate store (see plans/analytics.incremental_rollup)
+    maintained UNDER STREAMING INGESTION — each micro-batch appends its
+    own mergeable per-(day, event_type) partials in foreachBatch (no
+    stateful operator, no watermark: partial aggregates commute, so the
+    store is correct whatever the batch boundaries), and the final
+    corpus rollup merges the store. Replays the events table in Metric
+    shape across several micro-batches (maxFilesPerTrigger=2); the
+    merged result must hash-match the one-shot batch oracle — the
+    invariant that lets a streaming pipeline serve batch-identical
+    rollups without ever rescanning history. Values ride as
+    DECIMAL(18,2) (the Metric measure type), so partial sums are exact
+    and merge order can't drift the float."""
+    import os
+    import tempfile
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from flink_cep_task_spark.schemas import METRIC_SCHEMA
+    from flink_cep_task_spark.streaming.pipeline import (
+        await_stream,
+        metrics_stream_from_parquet,
+    )
+
+    work, n_parts = _events_stream_workdir(spark, sf_dir, "rollup_maint_")
+    run = tempfile.mkdtemp(prefix=f"rollup_run_{uuid.uuid4().hex[:8]}_", dir=work)
+    store = os.path.join(run, "partials")
+
+    metrics = metrics_stream_from_parquet(
+        spark, os.path.join(work, "src"), METRIC_SCHEMA, max_files_per_trigger=2
+    )
+
+    def maintain(batch_df, bid: int) -> None:
+        rows = batch_df.filter(
+            F.element_at("tags", "t_event_type") != "zz_flush"
+        ).select(
+            F.element_at("tags", "t_event_type").alias("event_type"),
+            F.element_at("metrics", "value").alias("v"),
+            (F.col("event_time").cast("long")).alias("ts_s"),
+        )
+        (
+            rows.withColumn("day", F.expr("ts_s div 86400"))
+            .groupBy("day", "event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.count("v").alias("n_vals"),
+                F.sum("v").alias("sum_value"),
+                F.min("v").alias("min_value"),
+                F.max("v").alias("max_value"),
+            )
+            .write.mode("append")
+            .partitionBy("day")
+            .parquet(store)
+        )
+
+    with _shuffle_partitions(spark, 8):
+        q = (
+            metrics.writeStream.foreachBatch(maintain)
+            .option("checkpointLocation", os.path.join(run, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        await_stream(q, 600)
+
+    g = (
+        spark.read.parquet(store)
+        .groupBy("event_type")
+        .agg(
+            F.sum("n_events").cast("long").alias("n_events"),
+            F.sum("n_vals").cast("long").alias("n_vals"),
+            F.sum("sum_value").alias("_sum"),
+            F.min("min_value").alias("_min"),
+            F.max("max_value").alias("_max"),
+        )
+    )
+    return g.select(
+        "event_type",
+        "n_events",
+        "n_vals",
+        F.round(F.col("_sum").cast("double"), 2).alias("total_value"),
+        F.col("_min").cast("double").alias("min_value"),
+        F.col("_max").cast("double").alias("max_value"),
+        F.round(F.col("_sum").cast("double") / F.col("n_vals"), 6).alias("avg_value"),
+    )
+
+
+# the rollup the Metric pipeline sees: measures ride as DECIMAL(18,2)
+# (MEASURE_DECIMAL), so min/max/sum are over the cast value — exact and
+# merge-order-free
+STREAM_ROLLUP_SQL = """
+SELECT event_type,
+       count(*) AS n_events,
+       count(v) AS n_vals,
+       round(CAST(sum(v) AS DOUBLE), 2) AS total_value,
+       CAST(min(v) AS DOUBLE) AS min_value,
+       CAST(max(v) AS DOUBLE) AS max_value,
+       round(CAST(sum(v) AS DOUBLE) / count(v), 6) AS avg_value
+FROM (SELECT event_type, CAST(value AS DECIMAL(18,2)) AS v FROM events)
+GROUP BY event_type
+"""
+
+
 _TS_S_SQL = "CAST(floor(epoch(ts)) AS BIGINT)"
 
 
@@ -1180,4 +1284,5 @@ CEP_QUERIES: dict[str, tuple] = {
     "dedup_stream_watermark": (q_dedup_stream_watermark, DEDUP_STREAM_SQL),
     "rule_update_live": (q_rule_update_live, _rule_update_oracle_sql()),
     "cep_late_data_policy": (q_late_data_policy, _late_data_oracle_sql()),
+    "rollup_stream_maintain": (q_rollup_stream_maintain, STREAM_ROLLUP_SQL),
 }

@@ -134,6 +134,7 @@ OVERFLOW_LAST = (
     "rule_update_live",
     "cep_late_data_policy",
     "dedup_substring_stored",
+    "rollup_stream_maintain",
 )
 
 

@@ -28,6 +28,8 @@ FAMILIES = [
     "pack_sequences",            # window cumsum packing
     "media_feature_stats",       # mapInPandas
     "split_train_eval",          # salted-hash holdout
+    "dedup_substring",           # winnowing fingerprints (round 7)
+    "incremental_rollup",        # partial-store + batch merge (round 7)
 ]
 
 
