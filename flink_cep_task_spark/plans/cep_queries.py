@@ -1091,6 +1091,40 @@ def q_late_data_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _append_rollup_partials(batch_df, store: str, bid: int) -> None:
+    """One micro-batch's contribution to the partial-aggregate store —
+    EXACTLY-ONCE under retries: foreachBatch is at-least-once, so a
+    plain append would double-count a replayed batch. Each batch id
+    OVERWRITES its own partition directory (store/bid=N); a retry of
+    batch N rewrites bid=N instead of appending a second copy, and the
+    read-back sees the directory exactly once — the canonical
+    batchId-idempotence pattern from the foreachBatch docs."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    rows = batch_df.filter(
+        F.element_at("tags", "t_event_type") != "zz_flush"
+    ).select(
+        F.element_at("tags", "t_event_type").alias("event_type"),
+        F.element_at("metrics", "value").alias("v"),
+        (F.col("event_time").cast("long")).alias("ts_s"),
+    )
+    (
+        rows.withColumn("day", F.expr("ts_s div 86400"))
+        .groupBy("day", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count("v").alias("n_vals"),
+            F.sum("v").alias("sum_value"),
+            F.min("v").alias("min_value"),
+            F.max("v").alias("max_value"),
+        )
+        .write.mode("overwrite")
+        .parquet(os.path.join(store, f"bid={bid}"))
+    )
+
+
 def q_rollup_stream_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STREAMING incremental-view maintenance: the day-partitioned
     partial-aggregate store (see plans/analytics.incremental_rollup)
@@ -1125,32 +1159,11 @@ def q_rollup_stream_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, os.path.join(work, "src"), METRIC_SCHEMA, max_files_per_trigger=2
     )
 
-    def maintain(batch_df, bid: int) -> None:
-        rows = batch_df.filter(
-            F.element_at("tags", "t_event_type") != "zz_flush"
-        ).select(
-            F.element_at("tags", "t_event_type").alias("event_type"),
-            F.element_at("metrics", "value").alias("v"),
-            (F.col("event_time").cast("long")).alias("ts_s"),
-        )
-        (
-            rows.withColumn("day", F.expr("ts_s div 86400"))
-            .groupBy("day", "event_type")
-            .agg(
-                F.count(F.lit(1)).alias("n_events"),
-                F.count("v").alias("n_vals"),
-                F.sum("v").alias("sum_value"),
-                F.min("v").alias("min_value"),
-                F.max("v").alias("max_value"),
-            )
-            .write.mode("append")
-            .partitionBy("day")
-            .parquet(store)
-        )
-
     with _shuffle_partitions(spark, 8):
         q = (
-            metrics.writeStream.foreachBatch(maintain)
+            metrics.writeStream.foreachBatch(
+                lambda b, bid: _append_rollup_partials(b, store, bid)
+            )
             .option("checkpointLocation", os.path.join(run, "ckpt"))
             .trigger(availableNow=True)
             .start()

@@ -85,3 +85,37 @@ def test_late_data_policy_drops_and_keeps_exactly(spark, ddb):
         assert rows[(f"9_{etype}", ws)] == pytest.approx(
             base_sum(etype, ws), abs=1e-4
         )
+
+
+def test_rollup_partials_idempotent_under_batch_retry(spark, tmp_path):
+    """foreachBatch is at-least-once: replaying batch N must not
+    double-count. The per-bid overwrite makes the write idempotent —
+    the merged store after a simulated retry equals the single-write
+    merge exactly."""
+    from pyspark.sql import functions as F
+
+    from flink_cep_task_spark.plans.cep_queries import _append_rollup_partials
+    from flink_cep_task_spark.sources.tables import events_to_metrics, load_table
+
+    batch = events_to_metrics(load_table(spark, SF_DIR, "events").limit(200))
+    store = str(tmp_path / "partials")
+
+    def merged():
+        return sorted(
+            (r.event_type, r.n_events, r.n_vals, str(r.s))
+            for r in spark.read.parquet(store)
+            .groupBy("event_type")
+            .agg(
+                F.sum("n_events").alias("n_events"),
+                F.sum("n_vals").alias("n_vals"),
+                F.sum("sum_value").alias("s"),
+            )
+            .collect()
+        )
+
+    _append_rollup_partials(batch, store, 0)
+    once = merged()
+    _append_rollup_partials(batch, store, 0)  # the retry
+    assert merged() == once
+    _append_rollup_partials(batch, store, 1)  # a REAL new batch does add
+    assert merged() != once
