@@ -1731,3 +1731,125 @@ SELECT e = 1 AS in_exact, mm = 1 AS in_minhash, s = 1 AS in_simhash,
        count(*) AS n_pairs
 FROM flags GROUP BY 1, 2, 3
 """
+
+
+# --- bloom-filter scan-side pruning for incremental dedup ----------------
+
+# Bitmap sizing for the fixture scale: 2**17 bits = 2048 64-bit words
+# (16 KiB broadcast). At production scale size m ~ 10 bits per incoming
+# key (fp ~ 1%): a 1-billion-key daily crawl is a 1.25 GB bitmap — still
+# a broadcast, where the exact key set (32 B/key = 32 GB) is not.
+BLOOM_BITS = 1 << 17
+BLOOM_HASHES = 5
+
+def _bit_masks() -> Column:
+    """element_at(_bit_masks(), pos % 64 + 1) == the 64-bit word with only
+    that bit set; a literal array because Spark's shiftleft() takes a
+    literal shift count, not a column. Bit 63 wraps to the sign bit.
+    Built lazily — Column literals need an active SparkContext."""
+    return F.array(
+        *[F.lit((1 << i) if i < 63 else -(1 << 63)).cast("long") for i in range(64)]
+    )
+
+
+def _bloom_positions(k: Column) -> list[Column]:
+    """BLOOM_HASHES independent bit positions for key k: xxhash64 seeded
+    by hashing a distinct literal alongside the key (xxhash64 has no seed
+    parameter; an extra input column re-keys it)."""
+    return [
+        F.pmod(F.xxhash64(F.lit(i), k), F.lit(BLOOM_BITS))
+        for i in range(BLOOM_HASHES)
+    ]
+
+
+def dedup_bloom_prune(
+    documents: DataFrame, incoming_source: str = INCREMENTAL_INCOMING_SOURCE
+) -> DataFrame:
+    """Incremental corpus-membership check with SCAN-SIDE bloom pruning —
+    the join strategy for the regime where the CORPUS is the 100 TB side
+    and the incoming batch is too large to broadcast as an exact hash
+    table but its bloom bitmap fits anywhere.
+
+    Build: the incoming batch's keys are hashed to BLOOM_HASHES bit
+    positions, reduced to <= BLOOM_BITS/64 (word, bits) rows by a bit_or
+    aggregate — the ONLY shuffle of the build, bounded by the bitmap size
+    not the batch size — and packed into a single-row map<word,bits>
+    that broadcasts to every corpus partition (16 KiB here; see
+    BLOOM_BITS note for production sizing).
+
+    Probe: each corpus row tests its key's BLOOM_HASHES bits against the
+    broadcast map INSIDE the scan stage, so corpus rows that cannot match
+    (1 - fp of them, fp = (1 - e^(-kn/m))^k) die before the exchange.
+    Only bloom survivors — true matches plus a fp sliver — shuffle into
+    the exact equi-join that the final answer is computed from, which is
+    why the output is EXACT and a plain left-join oracle checks it: a
+    false positive survives the bloom but finds no incoming key in the
+    verify join; a false negative is impossible.
+
+    Output: one row per incoming doc — the min corpus doc_id sharing its
+    normalized-text key (NULL if the corpus has never seen it)."""
+    from functools import reduce as _reduce
+    from operator import and_ as _and
+
+    key = _exact_key()
+    inc = documents.filter(F.col("source") == incoming_source).select(
+        "doc_id", key.alias("k")
+    )
+    corpus = documents.filter(F.col("source") != incoming_source).select(
+        "doc_id", key.alias("k")
+    )
+
+    pos = inc.select(
+        F.explode(F.array(*_bloom_positions(F.col("k")))).alias("pos")
+    )
+    words = pos.select(
+        F.shiftright("pos", 6).cast("int").alias("w"),
+        F.element_at(
+            _bit_masks(), F.pmod("pos", F.lit(64)).cast("int") + F.lit(1)
+        ).alias("m"),
+    )
+    bloom = (
+        words.groupBy("w")
+        .agg(F.bit_or("m").alias("bits"))
+        .groupBy()
+        .agg(
+            F.map_from_arrays(
+                F.collect_list("w"), F.collect_list("bits")
+            ).alias("bloom")
+        )
+    )
+
+    probed = corpus.join(F.broadcast(bloom))  # 1-row broadcast attach
+    conds = []
+    for p in _bloom_positions(F.col("k")):
+        word = F.coalesce(
+            F.try_element_at(F.col("bloom"), F.shiftright(p, 6).cast("int")),
+            F.lit(0).cast("long"),
+        )
+        bit = F.element_at(_bit_masks(), F.pmod(p, F.lit(64)).cast("int") + F.lit(1))
+        conds.append(word.bitwiseAND(bit) != F.lit(0))
+    survivors = probed.filter(_reduce(_and, conds)).select("doc_id", "k")
+
+    corpus_min = survivors.groupBy("k").agg(F.min("doc_id").alias("corpus_match_id"))
+    return inc.join(corpus_min, "k", "left").select(
+        "doc_id",
+        "corpus_match_id",
+        F.col("corpus_match_id").isNotNull().alias("is_corpus_dup"),
+    )
+
+
+DEDUP_BLOOM_PRUNE_SQL = f"""
+WITH inc AS (
+  SELECT doc_id, {DEDUP_KEY_SQL} AS k
+  FROM documents WHERE source = '{INCREMENTAL_INCOMING_SOURCE}'
+),
+corp AS (
+  SELECT {DEDUP_KEY_SQL} AS k, min(doc_id) AS corpus_match_id
+  FROM documents WHERE source <> '{INCREMENTAL_INCOMING_SOURCE}'
+  GROUP BY 1
+)
+SELECT inc.doc_id,
+       corp.corpus_match_id,
+       corp.corpus_match_id IS NOT NULL AS is_corpus_dup
+FROM inc LEFT JOIN corp USING (k)
+"""

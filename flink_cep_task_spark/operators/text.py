@@ -898,3 +898,117 @@ FROM t,
      )) AS i) s
 WHERE n >= {CHUNK_MIN_WORDS}
 """
+
+
+# --- exact heavy hitters via mergeable Misra-Gries candidates ------------
+
+# Counters per partition for the candidate pass. The survival guarantee
+# is: any token with global frequency > N / HH_COUNTERS appears in at
+# least one partition's candidate set (see heavy_hitters_report), so the
+# exact second pass plus the `count * HH_COUNTERS > N` filter yields the
+# EXACT heavy-hitter set — the sketch only bounds the candidate volume,
+# never the answer.
+HH_COUNTERS = 256
+
+
+def _mg_candidates(batches):
+    """Mergeable Misra-Gries over one partition's Arrow batches.
+
+    Each batch's exact value_counts is merged into the running summary;
+    when the summary exceeds HH_COUNTERS entries it is reduced by
+    subtracting the (HH_COUNTERS+1)-th largest count from every entry and
+    dropping the non-positives (Agarwal et al., "Mergeable Summaries" —
+    the reduction removes >= (HH_COUNTERS+1) * t total mass for a
+    subtraction of t, so the sum of subtractions over the partition is
+    <= n_p / (HH_COUNTERS + 1) < n_p / HH_COUNTERS). Hence every token
+    with partition frequency > n_p / HH_COUNTERS survives; by averaging,
+    a token with GLOBAL frequency > N / HH_COUNTERS is above that
+    threshold in at least one partition. Vectorized: per-token Python
+    loops would defeat the Arrow batching.
+
+    Emits candidate rows (is_total=false) plus one partition-total row
+    (is_total=true) so the driver-side plan can compute N without a
+    third pass over the tokens."""
+    import pandas as pd
+
+    acc = None
+    n_part = 0
+    for pdf in batches:
+        n_part += len(pdf)
+        vc = pdf["token"].value_counts()
+        acc = vc if acc is None else acc.add(vc, fill_value=0)
+        if len(acc) > HH_COUNTERS:
+            t = acc.nlargest(HH_COUNTERS + 1).iloc[-1]
+            acc = acc - t  # the top HH_COUNTERS+1 entries each lose t
+            acc = acc[acc > 0]
+    toks = [] if acc is None else list(acc.index)
+    yield pd.DataFrame(
+        {
+            "token": toks + [None],
+            "n": [0] * len(toks) + [n_part],
+            "is_total": [False] * len(toks) + [True],
+        }
+    )
+
+
+def heavy_hitters_report(documents: DataFrame) -> DataFrame:
+    """EXACT heavy-hitter tokens (frequency > N / HH_COUNTERS) via the
+    two-pass candidate/recount pattern — the way exact frequent-item
+    queries run at 100 TB, where `GROUP BY token` over a trillion-key
+    Zipfian vocabulary would shuffle the entire keyspace to find the few
+    hundred heavy keys.
+
+    Pass 1 (no keyspace shuffle): per-partition mergeable Misra-Gries
+    keeps HH_COUNTERS candidates per partition, so at most
+    HH_COUNTERS x n_partitions candidate rows leave the scan — the
+    completeness guarantee is in _mg_candidates. Pass 2: the candidate
+    set (bounded, broadcast) semi-joins the token stream and only
+    candidate occurrences are counted — the shuffle moves partial counts
+    of <= HH_COUNTERS x n_partitions distinct keys. The final
+    `count x HH_COUNTERS > N` filter makes the output exact and
+    sketch-independent (any false candidate is filtered by its exact
+    count), which is what lets a plain GROUP BY oracle check it.
+
+    The token stream is re-derived for pass 2 rather than cached: at
+    target scale the exploded token column is ~10x the corpus and a
+    second linear scan is cheaper than materializing it."""
+    tok = documents.select(F.explode(tokens(F.col("text"))).alias("token"))
+    mg = tok.mapInPandas(_mg_candidates, "token string, n long, is_total boolean")
+    cand = mg.filter(~F.col("is_total")).select("token").distinct()
+    total = mg.filter(F.col("is_total")).groupBy().agg(F.sum("n").alias("n_total"))
+    counts = (
+        tok.join(F.broadcast(cand), "token")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+    )
+    out = (
+        counts.join(F.broadcast(total))
+        .filter(F.col("n_occurrences") * HH_COUNTERS > F.col("n_total"))
+        .select(
+            "token",
+            "n_occurrences",
+            F.round(F.col("n_occurrences").cast("double") / F.col("n_total"), 6).alias(
+                "share"
+            ),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc("n_occurrences"), F.asc("token"))
+    return out.withColumn("rank", F.row_number().over(w).cast("long"))
+
+
+HEAVY_HITTERS_SQL = f"""
+WITH tok AS (
+  SELECT unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS token
+  FROM documents
+),
+tot AS (SELECT count(*) AS n_total FROM tok),
+cnt AS (SELECT token, count(*) AS n_occurrences FROM tok GROUP BY token)
+SELECT token,
+       n_occurrences,
+       round(CAST(n_occurrences AS DOUBLE) / n_total, 6) AS share,
+       row_number() OVER (ORDER BY n_occurrences DESC, token) AS rank
+FROM cnt, tot
+WHERE n_occurrences * {HH_COUNTERS} > n_total
+"""

@@ -1288,6 +1288,114 @@ GROUP BY user_id
 """
 
 
+# --- keyed snapshot diff (data-versioning audit) -------------------------
+
+# diff window: old snapshot as of 2024-01-15T00:00:00Z (the shared
+# SNAPSHOT_ASOF_TS_S), new snapshot as of 2024-01-22T00:00:00Z
+SNAPSHOT_DIFF_T2_S = 1_705_881_600
+
+_DIFF_SENT = "CAST('-9999999999999999.99' AS DECIMAL(18,2))"
+_DIFF_KEY = "ts_s * 1000000000 + event_id"
+_DIFF_VAL = f"coalesce(CAST(value AS DECIMAL(18,2)), {_DIFF_SENT})"
+
+
+def _diff_snap_exprs(pred: str) -> tuple[str, str]:
+    """(type_expr, value_expr) for the per-user state as of a cutoff,
+    shared verbatim between the old/new snapshots and (f-string-inlined)
+    the oracle. Same determinism armor as state_asof_snapshot: composite
+    ts_s*1e9+event_id order key, NULL-value sentinel so Spark's
+    NULL-at-max max_by and DuckDB's NULL-skipping max_by agree."""
+    t = f"max_by(event_type, {_DIFF_KEY}) FILTER (WHERE {pred})"
+    v = (
+        f"round(CAST(nullif(max_by({_DIFF_VAL}, {_DIFF_KEY})"
+        f" FILTER (WHERE {pred}), {_DIFF_SENT}) AS DOUBLE), 2)"
+    )
+    return t, v
+
+
+def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed diff of two point-in-time snapshots of the per-user state —
+    the audit a daily pipeline runs before publishing a new table
+    version ('what changed since the last release?'). Each user is
+    classified: added (no state at t1), changed (latest event_type or
+    value differs), unchanged.
+
+    Scale shape: ONE scan, ONE shuffle. Both snapshots fold in a single
+    aggregate over events <= t2 via FILTER clauses — no self-join of two
+    as-of subqueries — so the exchange moves |users| partial rows and
+    the t2 cutoff reaches the parquet reader as a pushed row-group
+    filter (load_events_before applies it to the RAW ts column).
+    'removed' cannot occur over an append-only changelog; a tombstone
+    event_type would surface as 'changed', which is the correct reading."""
+    from flink_cep_task_spark.sources.tables import load_events_before
+
+    e = load_events_before(spark, sf_dir, SNAPSHOT_DIFF_T2_S + 1).withColumn(
+        "ts_s", F.col("ts").cast("long")
+    )
+    old_t, old_v = _diff_snap_exprs(f"ts_s <= {SNAPSHOT_ASOF_TS_S}")
+    new_t, new_v = _diff_snap_exprs(f"ts_s <= {SNAPSHOT_DIFF_T2_S}")
+    agg = e.groupBy("user_id").agg(
+        F.expr(old_t).alias("old_type"),
+        F.expr(old_v).alias("old_value"),
+        F.expr(new_t).alias("new_type"),
+        F.expr(new_v).alias("new_value"),
+        F.expr(f"count(*) FILTER (WHERE ts_s > {SNAPSHOT_ASOF_TS_S})").alias(
+            "n_new_events"
+        ),
+    )
+    change = (
+        F.when(F.col("old_type").isNull(), F.lit("added"))
+        .when(
+            F.expr(
+                "old_type IS DISTINCT FROM new_type"
+                " OR old_value IS DISTINCT FROM new_value"
+            ),
+            F.lit("changed"),
+        )
+        .otherwise(F.lit("unchanged"))
+    )
+    return agg.select(
+        "user_id",
+        change.alias("change"),
+        "old_type",
+        "old_value",
+        "new_type",
+        "new_value",
+        "n_new_events",
+    )
+
+
+def _snapshot_diff_sql() -> str:
+    old_t, old_v = _diff_snap_exprs(f"ts_s <= {SNAPSHOT_ASOF_TS_S}")
+    new_t, new_v = _diff_snap_exprs(f"ts_s <= {SNAPSHOT_DIFF_T2_S}")
+    return f"""
+WITH agg AS (
+  SELECT user_id,
+         {old_t} AS old_type,
+         {old_v} AS old_value,
+         {new_t} AS new_type,
+         {new_v} AS new_value,
+         count(*) FILTER (WHERE ts_s > {SNAPSHOT_ASOF_TS_S}) AS n_new_events
+  FROM (
+    SELECT user_id, event_id, event_type, value,
+           CAST(floor(epoch(ts)) AS BIGINT) AS ts_s
+    FROM events
+  ) WHERE ts_s <= {SNAPSHOT_DIFF_T2_S}
+  GROUP BY user_id
+)
+SELECT user_id,
+       CASE WHEN old_type IS NULL THEN 'added'
+            WHEN old_type IS DISTINCT FROM new_type
+              OR old_value IS DISTINCT FROM new_value THEN 'changed'
+            ELSE 'unchanged' END AS change,
+       old_type, old_value, new_type, new_value, n_new_events
+FROM agg
+"""
+
+
+SNAPSHOT_DIFF_SQL = _snapshot_diff_sql()
+
+
 # --- incremental aggregate maintenance (partial-aggregate store) ---------
 
 # corpus/batch split: partials cover days strictly before this instant
@@ -1462,6 +1570,7 @@ ANALYTICS_QUERIES: dict[str, tuple] = {
     "resample_ffill": (resample_ffill, RESAMPLE_FFILL_SQL),
     "scd2_user_history": (scd2_user_history, SCD2_SQL),
     "state_asof_snapshot": (state_asof_snapshot, STATE_ASOF_SQL),
+    "snapshot_diff": (snapshot_diff, SNAPSHOT_DIFF_SQL),
     "incremental_rollup": (incremental_rollup, INCREMENTAL_ROLLUP_SQL),
     "cogroup_nearest_click": (cogroup_nearest_click, NEAREST_CLICK_SQL),
     "column_profile_events": (column_profile_events, COLUMN_PROFILE_SQL),

@@ -327,6 +327,7 @@ DATAPIPE_QUERIES: dict[str, tuple] = {
     "doc_length_histogram": (_docs(T.doc_length_histogram), T.DOC_LENGTH_HIST_SQL),
     "doc_fingerprint": (_docs(T.doc_fingerprint), T.DOC_FINGERPRINT_SQL),
     "dedup_exact": (_docs(D.dedup_exact), D.DEDUP_EXACT_SQL),
+    "dedup_bloom_prune": (_docs(D.dedup_bloom_prune), D.DEDUP_BLOOM_PRUNE_SQL),
     "dedup_incremental": (_docs(D.dedup_incremental), D.DEDUP_INCREMENTAL_SQL),
     "dedup_incremental_minhash": (
         _docs(D.dedup_incremental_minhash),
@@ -345,6 +346,7 @@ DATAPIPE_QUERIES: dict[str, tuple] = {
     "dedup_simhash": (_docs(D.dedup_simhash), D.SIMHASH_SQL),
     "token_counts": (_docs(T.token_counts), T.TOKEN_COUNTS_SQL),
     "corpus_quality_report": (_docs(T.corpus_quality_report), T.CORPUS_QUALITY_SQL),
+    "heavy_hitters_report": (_docs(T.heavy_hitters_report), T.HEAVY_HITTERS_SQL),
     "knn_bruteforce": (_embs(S.knn_bruteforce), S.KNN_SQL),
     "embedding_corr_pairs": (
         _embs(S.embedding_corr_pairs),

@@ -135,6 +135,9 @@ OVERFLOW_LAST = (
     "cep_late_data_policy",
     "dedup_substring_stored",
     "rollup_stream_maintain",
+    "dedup_bloom_prune",
+    "heavy_hitters_report",
+    "snapshot_diff",
 )
 
 

@@ -65,3 +65,30 @@ def test_state_asof_null_value_parity(spark, null_value_sf_dir):
     assert by_user[2]["value"] == 7.5
     assert by_user[3]["value"] == 3.25  # post-cutoff NULL excluded
     con.close()
+
+
+def test_snapshot_diff_null_value_parity(spark, null_value_sf_dir):
+    # snapshot_diff reuses the same sentinel-coalesced max_by fold for
+    # BOTH snapshots; on this fixture user 1's state is (purchase, NULL)
+    # at both cutoffs (unchanged, with NULLs compared via IS DISTINCT
+    # FROM), and user 3 gains a post-t1 NULL-valued purchase (changed,
+    # new_value NULL) — the exact max_by NULL cases that diverge between
+    # engines without the sentinel
+    from flink_cep_task_spark.plans.analytics import (
+        SNAPSHOT_DIFF_SQL,
+        snapshot_diff,
+    )
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{null_value_sf_dir}/events.parquet/*.parquet')"
+    )
+    got = snapshot_diff(spark, null_value_sf_dir)
+    assert_parity(got, con, SNAPSHOT_DIFF_SQL)
+    by_user = {r["user_id"]: r.asDict() for r in got.collect()}
+    assert by_user[1]["change"] == "unchanged"
+    assert by_user[1]["old_value"] is None and by_user[1]["new_value"] is None
+    assert by_user[3]["change"] == "changed"
+    assert by_user[3]["old_value"] == 3.25 and by_user[3]["new_value"] is None
+    con.close()

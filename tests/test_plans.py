@@ -558,3 +558,60 @@ def test_dedup_substring_stored_prunes_store_and_pushes_incoming_filter(spark):
         if "Exchange hashpartitioning" in ln and "text#" in ln
     ]
     assert not text_shuffles, f"document text shuffled: {text_shuffles}"
+
+
+def test_dedup_bloom_prune_filters_corpus_before_exchange(spark):
+    # the bloom probe's scale contract: the membership test runs INSIDE
+    # the corpus scan stage (as the broadcast nested-loop join condition,
+    # 16 KiB bitmap build side), so corpus rows that cannot match die
+    # before any exchange — the only hash exchanges move the 32-byte key
+    # k, never document text, and the min-aggregate keeps its map-side
+    # partial so the verify join receives |distinct keys| rows
+    plan = _plan(spark, "dedup_bloom_prune")
+    bnlj = [ln for ln in plan.splitlines() if "BroadcastNestedLoopJoin" in ln]
+    assert bnlj and "xxhash64" in bnlj[0], "bloom probe not in the BNLJ condition"
+    assert "CartesianProduct" not in plan
+    assert "partial_min" in plan, "verify aggregate lost its map-side partial"
+    text_shuffles = [
+        ln for ln in plan.splitlines()
+        if "Exchange hashpartitioning" in ln and "text#" in ln
+    ]
+    assert not text_shuffles, f"document text shuffled: {text_shuffles}"
+
+
+def test_heavy_hitters_two_pass_contract(spark):
+    # exact heavy hitters' scale contract: pass 1 is the Arrow-batched
+    # Misra-Gries candidate generator (MapInPandas — no keyspace
+    # shuffle), pass 2 recounts ONLY candidate tokens behind a broadcast
+    # semi-join, so the token-keyed exchange moves partial counts of a
+    # bounded candidate set, never the full vocabulary
+    plan = _plan(spark, "heavy_hitters_report")
+    assert "MapInPandas" in plan, "candidate pass lost its MG sketch"
+    bhj = [
+        ln for ln in plan.splitlines()
+        if "BroadcastHashJoin [token" in ln.strip()
+    ]
+    assert bhj, "candidate set not broadcast into the recount pass"
+    assert "partial_count" in plan, "recount lost its map-side partial"
+
+
+def test_snapshot_diff_single_scan_single_exchange(spark):
+    # diff-of-two-snapshots contract: both snapshots fold in ONE
+    # aggregate (FILTER clauses) over ONE time-pruned scan — a self-join
+    # of two as-of subqueries would show two events scans and a join
+    # exchange; the cutoff must reach the parquet reader on the RAW ts
+    # column
+    plan = _plan(spark, "snapshot_diff")
+    event_scans = [
+        ln for ln in plan.splitlines()
+        if "FileScan parquet" in ln and "events.parquet" in ln
+    ]
+    assert len(event_scans) == 1, f"expected ONE events scan: {event_scans}"
+    assert "LessThan(ts" in event_scans[0], "time cutoff not pushed to the scan"
+    exchanges = [
+        ln for ln in plan.splitlines() if "Exchange hashpartitioning" in ln
+    ]
+    assert len(exchanges) == 1 and "user_id" in exchanges[0], (
+        f"expected exactly one user_id exchange: {exchanges}"
+    )
+    assert "partial_max_by" in plan, "aggregate lost its map-side partial"
