@@ -153,21 +153,27 @@ def main() -> None:
                 "sf": sf,
                 "n_queries": len(timings),
                 "notes": [
-                    "Round-7 final surface (137 queries): 242.5 s committed "
-                    "with mid-run host load rising to 4.7-5.6 (two "
-                    "back-to-back full runs gave 237.5/242.5 s; the "
-                    "132-query surface measured 161.6-165.7 s earlier in "
-                    "the round at load ~0 - median per-query ratio 1.29x, "
-                    "uniform across untouched TPC-H queries, i.e. host "
-                    "tenants per the variance notes below). Isolation "
-                    "reruns of the three largest in-bench outliers (3 "
-                    "runs, load ~5): ann_pq 3.8/3.6/4.2 s (its documented "
-                    "warmup band; in-bench 10.8 is the known first-use "
-                    "outlier, steady state 1.3-1.9 s), q7_volume_shipping "
-                    "1.9/1.7/2.2 s, rule_update_live 10.2/9.7/10.5 s (two-"
-                    "phase replay = two full streaming drains; documented "
-                    "+-2x replay band around the 6.3-12.4 s observations). "
-                    "No plan changed for any of the three.",
+                    "Round-7 final surface (141 queries): 184.6 s "
+                    "committed (pre-run load ~0.3 after the tenant burst "
+                    "subsided). Four full runs this surface-growth "
+                    "window: 237.5 s @ 137, 242.5 s @ 137, 208.2 s @ "
+                    "140, 184.6 s @ 141 - vs 161.6-165.7 s @ 132 earlier "
+                    "in the round at load ~0, a uniform ~1.3x inflation "
+                    "across untouched TPC-H queries (host tenants, per "
+                    "the variance notes below). Isolation reruns of the "
+                    "three largest in-bench outliers during the loaded "
+                    "window (3 runs, load ~5): ann_pq 3.8/3.6/4.2 s (its "
+                    "documented warmup band; in-bench 9.5-10.8 is the "
+                    "known first-use outlier, steady state 1.3-1.9 s), "
+                    "q7_volume_shipping 1.9/1.7/2.2 s, rule_update_live "
+                    "10.2/9.7/10.5 s loaded but 5.9 s in the final full "
+                    "run (two-phase replay = two full streaming drains, "
+                    "documented +-2x band). No plan changed for any of "
+                    "the three; the round-7 final additions cost ~4 s "
+                    "total (funnel_single_pass 0.52, event_transitions "
+                    "0.58, pii_redact_report 0.31, bucketed_user_join "
+                    "1.27 incl. its one-time bucketed-store build, plus "
+                    "the second-batch trio at 2.3/1.8/0.7).",
                     "Round-7 isolation reruns of the two r5->r6 in-bench "
                     "drifts (VERDICT r6 task #4; 3 runs each, pre-run "
                     "load ~0.3): dedup_ngram_jaccard 4.79/5.50/5.69 s "

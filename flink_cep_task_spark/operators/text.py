@@ -1012,3 +1012,86 @@ SELECT token,
 FROM cnt, tot
 WHERE n_occurrences * {HH_COUNTERS} > n_total
 """
+
+
+# --- PII detection / redaction -------------------------------------------
+
+# One pattern per PII class, written in the common subset of Java regex
+# (Spark's regexp_count/regexp_replace) and RE2 (DuckDB) so both engines
+# match identically: character classes, bounded repetition, \b, \d only —
+# no lookaround, no backreferences (RE2 has neither).
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+    "phone": r"\b\d{3}[-.]\d{3}[-.]\d{4}\b",
+}
+# redaction applies in this fixed order; the three patterns are mutually
+# non-overlapping on well-formed text (an IPv4 has four dot-separated
+# octets, a phone has a 4-digit tail, an email needs the @), and counts
+# are taken on the ORIGINAL text so order cannot shift them anyway
+PII_ORDER = ("email", "ipv4", "phone")
+
+
+def pii_redact_report(documents: DataFrame) -> DataFrame:
+    """Per-document PII detection + redaction fingerprint — the pipeline
+    stage every public training corpus runs before release (C4 and Dolma
+    both ship regex-based email/phone/IP scrubbers).
+
+    Scale shape: strictly map-only — regexp_count / regexp_replace are
+    JVM whole-stage-codegen expressions evaluated inside the scan; the
+    plan has NO exchange, no Python, and emits one narrow row per doc
+    (counts + the md5 of the redacted text, so the transform itself is
+    hash-checked cross-engine without shipping redacted bodies around).
+
+    The synthetic fixtures contain no PII, so the gate row checks the
+    no-op path (counts 0, redacted_md5 == md5(text)) across engines;
+    the match/replace semantics on PII-bearing text are parity-tested
+    against DuckDB on a synthetic corpus in tests/test_pii.py."""
+    counts = [
+        F.regexp_count(F.col("text"), F.lit(PII_PATTERNS[k])).cast("long").alias(
+            f"n_{k}"
+        )
+        for k in PII_ORDER
+    ]
+    red = F.col("text")
+    for k in PII_ORDER:
+        red = F.regexp_replace(red, PII_PATTERNS[k], f"<{k.upper()}>")
+    total = None
+    for k in PII_ORDER:
+        c = F.col(f"n_{k}")
+        total = c if total is None else total + c
+    return (
+        documents.select("doc_id", "text")
+        .select("doc_id", *counts, F.md5(red).alias("redacted_md5"))
+        .select(
+            "doc_id",
+            *[f"n_{k}" for k in PII_ORDER],
+            total.alias("n_pii_total"),
+            "redacted_md5",
+        )
+    )
+
+
+def _pii_sql() -> str:
+    cnt = ",\n       ".join(
+        f"CAST(len(regexp_extract_all(text, '{PII_PATTERNS[k]}')) AS BIGINT)"
+        f" AS n_{k}"
+        for k in PII_ORDER
+    )
+    red = "text"
+    for k in PII_ORDER:
+        red = f"regexp_replace({red}, '{PII_PATTERNS[k]}', '<{k.upper()}>', 'g')"
+    tot = " + ".join(f"n_{k}" for k in PII_ORDER)
+    return f"""
+WITH c AS (
+  SELECT doc_id,
+       {cnt},
+       md5({red}) AS redacted_md5
+  FROM documents
+)
+SELECT doc_id, n_email, n_ipv4, n_phone, {tot} AS n_pii_total, redacted_md5
+FROM c
+"""
+
+
+PII_REDACT_SQL = _pii_sql()

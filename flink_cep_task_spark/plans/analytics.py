@@ -491,6 +491,143 @@ SELECT (SELECT count(*) FROM s) AS n_signup,
 """
 
 
+def funnel_single_pass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user view -> click -> purchase funnel computed in ONE scan and
+    ONE exchange — the single-pass window formulation of the sequential
+    pattern that funnel_signup_click_purchase answers with three scans
+    and two joins. At 100 TB the difference is the whole game: this plan
+    shuffles events once on user_id, computes two cascaded running mins
+    inside one sorted window pass, and the final per-user aggregate
+    reuses the window's partitioning (no second exchange).
+
+    Cascade correctness: a click qualifies iff it is strictly later than
+    the user's first view. The running min t1r (first view at-or-before
+    this row in (ts_s, event_id) order) equals the global first view for
+    every row that can qualify: if ts_s(click) > min(view ts_s) then
+    that earliest view sorts before the click, so it is inside the
+    running frame. Same argument one level up for purchases vs the first
+    qualifying click. Stage ties (same-second view+click) do NOT qualify
+    — strictly-after semantics, matching the join formulation.
+
+    Output: one row per user — first-view / first-qualifying-click /
+    first-qualifying-purchase epoch seconds (NULL where the funnel
+    stalls) and the reached stage 0-3."""
+    e = _events(spark, sf_dir).select("user_id", "event_id", "event_type", "ts_s")
+    w = Window.partitionBy("user_id").orderBy("ts_s", "event_id")
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    is_t = lambda t: F.col("event_type") == t  # noqa: E731
+    e = e.withColumn(
+        "t1r", F.min(F.when(is_t("view"), F.col("ts_s"))).over(wrun)
+    ).withColumn(
+        "c2", F.when(is_t("click") & (F.col("ts_s") > F.col("t1r")), F.col("ts_s"))
+    )
+    e = e.withColumn("t2r", F.min("c2").over(wrun)).withColumn(
+        "c3", F.when(is_t("purchase") & (F.col("ts_s") > F.col("t2r")), F.col("ts_s"))
+    )
+    agg = e.groupBy("user_id").agg(
+        F.min(F.when(is_t("view"), F.col("ts_s"))).alias("t_view"),
+        F.min("c2").alias("t_click"),
+        F.min("c3").alias("t_purchase"),
+    )
+    stage = (
+        F.col("t_view").isNotNull().cast("int")
+        + F.col("t_click").isNotNull().cast("int")
+        + F.col("t_purchase").isNotNull().cast("int")
+    )
+    return agg.select(
+        "user_id", "t_view", "t_click", "t_purchase", stage.alias("stage")
+    )
+
+
+FUNNEL_SINGLE_PASS_SQL = """
+WITH o AS (
+  SELECT user_id, event_id, event_type,
+         CAST(floor(epoch(ts)) AS BIGINT) AS ts_s
+  FROM events
+), r1 AS (
+  SELECT user_id, event_id, event_type, ts_s,
+         min(CASE WHEN event_type = 'view' THEN ts_s END) OVER w AS t1r
+  FROM o
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts_s, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+), r2 AS (
+  SELECT *, CASE WHEN event_type = 'click' AND ts_s > t1r THEN ts_s END AS c2
+  FROM r1
+), r3 AS (
+  SELECT *, min(c2) OVER w AS t2r
+  FROM r2
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts_s, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+), r4 AS (
+  SELECT *,
+         CASE WHEN event_type = 'purchase' AND ts_s > t2r THEN ts_s END AS c3
+  FROM r3
+), agg AS (
+  SELECT user_id,
+         min(CASE WHEN event_type = 'view' THEN ts_s END) AS t_view,
+         min(c2) AS t_click,
+         min(c3) AS t_purchase
+  FROM r4 GROUP BY user_id
+)
+SELECT user_id, t_view, t_click, t_purchase,
+       CAST((t_view IS NOT NULL) AS INT) + CAST((t_click IS NOT NULL) AS INT)
+         + CAST((t_purchase IS NOT NULL) AS INT) AS stage
+FROM agg
+"""
+
+
+def event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event-type transition matrix (Markov bigram counts) with
+    each from-type's outgoing share — the sequence statistic behind
+    session modeling and behavioral anomaly detection.
+
+    Scale shape: lead() over the same (user_id | ts_s, event_id) window
+    every sequence operator here uses — one exchange, one sort — then a
+    partial-aggregated count whose keyspace is |event_types|² (25 here,
+    bounded by the type vocabulary at any corpus size). The share window
+    runs over those 25 aggregate rows, not over events."""
+    e = _events(spark, sf_dir).select("user_id", "event_id", "event_type", "ts_s")
+    w = Window.partitionBy("user_id").orderBy("ts_s", "event_id")
+    pairs = e.withColumn("to_type", F.lead("event_type").over(w)).filter(
+        F.col("to_type").isNotNull()
+    )
+    agg = pairs.groupBy(
+        F.col("event_type").alias("from_type"), "to_type"
+    ).agg(F.count(F.lit(1)).alias("n_transitions"))
+    wshare = Window.partitionBy("from_type")
+    return agg.select(
+        "from_type",
+        "to_type",
+        "n_transitions",
+        F.round(
+            F.col("n_transitions").cast("double")
+            / F.sum("n_transitions").over(wshare),
+            6,
+        ).alias("share"),
+    )
+
+
+EVENT_TRANSITIONS_SQL = """
+WITH o AS (
+  SELECT user_id, event_id, event_type,
+         CAST(floor(epoch(ts)) AS BIGINT) AS ts_s
+  FROM events
+), pairs AS (
+  SELECT event_type AS from_type,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts_s, event_id) AS to_type
+  FROM o
+), agg AS (
+  SELECT from_type, to_type, count(*) AS n_transitions
+  FROM pairs WHERE to_type IS NOT NULL GROUP BY from_type, to_type
+)
+SELECT from_type, to_type, n_transitions,
+       round(CAST(n_transitions AS DOUBLE)
+             / sum(n_transitions) OVER (PARTITION BY from_type), 6) AS share
+FROM agg
+"""
+
+
 def skewsafe_user_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact per-event-type distinct-user counts via the salted two-phase
     aggregation (operators/skew.py): phase 1 shards each group over
@@ -1538,6 +1675,146 @@ GROUP BY event_type
 """
 
 
+# --- bucketed co-located join (zero-exchange SMJ) -------------------------
+
+BUCKETED_N = 16
+_BUCKET_STORE_CACHE: dict[str, tuple[str, str]] = {}
+
+
+def _bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """Materialize (once per process per sf_dir) the two bucketed stores
+    the co-located join reads: the raw events bucketed+sorted by user_id
+    and the per-user lifetime stats bucketed the same way. At production
+    scale these are the tables a pipeline maintains ON DISK precisely so
+    that every downstream user_id join/aggregate runs with no exchange —
+    the build cost is paid once per ingest, not per query. Spark's
+    bucket metadata lives in the session catalog, so each process
+    re-registers (and at these fixture sizes rewrites) the tables; the
+    FILES at any real deployment persist under the warehouse dir."""
+    import hashlib
+    import tempfile
+
+    cached = _BUCKET_STORE_CACHE.get(sf_dir)
+    if cached is not None:
+        return cached
+    tag = f"g{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}"
+    ev_tbl, us_tbl = f"bkt_events_{tag}", f"bkt_user_stats_{tag}"
+    root = tempfile.mkdtemp(prefix="bucket_store_")
+    e = _events(spark, sf_dir).select(
+        "event_id", "user_id", "event_type", "value", "ts_s"
+    )
+    # repartition on the bucket expression BEFORE the bucketed write:
+    # repartition(N, key) and bucketBy(N, key) use the same murmur3 pmod,
+    # so each task owns exactly one bucket and writes ONE file per bucket
+    # — the layout that lets downstream scans trust the per-bucket sort
+    # (multi-file buckets force a re-sort; they'd still avoid the
+    # exchange, but one-file buckets avoid the sort too)
+    (
+        e.repartition(BUCKETED_N, "user_id")
+        .write.bucketBy(BUCKETED_N, "user_id")
+        .sortBy("user_id")
+        .option("path", f"{root}/{ev_tbl}")
+        .mode("overwrite")
+        .saveAsTable(ev_tbl)
+    )
+    stats = e.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,2)")).alias("sum_value"),
+    )
+    (
+        stats.repartition(BUCKETED_N, "user_id")
+        .write.bucketBy(BUCKETED_N, "user_id")
+        .sortBy("user_id")
+        .option("path", f"{root}/{us_tbl}")
+        .mode("overwrite")
+        .saveAsTable(us_tbl)
+    )
+    _BUCKET_STORE_CACHE[sf_dir] = (ev_tbl, us_tbl)
+    _BUCKET_STORE_DIRS.append((spark, root, ev_tbl, us_tbl))
+    return ev_tbl, us_tbl
+
+
+_BUCKET_STORE_DIRS: list[tuple] = []
+
+
+def _cleanup_bucket_stores() -> None:
+    import shutil
+
+    while _BUCKET_STORE_DIRS:
+        spark, root, ev_tbl, us_tbl = _BUCKET_STORE_DIRS.pop()
+        for t in (ev_tbl, us_tbl):
+            try:
+                spark.sql(f"DROP TABLE IF EXISTS {t}")
+            except Exception:
+                pass  # session already stopped — files removed below
+        shutil.rmtree(root, ignore_errors=True)
+
+
+_atexit.register(_cleanup_bucket_stores)
+
+
+def bucketed_user_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-located join over pre-bucketed tables — the storage-layout
+    technique that makes repeated fact-to-fact joins viable at 100 TB:
+    both sides are bucketed AND sorted by user_id into the same bucket
+    count, so the sort-merge join consumes bucket files directly with
+    ZERO exchange and zero sort on either side, and the per-user
+    aggregate on top reuses the bucket partitioning (the whole plan is
+    exchange-free — plan-pinned). Compare salted_hot_user_join, which
+    fixes skew for ad-hoc joins; bucketing is what you do when the join
+    is run every day and the layout can amortize it.
+
+    Query: purchase behavior vs lifetime activity per user — purchases
+    joined against the bucketed lifetime stats, per-user purchase share
+    of total value."""
+    ev_tbl, us_tbl = _bucketed_tables(spark, sf_dir)
+    ev = spark.table(ev_tbl).filter(F.col("event_type") == "purchase")
+    # MERGE hint: at fixture scale the stats side is broadcastable and
+    # AQE would pick BHJ, hiding the layout this query demonstrates; at
+    # production scale BOTH sides are fact tables (per-user stats over
+    # billions of users does not broadcast) and SMJ-over-buckets is the
+    # only exchange-free plan. The hint pins the at-scale shape.
+    us = spark.table(us_tbl).hint("merge")
+    j = ev.join(us, "user_id")
+    return (
+        j.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("_psum"),
+            F.first("n_events").alias("n_events_lifetime"),
+            F.first("sum_value").alias("_lsum"),
+        )
+        .select(
+            "user_id",
+            "n_purchases",
+            "n_events_lifetime",
+            F.round(F.col("_psum").cast("double"), 2).alias("purchase_value"),
+            F.round(
+                F.col("_psum").cast("double") / F.col("_lsum").cast("double"), 6
+            ).alias("purchase_share"),
+        )
+    )
+
+
+BUCKETED_JOIN_SQL = """
+WITH stats AS (
+  SELECT user_id, count(*) AS n_events,
+         sum(CAST(value AS DECIMAL(18,2))) AS sum_value
+  FROM events GROUP BY user_id
+)
+SELECT e.user_id,
+       count(*) AS n_purchases,
+       any_value(s.n_events) AS n_events_lifetime,
+       round(CAST(sum(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE), 2)
+         AS purchase_value,
+       round(CAST(sum(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE)
+             / CAST(any_value(s.sum_value) AS DOUBLE), 6) AS purchase_share
+FROM events e JOIN stats s USING (user_id)
+WHERE e.event_type = 'purchase'
+GROUP BY e.user_id
+"""
+
+
 ANALYTICS_QUERIES: dict[str, tuple] = {
     "topk_users_per_type": (topk_users_per_type, TOPK_SQL),
     "sessionize_events": (sessionize, SESSION_SQL),
@@ -1555,6 +1832,8 @@ ANALYTICS_QUERIES: dict[str, tuple] = {
     "asof_last_click_before_purchase": (asof_last_click_before_purchase, ASOF_SQL),
     # past the driver gate (registry.OVERFLOW_LAST); locally oracle-gated
     "funnel_signup_click_purchase": (funnel_signup_click_purchase, FUNNEL_SQL),
+    "funnel_single_pass": (funnel_single_pass, FUNNEL_SINGLE_PASS_SQL),
+    "event_transitions": (event_transitions, EVENT_TRANSITIONS_SQL),
     "moving_avg_user_value": (moving_avg_user_value, MOVING_AVG_SQL),
     "skewsafe_user_distinct": (skewsafe_user_distinct, SKEWSAFE_DISTINCT_SQL),
     "salted_hot_user_join": (salted_hot_user_join, SALTED_JOIN_SQL),
@@ -1572,6 +1851,7 @@ ANALYTICS_QUERIES: dict[str, tuple] = {
     "state_asof_snapshot": (state_asof_snapshot, STATE_ASOF_SQL),
     "snapshot_diff": (snapshot_diff, SNAPSHOT_DIFF_SQL),
     "incremental_rollup": (incremental_rollup, INCREMENTAL_ROLLUP_SQL),
+    "bucketed_user_join": (bucketed_user_join, BUCKETED_JOIN_SQL),
     "cogroup_nearest_click": (cogroup_nearest_click, NEAREST_CLICK_SQL),
     "column_profile_events": (column_profile_events, COLUMN_PROFILE_SQL),
 }

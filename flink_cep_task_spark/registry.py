@@ -138,6 +138,10 @@ OVERFLOW_LAST = (
     "dedup_bloom_prune",
     "heavy_hitters_report",
     "snapshot_diff",
+    "funnel_single_pass",
+    "event_transitions",
+    "pii_redact_report",
+    "bucketed_user_join",
 )
 
 

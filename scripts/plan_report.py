@@ -70,6 +70,33 @@ SHOWCASE = {
         "the pushed GreaterThanOrEqual time cutoff — a daily run reads "
         "one day of events, never the corpus."
     ),
+    "dedup_bloom_prune": (
+        "Scan-side bloom pruning: the incoming batch reduces to a 16 KiB "
+        "bitmap (bit_or aggregate bounded by the bitmap, not the batch) "
+        "broadcast into the corpus scan as the BroadcastNestedLoopJoin "
+        "condition, so non-matching corpus rows die before any exchange; "
+        "only survivors reach the exact verify join."
+    ),
+    "heavy_hitters_report": (
+        "Exact heavy hitters without a vocabulary shuffle: pass 1 is the "
+        "MapInPandas Misra-Gries candidate sketch (bounded output per "
+        "partition), pass 2 recounts ONLY candidates behind a "
+        "BroadcastHashJoin — the keyed exchange moves partial counts of "
+        "a bounded candidate set over a second linear token scan."
+    ),
+    "funnel_single_pass": (
+        "The 3-stage sequential funnel in ONE scan and ONE user_id "
+        "exchange: two cascaded running-min Window passes share the same "
+        "sort, and the final per-user aggregate reuses the window's hash "
+        "partitioning — no second exchange, no joins (the join-cascade "
+        "formulation pays three scans and two shuffled joins)."
+    ),
+    "bucketed_user_join": (
+        "Co-located storage layout: both sides are bucketed+sorted by "
+        "user_id (one file per bucket), so the SortMergeJoin and the "
+        "per-user aggregate above it run with ZERO Exchange nodes in the "
+        "entire plan — the only sorts are partition-local."
+    ),
 }
 
 

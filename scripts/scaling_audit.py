@@ -84,6 +84,13 @@ QUERIES = [
     "dedup_substring",
     "incremental_rollup",
     "dedup_substring_stored",
+    "dedup_bloom_prune",
+    "heavy_hitters_report",
+    "snapshot_diff",
+    "funnel_single_pass",
+    "event_transitions",
+    "pii_redact_report",
+    "bucketed_user_join",
 ]
 BASE = "/root/testdata/sf0.1"
 

@@ -615,3 +615,73 @@ def test_snapshot_diff_single_scan_single_exchange(spark):
         f"expected exactly one user_id exchange: {exchanges}"
     )
     assert "partial_max_by" in plan, "aggregate lost its map-side partial"
+
+
+def test_funnel_single_pass_one_scan_one_exchange(spark):
+    # the whole point of the single-pass formulation vs the join-cascade
+    # funnel: ONE events scan and ONE user_id exchange — the cascaded
+    # running mins ride a single sorted window pass, and the final
+    # per-user aggregate reuses the window's hash partitioning
+    plan = _plan(spark, "funnel_single_pass")
+    event_scans = [
+        ln for ln in plan.splitlines()
+        if "FileScan parquet" in ln and "events.parquet" in ln
+    ]
+    assert len(event_scans) == 1, f"expected ONE events scan: {event_scans}"
+    exchanges = [
+        ln for ln in plan.splitlines() if "Exchange hashpartitioning" in ln
+    ]
+    assert len(exchanges) == 1 and "user_id" in exchanges[0], (
+        f"expected exactly one user_id exchange: {exchanges}"
+    )
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+
+
+def test_event_transitions_event_level_exchange_is_user_only(spark):
+    # one events scan; the ONLY event-cardinality exchange is the user_id
+    # window shuffle — the (from_type, to_type) and from_type exchanges
+    # sit above a map-side partial count whose keyspace is bounded by
+    # |event_types|^2 at any corpus size
+    plan = _plan(spark, "event_transitions")
+    event_scans = [
+        ln for ln in plan.splitlines()
+        if "FileScan parquet" in ln and "events.parquet" in ln
+    ]
+    assert len(event_scans) == 1, f"expected ONE events scan: {event_scans}"
+    assert "partial_count" in plan, "transition count lost its map-side partial"
+    exchanges = [
+        ln for ln in plan.splitlines() if "Exchange hashpartitioning" in ln
+    ]
+    user_ex = [ln for ln in exchanges if "user_id" in ln]
+    assert len(user_ex) == 1, f"expected one user_id exchange: {exchanges}"
+    for ln in exchanges:
+        if "user_id" not in ln:
+            assert "event_type" in ln or "from_type" in ln or "to_type" in ln, (
+                f"unexpected exchange key: {ln}"
+            )
+
+
+def test_pii_redact_is_map_only(spark):
+    # PII scrubbing is embarrassingly parallel: no hash exchange anywhere
+    # (the only allowed exchange is widen_small_scan's conditional
+    # RoundRobin, a no-op on splittable production inputs), no Python —
+    # regexp_count/replace stay inside whole-stage codegen on the scan
+    plan = _plan(spark, "pii_redact_report")
+    assert "Exchange hashpartitioning" not in plan
+    assert "SortMergeJoin" not in plan and "Window" not in plan
+    for marker in ("MapInPandas", "ArrowEvalPython", "BatchEvalPython"):
+        assert marker not in plan, f"Python in the PII hot path: {marker}"
+
+
+def test_bucketed_user_join_is_exchange_free(spark):
+    # the bucketed-layout contract: both sides are bucketed+sorted by
+    # user_id into the same bucket count, so the sort-merge join AND the
+    # per-user aggregate on top run with ZERO exchange of any kind —
+    # the plan's only sorts are partition-local (no shuffle beneath them)
+    plan = _plan(spark, "bucketed_user_join")
+    exchanges = [ln.strip() for ln in plan.splitlines() if "Exchange" in ln]
+    assert not exchanges, f"bucketed join plan shuffled: {exchanges}"
+    assert "SortMergeJoin" in plan, "co-located join lost its SMJ shape"
+    bucketed = sum("Bucketed: true" in ln for ln in plan.splitlines())
+    assert bucketed >= 2, f"expected both scans bucketed, saw {bucketed}"
+    assert "partial_count" in plan or "HashAggregate" in plan
