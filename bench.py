@@ -153,14 +153,17 @@ def main() -> None:
                 "sf": sf,
                 "n_queries": len(timings),
                 "notes": [
-                    "Round-7 final surface (141 queries): 184.6 s "
-                    "committed (pre-run load ~0.3 after the tenant burst "
-                    "subsided). Four full runs this surface-growth "
-                    "window: 237.5 s @ 137, 242.5 s @ 137, 208.2 s @ "
-                    "140, 184.6 s @ 141 - vs 161.6-165.7 s @ 132 earlier "
-                    "in the round at load ~0, a uniform ~1.3x inflation "
-                    "across untouched TPC-H queries (host tenants, per "
-                    "the variance notes below). Isolation reruns of the "
+                    "Round-7 final surface (143 queries): 219.6 s "
+                    "committed; the two stream-stream interval-join "
+                    "replays added in this step cost 8.8 + 7.7 s "
+                    "(standard replay-drain fixed cost, 6 micro-batches "
+                    "each). Five full runs this surface-growth window: "
+                    "237.5 s @ 137, 242.5 s @ 137, 208.2 s @ 140, "
+                    "184.6 s @ 141, 219.6 s @ 143 - vs 161.6-165.7 s @ "
+                    "132 earlier in the round at load ~0, a uniform "
+                    "~1.3x inflation during the tenant-load windows, "
+                    "uniform across untouched TPC-H queries (per the "
+                    "variance notes below). Isolation reruns of the "
                     "three largest in-bench outliers during the loaded "
                     "window (3 runs, load ~5): ann_pq 3.8/3.6/4.2 s (its "
                     "documented warmup band; in-bench 9.5-10.8 is the "

@@ -1260,6 +1260,196 @@ WHERE val > CAST('{LATE_RULE_LIMIT}' AS DOUBLE)
 """
 
 
+# --- stream-stream interval-join parity (followed-by / negation) ---------
+
+# time-ordered replay scaffold: 4 contiguous time-range files (mtime
+# order = event-time order, so a MODEST watermark delay never drops a
+# row) + one far-future pusher that flushes the left-outer join's
+# retained unmatched rows. Same lifecycle as _WORKDIR_CACHE.
+_FB_WORKDIR_CACHE: dict[str, tuple[str, int]] = {}
+FB_WITHIN_S = 1800  # 'followed by within 30 minutes'
+
+
+def _fb_stream_workdir(spark: SparkSession, sf_dir: str) -> tuple[str, int]:
+    import glob as _glob
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    cached = _FB_WORKDIR_CACHE.get(sf_dir)
+    if cached is not None and os.path.isdir(os.path.join(cached[0], "src")):
+        return cached
+    work = tempfile.mkdtemp(prefix="fb_join_", dir=_pick_tmpfs())
+    src = os.path.join(work, "src")
+    os.makedirs(src)
+    e = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("click", "purchase"))
+        .select(
+            # second truncation so the stream's timestamp comparisons and
+            # the oracle's integer epoch arithmetic see identical instants
+            F.timestamp_seconds(F.col("ts").cast("long")).alias("event_time"),
+            "user_id",
+            "event_type",
+        )
+    )
+    lo, hi = e.agg(
+        F.min(F.col("event_time").cast("long")),
+        F.max(F.col("event_time").cast("long")),
+    ).first()
+    span = max(hi - lo + 1, 4)
+    n_files = 0
+    for i in range(4):
+        a = lo + span * i // 4
+        b = lo + span * (i + 1) // 4
+        part = e.filter(
+            (F.col("event_time").cast("long") >= a)
+            & (F.col("event_time").cast("long") < b)
+        )
+        tmp = os.path.join(work, f"stage_{i}")
+        part.coalesce(1).write.mode("overwrite").parquet(tmp)
+        files = _glob.glob(os.path.join(tmp, "part-*.parquet"))
+        if files:
+            dest = os.path.join(src, f"f{i}.parquet")
+            shutil.move(files[0], dest)
+            os.utime(dest, (1_000_000 + i, 1_000_000 + i))
+            n_files += 1
+        shutil.rmtree(tmp, ignore_errors=True)
+    # TWO pushers, 40 and 80 days past the data. Subtleties measured the
+    # hard way: (a) stream-stream join state eviction — which is what
+    # EMITS the left-outer variant's unmatched rows — runs only in
+    # batches that process data; the trailing no-data batch advanced the
+    # watermark but left 2 tail rows retained forever, so pusher 2's
+    # batch is what applies pusher 1's watermark. (b) the join's
+    # event-time watermark is min() over BOTH withWatermark operators,
+    # and each sits ABOVE an event_type filter — a row that matches
+    # neither type never reaches either watermark node. Each pusher file
+    # therefore carries one click + one purchase under the reserved
+    # user_id -1 (same timestamp, so b_time > a_time can't pair them;
+    # the gated queries filter user_id >= 0 from the output).
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    for j, days in enumerate((40, 80)):
+        dest = os.path.join(src, f"zz_flush_{j}.parquet")
+        t_us = (hi + days * 86_400) * 1_000_000
+        pq.write_table(
+            pa.Table.from_arrays(
+                [
+                    pa.array([t_us, t_us], type=pa.timestamp("us")),
+                    pa.array([-1, -1], type=pa.int64()),
+                    pa.array(["click", "purchase"], type=pa.string()),
+                ],
+                names=["event_time", "user_id", "event_type"],
+            ),
+            dest,
+        )
+        os.utime(dest, (1_000_010 + j, 1_000_010 + j))
+    _FB_WORKDIR_CACHE[sf_dir] = (work, n_files + 2)
+    return work, n_files + 2
+
+
+def _drain_fb(spark: SparkSession, work: str, out: DataFrame, tag: str) -> DataFrame:
+    import os
+    import uuid
+
+    from flink_cep_task_spark.streaming.pipeline import await_stream
+
+    name = f"{tag}_{uuid.uuid4().hex[:8]}"
+    with _shuffle_partitions(spark, 8):
+        q = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", os.path.join(work, f"ckpt_{name}"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        await_stream(q, 600)
+    return spark.table(name)
+
+
+def _fb_stream(spark: SparkSession, work: str) -> DataFrame:
+    import os
+
+    return (
+        spark.readStream.schema(
+            "event_time timestamp, user_id long, event_type string"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(work, "src"))
+    )
+
+
+def q_followed_by_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING parity for the stream-stream INTERVAL JOIN — the CEP
+    'A followed by B within T' as a live two-sided join
+    (streaming/ops.followed_by_stream): clicks and purchases replayed
+    over 4 time-ordered micro-batches, so cross-batch pairs (a click in
+    batch k matched by a purchase in batch k+1) exercise the join state
+    store, and the 45-minute watermark delay (> the 30-minute interval)
+    bounds that state by (delay + interval), not history — the scaffold's
+    time-ranged files guarantee no row ever arrives below the watermark,
+    so the emitted multiset equals the batch interval join (the oracle)
+    exactly."""
+    from pyspark.sql import functions as F
+
+    from flink_cep_task_spark.streaming.ops import followed_by_stream
+
+    work, _n = _fb_stream_workdir(spark, sf_dir)
+    out = followed_by_stream(_fb_stream(spark, work), watermark="45 minutes")
+    return _drain_fb(spark, work, out, "fb_stream").filter(
+        F.col("user_id") >= 0  # drop the watermark-pusher sentinel rows
+    )
+
+
+def q_not_followed_by_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING parity for CEP NEGATION — 'A *not* followed by B within
+    T' (the abandoned-cart alert) as a watermarked LEFT OUTER interval
+    join (streaming/ops.followed_by_timeout_stream). The reference cannot
+    express absence of an event at all (its only trigger is an arriving
+    metric, SURVEY §2); event-time timeout emission is the principled
+    version: an unmatched click is emitted (then_ts NULL) only once the
+    watermark proves no qualifying purchase can still arrive, which the
+    scaffold's far-future pusher forces for every retained row before the
+    drain ends. Matched clicks emit with their pair timestamps — the full
+    multiset equals the batch LEFT JOIN oracle."""
+    from pyspark.sql import functions as F
+
+    from flink_cep_task_spark.streaming.ops import followed_by_timeout_stream
+
+    work, _n = _fb_stream_workdir(spark, sf_dir)
+    out = followed_by_timeout_stream(_fb_stream(spark, work), watermark="45 minutes")
+    return _drain_fb(spark, work, out, "nfb_stream").filter(
+        F.col("user_id") >= 0  # drop the watermark-pusher sentinel rows
+    )
+
+
+_FB_E_SQL = f"""
+  SELECT user_id, event_type, {_TS_S_SQL} AS ts_s
+  FROM events WHERE event_type IN ('click', 'purchase')
+"""
+
+FOLLOWED_BY_STREAM_SQL = f"""
+WITH e AS ({_FB_E_SQL})
+SELECT a.user_id, a.ts_s AS first_ts, b.ts_s AS then_ts
+FROM e a JOIN e b ON a.user_id = b.user_id
+WHERE a.event_type = 'click' AND b.event_type = 'purchase'
+  AND b.ts_s > a.ts_s AND b.ts_s <= a.ts_s + {FB_WITHIN_S}
+"""
+
+NOT_FOLLOWED_BY_STREAM_SQL = f"""
+WITH e AS ({_FB_E_SQL}),
+c AS (SELECT user_id, ts_s FROM e WHERE event_type = 'click'),
+p AS (SELECT user_id, ts_s FROM e WHERE event_type = 'purchase')
+SELECT c.user_id, c.ts_s AS first_ts, p.ts_s AS then_ts
+FROM c LEFT JOIN p ON c.user_id = p.user_id
+  AND p.ts_s > c.ts_s AND p.ts_s <= c.ts_s + {FB_WITHIN_S}
+"""
+
+
 CEP_QUERIES: dict[str, tuple] = {
     # name -> (callable, oracle_sql | None)
     "cep_tumbling_sum": (_rule_query([R_TUMBLING_SUM]), cep_oracle_sql([R_TUMBLING_SUM])),
@@ -1298,4 +1488,9 @@ CEP_QUERIES: dict[str, tuple] = {
     "rule_update_live": (q_rule_update_live, _rule_update_oracle_sql()),
     "cep_late_data_policy": (q_late_data_policy, _late_data_oracle_sql()),
     "rollup_stream_maintain": (q_rollup_stream_maintain, STREAM_ROLLUP_SQL),
+    "cep_followed_by_stream": (q_followed_by_stream, FOLLOWED_BY_STREAM_SQL),
+    "cep_not_followed_by_stream": (
+        q_not_followed_by_stream,
+        NOT_FOLLOWED_BY_STREAM_SQL,
+    ),
 }

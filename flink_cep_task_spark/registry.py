@@ -142,6 +142,8 @@ OVERFLOW_LAST = (
     "event_transitions",
     "pii_redact_report",
     "bucketed_user_join",
+    "cep_followed_by_stream",
+    "cep_not_followed_by_stream",
 )
 
 

@@ -91,6 +91,8 @@ QUERIES = [
     "event_transitions",
     "pii_redact_report",
     "bucketed_user_join",
+    "cep_followed_by_stream",
+    "cep_not_followed_by_stream",
 ]
 BASE = "/root/testdata/sf0.1"
 
