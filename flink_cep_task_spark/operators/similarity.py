@@ -582,7 +582,9 @@ def _assign_cells(base: DataFrame, cents: list[tuple[int, list[int]]], k: int) -
 _FIT_CACHE: dict[tuple, list[tuple[int, list[int]]]] = {}
 
 
-def _fit_centroids(base: DataFrame, n_iters: int = IVF_KMEANS_ITERS) -> list[tuple[int, list[int]]]:
+def _fit_centroids(
+    base: DataFrame, n_iters: int = IVF_KMEANS_ITERS, key_extra: str = ""
+) -> list[tuple[int, list[int]]]:
     """Deterministic distributed k-means (Lloyd) over the micro-unit
     integer vectors, bit-identical in Spark and DuckDB:
 
@@ -609,7 +611,11 @@ def _fit_centroids(base: DataFrame, n_iters: int = IVF_KMEANS_ITERS) -> list[tup
     files = getattr(base, "_graft_input_files", None) or tuple(
         sorted(base.inputFiles())
     )
-    key = (files, n_iters)
+    # key_extra disambiguates fits over FILTERED views of the same files
+    # (e.g. the corpus-only fit of the incremental index) — a plain
+    # filter does not change inputFiles(), so without it the memo would
+    # alias two different fits
+    key = (files, n_iters, key_extra)
     if files and key in _FIT_CACHE:
         return [(cid, list(v)) for cid, v in _FIT_CACHE[key]]
 
@@ -699,16 +705,22 @@ def ann_ivf(embeddings: DataFrame) -> DataFrame:
     )
 
 
-def _ivf_common_ctes() -> tuple[str, str]:
+def _ivf_common_ctes(fit_where: str = "") -> tuple[str, str]:
     """Shared oracle prefix for every IVF-derived query: the deterministic
     k-means fit (Lloyd iterations unrolled as CTE pairs — the oracle
     derives the fitted centroids from the data exactly like the engine),
     the full-corpus dots against the fitted centroids, and the inverted
-    file. Returns (ctes, final_centroid_cte_name)."""
+    file. Returns (ctes, final_centroid_cte_name). fit_where restricts
+    the FIT (seeds + Lloyd sample) only — assignment still covers every
+    vector — which is how the incremental index's corpus-only fit is
+    replayed."""
     ids = ", ".join(str(i) for i in IVF_CENTROID_IDS)
+    extra = f" AND ({fit_where})" if fit_where else ""
     lloyd = [
-        f"sflat AS (SELECT * FROM flat WHERE vec_id % {IVF_FIT_SAMPLE_MOD} = 0)",
-        f"c0 AS (SELECT vec_id AS cid, i, v AS cv FROM flat WHERE vec_id IN ({ids}))",
+        "sflat AS (SELECT * FROM flat "
+        f"WHERE vec_id % {IVF_FIT_SAMPLE_MOD} = 0{extra})",
+        "c0 AS (SELECT vec_id AS cid, i, v AS cv FROM flat "
+        f"WHERE vec_id IN ({ids}){extra})",
     ]
     for it in range(IVF_KMEANS_ITERS):
         lloyd.append(f"""d{it} AS (
@@ -747,9 +759,11 @@ inv_file AS (SELECT vec_id, cid AS cell FROM ranked_cells WHERE rnk = 1)"""
     return ctes, cfin
 
 
-def _ivf_sql() -> str:
-    """Mirrors ann_ivf: shared fit/inverted-file prefix + probe/verify."""
-    ctes, _cfin = _ivf_common_ctes()
+def _ivf_sql(fit_where: str = "") -> str:
+    """Mirrors ann_ivf: shared fit/inverted-file prefix + probe/verify.
+    With fit_where, mirrors ann_ivf_stored instead (corpus-only fit,
+    assignment unchanged)."""
+    ctes, _cfin = _ivf_common_ctes(fit_where)
     return f"""
 WITH {ctes},
 probes AS (
@@ -784,6 +798,116 @@ SELECT query_id, neighbor_id, cosine, rnk FROM (
 
 
 ANN_IVF_SQL = _ivf_sql()
+
+
+# --- incremental IVF index maintenance -------------------------------------
+
+# embeddings with this label are "today's batch"; everything else is the
+# corpus the stored index covers. A plain equality predicate so the
+# incoming scan's filter pushes to parquet, like the dedup stores' source
+# split.
+IVF_INCOMING_LABEL = 9
+
+
+def write_ivf_index_store(embeddings: DataFrame, path: str) -> None:
+    """Persist the IVF index a daily ANN pipeline maintains — the ANN
+    analog of the MinHash/winnowing signature stores: the k-means
+    centroids fitted on the CORPUS ONLY (label != IVF_INCOMING_LABEL;
+    seeds inside the incoming batch drop out of the fit exactly as the
+    oracle's fit predicate drops them) plus the corpus inverted file
+    (vec_id -> nearest cell), partitioned by cell. A daily run then
+    assigns only the incoming batch against the stored centroids — one
+    matmul over |batch| rows — instead of re-scoring (or re-fitting
+    over) the corpus. Centroids are integer vectors, so the parquet
+    round trip is exact and every later dot product stays exact."""
+    from flink_cep_task_spark.operators.cache import persisted
+
+    corpus = persisted(
+        _with_norm(embeddings.filter(F.col("label") != IVF_INCOMING_LABEL))
+    )
+    cents = _fit_centroids(corpus, key_extra="ivf_corpus_fit")
+    spark = embeddings.sparkSession
+    spark.createDataFrame(
+        [(int(cid), [int(x) for x in v]) for cid, v in cents],
+        "cid LONG, cv ARRAY<BIGINT>",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+    inv = _assign_cells(corpus, cents, 1).filter(F.col("rank") == 0).drop("rank")
+    inv.write.partitionBy("cell").mode("overwrite").parquet(f"{path}/inv_file")
+
+
+def ann_ivf_stored(embeddings: DataFrame, store_path: str) -> DataFrame:
+    """Incremental IVF probe: top-5 cosine neighbors per query where the
+    index = the STORED corpus inverted file UNIONed with today's batch
+    assigned on the fly to the STORED centroids. Result-identical to
+    assigning every vector to the corpus-fit centroids from scratch,
+    which is what the oracle does in SQL — the store changes the COST,
+    never the answer.
+
+    Scale shape: probe-time Python is two bounded matmul passes (the
+    incoming batch + the |Q| query vectors); the corpus contributes only
+    a (vec_id, cell) FileScan of the index store, and full corpus
+    vectors are touched exclusively inside the exact rerank join of the
+    bounded candidate set."""
+    from flink_cep_task_spark.operators.cache import persisted
+
+    spark = embeddings.sparkSession
+    cents = sorted(
+        (r["cid"], list(r["cv"]))
+        for r in spark.read.parquet(f"{store_path}/centroids").collect()
+    )
+    corpus_inv = spark.read.parquet(f"{store_path}/inv_file").select(
+        "vec_id", F.col("cell").cast("int").alias("cell")
+    )
+    base = persisted(_with_norm(embeddings))
+    incoming = _with_norm(embeddings.filter(F.col("label") == IVF_INCOMING_LABEL))
+    inc_inv = (
+        _assign_cells(incoming, cents, 1)
+        .filter(F.col("rank") == 0)
+        .select("vec_id", "cell")
+    )
+    inv_all = corpus_inv.unionByName(inc_inv)
+    probes = (
+        _assign_cells(base.filter(F.col("vec_id") < N_QUERIES), cents, IVF_NPROBE)
+        .drop("rank")
+        .withColumnRenamed("vec_id", "query_id")
+    )
+    cand = (
+        inv_all.join(F.broadcast(probes), "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"))
+        .distinct()
+    )
+    q = base.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
+    )
+    pairs = (
+        cand.join(base.withColumnRenamed("vec_id", "neighbor_id"), "neighbor_id")
+        .join(F.broadcast(q), "query_id")
+    )
+    cos = _cosine(F.col("qv"), F.col("v"), F.col("qn"), F.col("nrm"))
+    ranked = pairs.select(
+        "query_id", "neighbor_id", cos.alias("cosine")
+    ).withColumn(
+        "rnk",
+        F.row_number().over(
+            Window.partitionBy("query_id").orderBy(
+                F.col("cosine").desc(), F.col("neighbor_id")
+            )
+        ),
+    )
+    return ranked.filter(F.col("rnk") <= TOP_K).select(
+        "query_id", "neighbor_id", "cosine", "rnk"
+    )
+
+
+ANN_IVF_STORED_SQL = _ivf_sql(
+    fit_where=(
+        "vec_id IN (SELECT vec_id FROM embeddings "
+        f"WHERE label <> {IVF_INCOMING_LABEL})"
+    )
+)
 
 
 # --- cluster-scoped semantic dedup (SemDeDup) ------------------------------

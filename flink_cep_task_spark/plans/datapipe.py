@@ -124,6 +124,51 @@ def dedup_incremental_minhash_stored(spark: SparkSession, sf_dir: str) -> DataFr
     )
 
 
+# per-sf_dir materialized IVF index store (corpus-fit centroids +
+# cell-partitioned inverted file) — the ANN analog of the signature
+# stores, same lifecycle
+_IVF_STORE_CACHE: dict[str, str] = {}
+
+
+def _ivf_store(spark: SparkSession, sf_dir: str) -> str:
+    import os
+    import tempfile
+
+    cached = _IVF_STORE_CACHE.get(sf_dir)
+    if cached is not None and os.path.isdir(cached):
+        return cached
+    path = os.path.join(tempfile.mkdtemp(prefix="ivf_store_"), "ivf_index")
+    S.write_ivf_index_store(
+        widen_small_scan(load_table(spark, sf_dir, "embeddings")), path
+    )
+    _IVF_STORE_CACHE[sf_dir] = path
+    return path
+
+
+def _cleanup_ivf_stores() -> None:
+    import shutil
+
+    while _IVF_STORE_CACHE:
+        _, path = _IVF_STORE_CACHE.popitem()
+        shutil.rmtree(path, ignore_errors=True)
+
+
+_atexit.register(_cleanup_ivf_stores)
+
+
+def ann_ivf_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ann_ivf's incremental daily-production twin: the probe reads the
+    MATERIALIZED corpus index (operators/similarity.write_ivf_index_store)
+    and assigns only the incoming batch (label = IVF_INCOMING_LABEL,
+    pushed to the scan) plus the query vectors against the stored
+    centroids — the corpus contributes a (vec_id, cell) FileScan, never
+    a matmul. Oracle: the full from-scratch SQL recompute with the fit
+    restricted to corpus vectors — store vs recompute must agree
+    byte-for-byte."""
+    emb = widen_small_scan(load_table(spark, sf_dir, "embeddings"))
+    return S.ann_ivf_stored(emb, _ivf_store(spark, sf_dir))
+
+
 def rag_retrieve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RAG retrieval composition: exact top-k cosine neighbors for each
     query vector (knn_bruteforce), joined to the documents table
@@ -357,6 +402,7 @@ DATAPIPE_QUERIES: dict[str, tuple] = {
     "ann_ivf": (_embs(S.ann_ivf), S.ANN_IVF_SQL),
     "ann_pq": (_embs(S.ann_pq), S.ANN_PQ_SQL),
     "ann_ivf_pq": (_embs(S.ann_ivf_pq), S.ANN_IVF_PQ_SQL),
+    "ann_ivf_stored": (ann_ivf_stored, S.ANN_IVF_STORED_SQL),
     "pq_codes": (_embs(S.pq_codes), S.PQ_CODES_SQL),
     "dedup_embedding_cosine": (_embs(S.dedup_embedding_cosine), S.COSINE_DUP_SQL),
     "media_feature_stats": (_docs(M.media_feature_stats), M.MEDIA_FEATURES_SQL),

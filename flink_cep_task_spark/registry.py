@@ -144,6 +144,7 @@ OVERFLOW_LAST = (
     "bucketed_user_join",
     "cep_followed_by_stream",
     "cep_not_followed_by_stream",
+    "ann_ivf_stored",
 )
 
 

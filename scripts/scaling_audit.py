@@ -93,6 +93,7 @@ QUERIES = [
     "bucketed_user_join",
     "cep_followed_by_stream",
     "cep_not_followed_by_stream",
+    "ann_ivf_stored",
 ]
 BASE = "/root/testdata/sf0.1"
 

@@ -685,3 +685,26 @@ def test_bucketed_user_join_is_exchange_free(spark):
     bucketed = sum("Bucketed: true" in ln for ln in plan.splitlines())
     assert bucketed >= 2, f"expected both scans bucketed, saw {bucketed}"
     assert "partial_count" in plan or "HashAggregate" in plan
+
+
+def test_ann_ivf_stored_probes_store_not_corpus(spark):
+    # the incremental-index contract: probe-time Python is exactly TWO
+    # bounded matmul passes (the incoming batch + the |Q| query vectors);
+    # the corpus side is a (vec_id, cell) FileScan of the index store,
+    # never an assignment matmul, and the incoming batch's label split
+    # reaches the embeddings scan as a pushed equality
+    plan = _plan(spark, "ann_ivf_stored")
+    lines = plan.splitlines()
+    assert sum("ArrowEvalPython" in ln for ln in lines) == 2, (
+        "expected exactly two assignment matmuls (incoming + queries)"
+    )
+    store_scans = [
+        ln for ln in lines if "FileScan parquet" in ln and "ivf_store" in ln
+    ]
+    assert store_scans, "corpus inverted file not read from the index store"
+    inc_scans = [
+        ln for ln in lines
+        if "FileScan parquet" in ln and "label" in ln and "= 9" in ln
+    ]
+    assert inc_scans, "incoming label filter not pushed to the embeddings scan"
+    assert "CartesianProduct" not in plan
