@@ -163,10 +163,11 @@ def main() -> None:
                     "jobs + a 17-partition store write) before the "
                     "~2.7 s steady-state probe the scaling audit "
                     "measures - the same build-then-probe accounting as "
-                    "dedup_*_stored, with a heavier build. Seven full "
+                    "dedup_*_stored, with a heavier build. Eight full "
                     "runs this surface-growth window: 237.5/242.5 s @ "
                     "137, 208.2 s @ 140, 184.6 s @ 141, 219.6 s @ 143, "
-                    "289.0/266.3 s @ 144 - vs 161.6-165.7 s @ 132 "
+                    "289.0/266.3/258.5 s @ 144 (the last at pre-run "
+                    "load 9.4) - vs 161.6-165.7 s @ 132 "
                     "earlier in the round at load ~0, a uniform ~1.3x "
                     "inflation during the tenant-load windows, "
                     "uniform across untouched TPC-H queries (per the "

@@ -141,6 +141,9 @@ def _ivf_store(spark: SparkSession, sf_dir: str) -> str:
     S.write_ivf_index_store(
         widen_small_scan(load_table(spark, sf_dir, "embeddings")), path
     )
+    from flink_cep_task_spark.operators.cache import release_caches
+
+    release_caches()  # the build's persisted corpus norms; probe re-persists
     _IVF_STORE_CACHE[sf_dir] = path
     return path
 
