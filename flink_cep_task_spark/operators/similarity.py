@@ -822,8 +822,12 @@ def write_ivf_index_store(embeddings: DataFrame, path: str) -> None:
     round trip is exact and every later dot product stays exact."""
     from flink_cep_task_spark.operators.cache import persisted
 
+    # null-safe split: a NULL label is CORPUS (the complement of the
+    # incoming batch), so every vector lands in exactly one side of the
+    # index — a plain != would drop NULL-label rows from BOTH sides and
+    # diverge from the oracle, whose inverted file assigns every vector
     corpus = persisted(
-        _with_norm(embeddings.filter(F.col("label") != IVF_INCOMING_LABEL))
+        _with_norm(embeddings.filter(~F.col("label").eqNullSafe(IVF_INCOMING_LABEL)))
     )
     cents = _fit_centroids(corpus, key_extra="ivf_corpus_fit")
     spark = embeddings.sparkSession
@@ -859,7 +863,10 @@ def ann_ivf_stored(embeddings: DataFrame, store_path: str) -> DataFrame:
         "vec_id", F.col("cell").cast("int").alias("cell")
     )
     base = persisted(_with_norm(embeddings))
-    incoming = _with_norm(embeddings.filter(F.col("label") == IVF_INCOMING_LABEL))
+    # eqNullSafe: the exact complement of the store's corpus predicate
+    incoming = _with_norm(
+        embeddings.filter(F.col("label").eqNullSafe(IVF_INCOMING_LABEL))
+    )
     inc_inv = (
         _assign_cells(incoming, cents, 1)
         .filter(F.col("rank") == 0)
@@ -905,7 +912,7 @@ def ann_ivf_stored(embeddings: DataFrame, store_path: str) -> DataFrame:
 ANN_IVF_STORED_SQL = _ivf_sql(
     fit_where=(
         "vec_id IN (SELECT vec_id FROM embeddings "
-        f"WHERE label <> {IVF_INCOMING_LABEL})"
+        f"WHERE label IS DISTINCT FROM {IVF_INCOMING_LABEL})"
     )
 )
 

@@ -972,8 +972,16 @@ def heavy_hitters_report(documents: DataFrame) -> DataFrame:
     The token stream is re-derived for pass 2 rather than cached: at
     target scale the exploded token column is ~10x the corpus and a
     second linear scan is cheaper than materializing it."""
+    from flink_cep_task_spark.operators.cache import persisted
+
     tok = documents.select(F.explode(tokens(F.col("text"))).alias("token"))
-    mg = tok.mapInPandas(_mg_candidates, "token string, n long, is_total boolean")
+    # persist the sketch output (bounded: <= (HH_COUNTERS+1) x partitions
+    # rows) — the cand and total branches are separate broadcast subplans
+    # and would otherwise each re-run the tokenize + MG pass, silently
+    # turning the documented 2 linear scans into 3 scans + 2 sketch passes
+    mg = persisted(
+        tok.mapInPandas(_mg_candidates, "token string, n long, is_total boolean")
+    )
     cand = mg.filter(~F.col("is_total")).select("token").distinct()
     total = mg.filter(F.col("is_total")).groupBy().agg(F.sum("n").alias("n_total"))
     counts = (

@@ -1695,7 +1695,11 @@ def _bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     import tempfile
 
     cached = _BUCKET_STORE_CACHE.get(sf_dir)
-    if cached is not None:
+    # the cached resource is a CATALOG entry, which dies with its
+    # session (unlike the path-validated file stores) — revalidate
+    # against THIS session's catalog so a fresh SparkSession in the same
+    # process rebuilds instead of reading a dangling table name
+    if cached is not None and spark.catalog.tableExists(cached[0]):
         return cached
     tag = f"g{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}"
     ev_tbl, us_tbl = f"bkt_events_{tag}", f"bkt_user_stats_{tag}"
@@ -1730,24 +1734,21 @@ def _bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
         .saveAsTable(us_tbl)
     )
     _BUCKET_STORE_CACHE[sf_dir] = (ev_tbl, us_tbl)
-    _BUCKET_STORE_DIRS.append((spark, root, ev_tbl, us_tbl))
+    _BUCKET_STORE_DIRS.append(root)
     return ev_tbl, us_tbl
 
 
-_BUCKET_STORE_DIRS: list[tuple] = []
+_BUCKET_STORE_DIRS: list[str] = []
 
 
 def _cleanup_bucket_stores() -> None:
+    # only the FILES need reclaiming — the catalog entries live in the
+    # session's in-memory catalog and die with it (holding a session
+    # reference here would pin a stopped SparkSession for the process)
     import shutil
 
     while _BUCKET_STORE_DIRS:
-        spark, root, ev_tbl, us_tbl = _BUCKET_STORE_DIRS.pop()
-        for t in (ev_tbl, us_tbl):
-            try:
-                spark.sql(f"DROP TABLE IF EXISTS {t}")
-            except Exception:
-                pass  # session already stopped — files removed below
-        shutil.rmtree(root, ignore_errors=True)
+        shutil.rmtree(_BUCKET_STORE_DIRS.pop(), ignore_errors=True)
 
 
 _atexit.register(_cleanup_bucket_stores)

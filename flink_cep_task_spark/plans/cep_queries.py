@@ -1299,6 +1299,11 @@ def _fb_stream_workdir(spark: SparkSession, sf_dir: str) -> tuple[str, int]:
         F.min(F.col("event_time").cast("long")),
         F.max(F.col("event_time").cast("long")),
     ).first()
+    if lo is None:
+        # no click/purchase rows at all: write only the pushers so the
+        # drain completes with an empty (oracle-matching) result instead
+        # of a NoneType crash
+        lo = hi = 0
     span = max(hi - lo + 1, 4)
     n_files = 0
     for i in range(4):

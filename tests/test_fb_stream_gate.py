@@ -56,3 +56,21 @@ def test_not_followed_by_stream_parity_and_tail_flush(spark, events_con):
     assert any(r["first_ts"] == last_click_ts for r in rows), (
         "tail click not flushed — outer-join state retained past the drain"
     )
+
+
+def test_fb_workdir_empty_event_types(spark, tmp_path):
+    # an events fixture with no click/purchase rows must yield an EMPTY
+    # stream-join result (matching the trivially-empty oracle), not a
+    # NoneType crash in the scaffold's time-range arithmetic
+    import datetime
+
+    from flink_cep_task_spark.plans.cep_queries import q_followed_by_stream
+
+    d = tmp_path / "nofb_sf"
+    d.mkdir()
+    spark.createDataFrame(
+        [(1, datetime.datetime(2024, 1, 1), 1, "view", 1.0, None)],
+        "event_id LONG, ts TIMESTAMP_NTZ, user_id LONG, "
+        "event_type STRING, value DOUBLE, props STRING",
+    ).coalesce(1).write.mode("overwrite").parquet(str(d / "events.parquet"))
+    assert q_followed_by_stream(spark, str(d)).collect() == []

@@ -704,7 +704,42 @@ def test_ann_ivf_stored_probes_store_not_corpus(spark):
     assert store_scans, "corpus inverted file not read from the index store"
     inc_scans = [
         ln for ln in lines
-        if "FileScan parquet" in ln and "label" in ln and "= 9" in ln
+        if "FileScan parquet" in ln and "label" in ln
+        and ("= 9" in ln or "<=> 9" in ln)
     ]
     assert inc_scans, "incoming label filter not pushed to the embeddings scan"
     assert "CartesianProduct" not in plan
+
+
+def test_ivf_store_split_covers_null_labels(spark):
+    # the corpus/incoming predicates must PARTITION the embeddings —
+    # every vector in exactly one side — including NULL labels (the
+    # column is nullable): a plain != would drop NULL-label vectors from
+    # both sides of the stored index while the oracle assigns them
+    from pyspark.sql import functions as F
+
+    from flink_cep_task_spark.operators.similarity import IVF_INCOMING_LABEL
+
+    emb = spark.createDataFrame(
+        [(1, 0), (2, IVF_INCOMING_LABEL), (3, None)], "vec_id LONG, label INT"
+    )
+    corpus = emb.filter(~F.col("label").eqNullSafe(IVF_INCOMING_LABEL))
+    incoming = emb.filter(F.col("label").eqNullSafe(IVF_INCOMING_LABEL))
+    c = {r["vec_id"] for r in corpus.collect()}
+    i = {r["vec_id"] for r in incoming.collect()}
+    assert c | i == {1, 2, 3} and c & i == set()
+    assert 3 in c  # NULL label is corpus, not dropped
+
+
+def test_bucketed_store_rebuilds_after_catalog_loss(spark):
+    # the bucket-store cache holds CATALOG table names, which die with
+    # their session — the builder must revalidate and rebuild rather
+    # than hand back a dangling name (simulated by dropping the tables)
+    from flink_cep_task_spark.plans.analytics import _bucketed_tables
+
+    ev_tbl, us_tbl = _bucketed_tables(spark, SF_DIR)
+    spark.sql(f"DROP TABLE IF EXISTS {ev_tbl}")
+    spark.sql(f"DROP TABLE IF EXISTS {us_tbl}")
+    ev2, us2 = _bucketed_tables(spark, SF_DIR)
+    assert spark.catalog.tableExists(ev2) and spark.catalog.tableExists(us2)
+    assert spark.table(ev2).count() > 0
