@@ -153,7 +153,7 @@ def main() -> None:
                 "sf": sf,
                 "n_queries": len(timings),
                 "notes": [
-                    "Round-7 final surface (144 queries): 266.3 s "
+                    "Round-7 final surface (145 queries): 258.3 s "
                     "committed. The two stream-stream interval-join "
                     "replays cost 8.8 + 7.7 s (standard replay-drain "
                     "fixed cost, 6 micro-batches each); ann_ivf_stored "
@@ -162,12 +162,15 @@ def main() -> None:
                     "corpus k-means fit = 4 sequential driver-synced "
                     "jobs + a 17-partition store write) before the "
                     "~2.7 s steady-state probe the scaling audit "
-                    "measures - the same build-then-probe accounting as "
-                    "dedup_*_stored, with a heavier build. Eight full "
-                    "runs this surface-growth window: 237.5/242.5 s @ "
-                    "137, 208.2 s @ 140, 184.6 s @ 141, 219.6 s @ 143, "
-                    "289.0/266.3/258.5 s @ 144 (the last at pre-run "
-                    "load 9.4) - vs 161.6-165.7 s @ 132 "
+                    "measures; dedup_clusters_stored's 10.5 s is the "
+                    "same accounting (corpus re-cluster + signature "
+                    "store build, then a ~5.5 s probe whose floor is "
+                    "CC-loop job overhead, flat to 64x) - the "
+                    "build-then-probe pattern of every *_stored entry. "
+                    "Nine full runs this surface-growth window: "
+                    "237.5/242.5 s @ 137, 208.2 s @ 140, 184.6 s @ "
+                    "141, 219.6 s @ 143, 289.0/266.3/258.5 s @ 144, "
+                    "258.3 s @ 145 - vs 161.6-165.7 s @ 132 "
                     "earlier in the round at load ~0, a uniform ~1.3x "
                     "inflation during the tenant-load windows, "
                     "uniform across untouched TPC-H queries (per the "

@@ -1853,3 +1853,151 @@ SELECT inc.doc_id,
        corp.corpus_match_id IS NOT NULL AS is_corpus_dup
 FROM inc LEFT JOIN corp USING (k)
 """
+
+
+# --- incremental cluster maintenance (stored labels + new edges) ----------
+
+def incremental_cluster_edges(
+    documents: DataFrame,
+    store: DataFrame,
+    incoming_source: str = INCREMENTAL_INCOMING_SOURCE,
+) -> DataFrame:
+    """Verified near-dup pairs INVOLVING the incoming batch, computed
+    from the signature store: incoming↔corpus candidates band-join the
+    store's precomputed signatures (corpus text untouched), and
+    incoming↔incoming candidates band-join the fresh incoming signatures
+    against themselves. Both verify with the exact-Jaccard criterion of
+    dedup_minhash_lsh, and the pair predicate is pairwise-local, so
+
+        pairs(full corpus ∪ batch) = pairs(corpus) ∪ THIS —
+
+    the identity incremental clustering rests on."""
+    inc_docs = documents.filter(F.col("source") == incoming_source)
+    sh_inc = _persisted(shingles_hashed(inc_docs))
+    inc_b = _persisted(
+        _banded(_minhash_from_shingles(sh_inc)).select("doc_id", "band", "sig")
+    )
+    corpus = store.filter(F.col("source") != incoming_source)
+    cor_b = _banded(corpus).select(F.col("doc_id").alias("doc_b"), "band", "sig")
+    cand_ic = (
+        inc_b.select(F.col("doc_id").alias("doc_a"), "band", "sig")
+        .join(cor_b, ["band", "sig"])
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    a, b = inc_b.alias("a"), inc_b.alias("b")
+    cand_ii = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    va = sh_inc.groupBy("doc_id").agg(F.collect_list("sh").alias("Sa"))
+    va = va.select(F.col("doc_id").alias("doc_a"), "Sa", F.size("Sa").alias("na"))
+    vb_store = corpus.select(
+        F.col("doc_id").alias("doc_b"), F.col("S").alias("Sb"), F.size("S").alias("nb")
+    )
+    vb_inc = va.select(
+        F.col("doc_a").alias("doc_b"), F.col("Sa").alias("Sb"), F.col("na").alias("nb")
+    )
+
+    def _verify(cand: DataFrame, vb: DataFrame) -> DataFrame:
+        return (
+            cand.join(va, "doc_a")
+            .join(vb, "doc_b")
+            .withColumn("n_common", F.size(F.array_intersect("Sa", "Sb")).cast("long"))
+            .withColumn(
+                "jaccard",
+                F.round(
+                    F.col("n_common").cast("double")
+                    / (F.col("na") + F.col("nb") - F.col("n_common")),
+                    6,
+                ),
+            )
+            .filter(F.col("jaccard") >= MINHASH_TAU)
+            .select("doc_a", "doc_b")
+        )
+
+    return _verify(cand_ic, vb_store).unionByName(_verify(cand_ii, vb_inc))
+
+
+def dedup_clusters_from_store(
+    documents: DataFrame,
+    cluster_store: DataFrame,
+    sig_store: DataFrame,
+    incoming_source: str = INCREMENTAL_INCOMING_SOURCE,
+) -> DataFrame:
+    """dedup_clusters' incremental daily-production twin: connected
+    components over the UNION of the stored corpus labels and the new
+    batch's edges, instead of re-running LSH over the whole corpus.
+
+    Why this equals the full recompute (the oracle): the stored
+    (doc_id, cluster_id) labels are a SPANNING structure of the corpus
+    near-dup graph — star edges doc→(component min) connect exactly the
+    corpus components — and incremental_cluster_edges contributes every
+    pair involving the batch (the pair criterion is pairwise-local). CC
+    over the union therefore has the same components as CC over the full
+    pair set, and since labels are doc_ids, min-label propagation yields
+    each merged component's global min — identical output to
+    dedup_clusters(corpus ∪ batch), which is what DEDUP_CLUSTERS_SQL
+    recomputes.
+
+    Scale shape: corpus text is NEVER read (the only full-documents scan
+    is the doc_id-projected final join); the store scans carry the
+    source partition filter; the fixpoint iterates over |label edges| +
+    |new edges| rows — the sparse near-dup graph, not the corpus."""
+    from flink_cep_task_spark.operators.cache import persisted
+
+    new_pairs = incremental_cluster_edges(documents, sig_store, incoming_source)
+    label_pairs = cluster_store.filter(F.col("doc_id") != F.col("cluster_id")).select(
+        F.col("doc_id").alias("doc_a"), F.col("cluster_id").alias("doc_b")
+    )
+    und = new_pairs.unionByName(label_pairs)
+    edges = persisted(
+        und.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")),
+                    F.struct(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")),
+                )
+            ).alias("e")
+        ).select("e.src", "e.dst")
+    )
+    n_edges = edges.count()
+    labels = persisted(
+        edges.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .select("doc_id", F.col("doc_id").alias("label"))
+    )
+    # same small-graph execution gate as dedup_clusters: the fixpoint
+    # state is the sparse graph, and 32-way AQE shuffles dominate per
+    # round when it fits a few partitions
+    spark = documents.sparkSession
+    saved: dict[str, str] = {}
+    if n_edges < 1_000_000:
+        for k, v in (
+            ("spark.sql.adaptive.enabled", "false"),
+            ("spark.sql.shuffle.partitions", "4"),
+        ):
+            saved[k] = spark.conf.get(k)
+            spark.conf.set(k, v)
+    try:
+        labels = _cc_fixpoint_loop(edges, labels)
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
+    return (
+        documents.select("doc_id")
+        .join(labels.withColumnRenamed("label", "__cl"), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("__cl"), F.col("doc_id")).alias("cluster_id"),
+            (F.col("doc_id") == F.coalesce(F.col("__cl"), F.col("doc_id"))).alias(
+                "is_canonical"
+            ),
+        )
+    )

@@ -124,6 +124,54 @@ def dedup_incremental_minhash_stored(spark: SparkSession, sf_dir: str) -> DataFr
     )
 
 
+# per-sf_dir materialized corpus cluster-label store (the output of
+# dedup_clusters over the corpus partition) — the spanning structure the
+# incremental clustering merges new edges into, same lifecycle
+_CLUSTER_STORE_CACHE: dict[str, str] = {}
+
+
+def _cluster_store(spark: SparkSession, sf_dir: str) -> str:
+    import os
+    import tempfile
+
+    cached = _CLUSTER_STORE_CACHE.get(sf_dir)
+    if cached is not None and os.path.isdir(cached):
+        return cached
+    path = os.path.join(tempfile.mkdtemp(prefix="cl_store_"), "clusters")
+    corpus = widen_small_scan(load_table(spark, sf_dir, "documents")).filter(
+        F.col("source") != D.INCREMENTAL_INCOMING_SOURCE
+    )
+    D.dedup_clusters(corpus).write.mode("overwrite").parquet(path)
+    D.release_caches()
+    _CLUSTER_STORE_CACHE[sf_dir] = path
+    return path
+
+
+def _cleanup_cluster_stores() -> None:
+    import shutil
+
+    while _CLUSTER_STORE_CACHE:
+        _, path = _CLUSTER_STORE_CACHE.popitem()
+        shutil.rmtree(path, ignore_errors=True)
+
+
+_atexit.register(_cleanup_cluster_stores)
+
+
+def dedup_clusters_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dedup_clusters' incremental twin: stored corpus labels + the
+    incoming batch's signature-store edges, merged by the same CC
+    fixpoint (operators/dedup.dedup_clusters_from_store). Oracle is the
+    full-recompute recursive-CTE clustering over the whole table — the
+    store must change the cost, never the answer."""
+    docs = widen_small_scan(load_table(spark, sf_dir, "documents"))
+    cl = spark.read.parquet(_cluster_store(spark, sf_dir)).select(
+        "doc_id", "cluster_id"
+    )
+    sig = spark.read.parquet(_signature_store(spark, sf_dir))
+    return D.dedup_clusters_from_store(docs, cl, sig)
+
+
 # per-sf_dir materialized IVF index store (corpus-fit centroids +
 # cell-partitioned inverted file) — the ANN analog of the signature
 # stores, same lifecycle
@@ -415,6 +463,7 @@ DATAPIPE_QUERIES: dict[str, tuple] = {
     "sample_stratified": (_docs(SM.sample_stratified), SM.SAMPLE_STRATIFIED_SQL),
     "sample_report": (_docs(SM.sample_report), SM.SAMPLE_REPORT_SQL),
     "dedup_clusters": (_docs(D.dedup_clusters), D.DEDUP_CLUSTERS_SQL),
+    "dedup_clusters_stored": (dedup_clusters_stored, D.DEDUP_CLUSTERS_SQL),
     "decontaminate": (_docs(D.decontaminate), D.DECONTAMINATE_SQL),
     "curate_top_quality": (_docs(T.curate_top_quality), T.CURATE_SQL),
     "media_chunk_audio": (_docs(M.media_chunk_audio), M.MEDIA_CHUNK_SQL),

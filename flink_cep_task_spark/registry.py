@@ -145,6 +145,7 @@ OVERFLOW_LAST = (
     "cep_followed_by_stream",
     "cep_not_followed_by_stream",
     "ann_ivf_stored",
+    "dedup_clusters_stored",
 )
 
 

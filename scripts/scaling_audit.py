@@ -94,6 +94,7 @@ QUERIES = [
     "cep_followed_by_stream",
     "cep_not_followed_by_stream",
     "ann_ivf_stored",
+    "dedup_clusters_stored",
 ]
 BASE = "/root/testdata/sf0.1"
 

@@ -743,3 +743,45 @@ def test_bucketed_store_rebuilds_after_catalog_loss(spark):
     ev2, us2 = _bucketed_tables(spark, SF_DIR)
     assert spark.catalog.tableExists(ev2) and spark.catalog.tableExists(us2)
     assert spark.table(ev2).count() > 0
+
+
+def test_dedup_clusters_stored_probe_reads_no_corpus_text(spark):
+    # the incremental clustering's scale contract lives in its edge
+    # probe: document text is read ONLY under the pushed
+    # source=incoming filter (the batch being shingled); the corpus
+    # contributes its PRECOMPUTED signature store (source-partition-
+    # filtered scan), never re-shingled text
+    from flink_cep_task_spark.operators.dedup import (
+        INCREMENTAL_INCOMING_SOURCE,
+        incremental_cluster_edges,
+    )
+    from flink_cep_task_spark.plans.datapipe import _signature_store
+    from flink_cep_task_spark.sources.tables import load_table, widen_small_scan
+
+    spark.conf.set("spark.sql.maxMetadataStringLength", "4000")
+    docs = widen_small_scan(load_table(spark, SF_DIR, "documents"))
+    sig = spark.read.parquet(_signature_store(spark, SF_DIR))
+    plan = (
+        incremental_cluster_edges(docs, sig)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    doc_text_scans = [
+        ln for ln in plan.splitlines()
+        if "FileScan parquet" in ln and "documents.parquet" in ln
+        and "text" in ln.split("ReadSchema")[-1]
+    ]
+    assert doc_text_scans, "expected the incoming shingling scan"
+    for ln in doc_text_scans:
+        assert f"EqualTo(source,{INCREMENTAL_INCOMING_SOURCE})" in ln, (
+            f"document text read without the incoming filter: {ln[-300:]}"
+        )
+    sig_scans = [
+        ln for ln in plan.splitlines()
+        if "FileScan parquet" in ln and "signatures" in ln
+    ]
+    assert sig_scans and any("source" in ln.split("PartitionFilters")[-1]
+                             for ln in sig_scans), (
+        "corpus signature store scan lost its source partition filter"
+    )
