@@ -1103,3 +1103,134 @@ FROM c
 
 
 PII_REDACT_SQL = _pii_sql()
+
+
+# --- BPE merge induction (tokenizer-vocabulary learning) ------------------
+
+BPE_N_MERGES = 5
+# symbols are rendered ' sym|' (space-prefixed, pipe-terminated): the
+# space anchors the LEFT boundary and the pipe the RIGHT, so the literal
+# pattern ' a| b|' matches the symbol pair (a, b) and nothing else —
+# ' xa| b|' (left-extended) and ' a| bc|' (right-extended) don't match —
+# while the replacement ' ab|' preserves the following symbol's leading
+# space, so left-to-right non-overlapping replace() applies the merge
+# greedily across runs ('abab' -> 'ab','ab'), exactly BPE's application
+# order, identically in Spark and DuckDB (prototyped both).
+_BPE_WORD_RE = "^[a-z0-9]+$"
+
+
+def bpe_merges_report(documents: DataFrame) -> DataFrame:
+    """Learn the first BPE_N_MERGES byte-pair-encoding merges from the
+    corpus — the vocabulary-induction step of tokenizer training (the
+    word-frequency formulation HuggingFace's trainer uses): start from
+    characters, repeatedly merge the globally most frequent adjacent
+    symbol pair (ties: lexicographic on (left, right)), weighting each
+    word's pairs by its corpus frequency.
+
+    Scale shape: the iteration state is the DISTINCT-WORD table
+    (vocabulary-bounded — millions of rows at 100 TB, not the corpus),
+    built by ONE corpus scan + aggregate and persisted; each round is a
+    map-side weighted pair count over that table plus a 1-row argmax
+    collect (a model parameter, like the k-means centroids). The corpus
+    text is never rescanned after round 0.
+
+    Output: (rank, lft, rgt, merged, pair_count) per learned merge; the
+    oracle replays the identical rounds as unrolled CTEs."""
+    from flink_cep_task_spark.operators.cache import persisted
+
+    words = (
+        documents.select(F.explode(tokens(F.col("text"))).alias("w"))
+        .filter(F.col("w").rlike(_BPE_WORD_RE))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    seg = persisted(
+        words.select(
+            F.regexp_replace("w", "(.)", " $1|").alias("seg"), "freq"
+        )
+    )
+    spark = documents.sparkSession
+    merges = []
+    for _rank in range(1, BPE_N_MERGES + 1):
+        arr = F.split(F.expr("rtrim('|', trim(seg))"), r"\| ")
+        pairs = seg.select(
+            F.posexplode(
+                F.arrays_zip(
+                    F.slice(arr, 1, F.size(arr) - 1).alias("l"),
+                    F.slice(arr, 2, F.size(arr) - 1).alias("r"),
+                )
+            ).alias("_", "p"),
+            "freq",
+        ).filter(F.size(arr) >= 2)
+        best = (
+            pairs.groupBy(F.col("p.l").alias("lft"), F.col("p.r").alias("rgt"))
+            .agg(F.sum("freq").alias("pair_count"))
+            .orderBy(F.desc("pair_count"), "lft", "rgt")
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        lft, rgt, cnt = best[0]["lft"], best[0]["rgt"], best[0]["pair_count"]
+        merges.append((_rank, lft, rgt, lft + rgt, cnt))
+        new_seg = persisted(
+            seg.select(
+                F.replace(
+                    "seg", F.lit(f" {lft}| {rgt}|"), F.lit(f" {lft}{rgt}|")
+                ).alias("seg"),
+                "freq",
+            )
+        )
+        seg = new_seg
+    return spark.createDataFrame(
+        merges,
+        "rank INT, lft STRING, rgt STRING, merged STRING, pair_count BIGINT",
+    )
+
+
+def _bpe_sql() -> str:
+    """Unrolled-round oracle: round r picks its argmax pair from seg{r}
+    and rewrites seg{r} -> seg{r+1} with the same boundary-marked
+    replace. Scalar subqueries coalesce to a \\x00 sentinel so an empty
+    round (fully-merged vocabulary) no-ops instead of NULLing the
+    segmentation; empty m{r} CTEs contribute zero output rows, matching
+    the engine's break."""
+    ctes = [
+        f"""w AS (
+  SELECT w, count(*) AS freq FROM (
+    SELECT unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS w
+    FROM documents
+  ) WHERE regexp_matches(w, '{_BPE_WORD_RE}') GROUP BY w
+),
+seg1 AS (SELECT regexp_replace(w, '(.)', ' \\1|', 'g') AS seg, freq FROM w)"""
+    ]
+    for r in range(1, BPE_N_MERGES + 1):
+        ctes.append(f"""p{r} AS (
+  SELECT arr[i] AS lft, arr[i + 1] AS rgt, sum(freq) AS pair_count
+  FROM (
+    SELECT arr, freq, unnest(generate_series(1, len(arr) - 1)) AS i
+    FROM (SELECT string_split(rtrim(trim(seg), '|'), '| ') AS arr, freq
+          FROM seg{r}) t
+    WHERE len(arr) >= 2
+  ) GROUP BY 1, 2
+),
+m{r} AS (SELECT lft, rgt, pair_count FROM p{r}
+         ORDER BY pair_count DESC, lft, rgt LIMIT 1)""")
+        ctes.append(f"""seg{r + 1} AS (
+  SELECT replace(seg,
+                 ' ' || coalesce((SELECT lft FROM m{r}), chr(0)) || '| '
+                     || coalesce((SELECT rgt FROM m{r}), chr(0)) || '|',
+                 ' ' || coalesce((SELECT lft FROM m{r}), chr(0))
+                     || coalesce((SELECT rgt FROM m{r}), chr(0)) || '|') AS seg,
+         freq
+  FROM seg{r}
+)""")
+    finals = "\nUNION ALL\n".join(
+        f"SELECT CAST({r} AS INT) AS rank, lft, rgt, lft || rgt AS merged, "
+        f"CAST(pair_count AS BIGINT) AS pair_count FROM m{r}"
+        for r in range(1, BPE_N_MERGES + 1)
+    )
+    return "WITH " + ",\n".join(ctes) + "\n" + finals
+
+
+BPE_MERGES_SQL = _bpe_sql()

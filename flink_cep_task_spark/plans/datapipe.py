@@ -443,6 +443,7 @@ DATAPIPE_QUERIES: dict[str, tuple] = {
     "token_counts": (_docs(T.token_counts), T.TOKEN_COUNTS_SQL),
     "corpus_quality_report": (_docs(T.corpus_quality_report), T.CORPUS_QUALITY_SQL),
     "heavy_hitters_report": (_docs(T.heavy_hitters_report), T.HEAVY_HITTERS_SQL),
+    "bpe_merges_report": (_docs(T.bpe_merges_report), T.BPE_MERGES_SQL),
     "pii_redact_report": (_docs(T.pii_redact_report), T.PII_REDACT_SQL),
     "knn_bruteforce": (_embs(S.knn_bruteforce), S.KNN_SQL),
     "embedding_corr_pairs": (

@@ -146,6 +146,7 @@ OVERFLOW_LAST = (
     "cep_not_followed_by_stream",
     "ann_ivf_stored",
     "dedup_clusters_stored",
+    "bpe_merges_report",
 )
 
 

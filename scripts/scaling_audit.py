@@ -95,6 +95,7 @@ QUERIES = [
     "cep_not_followed_by_stream",
     "ann_ivf_stored",
     "dedup_clusters_stored",
+    "bpe_merges_report",
 ]
 BASE = "/root/testdata/sf0.1"
 
