@@ -153,8 +153,8 @@ def main() -> None:
                 "sf": sf,
                 "n_queries": len(timings),
                 "notes": [
-                    "Round-7 final surface (146 queries): 285.5 s "
-                    "committed (bpe_merges_report adds 4.5 s in-bench, "
+                    "Round-7 final surface (146 queries): 276.8 s "
+                    "committed (bpe_merges_report adds ~4.5 s in-bench, "
                     "2.1 s steady in the audit, flat to 64x). "
                     "The two stream-stream interval-join "
                     "replays cost 8.8 + 7.7 s (standard replay-drain "
@@ -169,10 +169,10 @@ def main() -> None:
                     "store build, then a ~5.5 s probe whose floor is "
                     "CC-loop job overhead, flat to 64x) - the "
                     "build-then-probe pattern of every *_stored entry. "
-                    "Ten full runs this surface-growth window: "
+                    "Eleven full runs this surface-growth window: "
                     "237.5/242.5 s @ 137, 208.2 s @ 140, 184.6 s @ "
                     "141, 219.6 s @ 143, 289.0/266.3/258.5 s @ 144, "
-                    "258.3 s @ 145, 285.5 s @ 146 - vs 161.6-165.7 s "
+                    "258.3 s @ 145, 285.5/276.8 s @ 146 - vs 161.6-165.7 s "
                     "@ 132 "
                     "earlier in the round at load ~0, a uniform ~1.3x "
                     "inflation during the tenant-load windows, "

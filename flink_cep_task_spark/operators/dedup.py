@@ -770,6 +770,37 @@ def write_minhash_signature_store(documents: DataFrame, path: str) -> None:
     )
 
 
+def _incoming_sets(sh_inc: DataFrame) -> DataFrame:
+    """(doc_a, Sa, na): each incoming doc's distinct-shingle set + size,
+    the probe side of every store-backed exact-Jaccard verify."""
+    va = sh_inc.groupBy("doc_id").agg(F.collect_list("sh").alias("Sa"))
+    return va.select(F.col("doc_id").alias("doc_a"), "Sa", F.size("Sa").alias("na"))
+
+
+def _verify_set_pairs(cand: DataFrame, va: DataFrame, vb: DataFrame) -> DataFrame:
+    """Exact-Jaccard verification of candidate (doc_a, doc_b) pairs from
+    precomputed shingle sets — the ONE implementation of the
+    round(|A∩B| / (|A|+|B|-|A∩B|), 6) >= MINHASH_TAU contract shared by
+    the store-backed probes (minhash_stored, incremental cluster edges),
+    so the threshold/rounding can never drift between operators that
+    must agree with the same full-recompute oracle."""
+    return (
+        cand.join(va, "doc_a")
+        .join(vb, "doc_b")
+        .withColumn("n_common", F.size(F.array_intersect("Sa", "Sb")).cast("long"))
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_common").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("n_common")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= MINHASH_TAU)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
 def dedup_incremental_minhash_from_store(
     documents: DataFrame,
     store: DataFrame,
@@ -791,26 +822,10 @@ def dedup_incremental_minhash_from_store(
     cor_b = _banded(corpus).select(F.col("doc_id").alias("doc_b"), "band", "sig")
     cand = inc_b.join(cor_b, ["band", "sig"]).select("doc_a", "doc_b").distinct()
     # exact verify: incoming sets fresh, corpus sets from the store
-    va = sh_inc.groupBy("doc_id").agg(F.collect_list("sh").alias("Sa"))
-    va = va.select(F.col("doc_id").alias("doc_a"), "Sa", F.size("Sa").alias("na"))
     vb = corpus.select(
         F.col("doc_id").alias("doc_b"), F.col("S").alias("Sb"), F.size("S").alias("nb")
     )
-    pairs = (
-        cand.join(va, "doc_a")
-        .join(vb, "doc_b")
-        .withColumn("n_common", F.size(F.array_intersect("Sa", "Sb")).cast("long"))
-        .withColumn(
-            "jaccard",
-            F.round(
-                F.col("n_common").cast("double")
-                / (F.col("na") + F.col("nb") - F.col("n_common")),
-                6,
-            ),
-        )
-        .filter(F.col("jaccard") >= MINHASH_TAU)
-        .select("doc_a", "doc_b", "jaccard")
-    )
+    pairs = _verify_set_pairs(cand, _incoming_sets(sh_inc), vb)
     return _classify_incoming(pairs, documents, incoming_source)
 
 
@@ -958,14 +973,23 @@ def dedup_clusters(documents: DataFrame) -> DataFrame:
 
     The oracle replays the same fixpoint as a recursive CTE over the same
     pair SQL."""
+    pairs = dedup_minhash_lsh(documents).select("doc_a", "doc_b")
+    return _cluster_from_pairs(documents, pairs)
+
+
+def _cluster_from_pairs(documents: DataFrame, und_pairs: DataFrame) -> DataFrame:
+    """Shared CC skeleton of dedup_clusters and its stored twin: turn an
+    undirected (doc_a, doc_b) pair frame into per-doc cluster labels.
+    Kept as ONE function so the small-graph execution gate and the
+    canonical-label join can never diverge between the two operators
+    (their outputs must stay byte-identical)."""
     from flink_cep_task_spark.operators.cache import persisted
 
-    pairs = dedup_minhash_lsh(documents).select("doc_a", "doc_b")
     # both directions in ONE pass over the pair pipeline (a self-union
-    # would execute the whole LSH plan twice on first materialization —
-    # lazy caching can't help two branches of the same job)
+    # would execute the whole upstream plan twice on first
+    # materialization — lazy caching can't help two branches of one job)
     edges = persisted(
-        pairs.select(
+        und_pairs.select(
             F.explode(
                 F.array(
                     F.struct(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")),
@@ -1896,33 +1920,16 @@ def incremental_cluster_edges(
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    va = sh_inc.groupBy("doc_id").agg(F.collect_list("sh").alias("Sa"))
-    va = va.select(F.col("doc_id").alias("doc_a"), "Sa", F.size("Sa").alias("na"))
+    va = _incoming_sets(sh_inc)
     vb_store = corpus.select(
         F.col("doc_id").alias("doc_b"), F.col("S").alias("Sb"), F.size("S").alias("nb")
     )
     vb_inc = va.select(
         F.col("doc_a").alias("doc_b"), F.col("Sa").alias("Sb"), F.col("na").alias("nb")
     )
-
-    def _verify(cand: DataFrame, vb: DataFrame) -> DataFrame:
-        return (
-            cand.join(va, "doc_a")
-            .join(vb, "doc_b")
-            .withColumn("n_common", F.size(F.array_intersect("Sa", "Sb")).cast("long"))
-            .withColumn(
-                "jaccard",
-                F.round(
-                    F.col("n_common").cast("double")
-                    / (F.col("na") + F.col("nb") - F.col("n_common")),
-                    6,
-                ),
-            )
-            .filter(F.col("jaccard") >= MINHASH_TAU)
-            .select("doc_a", "doc_b")
-        )
-
-    return _verify(cand_ic, vb_store).unionByName(_verify(cand_ii, vb_inc))
+    return _verify_set_pairs(cand_ic, va, vb_store).select(
+        "doc_a", "doc_b"
+    ).unionByName(_verify_set_pairs(cand_ii, va, vb_inc).select("doc_a", "doc_b"))
 
 
 def dedup_clusters_from_store(
@@ -1950,54 +1957,8 @@ def dedup_clusters_from_store(
     is the doc_id-projected final join); the store scans carry the
     source partition filter; the fixpoint iterates over |label edges| +
     |new edges| rows — the sparse near-dup graph, not the corpus."""
-    from flink_cep_task_spark.operators.cache import persisted
-
     new_pairs = incremental_cluster_edges(documents, sig_store, incoming_source)
     label_pairs = cluster_store.filter(F.col("doc_id") != F.col("cluster_id")).select(
         F.col("doc_id").alias("doc_a"), F.col("cluster_id").alias("doc_b")
     )
-    und = new_pairs.unionByName(label_pairs)
-    edges = persisted(
-        und.select(
-            F.explode(
-                F.array(
-                    F.struct(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")),
-                    F.struct(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")),
-                )
-            ).alias("e")
-        ).select("e.src", "e.dst")
-    )
-    n_edges = edges.count()
-    labels = persisted(
-        edges.select(F.col("src").alias("doc_id"))
-        .distinct()
-        .select("doc_id", F.col("doc_id").alias("label"))
-    )
-    # same small-graph execution gate as dedup_clusters: the fixpoint
-    # state is the sparse graph, and 32-way AQE shuffles dominate per
-    # round when it fits a few partitions
-    spark = documents.sparkSession
-    saved: dict[str, str] = {}
-    if n_edges < 1_000_000:
-        for k, v in (
-            ("spark.sql.adaptive.enabled", "false"),
-            ("spark.sql.shuffle.partitions", "4"),
-        ):
-            saved[k] = spark.conf.get(k)
-            spark.conf.set(k, v)
-    try:
-        labels = _cc_fixpoint_loop(edges, labels)
-    finally:
-        for k, v in saved.items():
-            spark.conf.set(k, v)
-    return (
-        documents.select("doc_id")
-        .join(labels.withColumnRenamed("label", "__cl"), "doc_id", "left")
-        .select(
-            "doc_id",
-            F.coalesce(F.col("__cl"), F.col("doc_id")).alias("cluster_id"),
-            (F.col("doc_id") == F.coalesce(F.col("__cl"), F.col("doc_id"))).alias(
-                "is_canonical"
-            ),
-        )
-    )
+    return _cluster_from_pairs(documents, new_pairs.unionByName(label_pairs))

@@ -1151,8 +1151,11 @@ def bpe_merges_report(documents: DataFrame) -> DataFrame:
     )
     spark = documents.sparkSession
     merges = []
+    prev_gen = None
     for _rank in range(1, BPE_N_MERGES + 1):
         arr = F.split(F.expr("rtrim('|', trim(seg))"), r"\| ")
+        # single-symbol words yield an empty zip and drop out of the
+        # posexplode on their own — no pre-filter needed
         pairs = seg.select(
             F.posexplode(
                 F.arrays_zip(
@@ -1161,7 +1164,7 @@ def bpe_merges_report(documents: DataFrame) -> DataFrame:
                 )
             ).alias("_", "p"),
             "freq",
-        ).filter(F.size(arr) >= 2)
+        )
         best = (
             pairs.groupBy(F.col("p.l").alias("lft"), F.col("p.r").alias("rgt"))
             .agg(F.sum("freq").alias("pair_count"))
@@ -1169,6 +1172,12 @@ def bpe_merges_report(documents: DataFrame) -> DataFrame:
             .limit(1)
             .collect()
         )
+        # the collect above materialized THIS generation's cache, so its
+        # predecessor is safe to drop — each round reads only one
+        # generation back; without this, BPE_N_MERGES copies of the
+        # vocabulary table stay pinned simultaneously
+        if prev_gen is not None:
+            prev_gen.unpersist()
         if not best:
             break
         lft, rgt, cnt = best[0]["lft"], best[0]["rgt"], best[0]["pair_count"]
@@ -1181,7 +1190,7 @@ def bpe_merges_report(documents: DataFrame) -> DataFrame:
                 "freq",
             )
         )
-        seg = new_seg
+        prev_gen, seg = seg, new_seg
     return spark.createDataFrame(
         merges,
         "rank INT, lft STRING, rgt STRING, merged STRING, pair_count BIGINT",

@@ -31,71 +31,70 @@ def _embs(fn):
     return q
 
 
-# per-sf_dir materialized MinHash signature store (the production
-# artifact a daily dedup probe reads); built once per process, reclaimed
-# atexit like the streaming replay scaffolds
-_SIG_STORE_CACHE: dict[str, str] = {}
+# per-sf_dir materialized store scaffolding shared by every *_stored
+# probe (MinHash signatures, winnowing fingerprints, IVF index, cluster
+# labels): built once per process, path-validated on reuse, reclaimed
+# atexit INCLUDING the mkdtemp parent (rmtree of only the subdir used to
+# leak one empty tempdir per store per process)
+_STORE_CACHES: list[dict[str, str]] = []
 
 
-def _signature_store(spark: SparkSession, sf_dir: str) -> str:
+def _store_path(cache: dict[str, str], sf_dir: str, prefix: str,
+                subdir: str, build) -> str:
     import os
     import tempfile
 
-    cached = _SIG_STORE_CACHE.get(sf_dir)
+    cached = cache.get(sf_dir)
     if cached is not None and os.path.isdir(cached):
         return cached
-    path = os.path.join(tempfile.mkdtemp(prefix="sig_store_"), "signatures")
-    D.write_minhash_signature_store(
-        widen_small_scan(load_table(spark, sf_dir, "documents")), path
-    )
-    D.release_caches()
-    _SIG_STORE_CACHE[sf_dir] = path
+    if cache not in _STORE_CACHES:
+        _STORE_CACHES.append(cache)
+    path = os.path.join(tempfile.mkdtemp(prefix=prefix), subdir)
+    build(path)
+    D.release_caches()  # the build's operator persists; probes re-persist
+    cache[sf_dir] = path
     return path
 
 
-def _cleanup_sig_stores() -> None:
+def _cleanup_stores() -> None:
+    import os
     import shutil
 
-    while _SIG_STORE_CACHE:
-        _, path = _SIG_STORE_CACHE.popitem()
-        shutil.rmtree(path, ignore_errors=True)
+    for cache in _STORE_CACHES:
+        while cache:
+            _, path = cache.popitem()
+            shutil.rmtree(os.path.dirname(path), ignore_errors=True)
 
 
 import atexit as _atexit
 
-_atexit.register(_cleanup_sig_stores)
+_atexit.register(_cleanup_stores)
 
 
-# per-sf_dir materialized winnowing-fingerprint store — the substring
-# analog of the MinHash signature store, same lifecycle
+# the production artifact a daily near-dup probe reads
+_SIG_STORE_CACHE: dict[str, str] = {}
+
+
+def _signature_store(spark: SparkSession, sf_dir: str) -> str:
+    return _store_path(
+        _SIG_STORE_CACHE, sf_dir, "sig_store_", "signatures",
+        lambda p: D.write_minhash_signature_store(
+            widen_small_scan(load_table(spark, sf_dir, "documents")), p
+        ),
+    )
+
+
+# the substring analog of the MinHash signature store
 _FP_STORE_CACHE: dict[str, str] = {}
 
 
 def _fp_store(spark: SparkSession, sf_dir: str) -> str:
-    import os
-    import tempfile
-
-    cached = _FP_STORE_CACHE.get(sf_dir)
-    if cached is not None and os.path.isdir(cached):
-        return cached
-    path = os.path.join(tempfile.mkdtemp(prefix="fp_store_"), "fingerprints")
-    D.write_winnow_fingerprint_store(
-        widen_small_scan(load_table(spark, sf_dir, "documents")), path
+    return _store_path(
+        _FP_STORE_CACHE, sf_dir, "fp_store_", "fingerprints",
+        lambda p: D.write_winnow_fingerprint_store(
+            widen_small_scan(load_table(spark, sf_dir, "documents")), p
+        ),
     )
-    D.release_caches()
-    _FP_STORE_CACHE[sf_dir] = path
-    return path
-
-
-def _cleanup_fp_stores() -> None:
-    import shutil
-
-    while _FP_STORE_CACHE:
-        _, path = _FP_STORE_CACHE.popitem()
-        shutil.rmtree(path, ignore_errors=True)
-
-
-_atexit.register(_cleanup_fp_stores)
 
 
 def dedup_substring_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -124,38 +123,20 @@ def dedup_incremental_minhash_stored(spark: SparkSession, sf_dir: str) -> DataFr
     )
 
 
-# per-sf_dir materialized corpus cluster-label store (the output of
-# dedup_clusters over the corpus partition) — the spanning structure the
-# incremental clustering merges new edges into, same lifecycle
+# corpus cluster-label store (the output of dedup_clusters over the
+# corpus partition) — the spanning structure the incremental clustering
+# merges new edges into
 _CLUSTER_STORE_CACHE: dict[str, str] = {}
 
 
 def _cluster_store(spark: SparkSession, sf_dir: str) -> str:
-    import os
-    import tempfile
+    def build(p: str) -> None:
+        corpus = widen_small_scan(load_table(spark, sf_dir, "documents")).filter(
+            F.col("source") != D.INCREMENTAL_INCOMING_SOURCE
+        )
+        D.dedup_clusters(corpus).write.mode("overwrite").parquet(p)
 
-    cached = _CLUSTER_STORE_CACHE.get(sf_dir)
-    if cached is not None and os.path.isdir(cached):
-        return cached
-    path = os.path.join(tempfile.mkdtemp(prefix="cl_store_"), "clusters")
-    corpus = widen_small_scan(load_table(spark, sf_dir, "documents")).filter(
-        F.col("source") != D.INCREMENTAL_INCOMING_SOURCE
-    )
-    D.dedup_clusters(corpus).write.mode("overwrite").parquet(path)
-    D.release_caches()
-    _CLUSTER_STORE_CACHE[sf_dir] = path
-    return path
-
-
-def _cleanup_cluster_stores() -> None:
-    import shutil
-
-    while _CLUSTER_STORE_CACHE:
-        _, path = _CLUSTER_STORE_CACHE.popitem()
-        shutil.rmtree(path, ignore_errors=True)
-
-
-_atexit.register(_cleanup_cluster_stores)
+    return _store_path(_CLUSTER_STORE_CACHE, sf_dir, "cl_store_", "clusters", build)
 
 
 def dedup_clusters_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -172,39 +153,18 @@ def dedup_clusters_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.dedup_clusters_from_store(docs, cl, sig)
 
 
-# per-sf_dir materialized IVF index store (corpus-fit centroids +
-# cell-partitioned inverted file) — the ANN analog of the signature
-# stores, same lifecycle
+# IVF index store (corpus-fit centroids + cell-partitioned inverted
+# file) — the ANN analog of the signature stores
 _IVF_STORE_CACHE: dict[str, str] = {}
 
 
 def _ivf_store(spark: SparkSession, sf_dir: str) -> str:
-    import os
-    import tempfile
-
-    cached = _IVF_STORE_CACHE.get(sf_dir)
-    if cached is not None and os.path.isdir(cached):
-        return cached
-    path = os.path.join(tempfile.mkdtemp(prefix="ivf_store_"), "ivf_index")
-    S.write_ivf_index_store(
-        widen_small_scan(load_table(spark, sf_dir, "embeddings")), path
+    return _store_path(
+        _IVF_STORE_CACHE, sf_dir, "ivf_store_", "ivf_index",
+        lambda p: S.write_ivf_index_store(
+            widen_small_scan(load_table(spark, sf_dir, "embeddings")), p
+        ),
     )
-    from flink_cep_task_spark.operators.cache import release_caches
-
-    release_caches()  # the build's persisted corpus norms; probe re-persists
-    _IVF_STORE_CACHE[sf_dir] = path
-    return path
-
-
-def _cleanup_ivf_stores() -> None:
-    import shutil
-
-    while _IVF_STORE_CACHE:
-        _, path = _IVF_STORE_CACHE.popitem()
-        shutil.rmtree(path, ignore_errors=True)
-
-
-_atexit.register(_cleanup_ivf_stores)
 
 
 def ann_ivf_stored(spark: SparkSession, sf_dir: str) -> DataFrame:

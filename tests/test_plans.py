@@ -781,7 +781,11 @@ def test_dedup_clusters_stored_probe_reads_no_corpus_text(spark):
         ln for ln in plan.splitlines()
         if "FileScan parquet" in ln and "signatures" in ln
     ]
-    assert sig_scans and any("source" in ln.split("PartitionFilters")[-1]
-                             for ln in sig_scans), (
-        "corpus signature store scan lost its source partition filter"
-    )
+    # the strict form (matching the pins at the minhash_stored tests):
+    # the source predicate must appear INSIDE the PartitionFilters list
+    # (file-listing pruning), not merely as a pushed data filter
+    assert sig_scans and any(
+        "PartitionFilters" in ln
+        and "source" in ln.split("PartitionFilters")[1].split("]")[0]
+        for ln in sig_scans
+    ), "corpus signature store scan lost its source PARTITION filter"

@@ -108,31 +108,9 @@ def test_funnel_and_transitions_match_model_random(spark, tmp_path, seed):
     assert got_t == _model_transitions(rows)
 
 
-def _bpe_model(word_freqs):
-    segs = {w: list(w) for w in word_freqs}
-    merges = []
-    for rank in range(1, BPE_N_MERGES + 1):
-        counts: collections.Counter = collections.Counter()
-        for w, f in word_freqs.items():
-            s = segs[w]
-            for a, b in zip(s, s[1:]):
-                counts[(a, b)] += f
-        if not counts:
-            break
-        top = max(counts.values())
-        lft, rgt = min(p for p, c in counts.items() if c == top)
-        merges.append((rank, lft, rgt, lft + rgt, top))
-        for w in segs:
-            s, out, i = segs[w], [], 0
-            while i < len(s):
-                if i + 1 < len(s) and s[i] == lft and s[i + 1] == rgt:
-                    out.append(lft + rgt)
-                    i += 2
-                else:
-                    out.append(s[i])
-                    i += 1
-            segs[w] = out
-    return merges
+# the ONE reference BPE implementation — shared with the fixed-case
+# suite so both assert against the same model
+from tests.test_bpe import _model as _bpe_model  # noqa: E402
 
 
 @pytest.mark.parametrize("seed", [0, 1])
