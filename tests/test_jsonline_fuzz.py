@@ -129,10 +129,18 @@ def test_parser_matches_model_and_never_crashes(spark, lines):
         )
         for r in rows
     ]
-    # compare as multisets (row order is not part of the contract)
+    # compare as multisets (row order is not part of the contract). Tag
+    # values must normalize through a TOTAL order: a null-valued tag
+    # ({"t_g": null} — kept by from_json's map and by the model alike)
+    # sorting against another row's string value for the same key raised
+    # TypeError(None < str) here — hypothesis found the comparator bug,
+    # not an engine divergence (parser and model agreed on the rows).
+    tag_key = lambda kv: (kv[0], kv[1] is not None, kv[1] or "")
     norm = lambda trip: (
         trip[0],
-        tuple(sorted(trip[1].items())),
+        tuple(sorted(trip[1].items(), key=tag_key)),
         tuple(sorted((k, str(v)) for k, v in trip[2].items())),
     )
-    assert sorted(map(norm, got)) == sorted(map(norm, expected))
+    key = lambda t: (t[0] is not None, t[0] or 0,
+                     tuple(map(tag_key, t[1])), t[2])
+    assert sorted(map(norm, got), key=key) == sorted(map(norm, expected), key=key)
