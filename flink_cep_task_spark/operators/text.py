@@ -939,7 +939,10 @@ def _mg_candidates(batches):
         acc = vc if acc is None else acc.add(vc, fill_value=0)
         if len(acc) > HH_COUNTERS:
             t = acc.nlargest(HH_COUNTERS + 1).iloc[-1]
-            acc = acc - t  # the top HH_COUNTERS+1 entries each lose t
+            # every counter is decremented by t (entries <= t flush to 0
+            # and drop); the HH_COUNTERS+1 counters that were >= t each
+            # lose a full t, so >= (HH_COUNTERS+1)*t mass is removed
+            acc = acc - t
             acc = acc[acc > 0]
     toks = [] if acc is None else list(acc.index)
     yield pd.DataFrame(
@@ -971,7 +974,18 @@ def heavy_hitters_report(documents: DataFrame) -> DataFrame:
 
     The token stream is re-derived for pass 2 rather than cached: at
     target scale the exploded token column is ~10x the corpus and a
-    second linear scan is cheaper than materializing it."""
+    second linear scan is cheaper than materializing it.
+
+    Broadcast-scale assumption: the candidate set is at most
+    HH_COUNTERS x n_scan_partitions rows, which broadcasts comfortably
+    up to ~10^4 partitions (a few million short strings). A 100 TB scan
+    at 10^5-10^6 partitions breaks that — there the recount join must
+    fall back to a shuffled semi-join (drop the F.broadcast hint and let
+    AQE pick; candidate keys are uniform-hashed so the shuffle is skew
+    free), or the sketch pass must run on coalesced inputs so
+    n_partitions stays bounded. The hint is kept here because the gate
+    fixtures run tens of partitions and the broadcast path is the one
+    being plan-pinned."""
     from flink_cep_task_spark.operators.cache import persisted
 
     tok = documents.select(F.explode(tokens(F.col("text"))).alias("token"))

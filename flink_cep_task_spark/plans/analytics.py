@@ -1391,6 +1391,14 @@ def state_asof_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     # event's value. Coalesce to an out-of-range sentinel before the
     # fold and nullif it back so both engines agree: NULL iff the
     # latest pre-cutoff event's value is NULL.
+    # ASSUMPTION (shared with _diff_snap_exprs): no legitimate value
+    # ever equals the sentinel — events.value is a non-negative metric
+    # (fixture domain pinned by tests/test_asof_null.py::
+    # test_sentinel_outside_value_domain), and DECIMAL(18,2)'s own
+    # minimum IS the sentinel, so only a value at the exact type floor
+    # could collide (it would be reported as NULL). A domain where that
+    # is reachable needs the (is_null, value) struct-fold instead;
+    # DuckDB's max_by takes struct args, only the KEY must stay scalar.
     sent = F.expr("CAST('-9999999999999999.99' AS DECIMAL(18,2))")
     return e.groupBy("user_id").agg(
         F.max_by("event_type", key).alias("status"),

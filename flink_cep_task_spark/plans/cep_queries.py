@@ -945,10 +945,21 @@ def _split_stream_workdir(spark: SparkSession, sf_dir: str) -> tuple[str, int, i
             {"zzf": "0.00"},
         )],
     )
-    n1 = len(_glob.glob(os.path.join(work, "batch1", "part-*.parquet")))
-    n2 = len(_glob.glob(os.path.join(work, "batch2", "part-*.parquet")))
-    _SPLIT_WORKDIR_CACHE[sf_dir] = (work, n1, n2)
-    return work, n1, n2
+    # Stamp the staged mtimes ONCE, here: per-run code hardlinks these
+    # files into its own src dir, and a hardlink SHARES the inode — a
+    # per-run os.utime on a link would mutate the cached batch2/pusher
+    # mtimes that every other run (and FileStreamSource's mtime-based
+    # file ordering) observes. Fixed layout: batch1 at its write time
+    # (= base), batch2 at base+5, pusher at base+10; runs only ever
+    # utime files they themselves wrote.
+    b1 = _glob.glob(os.path.join(work, "batch1", "part-*.parquet"))
+    b2 = _glob.glob(os.path.join(work, "batch2", "part-*.parquet"))
+    base = max(os.path.getmtime(p) for p in b1)
+    for p in b2:
+        os.utime(p, (base + 5, base + 5))
+    os.utime(os.path.join(work, "pusher.parquet"), (base + 10, base + 10))
+    _SPLIT_WORKDIR_CACHE[sf_dir] = (work, len(b1), len(b2))
+    return work, len(b1), len(b2)
 
 
 def _daily_sum_rule_doc(rule_id: int, limit: str) -> dict:
@@ -1020,13 +1031,12 @@ def _run_two_phase_live(
 
     if rule_doc_v2 is not None:
         store.upsert(rule_doc_v2)
-    base = max(
-        os.path.getmtime(p) for p in _glob.glob(os.path.join(src, "*.parquet"))
-    )
-    for i, p in enumerate(sorted(_glob.glob(os.path.join(work, "batch2", "part-*.parquet")))):
-        d = os.path.join(src, f"b2_{i:03d}.parquet")
-        os.link(p, d)
-        os.utime(d, (base + 5, base + 5))
+    # batch2/pusher mtimes were staged once in _split_stream_workdir
+    # (batch1 < batch2 < pusher); hardlinking preserves them, and this
+    # run never utimes a shared inode — only files it wrote itself.
+    b2_parts = sorted(_glob.glob(os.path.join(work, "batch2", "part-*.parquet")))
+    for i, p in enumerate(b2_parts):
+        os.link(p, os.path.join(src, f"b2_{i:03d}.parquet"))
     n_extra = 0
     if extra_batch2_rows:
         d = os.path.join(src, "b2_injected.parquet")
@@ -1041,11 +1051,10 @@ def _run_two_phase_live(
                 for (etype, ts_s, val) in extra_batch2_rows
             ],
         )
-        os.utime(d, (base + 5, base + 5))
+        t2 = os.path.getmtime(b2_parts[0])
+        os.utime(d, (t2, t2))
         n_extra = 1
-    d = os.path.join(src, "zz_flush_1.parquet")
-    os.link(os.path.join(work, "pusher.parquet"), d)
-    os.utime(d, (base + 10, base + 10))
+    os.link(os.path.join(work, "pusher.parquet"), os.path.join(src, "zz_flush_1.parquet"))
 
     drain(n2 + n_extra + 1)
 

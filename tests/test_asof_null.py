@@ -67,6 +67,28 @@ def test_state_asof_null_value_parity(spark, null_value_sf_dir):
     con.close()
 
 
+def test_sentinel_outside_value_domain(spark):
+    """The sentinel trick assumes no legitimate value equals the
+    sentinel (a collision would be silently reported as NULL, and
+    oracle parity can't catch it because both engines apply the same
+    transform). Pin the assumption against the real fixture domain:
+    events.value is a non-negative metric, so the DECIMAL(18,2) floor
+    sentinel is unreachable."""
+    from pyspark.sql import functions as F
+
+    from flink_cep_task_spark.sources.tables import load_table
+
+    mn = (
+        load_table(spark, "/root/testdata/sf0.001", "events")
+        .agg(F.min("value"))
+        .first()[0]
+    )
+    assert mn is not None and mn >= 0, (
+        f"events.value domain changed (min={mn}); revisit the max_by "
+        "NULL sentinel in state_asof_snapshot/_diff_snap_exprs"
+    )
+
+
 def test_snapshot_diff_null_value_parity(spark, null_value_sf_dir):
     # snapshot_diff reuses the same sentinel-coalesced max_by fold for
     # BOTH snapshots; on this fixture user 1's state is (purchase, NULL)

@@ -22,7 +22,6 @@ MUST_BE_GATED = {
     "ann_lsh",                   # multi-table LSH ANN
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
-    "dedup_simhash",
     "dedup_exact",
     "dedup_embedding_cosine",
     "doc_fingerprint",
@@ -35,6 +34,14 @@ MUST_BE_GATED = {
     "salted_hot_user_join",      # explicit salting leg AQE can't see
     "skewsafe_user_distinct",    # two-phase skew-safe distinct
     "dedup_incremental",         # daily-crawl new-batch-vs-corpus dedup
+    # round-8 promotions (VERDICT r7 task #1): the round-7 flagships — one
+    # per new operator family — must hold driver-gate slots from now on.
+    "dedup_substring",           # winnowing-fingerprint shift-invariant dedup
+    "heavy_hitters_report",      # exact Misra-Gries two-pass frequent tokens
+    "bucketed_user_join",        # zero-exchange co-bucketed storage layout
+    "cep_followed_by_stream",    # watermarked stream-stream interval join
+    "incremental_rollup",        # store + filtered-batch incremental agg
+    "bpe_merges_report",         # BPE tokenizer-vocabulary induction
 }
 
 # rotated out in round 6 — each family keeps another gated representative
@@ -49,11 +56,22 @@ ROTATED_OUT_R6 = {
     "pivot_event_counts",
 }
 
+# rotated out in round 8 — each family keeps another gated representative
+# (see registry.py OVERFLOW_LAST comment).
+ROTATED_OUT_R8 = {
+    "q10_returned_items",
+    "q12_priority_class",
+    "q19_bracket_revenue",
+    "value_percentiles",
+    "props_json_agg",
+    "dedup_simhash",
+}
+
 
 def test_rotated_out_queries_are_parked_not_dropped():
     qs = all_queries()
     gated = set(list(qs)[:DRIVER_GATE_CAP])
-    for name in ROTATED_OUT_R6:
+    for name in ROTATED_OUT_R6 | ROTATED_OUT_R8:
         assert name in qs, f"{name} was dropped, not parked"
         assert name not in gated
         assert qs[name][1] is not None, f"{name} lost its oracle"
