@@ -1133,23 +1133,11 @@ BPE_N_MERGES = 5
 _BPE_WORD_RE = "^[a-z0-9]+$"
 
 
-def bpe_merges_report(documents: DataFrame) -> DataFrame:
-    """Learn the first BPE_N_MERGES byte-pair-encoding merges from the
-    corpus — the vocabulary-induction step of tokenizer training (the
-    word-frequency formulation HuggingFace's trainer uses): start from
-    characters, repeatedly merge the globally most frequent adjacent
-    symbol pair (ties: lexicographic on (left, right)), weighting each
-    word's pairs by its corpus frequency.
-
-    Scale shape: the iteration state is the DISTINCT-WORD table
-    (vocabulary-bounded — millions of rows at 100 TB, not the corpus),
-    built by ONE corpus scan + aggregate and persisted; each round is a
-    map-side weighted pair count over that table plus a 1-row argmax
-    collect (a model parameter, like the k-means centroids). The corpus
-    text is never rescanned after round 0.
-
-    Output: (rank, lft, rgt, merged, pair_count) per learned merge; the
-    oracle replays the identical rounds as unrolled CTEs."""
+def _learn_bpe_merges(documents: DataFrame) -> list[tuple[int, str, str, str, int]]:
+    """Induction loop shared by bpe_merges_report (which reports the
+    merges themselves) and bpe_apply_report (which encodes the corpus
+    with them). Returns [(rank, lft, rgt, merged, pair_count), ...] —
+    a bounded model parameter, like fitted k-means centroids."""
     from flink_cep_task_spark.operators.cache import persisted
 
     words = (
@@ -1163,8 +1151,7 @@ def bpe_merges_report(documents: DataFrame) -> DataFrame:
             F.regexp_replace("w", "(.)", " $1|").alias("seg"), "freq"
         )
     )
-    spark = documents.sparkSession
-    merges = []
+    merges: list[tuple[int, str, str, str, int]] = []
     prev_gen = None
     for _rank in range(1, BPE_N_MERGES + 1):
         arr = F.split(F.expr("rtrim('|', trim(seg))"), r"\| ")
@@ -1205,19 +1192,102 @@ def bpe_merges_report(documents: DataFrame) -> DataFrame:
             )
         )
         prev_gen, seg = seg, new_seg
-    return spark.createDataFrame(
-        merges,
+    if prev_gen is not None:
+        prev_gen.unpersist()
+    seg.unpersist()
+    return merges
+
+
+def bpe_merges_report(documents: DataFrame) -> DataFrame:
+    """Learn the first BPE_N_MERGES byte-pair-encoding merges from the
+    corpus — the vocabulary-induction step of tokenizer training (the
+    word-frequency formulation HuggingFace's trainer uses): start from
+    characters, repeatedly merge the globally most frequent adjacent
+    symbol pair (ties: lexicographic on (left, right)), weighting each
+    word's pairs by its corpus frequency.
+
+    Scale shape: the iteration state is the DISTINCT-WORD table
+    (vocabulary-bounded — millions of rows at 100 TB, not the corpus),
+    built by ONE corpus scan + aggregate and persisted; each round is a
+    map-side weighted pair count over that table plus a 1-row argmax
+    collect (a model parameter, like the k-means centroids). The corpus
+    text is never rescanned after round 0.
+
+    Output: (rank, lft, rgt, merged, pair_count) per learned merge; the
+    oracle replays the identical rounds as unrolled CTEs."""
+    return documents.sparkSession.createDataFrame(
+        _learn_bpe_merges(documents),
         "rank INT, lft STRING, rgt STRING, merged STRING, pair_count BIGINT",
     )
 
 
-def _bpe_sql() -> str:
-    """Unrolled-round oracle: round r picks its argmax pair from seg{r}
-    and rewrites seg{r} -> seg{r+1} with the same boundary-marked
-    replace. Scalar subqueries coalesce to a \\x00 sentinel so an empty
-    round (fully-merged vocabulary) no-ops instead of NULLing the
+def bpe_apply_report(documents: DataFrame) -> DataFrame:
+    """Encode every document with the merges learned by the BPE
+    induction — the second half of the tokenizer story: after training a
+    vocabulary, the pipeline tokenizes the corpus with it and reports
+    per-document token counts and fertility (learned-BPE tokens per
+    whitespace word) against the character baseline.
+
+    Encoding rides the same boundary-marked representation the induction
+    proved exact in both engines: each in-vocabulary word (lowercased,
+    `[a-z0-9]+`) renders as ' c1| c2|…', words join with a '#' separator
+    that no ' a| b|' pair pattern can straddle, and each learned merge
+    applies as ONE literal replace over the whole document — greedy
+    left-to-right non-overlap, exactly BPE's application order, per word,
+    in a single pass over the corpus. Token count falls out as the number
+    of '|' terminators; no explode, no per-word rows.
+
+    Scale shape: the merge list is a collected model parameter
+    (BPE_N_MERGES rows) folded into the projection as literals, so the
+    encode is a map-only plan — ONE corpus scan, ZERO exchanges
+    (plan-pinned). A production-size vocabulary (30k merges) would swap
+    the literal replace chain for a mapInPandas trie encoder with the
+    merge table broadcast — same scan shape, the chain is chosen here
+    because it is exactly replayable by the SQL oracle. The induction
+    itself re-runs first (vocabulary-bounded, see _learn_bpe_merges);
+    a real pipeline would read the merges from the tokenizer store."""
+    words = F.filter(
+        tokens(F.col("text")), lambda w: w.rlike(_BPE_WORD_RE)
+    )
+    seg = F.array_join(
+        F.transform(
+            words, lambda w: F.regexp_replace(w, F.lit("(.)"), F.lit(" $1|"))
+        ),
+        "#",
+    )
+    for _rank, lft, rgt, merged, _cnt in _learn_bpe_merges(documents):
+        seg = F.replace(seg, F.lit(f" {lft}| {rgt}|"), F.lit(f" {merged}|"))
+    n_words = F.size(words)
+    n_chars = F.length(F.array_join(words, ""))
+    n_tokens = F.length(seg) - F.length(F.replace(seg, F.lit("|"), F.lit("")))
+    return documents.select(
+        "doc_id",
+        n_words.cast("long").alias("n_words"),
+        n_chars.cast("long").alias("n_chars"),
+        n_tokens.cast("long").alias("n_bpe_tokens"),
+        F.when(
+            n_words > 0,
+            F.round(n_tokens.cast("double") / n_words.cast("double"), 6),
+        ).alias("fertility"),
+        F.when(
+            n_tokens > 0,
+            F.round(n_chars.cast("double") / n_tokens.cast("double"), 6),
+        ).alias("chars_per_token"),
+    )
+
+
+def _bpe_cte_chain() -> list[str]:
+    """The unrolled induction CTE chain shared by the merges oracle and
+    the apply oracle: round r picks its argmax pair from seg{r} and
+    rewrites seg{r} -> seg{r+1} with the same boundary-marked replace.
+    Scalar subqueries coalesce to a \\x00 sentinel so an empty round
+    (fully-merged vocabulary) no-ops instead of NULLing the
     segmentation; empty m{r} CTEs contribute zero output rows, matching
-    the engine's break."""
+    the engine's break. m{r} is AS MATERIALIZED: each argmax is
+    referenced by several scalar subqueries downstream (4 in seg{r+1},
+    2 per enc{r} in the apply oracle), and DuckDB re-inlines a plain CTE
+    per reference — the chained re-expansion turned the apply oracle
+    O(rows x induction) (>120 s at sf0.001) vs 0.25 s materialized."""
     ctes = [
         f"""w AS (
   SELECT w, count(*) AS freq FROM (
@@ -1237,7 +1307,7 @@ seg1 AS (SELECT regexp_replace(w, '(.)', ' \\1|', 'g') AS seg, freq FROM w)"""
     WHERE len(arr) >= 2
   ) GROUP BY 1, 2
 ),
-m{r} AS (SELECT lft, rgt, pair_count FROM p{r}
+m{r} AS MATERIALIZED (SELECT lft, rgt, pair_count FROM p{r}
          ORDER BY pair_count DESC, lft, rgt LIMIT 1)""")
         ctes.append(f"""seg{r + 1} AS (
   SELECT replace(seg,
@@ -1248,12 +1318,68 @@ m{r} AS (SELECT lft, rgt, pair_count FROM p{r}
          freq
   FROM seg{r}
 )""")
+    return ctes
+
+
+def _bpe_sql() -> str:
     finals = "\nUNION ALL\n".join(
         f"SELECT CAST({r} AS INT) AS rank, lft, rgt, lft || rgt AS merged, "
         f"CAST(pair_count AS BIGINT) AS pair_count FROM m{r}"
         for r in range(1, BPE_N_MERGES + 1)
     )
-    return "WITH " + ",\n".join(ctes) + "\n" + finals
+    return "WITH " + ",\n".join(_bpe_cte_chain()) + "\n" + finals
 
 
 BPE_MERGES_SQL = _bpe_sql()
+
+
+def _bpe_apply_sql() -> str:
+    """Apply oracle: derive m1..m{N} with the shared induction chain,
+    then re-encode every document — per-word char segmentation joined by
+    the '#' separator no pair pattern can straddle, the same
+    sentinel-coalesced literal replace per round, token count = number
+    of '|' terminators."""
+    words = (
+        "list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), "
+        f"w -> regexp_matches(w, '{_BPE_WORD_RE}'))"
+    )
+    ctes = _bpe_cte_chain()
+    ctes.append(f"""docseg AS (
+  SELECT doc_id,
+         len(ws) AS n_words,
+         len(array_to_string(ws, '')) AS n_chars,
+         array_to_string(
+           list_transform(ws, w -> regexp_replace(w, '(.)', ' \\1|', 'g')),
+           '#') AS seg
+  FROM (SELECT doc_id, {words} AS ws FROM documents)
+)""")
+    prev = "docseg"
+    for r in range(1, BPE_N_MERGES + 1):
+        ctes.append(f"""enc{r} AS (
+  SELECT doc_id, n_words, n_chars,
+         replace(seg,
+                 ' ' || coalesce((SELECT lft FROM m{r}), chr(0)) || '| '
+                     || coalesce((SELECT rgt FROM m{r}), chr(0)) || '|',
+                 ' ' || coalesce((SELECT lft FROM m{r}), chr(0))
+                     || coalesce((SELECT rgt FROM m{r}), chr(0)) || '|') AS seg
+  FROM {prev}
+)""")
+        prev = f"enc{r}"
+    return (
+        "WITH " + ",\n".join(ctes) + f"""
+SELECT doc_id,
+       CAST(n_words AS BIGINT) AS n_words,
+       CAST(n_chars AS BIGINT) AS n_chars,
+       CAST(len(seg) - len(replace(seg, '|', '')) AS BIGINT) AS n_bpe_tokens,
+       CASE WHEN n_words > 0 THEN
+         round(CAST(len(seg) - len(replace(seg, '|', '')) AS DOUBLE)
+               / n_words, 6) END AS fertility,
+       CASE WHEN len(seg) - len(replace(seg, '|', '')) > 0 THEN
+         round(CAST(n_chars AS DOUBLE)
+               / (len(seg) - len(replace(seg, '|', ''))), 6) END
+         AS chars_per_token
+FROM {prev}"""
+    )
+
+
+BPE_APPLY_SQL = _bpe_apply_sql()

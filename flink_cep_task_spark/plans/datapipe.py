@@ -404,6 +404,7 @@ DATAPIPE_QUERIES: dict[str, tuple] = {
     "corpus_quality_report": (_docs(T.corpus_quality_report), T.CORPUS_QUALITY_SQL),
     "heavy_hitters_report": (_docs(T.heavy_hitters_report), T.HEAVY_HITTERS_SQL),
     "bpe_merges_report": (_docs(T.bpe_merges_report), T.BPE_MERGES_SQL),
+    "bpe_apply_report": (_docs(T.bpe_apply_report), T.BPE_APPLY_SQL),
     "pii_redact_report": (_docs(T.pii_redact_report), T.PII_REDACT_SQL),
     "knn_bruteforce": (_embs(S.knn_bruteforce), S.KNN_SQL),
     "embedding_corr_pairs": (

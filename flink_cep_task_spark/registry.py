@@ -169,6 +169,9 @@ OVERFLOW_LAST = (
     "cep_not_followed_by_stream",
     "ann_ivf_stored",
     "dedup_clusters_stored",
+    # round-8 additions (the gate roster is frozen at the round-8
+    # rotation; everything new parks here with a local oracle)
+    "bpe_apply_report",
 )
 
 

@@ -84,3 +84,94 @@ def test_bpe_matches_model_on_mixed_corpus(spark):
             "new": 11, "widest": 2, "low": 8,
         },
     )
+
+
+# --- bpe_apply_report: encoding against a direct Python BPE encoder ------
+
+
+def _model_encode(text: str, merges) -> list[str]:
+    """Reference encoder: per word, apply each learned merge in rank
+    order, greedy left-to-right non-overlapping — standard BPE
+    application."""
+    import re
+
+    out = []
+    for w in text.lower().strip().split():
+        if not re.fullmatch("[a-z0-9]+", w):
+            continue
+        s = list(w)
+        for _rank, lft, rgt, _m, _c in merges:
+            nxt, i = [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == lft and s[i + 1] == rgt:
+                    nxt.append(lft + rgt)
+                    i += 2
+                else:
+                    nxt.append(s[i])
+                    i += 1
+            s = nxt
+        out.extend(s)
+    return out
+
+
+def _run_apply(spark, docs_rows):
+    from flink_cep_task_spark.operators.text import bpe_apply_report
+
+    docs = spark.createDataFrame(docs_rows, "doc_id LONG, text STRING")
+    word_freqs: collections.Counter = collections.Counter()
+    import re
+
+    for _id, text in docs_rows:
+        for w in text.lower().strip().split():
+            if re.fullmatch("[a-z0-9]+", w):
+                word_freqs[w] += 1
+    merges = _model(dict(word_freqs))
+    got = {r["doc_id"]: r.asDict() for r in bpe_apply_report(docs).collect()}
+    assert set(got) == {d for d, _ in docs_rows}
+    for doc_id, text in docs_rows:
+        toks = _model_encode(text, merges)
+        words = [
+            w for w in text.lower().strip().split()
+            if re.fullmatch("[a-z0-9]+", w)
+        ]
+        r = got[doc_id]
+        assert r["n_words"] == len(words), (doc_id, r)
+        assert r["n_chars"] == sum(len(w) for w in words), (doc_id, r)
+        assert r["n_bpe_tokens"] == len(toks), (
+            f"doc {doc_id}: engine {r['n_bpe_tokens']} tokens, "
+            f"model {len(toks)} ({toks})"
+        )
+        if words:
+            assert r["fertility"] == round(len(toks) / len(words), 6)
+
+
+def test_bpe_apply_matches_model_encoder(spark):
+    _run_apply(
+        spark,
+        [
+            (0, "the lower slower tower went lower"),
+            (1, "ababab abab ab ba"),
+            (2, "new newer newest wide wider widest"),
+            (3, ""),                     # empty doc -> 0 everywhere
+            (4, "!!! ### $%^"),          # no in-vocabulary words
+            (5, "lowlow lowlowlow"),     # merged-symbol runs inside words
+        ],
+    )
+
+
+def test_bpe_apply_matches_model_on_random_corpus(spark):
+    import random
+
+    rng = random.Random(8)
+    alphabet = "abc"
+    rows = [
+        (
+            i,
+            " ".join(
+                "".join(rng.choice(alphabet) for _ in range(rng.randint(1, 8)))
+                for _ in range(rng.randint(0, 12))
+            ),
+        )
+        for i in range(40)
+    ]
+    _run_apply(spark, rows)

@@ -673,6 +673,18 @@ def test_pii_redact_is_map_only(spark):
         assert marker not in plan, f"Python in the PII hot path: {marker}"
 
 
+def test_bpe_apply_encode_is_map_only(spark):
+    # the encode stage folds the collected merge list into the projection
+    # as literal replaces: ONE corpus scan, no hash exchange, no Python,
+    # no join — the induction's own jobs run separately (bounded,
+    # vocabulary-sized); the returned plan is scan -> project only
+    plan = _plan(spark, "bpe_apply_report")
+    assert "Exchange hashpartitioning" not in plan
+    assert "Join" not in plan and "Window" not in plan
+    for marker in ("MapInPandas", "ArrowEvalPython", "BatchEvalPython"):
+        assert marker not in plan, f"Python in the BPE encode path: {marker}"
+
+
 def test_bucketed_user_join_is_exchange_free(spark):
     # the bucketed-layout contract: both sides are bucketed+sorted by
     # user_id into the same bucket count, so the sort-merge join AND the
