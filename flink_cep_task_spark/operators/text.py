@@ -814,6 +814,169 @@ GROUP BY doc_id
 """
 
 
+# --- NB quality-classifier scoring ----------------------------------------
+
+# stand-in training label for the classifier-based quality filter: English
+# documents play the "curated reference corpus" (C4/GPT-3 style: train a
+# classifier to tell reference text from the crawl, keep what scores
+# reference-like). Any in-corpus binary label slots in here.
+NB_POS_LABEL_SQL = "lang = 'en'"
+
+
+def quality_nb_classifier(documents: DataFrame) -> DataFrame:
+    """Classifier-based quality scoring (the C4/GPT-3 curation stage):
+    a multinomial Naive Bayes with Laplace smoothing is trained on an
+    in-corpus binary label (lang='en' as the reference-corpus stand-in),
+    every document is scored with its NB log-odds, and the report gives
+    the per-source score distribution plus the keep/drop gate
+    (log_odds > 0) a curation pipeline composes downstream.
+
+    NB is exact-count-replayable: the model is two token-count columns
+    plus five scalar totals, and the score is a sum of per-token weights
+    w(t) = ln((c_pos+1)/(T_pos+V)) - ln((c_neg+1)/(T_neg+V)) — so the
+    oracle is a real hash match, unlike any gradient-trained stand-in.
+    Cross-engine float determinism rides the repo's decimal-sum
+    convention (see unigram_logprob_score): each w(t) and the prior are
+    rounded to 9 dp and summed as exact DECIMALs, the output rounds to
+    6 dp.
+
+    Scale shape: ONE corpus scan feeds a persisted exploded token stream
+    (two consumers: model fit, scoring join); the fit is a vocab-bounded
+    aggregate with both class counts as conditional sums (no second
+    pass); the weight table is vocab-sized and broadcasts back onto the
+    token stream (tens of MB at real vocab — same broadcast range as
+    unigram_logprob_score); the doc fold and source rollup are map-side
+    combinable aggregates. Exchanges: vocab fit + doc fold + source
+    rollup, all key-bounded; the scalar totals ride single-row
+    cross-joins."""
+    doc_scores = nb_doc_scores(documents)
+    return doc_scores.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.when(F.col("log_odds") > 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_keep"),
+        F.round(
+            F.sum(F.when(F.col("log_odds") > 0, 1).otherwise(0)).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("keep_rate"),
+        F.round(
+            F.sum("log_odds").cast("double") / F.count(F.lit(1)), 6
+        ).alias("avg_log_odds"),
+        F.round(F.min("log_odds").cast("double"), 6).alias("min_log_odds"),
+        F.round(F.max("log_odds").cast("double"), 6).alias("max_log_odds"),
+    )
+
+
+def nb_doc_scores(documents: DataFrame) -> DataFrame:
+    """Per-document NB log-odds (doc_id, source, log_odds DECIMAL) —
+    the fit+score core shared by quality_nb_classifier (per-source
+    report) and curation_funnel (keep/drop gate stage). Documents whose
+    text yields no token row (null text) emit no score row; consumers
+    LEFT-join and treat a missing score as drop."""
+    from flink_cep_task_spark.operators.cache import persisted
+
+    pos = F.expr(NB_POS_LABEL_SQL)
+    toks = persisted(
+        documents.select(
+            "doc_id",
+            "source",
+            pos.alias("is_pos"),
+            F.explode(tokens(F.col("text"))).alias("tok"),
+        )
+    )
+    stats = persisted(
+        toks.groupBy("tok").agg(
+            F.sum(F.when(F.col("is_pos"), 1).otherwise(0)).alias("c_pos"),
+            F.sum(F.when(F.col("is_pos"), 0).otherwise(1)).alias("c_neg"),
+        )
+    )
+    totals = stats.agg(
+        F.sum("c_pos").cast("double").alias("__t_pos"),
+        F.sum("c_neg").cast("double").alias("__t_neg"),
+        F.count(F.lit(1)).cast("double").alias("__v"),
+    )
+    w = F.round(
+        F.log((F.col("c_pos") + 1.0) / (F.col("__t_pos") + F.col("__v")))
+        - F.log((F.col("c_neg") + 1.0) / (F.col("__t_neg") + F.col("__v"))),
+        9,
+    ).cast("decimal(18,9)")
+    weights = stats.join(F.broadcast(totals)).select("tok", w.alias("w"))
+    priors = documents.agg(
+        F.round(
+            F.log(
+                F.sum(F.when(pos, 1).otherwise(0)).cast("double")
+                / F.sum(F.when(pos, 0).otherwise(1)).cast("double")
+            ),
+            9,
+        )
+        .cast("decimal(18,9)")
+        .alias("__prior")
+    )
+    doc_scores = (
+        toks.join(F.broadcast(weights), "tok")
+        .groupBy("doc_id", "source")
+        .agg(F.sum("w").alias("__sum_w"))
+        .join(F.broadcast(priors))
+        .select(
+            "doc_id",
+            "source",
+            (F.col("__prior") + F.col("__sum_w")).alias("log_odds"),
+        )
+    )
+    return doc_scores
+
+
+# the fit+score CTE prefix shared verbatim by QUALITY_NB_SQL and the
+# curation-funnel oracle (which composes the gate stage)
+NB_DOC_SCORES_CTES = f"""toks AS (
+  SELECT doc_id, source, {NB_POS_LABEL_SQL} AS is_pos,
+         unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS tok
+  FROM documents
+), stats AS (
+  SELECT tok,
+         sum(CASE WHEN is_pos THEN 1 ELSE 0 END) AS c_pos,
+         sum(CASE WHEN is_pos THEN 0 ELSE 1 END) AS c_neg
+  FROM toks GROUP BY tok
+), tot AS (
+  SELECT CAST(sum(c_pos) AS DOUBLE) AS t_pos,
+         CAST(sum(c_neg) AS DOUBLE) AS t_neg,
+         CAST(count(*) AS DOUBLE) AS v
+  FROM stats
+), weights AS (
+  SELECT tok,
+         CAST(round(ln((c_pos + 1.0) / (t_pos + v))
+                    - ln((c_neg + 1.0) / (t_neg + v)), 9)
+              AS DECIMAL(18,9)) AS w
+  FROM stats, tot
+), prior AS (
+  SELECT CAST(round(ln(
+           CAST(sum(CASE WHEN {NB_POS_LABEL_SQL} THEN 1 ELSE 0 END) AS DOUBLE)
+           / sum(CASE WHEN {NB_POS_LABEL_SQL} THEN 0 ELSE 1 END)), 9)
+         AS DECIMAL(18,9)) AS p
+  FROM documents
+), doc_scores AS (
+  SELECT doc_id, source, p + sum(w) AS log_odds
+  FROM toks JOIN weights USING (tok), prior
+  GROUP BY doc_id, source, p
+)"""
+
+
+QUALITY_NB_SQL = f"""
+WITH {NB_DOC_SCORES_CTES}
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN log_odds > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+       round(CAST(sum(CASE WHEN log_odds > 0 THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*), 6) AS keep_rate,
+       round(CAST(sum(log_odds) AS DOUBLE) / count(*), 6) AS avg_log_odds,
+       round(CAST(min(log_odds) AS DOUBLE), 6) AS min_log_odds,
+       round(CAST(max(log_odds) AS DOUBLE), 6) AS max_log_odds
+FROM doc_scores
+GROUP BY source
+"""
+
+
 DOC_FINGERPRINT_SQL = f"""
 SELECT doc_id,
   min({gram_hash_sql("g", 5)}) AS fingerprint,

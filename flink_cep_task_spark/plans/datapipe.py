@@ -279,21 +279,29 @@ CLUSTER_TOPICS_SQL = _cluster_topics_sql()
 
 def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """END-TO-END curation pipeline composition — the per-source funnel a
-    training-data run reports: raw docs → Gopher quality gate → exact
-    dedup AMONG the survivors → deterministic train/eval split of the
-    unique set. Each stage is the production operator itself
-    (filter_gopher / dedup_exact / the salted split hash), not a re-
-    implementation, so this query proves the stages COMPOSE. All stage
-    flags collapse to one row per (doc) before the per-source rollup —
-    document text crosses the wire only inside dedup_exact's fixed-width
-    md5 key, never in the funnel joins."""
+    training-data run reports: raw docs → Gopher quality gate → NB
+    classifier keep/drop gate (quality_nb_classifier's log_odds > 0,
+    trained on the full corpus exactly as the report query trains it) →
+    exact dedup AMONG the classifier survivors → deterministic
+    train/eval split of the unique set. Each stage is the production
+    operator itself (filter_gopher / nb_doc_scores / dedup_exact / the
+    salted split hash), not a re-implementation, so this query proves
+    the stages COMPOSE. All stage flags collapse to one row per (doc)
+    before the per-source rollup — document text crosses the wire only
+    inside dedup_exact's fixed-width md5 key, never in the funnel
+    joins."""
     from flink_cep_task_spark.functions.hashing import h64
     from flink_cep_task_spark.operators.sampling import _SPLIT_SALT, EVAL_PCT
 
     docs = widen_small_scan(load_table(spark, sf_dir, "documents"))
     gate = T.filter_gopher(docs).select("doc_id", "kept")
-    kept_docs = docs.join(gate.filter(F.col("kept")), "doc_id").select(
-        "doc_id", "text", "source"
+    nb = T.nb_doc_scores(docs).select(
+        "doc_id", (F.col("log_odds") > 0).alias("nb_keep")
+    )
+    kept_docs = (
+        docs.join(gate.filter(F.col("kept")), "doc_id")
+        .join(nb.filter(F.col("nb_keep")), "doc_id")
+        .select("doc_id", "text", "source")
     )
     canon = D.dedup_exact(kept_docs).select("doc_id", "is_duplicate")
     split = F.when(
@@ -303,17 +311,23 @@ def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).otherwise(F.lit("train"))
     flags = (
         docs.select("doc_id", "source", split.alias("split"))
-        # LEFT joins both times: n_raw must count EVERY raw doc, and a doc
-        # with no gate row at all (null text emits no repetition_stats row)
-        # is simply not kept — an inner join here silently shrank n_raw
+        # LEFT joins each time: n_raw must count EVERY raw doc, and a doc
+        # with no gate/score row at all (null text emits no
+        # repetition_stats or token row) is simply not kept — an inner
+        # join here silently shrank n_raw
         .join(gate, "doc_id", "left")
-        .join(canon, "doc_id", "left")  # null is_duplicate = failed the gate
+        .join(nb, "doc_id", "left")
+        .join(canon, "doc_id", "left")  # null is_duplicate = failed a gate
     )
     kept_flag = F.coalesce(F.col("kept"), F.lit(False))
-    uniq = kept_flag & ~F.coalesce(F.col("is_duplicate"), F.lit(True))
+    class_flag = kept_flag & F.coalesce(F.col("nb_keep"), F.lit(False))
+    uniq = class_flag & ~F.coalesce(F.col("is_duplicate"), F.lit(True))
     return flags.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_raw"),
         F.sum(F.when(kept_flag, 1).otherwise(0)).cast("long").alias("n_quality"),
+        F.sum(F.when(class_flag, 1).otherwise(0))
+        .cast("long")
+        .alias("n_classified"),
         F.sum(F.when(uniq, 1).otherwise(0)).cast("long").alias("n_unique"),
         F.sum(F.when(uniq & (F.col("split") == "train"), 1).otherwise(0))
         .cast("long")
@@ -336,22 +350,27 @@ def _curation_funnel_sql() -> str:
     split_bucket = h64_sql(f"{_SPLIT_SALT!r} || CAST(doc_id AS VARCHAR)")
     norm_k = D.DEDUP_KEY_SQL  # the SAME key expression dedup_exact publishes
     return f"""
-WITH gate AS ({T.FILTER_GOPHER_SQL.strip()}),
+WITH {T.NB_DOC_SCORES_CTES},
+gate AS ({T.FILTER_GOPHER_SQL.strip()}),
 kept AS (
   SELECT d.doc_id, d.source,
          CASE WHEN {split_bucket} % 100 < {EVAL_PCT} THEN 'eval' ELSE 'train' END AS split,
+         coalesce(s.log_odds > 0, FALSE) AS nb_keep,
          {norm_k} AS k
   FROM documents d JOIN gate g USING (doc_id)
+       LEFT JOIN doc_scores s USING (doc_id)
   WHERE g.kept
 ),
 uniq AS (
-  SELECT doc_id, source, split,
-         doc_id = min(doc_id) OVER (PARTITION BY k) AS is_canon
+  SELECT doc_id, source, split, nb_keep,
+         nb_keep AND doc_id = min(CASE WHEN nb_keep THEN doc_id END)
+                              OVER (PARTITION BY k) AS is_canon
   FROM kept
 ),
 per AS (
   SELECT source,
          count(*) AS n_quality,
+         CAST(sum(CASE WHEN nb_keep THEN 1 ELSE 0 END) AS BIGINT) AS n_classified,
          CAST(sum(CASE WHEN is_canon THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,
          CAST(sum(CASE WHEN is_canon AND split = 'train' THEN 1 ELSE 0 END) AS BIGINT) AS n_train,
          CAST(sum(CASE WHEN is_canon AND split = 'eval' THEN 1 ELSE 0 END) AS BIGINT) AS n_eval
@@ -359,6 +378,7 @@ per AS (
 )
 SELECT r.source, r.n_raw,
        coalesce(p.n_quality, 0) AS n_quality,
+       coalesce(p.n_classified, 0) AS n_classified,
        coalesce(p.n_unique, 0) AS n_unique,
        coalesce(p.n_train, 0) AS n_train,
        coalesce(p.n_eval, 0) AS n_eval,
@@ -405,6 +425,7 @@ DATAPIPE_QUERIES: dict[str, tuple] = {
     "heavy_hitters_report": (_docs(T.heavy_hitters_report), T.HEAVY_HITTERS_SQL),
     "bpe_merges_report": (_docs(T.bpe_merges_report), T.BPE_MERGES_SQL),
     "bpe_apply_report": (_docs(T.bpe_apply_report), T.BPE_APPLY_SQL),
+    "quality_nb_classifier": (_docs(T.quality_nb_classifier), T.QUALITY_NB_SQL),
     "pii_redact_report": (_docs(T.pii_redact_report), T.PII_REDACT_SQL),
     "knn_bruteforce": (_embs(S.knn_bruteforce), S.KNN_SQL),
     "embedding_corr_pairs": (

@@ -172,6 +172,7 @@ OVERFLOW_LAST = (
     # round-8 additions (the gate roster is frozen at the round-8
     # rotation; everything new parks here with a local oracle)
     "bpe_apply_report",
+    "quality_nb_classifier",
 )
 
 

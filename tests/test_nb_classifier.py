@@ -1,0 +1,91 @@
+"""Model checks for the NB quality classifier.
+
+nb_doc_scores / quality_nb_classifier are compared against a direct
+Python multinomial Naive Bayes (Laplace-smoothed token likelihoods,
+log-prior from class doc counts) on synthetic corpora where the right
+answer is hand-checkable: tokens exclusive to one class must pull the
+log-odds hard toward it, shared tokens must cancel, and the keep gate
+(log_odds > 0) must follow. The hard cross-engine float gate is the
+DuckDB oracle in the registry; this test pins the MATH."""
+
+from __future__ import annotations
+
+import math
+
+from flink_cep_task_spark.operators.text import (
+    nb_doc_scores,
+    quality_nb_classifier,
+)
+
+DOCS = [
+    # (doc_id, text, lang, source) — lang='en' is the positive label
+    (0, "alpha alpha beta common", "en", "sA"),
+    (1, "alpha beta beta common", "en", "sA"),
+    (2, "gamma delta common", "de", "sB"),
+    (3, "gamma gamma delta common common", "de", "sB"),
+    (4, "alpha common", "fr", "sA"),       # neg doc wearing pos tokens
+    (5, "gamma common", "en", "sB"),       # pos doc wearing neg tokens
+]
+
+
+def _model_scores():
+    from collections import Counter
+
+    pos_toks: Counter = Counter()
+    neg_toks: Counter = Counter()
+    n_pos = n_neg = 0
+    for _id, text, lang, _src in DOCS:
+        toks = text.lower().strip().split()
+        if lang == "en":
+            pos_toks.update(toks)
+            n_pos += 1
+        else:
+            neg_toks.update(toks)
+            n_neg += 1
+    vocab = set(pos_toks) | set(neg_toks)
+    t_pos, t_neg, v = sum(pos_toks.values()), sum(neg_toks.values()), len(vocab)
+    prior = math.log(n_pos / n_neg)
+    out = {}
+    for doc_id, text, _lang, _src in DOCS:
+        s = prior
+        for t in text.lower().strip().split():
+            s += math.log((pos_toks[t] + 1) / (t_pos + v))
+            s -= math.log((neg_toks[t] + 1) / (t_neg + v))
+        out[doc_id] = s
+    return out
+
+
+def test_nb_doc_scores_match_model(spark):
+    docs = spark.createDataFrame(
+        DOCS, "doc_id LONG, text STRING, lang STRING, source STRING"
+    )
+    got = {r["doc_id"]: float(r["log_odds"]) for r in nb_doc_scores(docs).collect()}
+    want = _model_scores()
+    assert set(got) == set(want)
+    for doc_id, s in want.items():
+        # engine rounds each per-token weight to 9 dp before the exact
+        # decimal sum; with <= 7 tokens the accumulated difference from
+        # the unrounded model is < 1e-8
+        assert abs(got[doc_id] - s) < 1e-6, (doc_id, got[doc_id], s)
+    # pure-positive-token docs keep, pure-negative drop, and the
+    # tokens-vs-label mismatches follow the TOKENS (that is the point
+    # of a content classifier)
+    assert got[0] > 0 and got[1] > 0
+    assert got[2] < 0 and got[3] < 0
+    assert got[4] > 0   # 'alpha common' scores positive despite lang=fr
+    assert got[5] < 0   # 'gamma common' scores negative despite lang=en
+
+
+def test_quality_report_aggregates_scores(spark):
+    docs = spark.createDataFrame(
+        DOCS, "doc_id LONG, text STRING, lang STRING, source STRING"
+    )
+    rep = {r["source"]: r.asDict() for r in quality_nb_classifier(docs).collect()}
+    want = _model_scores()
+    for src in ("sA", "sB"):
+        ids = [d for d, _t, _l, s in DOCS if s == src]
+        assert rep[src]["n_docs"] == len(ids)
+        assert rep[src]["n_keep"] == sum(want[d] > 0 for d in ids)
+        model_avg = sum(want[d] for d in ids) / len(ids)
+        assert abs(rep[src]["avg_log_odds"] - model_avg) < 1e-5
+        assert rep[src]["min_log_odds"] <= rep[src]["max_log_odds"]
