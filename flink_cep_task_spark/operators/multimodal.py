@@ -320,3 +320,111 @@ FROM (SELECT doc_id, text,
       WHERE octet_length(encode(text)) = length(text) AND length(text) > 0),
      LATERAL (SELECT unnest(generate_series(0, nc - 1)) AS i) s
 """
+
+
+# --- media dedup (exact byte-level + embedding near-dup) -------------------
+
+# the media fixture is exact-dup-free (every sf: |distinct payloads| ==
+# |payloads|), so exact suppression would be vacuous — every MEDIA_DUP_MOD-th
+# payload re-arrives re-labeled (doc_id + MEDIA_DUP_OFFSET) BY CONSTRUCTION,
+# identically in the engine and the oracle. Same pattern as
+# dedup_stream_watermark's injected stream copies.
+MEDIA_DUP_MOD = 7
+MEDIA_DUP_OFFSET = 1_000_000
+
+
+def media_dedup_report(documents: DataFrame, embeddings: DataFrame) -> DataFrame:
+    """Dedup over MEDIA payloads — the two layers a multimodal corpus
+    needs, composed into one per-payload report:
+
+    - EXACT (byte level, no codec): payloads flow through the real
+      mapInPandas feature plumbing (extract_features: n_bytes + md5
+      checksum), then an equi-key aggregate on the 32-byte checksum
+      marks duplicates (canonical = min doc_id) and sizes each cluster.
+      Identical payload bytes always dedup regardless of modality.
+    - NEAR (perceptual level): decoding media to perceptual features is
+      codec-blocked in this container (see decode_image), so the
+      embedding path stands in — the embeddings table plays the
+      image/audio-encoder output store (vec_id keyed to the source
+      doc_id; an injected exact copy inherits its source's vector, as
+      identical bytes produce identical encoder output). Near-dup
+      partners come from dedup_embedding_cosine's LSH-bucketed
+      candidate + exact-cosine-verify pairs — never an all-pairs join.
+
+    Scale shape: one payload scan through Arrow-batched Python (the
+    unavoidable feature pass), one checksum-keyed aggregate + equi-join
+    (32-byte keys, uniform — skew-free), and the vector side reuses the
+    bucketed pair machinery; partner counts are vector-keyed (bounded by
+    the vector store, not the payload corpus) and join back on an
+    equi-key."""
+    from flink_cep_task_spark.operators.similarity import dedup_embedding_cosine
+
+    copies = documents.filter(
+        F.col("doc_id") % MEDIA_DUP_MOD == 0
+    ).withColumn("doc_id", F.col("doc_id") + MEDIA_DUP_OFFSET)
+    media = documents_as_media(documents.unionByName(copies))
+    feats = extract_features(media).select("doc_id", "n_bytes", "checksum")
+    clusters = feats.groupBy("checksum").agg(
+        F.min("doc_id").alias("canon_id"),
+        F.count(F.lit(1)).cast("long").alias("exact_cluster_size"),
+    )
+    pairs = dedup_embedding_cosine(embeddings)
+    near = (
+        pairs.select(F.col("vec_a").alias("vec_id"))
+        .unionByName(pairs.select(F.col("vec_b").alias("vec_id")))
+        .groupBy("vec_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_near_dup_vecs"))
+    )
+    return (
+        feats.join(clusters, "checksum")
+        .withColumn("is_exact_dup", F.col("doc_id") != F.col("canon_id"))
+        .withColumn("vec_id", F.col("doc_id") % MEDIA_DUP_OFFSET)
+        .join(near, "vec_id", "left")
+        .select(
+            "doc_id",
+            "n_bytes",
+            "is_exact_dup",
+            "exact_cluster_size",
+            F.coalesce(F.col("n_near_dup_vecs"), F.lit(0))
+            .cast("long")
+            .alias("n_near_dup_vecs"),
+        )
+    )
+
+
+def _media_dedup_sql() -> str:
+    from flink_cep_task_spark.operators.similarity import COSINE_DUP_SQL
+
+    return f"""
+WITH media AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + {MEDIA_DUP_OFFSET}, text FROM documents
+  WHERE doc_id % {MEDIA_DUP_MOD} = 0
+), feats AS (
+  SELECT doc_id,
+         CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+         md5(text) AS checksum
+  FROM media
+), clusters AS (
+  SELECT checksum, min(doc_id) AS canon_id,
+         CAST(count(*) AS BIGINT) AS exact_cluster_size
+  FROM feats GROUP BY checksum
+), pairs AS ({COSINE_DUP_SQL.strip()}
+), near AS (
+  SELECT vec_id, CAST(count(*) AS BIGINT) AS n_near_dup_vecs
+  FROM (SELECT vec_a AS vec_id FROM pairs
+        UNION ALL SELECT vec_b FROM pairs)
+  GROUP BY vec_id
+)
+SELECT f.doc_id, f.n_bytes,
+       f.doc_id <> c.canon_id AS is_exact_dup,
+       c.exact_cluster_size,
+       coalesce(n.n_near_dup_vecs, 0) AS n_near_dup_vecs
+FROM feats f
+JOIN clusters c USING (checksum)
+LEFT JOIN near n ON n.vec_id = f.doc_id % {MEDIA_DUP_OFFSET}
+"""
+
+
+MEDIA_DEDUP_SQL = _media_dedup_sql()

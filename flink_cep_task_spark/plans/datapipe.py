@@ -426,6 +426,13 @@ DATAPIPE_QUERIES: dict[str, tuple] = {
     "bpe_merges_report": (_docs(T.bpe_merges_report), T.BPE_MERGES_SQL),
     "bpe_apply_report": (_docs(T.bpe_apply_report), T.BPE_APPLY_SQL),
     "quality_nb_classifier": (_docs(T.quality_nb_classifier), T.QUALITY_NB_SQL),
+    "media_dedup_report": (
+        lambda spark, sf_dir: M.media_dedup_report(
+            widen_small_scan(load_table(spark, sf_dir, "documents")),
+            widen_small_scan(load_table(spark, sf_dir, "embeddings")),
+        ),
+        M.MEDIA_DEDUP_SQL,
+    ),
     "pii_redact_report": (_docs(T.pii_redact_report), T.PII_REDACT_SQL),
     "knn_bruteforce": (_embs(S.knn_bruteforce), S.KNN_SQL),
     "embedding_corr_pairs": (

@@ -173,6 +173,7 @@ OVERFLOW_LAST = (
     # rotation; everything new parks here with a local oracle)
     "bpe_apply_report",
     "quality_nb_classifier",
+    "media_dedup_report",
 )
 
 

@@ -75,3 +75,38 @@ def test_image_dimensions_degrades_to_fallback_rows(spark):
         assert r.decoder in ("fallback", "pil")
         if r.decoder == "fallback":
             assert r.width is None and r.height is None and r.mode is None
+
+
+def test_media_dedup_report_suppression_properties(spark):
+    """The injected exact copies must be DETECTED (non-vacuous — the raw
+    fixture is exact-dup-free): each copy is flagged is_exact_dup with
+    its source as canonical (cluster size 2), every non-copied payload
+    stands alone, and a copy inherits its source's near-dup partner
+    count (identical bytes -> identical encoder output -> same
+    vector)."""
+    from flink_cep_task_spark.operators.multimodal import (
+        MEDIA_DUP_MOD,
+        MEDIA_DUP_OFFSET,
+        media_dedup_report,
+    )
+    from flink_cep_task_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    docs = load_table(spark, sf, "documents")
+    embs = load_table(spark, sf, "embeddings")
+    rows = {r["doc_id"]: r.asDict() for r in media_dedup_report(docs, embs).collect()}
+    n_docs = docs.count()
+    copies = [d for d in rows if d >= MEDIA_DUP_OFFSET]
+    assert len(rows) == n_docs + len(copies) and copies
+    for cid in copies:
+        src = cid - MEDIA_DUP_OFFSET
+        assert src % MEDIA_DUP_MOD == 0
+        assert rows[cid]["is_exact_dup"] is True
+        assert rows[src]["is_exact_dup"] is False
+        assert rows[cid]["exact_cluster_size"] == 2
+        assert rows[src]["exact_cluster_size"] == 2
+        assert rows[cid]["n_near_dup_vecs"] == rows[src]["n_near_dup_vecs"]
+        assert rows[cid]["n_bytes"] == rows[src]["n_bytes"]
+    for d, r in rows.items():
+        if d < MEDIA_DUP_OFFSET and d % MEDIA_DUP_MOD != 0:
+            assert r["exact_cluster_size"] == 1 and r["is_exact_dup"] is False
