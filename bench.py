@@ -126,16 +126,33 @@ def main() -> None:
         # a typo would otherwise run ZERO queries and write an empty
         # BENCH_DETAIL_PARTIAL.json with no hint why
         sys.exit(f"SPARK_GRAFT_BENCH_ONLY names not in registry: {sorted(unknown)}")
+    # one-time store builds (every *_stored index/signature/bucket store is
+    # rebuilt per process — hermetic, but it is NOT probe cost): snapshot
+    # the accumulated build seconds around each query so BENCH_DETAIL can
+    # report build_s/probe_s separately and the headline decomposes
+    # without reading the notes (VERDICT r7 task #4)
+    from flink_cep_task_spark.plans.datapipe import store_build_total
+
     timings: dict[str, float] = {}
+    store_builds: dict[str, dict[str, float]] = {}
     for name, fn in entrymod.queries().items():
         if only and name not in only:
             continue
+        b0 = store_build_total()
         start = time.perf_counter()
         df = fn(spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - start, 3)
+        sec = round(time.perf_counter() - start, 3)
+        timings[name] = sec
+        build_s = round(store_build_total() - b0, 3)
+        if build_s > 0:
+            store_builds[name] = {
+                "build_s": build_s,
+                "probe_s": round(sec - build_s, 3),
+            }
 
     total = round(sum(timings.values()), 3)
+    total_builds = round(sum(v["build_s"] for v in store_builds.values()), 3)
 
     # Full per-query breakdown goes to a repo file (committed per round);
     # the stdout line must survive the driver's bounded tail capture.
@@ -152,10 +169,26 @@ def main() -> None:
                 "unit": "sec",
                 "sf": sf,
                 "n_queries": len(timings),
+                "store_build_seconds_total": total_builds,
+                "store_builds": store_builds,
                 "notes": [
-                    "Round-7 final surface (146 queries): 276.8 s "
-                    "committed (bpe_merges_report adds ~4.5 s in-bench, "
-                    "2.1 s steady in the audit, flat to 64x). "
+                    "store_builds splits every query that triggered a "
+                    "one-time per-process store build (the *_stored "
+                    "index/signature/cluster/bucket stores) into build_s "
+                    "(the store write a production deployment pays once "
+                    "per ingest, re-paid here per process for hermeticity) "
+                    "and probe_s (the steady-state cost the scaling audit "
+                    "measures); value still counts both, so "
+                    "value - store_build_seconds_total is the "
+                    "probe-only total.",
+                    "Round-7 reconciliation (VERDICT r7 'What's wrong' "
+                    "#1): the authoritative round-7 number is the "
+                    "driver's own BENCH_r07.json = 248.4 s @ 146; the "
+                    "276.8 s previously leading these notes was the "
+                    "builder's final run under a documented ~1.3x "
+                    "tenant-load window (same code). ~25-30 s of either "
+                    "total is one-time store builds, now split out via "
+                    "store_builds. "
                     "The two stream-stream interval-join "
                     "replays cost 8.8 + 7.7 s (standard replay-drain "
                     "fixed cost, 6 micro-batches each); ann_ivf_stored "
@@ -169,28 +202,19 @@ def main() -> None:
                     "store build, then a ~5.5 s probe whose floor is "
                     "CC-loop job overhead, flat to 64x) - the "
                     "build-then-probe pattern of every *_stored entry. "
-                    "Eleven full runs this surface-growth window: "
-                    "237.5/242.5 s @ 137, 208.2 s @ 140, 184.6 s @ "
-                    "141, 219.6 s @ 143, 289.0/266.3/258.5 s @ 144, "
-                    "258.3 s @ 145, 285.5/276.8 s @ 146 - vs 161.6-165.7 s "
-                    "@ 132 "
-                    "earlier in the round at load ~0, a uniform ~1.3x "
-                    "inflation during the tenant-load windows, "
-                    "uniform across untouched TPC-H queries (per the "
-                    "variance notes below). Isolation reruns of the "
-                    "three largest in-bench outliers during the loaded "
-                    "window (3 runs, load ~5): ann_pq 3.8/3.6/4.2 s (its "
-                    "documented warmup band; in-bench 9.5-10.8 is the "
-                    "known first-use outlier, steady state 1.3-1.9 s), "
-                    "q7_volume_shipping 1.9/1.7/2.2 s, rule_update_live "
-                    "10.2/9.7/10.5 s loaded but 5.9 s in the final full "
-                    "run (two-phase replay = two full streaming drains, "
-                    "documented +-2x band). No plan changed for any of "
-                    "the three; the round-7 final additions cost ~4 s "
-                    "total (funnel_single_pass 0.52, event_transitions "
-                    "0.58, pii_redact_report 0.31, bucketed_user_join "
-                    "1.27 incl. its one-time bucketed-store build, plus "
-                    "the second-batch trio at 2.3/1.8/0.7).",
+                    "Round-7 load context: eleven full runs in the "
+                    "surface-growth window ranged 184.6-289.0 s "
+                    "(@137-146) vs 161.6-165.7 s @ 132 at load ~0 - a "
+                    "uniform ~1.3x inflation during tenant-load windows, "
+                    "uniform across untouched TPC-H queries (variance "
+                    "notes below). Isolation reruns of the three largest "
+                    "in-bench outliers during the loaded window (3 runs, "
+                    "load ~5): ann_pq 3.8/3.6/4.2 s (documented warmup "
+                    "band; steady state 1.3-1.9 s), q7_volume_shipping "
+                    "1.9/1.7/2.2 s, rule_update_live 10.2/9.7/10.5 s "
+                    "loaded but 5.9 s in the final full run (two-phase "
+                    "replay = two full streaming drains, documented "
+                    "+-2x band). No plan changed for any of the three.",
                     "Round-7 isolation reruns of the two r5->r6 in-bench "
                     "drifts (VERDICT r6 task #4; 3 runs each, pre-run "
                     "load ~0.3): dedup_ngram_jaccard 4.79/5.50/5.69 s "

@@ -1701,6 +1701,7 @@ def _bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     FILES at any real deployment persist under the warehouse dir."""
     import hashlib
     import tempfile
+    import time
 
     cached = _BUCKET_STORE_CACHE.get(sf_dir)
     # the cached resource is a CATALOG entry, which dies with its
@@ -1709,6 +1710,7 @@ def _bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     # process rebuilds instead of reading a dangling table name
     if cached is not None and spark.catalog.tableExists(cached[0]):
         return cached
+    t0 = time.perf_counter()
     tag = f"g{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}"
     ev_tbl, us_tbl = f"bkt_events_{tag}", f"bkt_user_stats_{tag}"
     root = tempfile.mkdtemp(prefix="bucket_store_")
@@ -1743,6 +1745,12 @@ def _bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     )
     _BUCKET_STORE_CACHE[sf_dir] = (ev_tbl, us_tbl)
     _BUCKET_STORE_DIRS.append(root)
+    # same build/probe accounting seam as the *_stored file stores
+    from flink_cep_task_spark.plans.datapipe import STORE_BUILD_SECONDS
+
+    STORE_BUILD_SECONDS["bucket_store_" + sf_dir] = round(
+        time.perf_counter() - t0, 3
+    )
     return ev_tbl, us_tbl
 
 

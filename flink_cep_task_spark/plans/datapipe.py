@@ -39,10 +39,23 @@ def _embs(fn):
 _STORE_CACHES: list[dict[str, str]] = []
 
 
+# One-time store-build seconds, accumulated per (prefix, sf_dir) so the
+# bench can split a *_stored query's first-run wall into build_s vs
+# probe_s (VERDICT r7 task #4): the per-process store rebuild is hermetic
+# bench accounting, not probe cost, and the headline should decompose
+# without reading the notes.
+STORE_BUILD_SECONDS: dict[str, float] = {}
+
+
+def store_build_total() -> float:
+    return sum(STORE_BUILD_SECONDS.values())
+
+
 def _store_path(cache: dict[str, str], sf_dir: str, prefix: str,
                 subdir: str, build) -> str:
     import os
     import tempfile
+    import time
 
     cached = cache.get(sf_dir)
     if cached is not None and os.path.isdir(cached):
@@ -50,8 +63,10 @@ def _store_path(cache: dict[str, str], sf_dir: str, prefix: str,
     if cache not in _STORE_CACHES:
         _STORE_CACHES.append(cache)
     path = os.path.join(tempfile.mkdtemp(prefix=prefix), subdir)
+    t0 = time.perf_counter()
     build(path)
     D.release_caches()  # the build's operator persists; probes re-persist
+    STORE_BUILD_SECONDS[prefix + sf_dir] = round(time.perf_counter() - t0, 3)
     cache[sf_dir] = path
     return path
 
