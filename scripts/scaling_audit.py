@@ -96,6 +96,10 @@ QUERIES = [
     "ann_ivf_stored",
     "dedup_clusters_stored",
     "bpe_merges_report",
+    # round-8 additions
+    "bpe_apply_report",
+    "quality_nb_classifier",
+    "media_dedup_report",
 ]
 BASE = "/root/testdata/sf0.1"
 
