@@ -369,9 +369,12 @@ def media_dedup_report(documents: DataFrame, embeddings: DataFrame) -> DataFrame
         F.count(F.lit(1)).cast("long").alias("exact_cluster_size"),
     )
     pairs = dedup_embedding_cosine(embeddings)
+    # ONE consumer of the pair pipeline: exploding [vec_a, vec_b] counts
+    # both endpoints in a single pass — a two-branch union would re-run
+    # the whole LSH + cosine-verify subtree per branch (measured: the
+    # 64x audit's first cut cost ~2x the cosine leg for exactly this)
     near = (
-        pairs.select(F.col("vec_a").alias("vec_id"))
-        .unionByName(pairs.select(F.col("vec_b").alias("vec_id")))
+        pairs.select(F.explode(F.array("vec_a", "vec_b")).alias("vec_id"))
         .groupBy("vec_id")
         .agg(F.count(F.lit(1)).cast("long").alias("n_near_dup_vecs"))
     )
