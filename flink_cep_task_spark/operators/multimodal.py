@@ -326,11 +326,16 @@ FROM (SELECT doc_id, text,
 
 # the media fixture is exact-dup-free (every sf: |distinct payloads| ==
 # |payloads|), so exact suppression would be vacuous — every MEDIA_DUP_MOD-th
-# payload re-arrives re-labeled (doc_id + MEDIA_DUP_OFFSET) BY CONSTRUCTION,
+# payload re-arrives re-labeled (doc_id + stride) BY CONSTRUCTION,
 # identically in the engine and the oracle. Same pattern as
-# dedup_stream_watermark's injected stream copies.
+# dedup_stream_watermark's injected stream copies. The stride is DERIVED
+# from the data (max(doc_id) + 1, a 1-row bounded collect — model
+# parameter, like the k-means centroids) rather than a fixed constant: a
+# fixed 10^6 offset would silently collide with real doc_ids at the
+# corpus sizes the docstring claims, assigning one document another
+# document's vector — and oracle parity could never catch it because the
+# SQL would apply the identical transform.
 MEDIA_DUP_MOD = 7
-MEDIA_DUP_OFFSET = 1_000_000
 
 
 def media_dedup_report(documents: DataFrame, embeddings: DataFrame) -> DataFrame:
@@ -359,9 +364,10 @@ def media_dedup_report(documents: DataFrame, embeddings: DataFrame) -> DataFrame
     equi-key."""
     from flink_cep_task_spark.operators.similarity import dedup_embedding_cosine
 
+    stride = documents.agg(F.max("doc_id") + 1).first()[0]
     copies = documents.filter(
         F.col("doc_id") % MEDIA_DUP_MOD == 0
-    ).withColumn("doc_id", F.col("doc_id") + MEDIA_DUP_OFFSET)
+    ).withColumn("doc_id", F.col("doc_id") + F.lit(stride))
     media = documents_as_media(documents.unionByName(copies))
     feats = extract_features(media).select("doc_id", "n_bytes", "checksum")
     clusters = feats.groupBy("checksum").agg(
@@ -378,10 +384,13 @@ def media_dedup_report(documents: DataFrame, embeddings: DataFrame) -> DataFrame
         .groupBy("vec_id")
         .agg(F.count(F.lit(1)).cast("long").alias("n_near_dup_vecs"))
     )
+    back = F.when(
+        F.col("doc_id") >= F.lit(stride), F.col("doc_id") - F.lit(stride)
+    ).otherwise(F.col("doc_id"))
     return (
         feats.join(clusters, "checksum")
         .withColumn("is_exact_dup", F.col("doc_id") != F.col("canon_id"))
-        .withColumn("vec_id", F.col("doc_id") % MEDIA_DUP_OFFSET)
+        .withColumn("vec_id", back)
         .join(near, "vec_id", "left")
         .select(
             "doc_id",
@@ -399,10 +408,12 @@ def _media_dedup_sql() -> str:
     from flink_cep_task_spark.operators.similarity import COSINE_DUP_SQL
 
     return f"""
-WITH media AS (
+WITH stride AS MATERIALIZED (
+  SELECT max(doc_id) + 1 AS s FROM documents
+), media AS (
   SELECT doc_id, text FROM documents
   UNION ALL
-  SELECT doc_id + {MEDIA_DUP_OFFSET}, text FROM documents
+  SELECT doc_id + (SELECT s FROM stride), text FROM documents
   WHERE doc_id % {MEDIA_DUP_MOD} = 0
 ), feats AS (
   SELECT doc_id,
@@ -426,7 +437,10 @@ SELECT f.doc_id, f.n_bytes,
        coalesce(n.n_near_dup_vecs, 0) AS n_near_dup_vecs
 FROM feats f
 JOIN clusters c USING (checksum)
-LEFT JOIN near n ON n.vec_id = f.doc_id % {MEDIA_DUP_OFFSET}
+LEFT JOIN near n
+  ON n.vec_id = CASE WHEN f.doc_id >= (SELECT s FROM stride)
+                     THEN f.doc_id - (SELECT s FROM stride)
+                     ELSE f.doc_id END
 """
 
 

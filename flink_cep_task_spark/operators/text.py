@@ -1361,7 +1361,10 @@ def _learn_bpe_merges(documents: DataFrame) -> list[tuple[int, str, str, str, in
     return merges
 
 
-def bpe_merges_report(documents: DataFrame) -> DataFrame:
+def bpe_merges_report(
+    documents: DataFrame,
+    merges: list[tuple[int, str, str, str, int]] | None = None,
+) -> DataFrame:
     """Learn the first BPE_N_MERGES byte-pair-encoding merges from the
     corpus — the vocabulary-induction step of tokenizer training (the
     word-frequency formulation HuggingFace's trainer uses): start from
@@ -1377,14 +1380,18 @@ def bpe_merges_report(documents: DataFrame) -> DataFrame:
     text is never rescanned after round 0.
 
     Output: (rank, lft, rgt, merged, pair_count) per learned merge; the
-    oracle replays the identical rounds as unrolled CTEs."""
+    oracle replays the identical rounds as unrolled CTEs. Pass
+    precomputed `merges` (registry wrapper memo) to skip the re-fit."""
     return documents.sparkSession.createDataFrame(
-        _learn_bpe_merges(documents),
+        _learn_bpe_merges(documents) if merges is None else merges,
         "rank INT, lft STRING, rgt STRING, merged STRING, pair_count BIGINT",
     )
 
 
-def bpe_apply_report(documents: DataFrame) -> DataFrame:
+def bpe_apply_report(
+    documents: DataFrame,
+    merges: list[tuple[int, str, str, str, int]] | None = None,
+) -> DataFrame:
     """Encode every document with the merges learned by the BPE
     induction — the second half of the tokenizer story: after training a
     vocabulary, the pipeline tokenizes the corpus with it and reports
@@ -1408,7 +1415,9 @@ def bpe_apply_report(documents: DataFrame) -> DataFrame:
     merge table broadcast — same scan shape, the chain is chosen here
     because it is exactly replayable by the SQL oracle. The induction
     itself re-runs first (vocabulary-bounded, see _learn_bpe_merges);
-    a real pipeline would read the merges from the tokenizer store."""
+    a real pipeline would read the merges from the tokenizer store;
+    pass precomputed `merges` (the registry wrapper memoizes them per
+    (process, sf_dir)) to skip the re-fit."""
     words = F.filter(
         tokens(F.col("text")), lambda w: w.rlike(_BPE_WORD_RE)
     )
@@ -1418,7 +1427,9 @@ def bpe_apply_report(documents: DataFrame) -> DataFrame:
         ),
         "#",
     )
-    for _rank, lft, rgt, merged, _cnt in _learn_bpe_merges(documents):
+    if merges is None:
+        merges = _learn_bpe_merges(documents)
+    for _rank, lft, rgt, merged, _cnt in merges:
         seg = F.replace(seg, F.lit(f" {lft}| {rgt}|"), F.lit(f" {merged}|"))
     n_words = F.size(words)
     n_chars = F.length(F.array_join(words, ""))

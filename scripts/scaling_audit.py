@@ -160,6 +160,36 @@ def build_scaled_tpch(spark, k: int) -> str:
     return out
 
 
+def write_scaled_documents(spark, k: int, out: str) -> None:
+    """The documents leg of build_scaled, importable on its own (the
+    substring stage probe scales ONLY documents): copy i suffixes every
+    token with _i so copies share no k-grams — fingerprint/vocab bucket
+    occupancy stays flat while bytes grow linearly."""
+    docs = spark.read.parquet(f"{BASE}/documents.parquet")
+    n_docs = docs.count()
+    dcopies = []
+    for i in range(k):
+        tagged = F.array_join(
+            F.transform(
+                F.split(F.col("text"), r"\s+"), lambda x: F.concat(x, F.lit(f"_{i}"))
+            ),
+            " ",
+        )
+        dcopies.append(
+            docs.select(
+                (F.col("doc_id") + i * n_docs).alias("doc_id"),
+                (tagged if i else F.col("text")).alias("text"),
+                "lang",
+                "source",
+                "n_chars",
+            )
+        )
+    ud = dcopies[0]
+    for c in dcopies[1:]:
+        ud = ud.unionByName(c)
+    ud.repartition(32).write.mode("overwrite").parquet(f"{out}/documents.parquet")
+
+
 def build_scaled(spark, k: int) -> str:
     out = tempfile.mkdtemp(prefix=f"scale_{k}x_")
 
@@ -192,29 +222,7 @@ def build_scaled(spark, k: int) -> str:
         ul = ul.unionByName(c)
     ul.repartition(32).write.mode("overwrite").parquet(f"{out}/lineitem.parquet")
 
-    docs = spark.read.parquet(f"{BASE}/documents.parquet")
-    n_docs = docs.count()
-    dcopies = []
-    for i in range(k):
-        tagged = F.array_join(
-            F.transform(
-                F.split(F.col("text"), r"\s+"), lambda x: F.concat(x, F.lit(f"_{i}"))
-            ),
-            " ",
-        )
-        dcopies.append(
-            docs.select(
-                (F.col("doc_id") + i * n_docs).alias("doc_id"),
-                (tagged if i else F.col("text")).alias("text"),
-                "lang",
-                "source",
-                "n_chars",
-            )
-        )
-    ud = dcopies[0]
-    for c in dcopies[1:]:
-        ud = ud.unionByName(c)
-    ud.repartition(32).write.mode("overwrite").parquet(f"{out}/documents.parquet")
+    write_scaled_documents(spark, k, out)
 
     emb = spark.read.parquet(f"{BASE}/embeddings.parquet")
     n_emb = emb.count()

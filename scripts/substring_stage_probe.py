@@ -27,41 +27,18 @@ import tempfile
 import time
 
 sys.path.insert(0, "/root/repo")
+sys.path.insert(0, "/root/repo/scripts")
 
-from pyspark.sql import functions as F
-
-BASE = "/root/testdata/sf0.1"
 SCALES = (16, 64)
 
 
 def build_scaled_docs(spark, k: int) -> str:
-    # same corpus-scaling recipe as scripts/scaling_audit.build_scaled:
-    # copy i suffixes every token with _i, so copies share no k-grams
-    # (fingerprint buckets stay bounded while bytes grow linearly)
+    # the EXACT corpus-scaling recipe the main audit uses — imported, so
+    # the probe's numbers stay comparable with SCALING.md audit rows
+    from scaling_audit import write_scaled_documents
+
     out = tempfile.mkdtemp(prefix=f"substr_stage_{k}x_")
-    docs = spark.read.parquet(f"{BASE}/documents.parquet")
-    n_docs = docs.count()
-    copies = []
-    for i in range(k):
-        tagged = F.array_join(
-            F.transform(
-                F.split(F.col("text"), r"\s+"), lambda x: F.concat(x, F.lit(f"_{i}"))
-            ),
-            " ",
-        )
-        copies.append(
-            docs.select(
-                (F.col("doc_id") + i * n_docs).alias("doc_id"),
-                (tagged if i else F.col("text")).alias("text"),
-                "lang",
-                "source",
-                "n_chars",
-            )
-        )
-    u = copies[0]
-    for c in copies[1:]:
-        u = u.unionByName(c)
-    u.repartition(32).write.mode("overwrite").parquet(f"{out}/documents.parquet")
+    write_scaled_documents(spark, k, out)
     return out
 
 

@@ -67,26 +67,27 @@ def test_state_asof_null_value_parity(spark, null_value_sf_dir):
     con.close()
 
 
-def test_sentinel_outside_value_domain(spark):
+def test_sentinel_outside_value_domain():
     """The sentinel trick assumes no legitimate value equals the
     sentinel (a collision would be silently reported as NULL, and
     oracle parity can't catch it because both engines apply the same
-    transform). Pin the assumption against the real fixture domain:
+    transform). Pin the assumption against the real fixture domain AT
+    EVERY SF THE GATES RUN (driver gate sf0.01, bench sf0.1 — checking
+    only sf0.001 would miss a domain change in the larger fixtures):
     events.value is a non-negative metric, so the DECIMAL(18,2) floor
     sentinel is unreachable."""
-    from pyspark.sql import functions as F
+    import duckdb
 
-    from flink_cep_task_spark.sources.tables import load_table
-
-    mn = (
-        load_table(spark, "/root/testdata/sf0.001", "events")
-        .agg(F.min("value"))
-        .first()[0]
-    )
-    assert mn is not None and mn >= 0, (
-        f"events.value domain changed (min={mn}); revisit the max_by "
-        "NULL sentinel in state_asof_snapshot/_diff_snap_exprs"
-    )
+    # DuckDB scan instead of Spark: min() over all three parquet
+    # fixtures in well under a second, no session work
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        mn = duckdb.sql(
+            f"SELECT min(value) FROM read_parquet('/root/testdata/{sf}/events.parquet')"
+        ).fetchone()[0]
+        assert mn is not None and mn >= 0, (
+            f"events.value domain changed at {sf} (min={mn}); revisit the "
+            "max_by NULL sentinel in state_asof_snapshot/_diff_snap_exprs"
+        )
 
 
 def test_snapshot_diff_null_value_parity(spark, null_value_sf_dir):

@@ -84,9 +84,10 @@ def test_media_dedup_report_suppression_properties(spark):
     stands alone, and a copy inherits its source's near-dup partner
     count (identical bytes -> identical encoder output -> same
     vector)."""
+    from pyspark.sql import functions as F
+
     from flink_cep_task_spark.operators.multimodal import (
         MEDIA_DUP_MOD,
-        MEDIA_DUP_OFFSET,
         media_dedup_report,
     )
     from flink_cep_task_spark.sources.tables import load_table
@@ -96,10 +97,11 @@ def test_media_dedup_report_suppression_properties(spark):
     embs = load_table(spark, sf, "embeddings")
     rows = {r["doc_id"]: r.asDict() for r in media_dedup_report(docs, embs).collect()}
     n_docs = docs.count()
-    copies = [d for d in rows if d >= MEDIA_DUP_OFFSET]
+    stride = docs.agg(F.max("doc_id") + 1).first()[0]
+    copies = [d for d in rows if d >= stride]
     assert len(rows) == n_docs + len(copies) and copies
     for cid in copies:
-        src = cid - MEDIA_DUP_OFFSET
+        src = cid - stride
         assert src % MEDIA_DUP_MOD == 0
         assert rows[cid]["is_exact_dup"] is True
         assert rows[src]["is_exact_dup"] is False
@@ -108,5 +110,5 @@ def test_media_dedup_report_suppression_properties(spark):
         assert rows[cid]["n_near_dup_vecs"] == rows[src]["n_near_dup_vecs"]
         assert rows[cid]["n_bytes"] == rows[src]["n_bytes"]
     for d, r in rows.items():
-        if d < MEDIA_DUP_OFFSET and d % MEDIA_DUP_MOD != 0:
+        if d < stride and d % MEDIA_DUP_MOD != 0:
             assert r["exact_cluster_size"] == 1 and r["is_exact_dup"] is False
