@@ -927,6 +927,116 @@ def nb_doc_scores(documents: DataFrame) -> DataFrame:
     return doc_scores
 
 
+def write_nb_model_store(documents: DataFrame, path: str) -> None:
+    """Materialize the NB classifier model — the curation-stage analog
+    of the signature/fingerprint/IVF stores, completing the incremental
+    family's classifier stage: a daily pipeline fits the quality
+    classifier on the curated CORPUS once, stores it, and scores each
+    incoming crawl batch against the stored model without ever touching
+    corpus text again.
+
+    The model is exact and tiny: per-token log-odds weights (kind='w'),
+    the class log-prior (kind='prior'), and the constant weight every
+    OUT-OF-VOCABULARY token receives (kind='unseen' — under Laplace
+    smoothing an unseen token's weight is ln(1/(T_pos+V)) −
+    ln(1/(T_neg+V)), the same for all of them). All three are the
+    9-dp-rounded DECIMALs of the in-process classifier, so a probe's
+    scores are bit-identical to fitting in place; DECIMAL(18,9) round-
+    trips parquet exactly."""
+    from flink_cep_task_spark.operators.cache import persisted
+
+    pos = F.expr(NB_POS_LABEL_SQL)
+    toks = persisted(
+        documents.select(
+            pos.alias("is_pos"), F.explode(tokens(F.col("text"))).alias("tok")
+        )
+    )
+    stats = toks.groupBy("tok").agg(
+        F.sum(F.when(F.col("is_pos"), 1).otherwise(0)).alias("c_pos"),
+        F.sum(F.when(F.col("is_pos"), 0).otherwise(1)).alias("c_neg"),
+    )
+    totals = stats.agg(
+        F.sum("c_pos").cast("double").alias("__t_pos"),
+        F.sum("c_neg").cast("double").alias("__t_neg"),
+        F.count(F.lit(1)).cast("double").alias("__v"),
+    )
+    w = F.round(
+        F.log((F.col("c_pos") + 1.0) / (F.col("__t_pos") + F.col("__v")))
+        - F.log((F.col("c_neg") + 1.0) / (F.col("__t_neg") + F.col("__v"))),
+        9,
+    ).cast("decimal(18,9)")
+    weights = (
+        stats.join(F.broadcast(totals))
+        .select("tok", w.alias("w"), F.lit("w").alias("kind"))
+    )
+    unseen = totals.select(
+        F.lit(None).cast("string").alias("tok"),
+        F.round(
+            F.log(F.lit(1.0) / (F.col("__t_pos") + F.col("__v")))
+            - F.log(F.lit(1.0) / (F.col("__t_neg") + F.col("__v"))),
+            9,
+        )
+        .cast("decimal(18,9)")
+        .alias("w"),
+        F.lit("unseen").alias("kind"),
+    )
+    prior = documents.agg(
+        F.round(
+            F.log(
+                F.sum(F.when(pos, 1).otherwise(0)).cast("double")
+                / F.sum(F.when(pos, 0).otherwise(1)).cast("double")
+            ),
+            9,
+        )
+        .cast("decimal(18,9)")
+        .alias("w")
+    ).select(
+        F.lit(None).cast("string").alias("tok"), "w", F.lit("prior").alias("kind")
+    )
+    weights.unionByName(unseen).unionByName(prior).write.mode(
+        "overwrite"
+    ).parquet(path)
+    toks.unpersist()
+
+
+def quality_nb_score_from_store(incoming: DataFrame, model: DataFrame) -> DataFrame:
+    """Score an incoming batch against the STORED classifier: per-doc
+    NB log-odds + the keep gate, corpus never read. The vocab-bounded
+    weight table broadcasts onto the batch's token stream; out-of-
+    vocabulary tokens coalesce to the stored unseen constant; the prior
+    and unseen scalars ride a bounded 2-row collect (model parameters).
+    The keep flag compares the EXACT decimal sum, so it can't flip on a
+    float ulp."""
+    consts = {
+        r["kind"]: r["w"]
+        for r in model.filter(F.col("kind") != "w").select("kind", "w").collect()
+    }
+    weights = model.filter(F.col("kind") == "w").select("tok", "w")
+    toks = incoming.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("tok")
+    )
+    scored = toks.join(F.broadcast(weights), "tok", "left").select(
+        "doc_id",
+        F.coalesce(F.col("w"), F.lit(consts["unseen"]).cast("decimal(18,9)")).alias(
+            "w"
+        ),
+    )
+    log_odds = F.lit(consts["prior"]).cast("decimal(18,9)") + F.col("__sum_w")
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum("w").alias("__sum_w"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.round(log_odds.cast("double"), 6).alias("log_odds"),
+            (log_odds > 0).alias("keep"),
+        )
+    )
+
+
 # the fit+score CTE prefix shared verbatim by QUALITY_NB_SQL and the
 # curation-funnel oracle (which composes the gate stage)
 NB_DOC_SCORES_CTES = f"""toks AS (
@@ -974,6 +1084,61 @@ SELECT source,
        round(CAST(max(log_odds) AS DOUBLE), 6) AS max_log_odds
 FROM doc_scores
 GROUP BY source
+"""
+
+
+def quality_nb_stored_sql(incoming_source: str) -> str:
+    """Oracle for the stored-model probe: the full from-scratch SQL
+    replay with the FIT restricted to corpus documents
+    (source <> incoming) and scoring restricted to the incoming batch —
+    the store changes the cost, never the answer. Out-of-vocabulary
+    tokens take the Laplace unseen constant; the keep gate compares the
+    exact decimal sum."""
+    return f"""
+WITH ctoks AS (
+  SELECT {NB_POS_LABEL_SQL} AS is_pos,
+         unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS tok
+  FROM documents WHERE source <> '{incoming_source}'
+), stats AS (
+  SELECT tok,
+         sum(CASE WHEN is_pos THEN 1 ELSE 0 END) AS c_pos,
+         sum(CASE WHEN is_pos THEN 0 ELSE 1 END) AS c_neg
+  FROM ctoks GROUP BY tok
+), tot AS MATERIALIZED (
+  SELECT CAST(sum(c_pos) AS DOUBLE) AS t_pos,
+         CAST(sum(c_neg) AS DOUBLE) AS t_neg,
+         CAST(count(*) AS DOUBLE) AS v
+  FROM stats
+), weights AS (
+  SELECT tok,
+         CAST(round(ln((c_pos + 1.0) / (t_pos + v))
+                    - ln((c_neg + 1.0) / (t_neg + v)), 9)
+              AS DECIMAL(18,9)) AS w
+  FROM stats, tot
+), consts AS MATERIALIZED (
+  SELECT CAST(round(ln(1.0 / (t_pos + v)) - ln(1.0 / (t_neg + v)), 9)
+              AS DECIMAL(18,9)) AS unseen
+  FROM tot
+), prior AS MATERIALIZED (
+  SELECT CAST(round(ln(
+           CAST(sum(CASE WHEN {NB_POS_LABEL_SQL} THEN 1 ELSE 0 END) AS DOUBLE)
+           / sum(CASE WHEN {NB_POS_LABEL_SQL} THEN 0 ELSE 1 END)), 9)
+         AS DECIMAL(18,9)) AS p
+  FROM documents WHERE source <> '{incoming_source}'
+), itoks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS tok
+  FROM documents WHERE source = '{incoming_source}'
+), scored AS (
+  SELECT doc_id,
+         coalesce(w.w, (SELECT unseen FROM consts)) AS w
+  FROM itoks LEFT JOIN weights w USING (tok)
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       round(CAST(p + sum(w) AS DOUBLE), 6) AS log_odds,
+       p + sum(w) > 0 AS keep
+FROM scored, prior
+GROUP BY doc_id, p
 """
 
 

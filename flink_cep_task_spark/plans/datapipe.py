@@ -31,6 +31,39 @@ def _embs(fn):
     return q
 
 
+# the stored NB classifier model — curation-stage member of the
+# incremental-store family (fit once on the corpus, score every
+# incoming batch against the store)
+_NB_MODEL_STORE_CACHE: dict[str, str] = {}
+
+
+def _nb_model_store(spark: SparkSession, sf_dir: str) -> str:
+    return _store_path(
+        _NB_MODEL_STORE_CACHE, sf_dir, "nb_model_", "model",
+        lambda p: T.write_nb_model_store(
+            widen_small_scan(load_table(spark, sf_dir, "documents")).filter(
+                F.col("source") != D.INCREMENTAL_INCOMING_SOURCE
+            ),
+            p,
+        ),
+    )
+
+
+def quality_nb_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """quality_nb_classifier's incremental daily-production twin: the
+    incoming batch (source = src0, the daily-crawl stand-in shared with
+    dedup_incremental) is scored against the MATERIALIZED corpus-fit
+    classifier — the probe tokenizes ONLY incoming text; the corpus
+    contributes nothing but the vocab-bounded model FileScan
+    (plan-pinned). Oracle is the full from-scratch recompute with the
+    fit restricted to corpus documents."""
+    model = spark.read.parquet(_nb_model_store(spark, sf_dir))
+    incoming = widen_small_scan(load_table(spark, sf_dir, "documents")).filter(
+        F.col("source") == D.INCREMENTAL_INCOMING_SOURCE
+    )
+    return T.quality_nb_score_from_store(incoming, model)
+
+
 # the learned BPE merge list is a bounded model parameter (like the
 # k-means centroids): memoized per (process, sf_dir) so bench/audit runs
 # that execute BOTH bpe_merges_report and bpe_apply_report pay the
@@ -471,6 +504,10 @@ DATAPIPE_QUERIES: dict[str, tuple] = {
         T.BPE_APPLY_SQL,
     ),
     "quality_nb_classifier": (_docs(T.quality_nb_classifier), T.QUALITY_NB_SQL),
+    "quality_nb_stored": (
+        quality_nb_stored,
+        T.quality_nb_stored_sql(D.INCREMENTAL_INCOMING_SOURCE),
+    ),
     "media_dedup_report": (
         lambda spark, sf_dir: M.media_dedup_report(
             widen_small_scan(load_table(spark, sf_dir, "documents")),

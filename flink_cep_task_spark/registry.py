@@ -174,6 +174,7 @@ OVERFLOW_LAST = (
     "bpe_apply_report",
     "quality_nb_classifier",
     "media_dedup_report",
+    "quality_nb_stored",
 )
 
 

@@ -76,6 +76,67 @@ def test_nb_doc_scores_match_model(spark):
     assert got[5] < 0   # 'gamma common' scores negative despite lang=en
 
 
+def test_stored_model_scores_match_python_nb(spark, tmp_path):
+    """write_nb_model_store + quality_nb_score_from_store vs a direct
+    Python NB fit on the CORPUS slice, scoring the INCOMING slice —
+    including the out-of-vocabulary constant (incoming doc 6 carries a
+    token the corpus never saw)."""
+    from flink_cep_task_spark.operators.text import (
+        quality_nb_score_from_store,
+        write_nb_model_store,
+    )
+
+    corpus_rows = [r for r in DOCS]
+    incoming_rows = [
+        (6, "alpha zzznovel common", "en", "sIn"),   # zzznovel is unseen
+        (7, "gamma gamma", "de", "sIn"),
+        (8, "zzznovel zzznovel", "fr", "sIn"),       # all-unseen doc
+    ]
+    corpus = spark.createDataFrame(
+        corpus_rows, "doc_id LONG, text STRING, lang STRING, source STRING"
+    )
+    incoming = spark.createDataFrame(
+        incoming_rows, "doc_id LONG, text STRING, lang STRING, source STRING"
+    )
+    path = str(tmp_path / "nb_model")
+    write_nb_model_store(corpus, path)
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in quality_nb_score_from_store(
+            incoming, spark.read.parquet(path)
+        ).collect()
+    }
+
+    # python model fit on the corpus only
+    from collections import Counter
+
+    pos_toks: Counter = Counter()
+    neg_toks: Counter = Counter()
+    n_pos = n_neg = 0
+    for _id, text, lang, _src in corpus_rows:
+        toks = text.split()
+        if lang == "en":
+            pos_toks.update(toks); n_pos += 1
+        else:
+            neg_toks.update(toks); n_neg += 1
+    vocab = set(pos_toks) | set(neg_toks)
+    t_pos, t_neg, v = sum(pos_toks.values()), sum(neg_toks.values()), len(vocab)
+    prior = math.log(n_pos / n_neg)
+    for doc_id, text, _lang, _src in incoming_rows:
+        s = prior
+        for t in text.split():
+            s += math.log((pos_toks[t] + 1) / (t_pos + v))
+            s -= math.log((neg_toks[t] + 1) / (t_neg + v))
+        r = got[doc_id]
+        assert r["n_tokens"] == len(text.split())
+        assert abs(r["log_odds"] - s) < 1e-6, (doc_id, r["log_odds"], s)
+        assert r["keep"] == (s > 0)
+    # on this symmetric corpus (t_pos == t_neg == 10) the unseen constant
+    # is exactly 0 and the prior ln(3/3) is 0, so the all-unseen doc must
+    # score exactly 0 and fall on the DROP side of the strict gate
+    assert got[8]["log_odds"] == 0.0 and got[8]["keep"] is False
+
+
 def test_quality_report_aggregates_scores(spark):
     docs = spark.createDataFrame(
         DOCS, "doc_id LONG, text STRING, lang STRING, source STRING"

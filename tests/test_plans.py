@@ -685,6 +685,24 @@ def test_bpe_apply_encode_is_map_only(spark):
         assert marker not in plan, f"Python in the BPE encode path: {marker}"
 
 
+def test_quality_nb_stored_probes_store_not_corpus(spark):
+    # the stored-classifier contract: probe-time tokenization covers ONLY
+    # the incoming batch (source equality pushed to the documents scan);
+    # the corpus contributes nothing but the vocab-bounded model FileScan
+    plan = _plan(spark, "quality_nb_stored")
+    pushed = [
+        ln for ln in plan.splitlines()
+        if "PushedFilters" in ln and "source" in ln and "documents" in ln
+    ]
+    assert pushed, "incoming-source filter not pushed to the documents scan"
+    scans = [ln for ln in plan.splitlines() if "Scan parquet" in ln]
+    assert any("nb_model_" in ln or "model" in ln for ln in scans), (
+        f"model store FileScan missing: {scans}"
+    )
+    for marker in ("MapInPandas", "ArrowEvalPython", "BatchEvalPython"):
+        assert marker not in plan, f"Python in the probe path: {marker}"
+
+
 def test_bucketed_user_join_is_exchange_free(spark):
     # the bucketed-layout contract: both sides are bucketed+sorted by
     # user_id into the same bucket count, so the sort-merge join AND the
