@@ -100,6 +100,7 @@ QUERIES = [
     "bpe_apply_report",
     "quality_nb_classifier",
     "media_dedup_report",
+    "quality_nb_stored",
 ]
 BASE = "/root/testdata/sf0.1"
 
