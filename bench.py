@@ -172,6 +172,22 @@ def main() -> None:
                 "store_build_seconds_total": total_builds,
                 "store_builds": store_builds,
                 "notes": [
+                    "Round-8 final surface (150 queries): 214.5 s "
+                    "committed (second of two trough runs: 224.2 "
+                    "then 214.5), measured in a VERIFIED load trough "
+                    "(uptime sampled for 3+ min, 1-min load 0.04-0.28 at "
+                    "fire time) — vs the driver's own round-7 "
+                    "BENCH_r07.json 248.4 s @ 146: faster with four more "
+                    "queries. The gains are real, not load: "
+                    "media_dedup_report's union double-execution fix, the "
+                    "BPE merges memo (bpe_apply_report rides "
+                    "bpe_merges_report's induction), and the clean "
+                    "window. store_build_seconds_total 19.6 s -> "
+                    "probe-only total ~204.6 s. Round-8 additions cost "
+                    "~7 s in-bench (bpe_apply 0.46 riding the memoized "
+                    "induction bpe_merges pays at 2.3, quality_nb 1.7, "
+                    "media_dedup 2.9, quality_nb_stored 2.1 of which "
+                    "1.5 is the one-time model-store build).",
                     "store_builds splits every query that triggered a "
                     "one-time per-process store build (the *_stored "
                     "index/signature/cluster/bucket stores) into build_s "
