@@ -1087,13 +1087,17 @@ GROUP BY source
 """
 
 
-def quality_nb_stored_sql(incoming_source: str) -> str:
+def quality_nb_stored_sql(incoming_source: str, score_where: str | None = None) -> str:
     """Oracle for the stored-model probe: the full from-scratch SQL
     replay with the FIT restricted to corpus documents
     (source <> incoming) and scoring restricted to the incoming batch —
     the store changes the cost, never the answer. Out-of-vocabulary
     tokens take the Laplace unseen constant; the keep gate compares the
-    exact decimal sum."""
+    exact decimal sum. `score_where` overrides WHICH documents are
+    scored (default: the incoming batch; the streaming twin scores the
+    whole replayed corpus)."""
+    if score_where is None:
+        score_where = f"source = '{incoming_source}'"
     return f"""
 WITH ctoks AS (
   SELECT {NB_POS_LABEL_SQL} AS is_pos,
@@ -1127,7 +1131,7 @@ WITH ctoks AS (
   FROM documents WHERE source <> '{incoming_source}'
 ), itoks AS (
   SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS tok
-  FROM documents WHERE source = '{incoming_source}'
+  FROM documents WHERE {score_where}
 ), scored AS (
   SELECT doc_id,
          coalesce(w.w, (SELECT unseen FROM consts)) AS w

@@ -1464,6 +1464,74 @@ FROM c LEFT JOIN p ON c.user_id = p.user_id
 """
 
 
+def q_quality_nb_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING curation scoring: every arriving document scored
+    against the STORED corpus-fit NB quality classifier
+    (plans/datapipe._nb_model_store) — the streaming member of the
+    classifier stage, the shape a crawl-ingest pipeline runs: model fit
+    offline, each micro-batch of new documents scored as it lands.
+
+    Each micro-batch runs THE REAL BATCH OPERATOR
+    (text.quality_nb_score_from_store) inside foreachBatch against the
+    batch-read model — no stateful operator, no watermark (scoring is
+    per-document, so batch boundaries can't change any result), with
+    the bid=N overwrite idempotence pattern from rollup_stream_maintain
+    making the sink exactly-once under foreachBatch's at-least-once
+    retries. Replays the documents table across 4+ micro-batches via
+    the shared _docs_stream_workdir scaffold; that scaffold also
+    injects re-labeled duplicate copies for its dedup twin — they carry
+    doc_id >= the copy stride and are filtered here (this query scores
+    the corpus replay, not the dup-injection fixture). The result must
+    hash-match the one-shot batch oracle: the same from-scratch SQL
+    replay as quality_nb_stored, scoring ALL documents."""
+    import os
+    import tempfile
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from flink_cep_task_spark.operators.text import quality_nb_score_from_store
+    from flink_cep_task_spark.plans.datapipe import _nb_model_store
+    from flink_cep_task_spark.streaming.pipeline import await_stream
+
+    model = spark.read.parquet(_nb_model_store(spark, sf_dir))
+    work, n_parts = _docs_stream_workdir(spark, sf_dir)
+    run = tempfile.mkdtemp(prefix=f"nbstream_{uuid.uuid4().hex[:8]}_", dir=work)
+    sink = os.path.join(run, "scores")
+
+    stream = (
+        spark.readStream.schema("event_time timestamp, doc_id long, text string")
+        .option("maxFilesPerTrigger", max(n_parts // 4, 1))
+        .parquet(os.path.join(work, "src"))
+    )
+
+    def score_batch(bdf, bid: int) -> None:
+        quality_nb_score_from_store(
+            bdf.filter(F.col("doc_id") < 1_000_000), model
+        ).write.mode("overwrite").parquet(os.path.join(sink, f"bid={bid}"))
+
+    with _shuffle_partitions(spark, 8):
+        q = (
+            stream.writeStream.foreachBatch(score_batch)
+            .option("checkpointLocation", os.path.join(run, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        await_stream(q, 600)
+
+    return spark.read.parquet(sink).select("doc_id", "n_tokens", "log_odds", "keep")
+
+
+def _nb_stream_sql() -> str:
+    from flink_cep_task_spark.operators.dedup import INCREMENTAL_INCOMING_SOURCE
+    from flink_cep_task_spark.operators.text import quality_nb_stored_sql
+
+    return quality_nb_stored_sql(INCREMENTAL_INCOMING_SOURCE, score_where="TRUE")
+
+
+NB_STREAM_SQL = _nb_stream_sql()
+
+
 CEP_QUERIES: dict[str, tuple] = {
     # name -> (callable, oracle_sql | None)
     "cep_tumbling_sum": (_rule_query([R_TUMBLING_SUM]), cep_oracle_sql([R_TUMBLING_SUM])),
@@ -1502,6 +1570,7 @@ CEP_QUERIES: dict[str, tuple] = {
     "rule_update_live": (q_rule_update_live, _rule_update_oracle_sql()),
     "cep_late_data_policy": (q_late_data_policy, _late_data_oracle_sql()),
     "rollup_stream_maintain": (q_rollup_stream_maintain, STREAM_ROLLUP_SQL),
+    "quality_nb_stream": (q_quality_nb_stream, NB_STREAM_SQL),
     "cep_followed_by_stream": (q_followed_by_stream, FOLLOWED_BY_STREAM_SQL),
     "cep_not_followed_by_stream": (
         q_not_followed_by_stream,

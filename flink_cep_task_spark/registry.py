@@ -175,6 +175,7 @@ OVERFLOW_LAST = (
     "quality_nb_classifier",
     "media_dedup_report",
     "quality_nb_stored",
+    "quality_nb_stream",
 )
 
 

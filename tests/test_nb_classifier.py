@@ -150,3 +150,22 @@ def test_quality_report_aggregates_scores(spark):
         model_avg = sum(want[d] for d in ids) / len(ids)
         assert abs(rep[src]["avg_log_odds"] - model_avg) < 1e-5
         assert rep[src]["min_log_odds"] <= rep[src]["max_log_odds"]
+
+
+def test_nb_stream_scores_across_multiple_batches(spark):
+    """The streaming twin must actually replay MULTIPLE micro-batches
+    (bid=N sink dirs) and score every document exactly once — a
+    single-batch drain would make the streaming claim vacuous."""
+    import duckdb
+
+    from flink_cep_task_spark.plans.cep_queries import q_quality_nb_stream
+
+    sf = "/root/testdata/sf0.001"
+    df = q_quality_nb_stream(spark, sf)
+    bids = {f.split("bid=")[1].split("/")[0] for f in df.inputFiles() if "bid=" in f}
+    assert len(bids) >= 2, f"replay collapsed to one micro-batch: {bids}"
+    n_docs = duckdb.sql(
+        f"SELECT count(*) FROM read_parquet('{sf}/documents.parquet')"
+    ).fetchone()[0]
+    assert df.count() == n_docs
+    assert df.select("doc_id").distinct().count() == n_docs
