@@ -101,6 +101,7 @@ QUERIES = [
     "quality_nb_classifier",
     "media_dedup_report",
     "quality_nb_stored",
+    "quality_nb_stream",
 ]
 BASE = "/root/testdata/sf0.1"
 
