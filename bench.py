@@ -172,9 +172,11 @@ def main() -> None:
                 "store_build_seconds_total": total_builds,
                 "store_builds": store_builds,
                 "notes": [
-                    "Round-8 final surface (150 queries): 214.5 s "
-                    "committed (second of two trough runs: 224.2 "
-                    "then 214.5), measured in a VERIFIED load trough "
+                    "Round-8 final surface (151 queries): 223.7 s "
+                    "committed (full-run history this round: 224.2/214.5 "
+                    "@150 pre-quality_nb_stream, then 235.4/223.7 @151 — "
+                    "the new streaming scorer costs ~4-5 s of replay "
+                    "fixed cost), first runs fired in a VERIFIED load trough "
                     "(uptime sampled for 3+ min, 1-min load 0.04-0.28 at "
                     "fire time) — vs the driver's own round-7 "
                     "BENCH_r07.json 248.4 s @ 146: faster with four more "
