@@ -951,9 +951,14 @@ def write_nb_model_store(documents: DataFrame, path: str) -> None:
             pos.alias("is_pos"), F.explode(tokens(F.col("text"))).alias("tok")
         )
     )
-    stats = toks.groupBy("tok").agg(
-        F.sum(F.when(F.col("is_pos"), 1).otherwise(0)).alias("c_pos"),
-        F.sum(F.when(F.col("is_pos"), 0).otherwise(1)).alias("c_neg"),
+    # persisted like nb_doc_scores' stats: three plan branches consume
+    # it (the weights join side + both totals aggregates) and would each
+    # re-run the vocab groupBy otherwise
+    stats = persisted(
+        toks.groupBy("tok").agg(
+            F.sum(F.when(F.col("is_pos"), 1).otherwise(0)).alias("c_pos"),
+            F.sum(F.when(F.col("is_pos"), 0).otherwise(1)).alias("c_neg"),
+        )
     )
     totals = stats.agg(
         F.sum("c_pos").cast("double").alias("__t_pos"),
@@ -996,6 +1001,7 @@ def write_nb_model_store(documents: DataFrame, path: str) -> None:
     weights.unionByName(unseen).unionByName(prior).write.mode(
         "overwrite"
     ).parquet(path)
+    stats.unpersist()
     toks.unpersist()
 
 

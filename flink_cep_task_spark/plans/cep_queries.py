@@ -783,6 +783,13 @@ MANY_RULES = [
 ]
 
 
+# relabeling offset for the scaffold's injected duplicate copies, shared
+# by every consumer that must tell copies from originals
+# (q_quality_nb_stream's filter); the scaffold asserts real doc_ids stay
+# below it at build time
+DOCS_STREAM_DUP_OFFSET = 1_000_000
+
+
 def _docs_stream_workdir(spark: SparkSession, sf_dir: str) -> tuple[str, int]:
     """Replay scaffold for the streaming-dedup parity query: the documents
     table with a synthesized event_time (doc_id seconds past a fixed
@@ -814,6 +821,17 @@ def _docs_stream_workdir(spark: SparkSession, sf_dir: str) -> tuple[str, int]:
         "text",
     )
     docs.repartition(4).write.mode("overwrite").parquet(src)
+    # the injected copies relabel as doc_id + DOCS_STREAM_DUP_OFFSET; a
+    # corpus whose ids reach the offset would alias real documents (and
+    # every consumer's copy filter would drop real rows) — fail LOUDLY
+    # at scaffold build instead of corrupting silently
+    max_id = docs.agg(F.max("doc_id")).first()[0]
+    if max_id >= DOCS_STREAM_DUP_OFFSET:
+        raise ValueError(
+            f"documents doc_id reaches {max_id} >= DOCS_STREAM_DUP_OFFSET "
+            f"{DOCS_STREAM_DUP_OFFSET}; raise the offset (and the copy "
+            "filters that share it)"
+        )
     parts = _glob.glob(os.path.join(src, "part-*.parquet"))
     base = max(os.path.getmtime(p) for p in parts)
     # the testdata documents are NEAR-dup-rich but almost exact-dup-free
@@ -827,7 +845,7 @@ def _docs_stream_workdir(spark: SparkSession, sf_dir: str) -> tuple[str, int]:
     dup_dir = os.path.join(work, "dup_src")
     docs.filter(F.col("doc_id") % 7 == 0).select(
         (F.col("event_time") + F.expr("INTERVAL 30 DAYS")).alias("event_time"),
-        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        (F.col("doc_id") + DOCS_STREAM_DUP_OFFSET).alias("doc_id"),
         "text",
     ).repartition(2).write.mode("overwrite").parquet(dup_dir)
     for i, p in enumerate(_glob.glob(os.path.join(dup_dir, "part-*.parquet"))):
@@ -1480,8 +1498,9 @@ def q_quality_nb_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     retries. Replays the documents table across 4+ micro-batches via
     the shared _docs_stream_workdir scaffold; that scaffold also
     injects re-labeled duplicate copies for its dedup twin — they carry
-    doc_id >= the copy stride and are filtered here (this query scores
-    the corpus replay, not the dup-injection fixture). The result must
+    doc_id >= DOCS_STREAM_DUP_OFFSET (the scaffold asserts real ids
+    stay below it) and are filtered here (this query scores the corpus
+    replay, not the dup-injection fixture). The result must
     hash-match the one-shot batch oracle: the same from-scratch SQL
     replay as quality_nb_stored, scoring ALL documents."""
     import os
@@ -1507,7 +1526,7 @@ def q_quality_nb_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def score_batch(bdf, bid: int) -> None:
         quality_nb_score_from_store(
-            bdf.filter(F.col("doc_id") < 1_000_000), model
+            bdf.filter(F.col("doc_id") < DOCS_STREAM_DUP_OFFSET), model
         ).write.mode("overwrite").parquet(os.path.join(sink, f"bid={bid}"))
 
     with _shuffle_partitions(spark, 8):

@@ -65,21 +65,64 @@ def quality_nb_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # the learned BPE merge list is a bounded model parameter (like the
-# k-means centroids): memoized per (process, sf_dir) so bench/audit runs
-# that execute BOTH bpe_merges_report and bpe_apply_report pay the
-# 5-round induction once — the same accounting seam as the *_stored
-# stores (a real pipeline reads merges from the tokenizer store)
+# k-means centroids), memoized per (process, sf_dir) FOR THE APPLY SIDE
+# ONLY: bpe_apply_report legitimately reads the learned artifact (a real
+# pipeline reads merges from the tokenizer store), while
+# bpe_merges_report IS the induction and always runs it for real — a
+# memoized merges_report would make its bench/audit numbers time
+# createDataFrame of a precomputed list. A memo fill that happens on the
+# apply side (apply invoked without a prior merges_report in-process)
+# records its induction seconds in STORE_BUILD_SECONDS like every other
+# one-time artifact build, so bench's build/probe split covers it.
 _BPE_MERGES_MEMO: dict[str, list] = {}
 
 
 def _bpe_merges_memo(spark: SparkSession, sf_dir: str) -> list:
+    import time
+
     m = _BPE_MERGES_MEMO.get(sf_dir)
     if m is None:
+        t0 = time.perf_counter()
         m = T._learn_bpe_merges(
             widen_small_scan(load_table(spark, sf_dir, "documents"))
         )
+        STORE_BUILD_SECONDS["bpe_merges_" + sf_dir] = round(
+            time.perf_counter() - t0, 3
+        )
         _BPE_MERGES_MEMO[sf_dir] = m
     return m
+
+
+def q_bpe_merges_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learn the first BPE merges from the corpus (word-frequency BPE
+    induction, HF-trainer formulation) — see operators/text.
+    bpe_merges_report. Always runs the real induction (it IS the fit
+    operator) and refreshes the apply-side memo with the result."""
+    docs = widen_small_scan(load_table(spark, sf_dir, "documents"))
+    merges = T._learn_bpe_merges(docs)
+    _BPE_MERGES_MEMO[sf_dir] = merges
+    return T.bpe_merges_report(docs, merges=merges)
+
+
+def q_bpe_apply_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenize the corpus with the learned BPE merges: map-only literal
+    replace chain, per-doc token counts + fertility — see operators/
+    text.bpe_apply_report. Rides the memoized merges artifact."""
+    return T.bpe_apply_report(
+        widen_small_scan(load_table(spark, sf_dir, "documents")),
+        merges=_bpe_merges_memo(spark, sf_dir),
+    )
+
+
+def q_media_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact byte-level dedup over media payloads (Arrow feature
+    plumbing + checksum clusters, duplicate copies injected by
+    construction) plus embedding-path near-dup partner counts — see
+    operators/multimodal.media_dedup_report."""
+    return M.media_dedup_report(
+        widen_small_scan(load_table(spark, sf_dir, "documents")),
+        widen_small_scan(load_table(spark, sf_dir, "embeddings")),
+    )
 
 
 # per-sf_dir materialized store scaffolding shared by every *_stored
@@ -489,32 +532,14 @@ DATAPIPE_QUERIES: dict[str, tuple] = {
     "token_counts": (_docs(T.token_counts), T.TOKEN_COUNTS_SQL),
     "corpus_quality_report": (_docs(T.corpus_quality_report), T.CORPUS_QUALITY_SQL),
     "heavy_hitters_report": (_docs(T.heavy_hitters_report), T.HEAVY_HITTERS_SQL),
-    "bpe_merges_report": (
-        lambda spark, sf_dir: T.bpe_merges_report(
-            widen_small_scan(load_table(spark, sf_dir, "documents")),
-            merges=_bpe_merges_memo(spark, sf_dir),
-        ),
-        T.BPE_MERGES_SQL,
-    ),
-    "bpe_apply_report": (
-        lambda spark, sf_dir: T.bpe_apply_report(
-            widen_small_scan(load_table(spark, sf_dir, "documents")),
-            merges=_bpe_merges_memo(spark, sf_dir),
-        ),
-        T.BPE_APPLY_SQL,
-    ),
+    "bpe_merges_report": (q_bpe_merges_report, T.BPE_MERGES_SQL),
+    "bpe_apply_report": (q_bpe_apply_report, T.BPE_APPLY_SQL),
     "quality_nb_classifier": (_docs(T.quality_nb_classifier), T.QUALITY_NB_SQL),
     "quality_nb_stored": (
         quality_nb_stored,
         T.quality_nb_stored_sql(D.INCREMENTAL_INCOMING_SOURCE),
     ),
-    "media_dedup_report": (
-        lambda spark, sf_dir: M.media_dedup_report(
-            widen_small_scan(load_table(spark, sf_dir, "documents")),
-            widen_small_scan(load_table(spark, sf_dir, "embeddings")),
-        ),
-        M.MEDIA_DEDUP_SQL,
-    ),
+    "media_dedup_report": (q_media_dedup_report, M.MEDIA_DEDUP_SQL),
     "pii_redact_report": (_docs(T.pii_redact_report), T.PII_REDACT_SQL),
     "knn_bruteforce": (_embs(S.knn_bruteforce), S.KNN_SQL),
     "embedding_corr_pairs": (

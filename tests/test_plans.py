@@ -696,7 +696,9 @@ def test_quality_nb_stored_probes_store_not_corpus(spark):
     ]
     assert pushed, "incoming-source filter not pushed to the documents scan"
     scans = [ln for ln in plan.splitlines() if "Scan parquet" in ln]
-    assert any("nb_model_" in ln or "model" in ln for ln in scans), (
+    # _store_path always prefixes the store tempdir with nb_model_ — the
+    # broad `"model" in ln` arm this once had matched ANY scan path
+    assert any("nb_model_" in ln for ln in scans), (
         f"model store FileScan missing: {scans}"
     )
     for marker in ("MapInPandas", "ArrowEvalPython", "BatchEvalPython"):
