@@ -1093,6 +1093,34 @@ GROUP BY source
 """
 
 
+def write_bpe_merges_store(documents: DataFrame, path: str) -> None:
+    """Materialize the learned BPE merge table — the tokenizer store the
+    apply docstring keeps referring to, now a real artifact: a daily
+    pipeline trains the vocabulary once, persists (rank, lft, rgt,
+    merged, pair_count), and every tokenization job reads the store
+    instead of re-running the induction. Merges are plain strings +
+    longs, so the parquet round trip is exact and rank order fully
+    reconstructs the greedy application sequence."""
+    documents.sparkSession.createDataFrame(
+        _learn_bpe_merges(documents),
+        "rank INT, lft STRING, rgt STRING, merged STRING, pair_count BIGINT",
+    ).coalesce(1).write.mode("overwrite").parquet(path)
+
+
+def bpe_apply_from_store(documents: DataFrame, store: DataFrame) -> DataFrame:
+    """Tokenize the corpus with merges read from the materialized
+    tokenizer store: the merge table is a bounded model artifact
+    (BPE_N_MERGES rows — production: tens of thousands), collected in
+    rank order and folded into the same map-only literal replace chain
+    as bpe_apply_report. The induction never runs; the corpus is
+    scanned exactly once."""
+    merges = [
+        (r["rank"], r["lft"], r["rgt"], r["merged"], r["pair_count"])
+        for r in store.orderBy("rank").collect()
+    ]
+    return bpe_apply_report(documents, merges=merges)
+
+
 def quality_nb_stored_sql(incoming_source: str, score_where: str | None = None) -> str:
     """Oracle for the stored-model probe: the full from-scratch SQL
     replay with the FIT restricted to corpus documents

@@ -114,6 +114,33 @@ def q_bpe_apply_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# the materialized tokenizer store (the artifact the apply docstrings
+# reference) — tokenizer member of the incremental-store family
+_BPE_STORE_CACHE: dict[str, str] = {}
+
+
+def _bpe_merges_store(spark: SparkSession, sf_dir: str) -> str:
+    return _store_path(
+        _BPE_STORE_CACHE, sf_dir, "bpe_store_", "merges",
+        lambda p: T.write_bpe_merges_store(
+            widen_small_scan(load_table(spark, sf_dir, "documents")), p
+        ),
+    )
+
+
+def bpe_apply_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """bpe_apply_report's production twin: merges read from the
+    MATERIALIZED tokenizer store (write_bpe_merges_store) instead of
+    re-running the induction — one corpus scan, map-only encode, the
+    store contributes a BPE_N_MERGES-row FileScan collected as the
+    model parameter. Oracle is the full induction+encode replay (the
+    store changes the cost, never the answer)."""
+    store = spark.read.parquet(_bpe_merges_store(spark, sf_dir))
+    return T.bpe_apply_from_store(
+        widen_small_scan(load_table(spark, sf_dir, "documents")), store
+    )
+
+
 def q_media_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact byte-level dedup over media payloads (Arrow feature
     plumbing + checksum clusters, duplicate copies injected by
@@ -534,6 +561,7 @@ DATAPIPE_QUERIES: dict[str, tuple] = {
     "heavy_hitters_report": (_docs(T.heavy_hitters_report), T.HEAVY_HITTERS_SQL),
     "bpe_merges_report": (q_bpe_merges_report, T.BPE_MERGES_SQL),
     "bpe_apply_report": (q_bpe_apply_report, T.BPE_APPLY_SQL),
+    "bpe_apply_stored": (bpe_apply_stored, T.BPE_APPLY_SQL),
     "quality_nb_classifier": (_docs(T.quality_nb_classifier), T.QUALITY_NB_SQL),
     "quality_nb_stored": (
         quality_nb_stored,

@@ -176,6 +176,7 @@ OVERFLOW_LAST = (
     "media_dedup_report",
     "quality_nb_stored",
     "quality_nb_stream",
+    "bpe_apply_stored",
 )
 
 

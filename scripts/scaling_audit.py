@@ -102,6 +102,7 @@ QUERIES = [
     "media_dedup_report",
     "quality_nb_stored",
     "quality_nb_stream",
+    "bpe_apply_stored",
 ]
 BASE = "/root/testdata/sf0.1"
 
