@@ -172,11 +172,13 @@ def main() -> None:
                 "store_build_seconds_total": total_builds,
                 "store_builds": store_builds,
                 "notes": [
-                    "Round-8 final surface (151 queries): 223.7 s "
+                    "Round-8 TRUE final surface (152 queries): 241.8 s "
                     "committed (full-run history this round: 224.2/214.5 "
-                    "@150 pre-quality_nb_stream, then 235.4/223.7 @151 — "
-                    "the new streaming scorer costs ~4-5 s of replay "
-                    "fixed cost), first runs fired in a VERIFIED load trough "
+                    "@150, 235.4/223.7 @151, 241.8 @152 — the streaming "
+                    "scorer costs ~3-5 s of replay fixed cost and "
+                    "bpe_apply_stored books 6.5 s of one-time tokenizer-"
+                    "store build against a 0.56 s probe, see "
+                    "store_builds), first runs fired in a VERIFIED load trough "
                     "(uptime sampled for 3+ min, 1-min load 0.04-0.28 at "
                     "fire time) — vs the driver's own round-7 "
                     "BENCH_r07.json 248.4 s @ 146: faster with four more "
