@@ -146,9 +146,11 @@ def main() -> None:
         timings[name] = sec
         build_s = round(store_build_total() - b0, 3)
         if build_s > 0:
+            # independently-rounded operands can make the difference
+            # marginally negative — clamp, a probe can't cost < 0
             store_builds[name] = {
                 "build_s": build_s,
-                "probe_s": round(sec - build_s, 3),
+                "probe_s": round(max(0.0, sec - build_s), 3),
             }
 
     total = round(sum(timings.values()), 3)

@@ -365,6 +365,10 @@ def media_dedup_report(documents: DataFrame, embeddings: DataFrame) -> DataFrame
     from flink_cep_task_spark.operators.similarity import dedup_embedding_cosine
 
     stride = documents.agg(F.max("doc_id") + 1).first()[0]
+    if stride is None:
+        # an empty corpus would otherwise turn the copy relabeling and
+        # the near-join CASE into silent NULL arithmetic
+        raise ValueError("media_dedup_report: documents table is empty")
     copies = documents.filter(
         F.col("doc_id") % MEDIA_DUP_MOD == 0
     ).withColumn("doc_id", F.col("doc_id") + F.lit(stride))

@@ -1005,19 +1005,47 @@ def write_nb_model_store(documents: DataFrame, path: str) -> None:
     toks.unpersist()
 
 
-def quality_nb_score_from_store(incoming: DataFrame, model: DataFrame) -> DataFrame:
+def nb_model_consts(model: DataFrame) -> dict:
+    """Collect the 2 scalar model parameters ('prior', 'unseen') from a
+    stored NB model frame, validating the store's schema contract: a
+    partial or future writer that omits either row fails HERE with the
+    contract named, not later with an opaque KeyError at plan build."""
+    consts = {
+        r["kind"]: r["w"]
+        for r in model.filter(F.col("kind") != "w").select("kind", "w").collect()
+    }
+    missing = {"prior", "unseen"} - consts.keys()
+    if missing:
+        raise ValueError(
+            "NB model store is missing required const rows "
+            f"{sorted(missing)}: expected rows with kind in "
+            "('prior', 'unseen', 'w'), got kinds "
+            f"{sorted(consts) + ['w']}"
+        )
+    return consts
+
+
+def quality_nb_score_from_store(
+    incoming: DataFrame,
+    model: DataFrame,
+    consts: dict | None = None,
+    weights: DataFrame | None = None,
+) -> DataFrame:
     """Score an incoming batch against the STORED classifier: per-doc
     NB log-odds + the keep gate, corpus never read. The vocab-bounded
     weight table broadcasts onto the batch's token stream; out-of-
     vocabulary tokens coalesce to the stored unseen constant; the prior
     and unseen scalars ride a bounded 2-row collect (model parameters).
     The keep flag compares the EXACT decimal sum, so it can't flip on a
-    float ulp."""
-    consts = {
-        r["kind"]: r["w"]
-        for r in model.filter(F.col("kind") != "w").select("kind", "w").collect()
-    }
-    weights = model.filter(F.col("kind") == "w").select("tok", "w")
+    float ulp.
+
+    A repeated caller (the streaming scorer runs this per micro-batch)
+    passes pre-collected `consts` / pre-filtered `weights` so the 2-row
+    driver collect happens once per stream, not once per batch."""
+    if consts is None:
+        consts = nb_model_consts(model)
+    if weights is None:
+        weights = model.filter(F.col("kind") == "w").select("tok", "w")
     toks = incoming.select(
         "doc_id", F.explode(tokens(F.col("text"))).alias("tok")
     )

@@ -1746,11 +1746,9 @@ def _bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     _BUCKET_STORE_CACHE[sf_dir] = (ev_tbl, us_tbl)
     _BUCKET_STORE_DIRS.append(root)
     # same build/probe accounting seam as the *_stored file stores
-    from flink_cep_task_spark.plans.datapipe import STORE_BUILD_SECONDS
+    from flink_cep_task_spark.plans.datapipe import _record_store_build
 
-    STORE_BUILD_SECONDS["bucket_store_" + sf_dir] = round(
-        time.perf_counter() - t0, 3
-    )
+    _record_store_build("bucket_store_" + sf_dir, time.perf_counter() - t0)
     return ev_tbl, us_tbl
 
 

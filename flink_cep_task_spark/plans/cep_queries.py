@@ -1509,11 +1509,19 @@ def q_quality_nb_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from pyspark.sql import functions as F
 
-    from flink_cep_task_spark.operators.text import quality_nb_score_from_store
+    from flink_cep_task_spark.operators.text import (
+        nb_model_consts,
+        quality_nb_score_from_store,
+    )
     from flink_cep_task_spark.plans.datapipe import _nb_model_store
     from flink_cep_task_spark.streaming.pipeline import await_stream
 
     model = spark.read.parquet(_nb_model_store(spark, sf_dir))
+    # collect the 2-row model consts ONCE before the stream starts —
+    # inside score_batch they would re-run as a driver round-trip on
+    # every micro-batch (6+ per replay)
+    consts = nb_model_consts(model)
+    weights = model.filter(F.col("kind") == "w").select("tok", "w")
     work, n_parts = _docs_stream_workdir(spark, sf_dir)
     run = tempfile.mkdtemp(prefix=f"nbstream_{uuid.uuid4().hex[:8]}_", dir=work)
     sink = os.path.join(run, "scores")
@@ -1526,7 +1534,10 @@ def q_quality_nb_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def score_batch(bdf, bid: int) -> None:
         quality_nb_score_from_store(
-            bdf.filter(F.col("doc_id") < DOCS_STREAM_DUP_OFFSET), model
+            bdf.filter(F.col("doc_id") < DOCS_STREAM_DUP_OFFSET),
+            model,
+            consts=consts,
+            weights=weights,
         ).write.mode("overwrite").parquet(os.path.join(sink, f"bid={bid}"))
 
     with _shuffle_partitions(spark, 8):

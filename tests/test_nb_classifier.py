@@ -169,3 +169,20 @@ def test_nb_stream_scores_across_multiple_batches(spark):
     ).fetchone()[0]
     assert df.count() == n_docs
     assert df.select("doc_id").distinct().count() == n_docs
+
+
+def test_partial_model_store_fails_loudly(spark):
+    """A model frame missing the 'prior'/'unseen' const rows (a partial
+    or future writer) must raise a descriptive ValueError naming the
+    schema contract at collect time, not an opaque KeyError at plan
+    build (ADVICE r8)."""
+    import pytest
+
+    from flink_cep_task_spark.operators.text import nb_model_consts
+
+    partial = spark.createDataFrame(
+        [("alpha", "0.123456789", "w"), (None, "0.5", "prior")],
+        "tok STRING, w STRING, kind STRING",
+    ).selectExpr("tok", "CAST(w AS DECIMAL(18,9)) AS w", "kind")
+    with pytest.raises(ValueError, match="unseen"):
+        nb_model_consts(partial)
