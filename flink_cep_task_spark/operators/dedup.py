@@ -831,8 +831,21 @@ def dedup_incremental_minhash_from_store(
 
 def dedup_incremental_minhash_sql(
     incoming_source: str = INCREMENTAL_INCOMING_SOURCE,
+    incoming_where: str | None = None,
+    corpus_where: str | None = None,
 ) -> str:
-    """Oracle builder tracking dedup_incremental_minhash's argument."""
+    """Oracle builder tracking dedup_incremental_minhash's argument.
+
+    `incoming_where` / `corpus_where` generalize the two-way source
+    split: the rolling day-over-day oracle needs a corpus that excludes
+    BOTH days on day 1 (day 2 hasn't been crawled yet) and exactly one
+    day on day 2 — a doc matching neither predicate is simply absent
+    from the probe (the default keeps the original incoming-vs-rest
+    split)."""
+    if incoming_where is None:
+        incoming_where = f"source = '{incoming_source}'"
+    if corpus_where is None:
+        corpus_where = f"NOT ({incoming_where})"
     mh_aggs = ",\n    ".join(
         "min({h}) AS mh{p}".format(h=perm_hash_sql("sh", p), p=p)
         for p in range(NUM_PERMS)
@@ -847,7 +860,8 @@ def dedup_incremental_minhash_sql(
     )
     return f"""
 WITH {SHINGLES_HASHED_CTE.strip()},
-side AS (SELECT doc_id, source = '{incoming_source}' AS inc FROM documents),
+side AS (SELECT doc_id, ({incoming_where}) AS inc,
+                ({corpus_where}) AS cor FROM documents),
 sig AS (
   SELECT doc_id,
     {mh_aggs}
@@ -862,7 +876,7 @@ cand AS (
   FROM banded a
   JOIN side sa ON sa.doc_id = a.doc_id AND sa.inc
   JOIN banded b ON a.band = b.band AND a.sig = b.sig
-  JOIN side sb ON sb.doc_id = b.doc_id AND NOT sb.inc
+  JOIN side sb ON sb.doc_id = b.doc_id AND sb.cor
 ),
 sizes AS (SELECT doc_id, count(*) AS n FROM shh GROUP BY doc_id),
 inter AS (
@@ -890,12 +904,103 @@ best AS (
 SELECT d.doc_id,
        CASE WHEN b.doc_a IS NOT NULL THEN 'near_dup' ELSE 'new' END AS status,
        b.doc_b AS match_id, b.jaccard
-FROM (SELECT doc_id FROM documents WHERE source = '{incoming_source}') d
+FROM (SELECT doc_id FROM documents WHERE {incoming_where}) d
 LEFT JOIN (SELECT * FROM best WHERE rn = 1) b ON b.doc_a = d.doc_id
 """
 
 
 DEDUP_INCREMENTAL_MINHASH_SQL = dedup_incremental_minhash_sql()
+
+
+# --- day-over-day store maintenance (VERDICT r8 task #1) -------------------
+
+ROLLING_DAY2_SOURCE = "src1"  # stands in for "tomorrow's crawl"
+
+
+def append_minhash_signatures(batch: DataFrame, path: str) -> None:
+    """The ADMISSION job for the MinHash signature store — the daily
+    increment of write_minhash_signature_store: compute the arriving
+    batch's signatures + distinct-shingle sets (the batch's text is read
+    once; the existing store is never read or rewritten) and land them in
+    the store's own source partitions. DYNAMIC partition overwrite makes
+    admission idempotent per source: a retried/replayed admission
+    rewrites the same partition instead of appending duplicate signature
+    rows — the write-side analog of rollup_stream_maintain's bid=N
+    overwrite under at-least-once delivery."""
+    sh = _persisted(shingles_hashed(batch))
+    sig = _minhash_from_shingles(sh)
+    sets = sh.groupBy("doc_id").agg(F.collect_list("sh").alias("S"))
+    (
+        sig.join(sets, "doc_id")
+        .join(batch.select("doc_id", "source"), "doc_id")
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("source")
+        .parquet(path)
+    )
+
+
+def dedup_minhash_rolling(
+    spark,
+    documents: DataFrame,
+    store_path: str,
+    day1: str = INCREMENTAL_INCOMING_SOURCE,
+    day2: str = ROLLING_DAY2_SOURCE,
+) -> DataFrame:
+    """Day-over-day near-dup maintenance loop — the pipeline a daily
+    crawl actually runs (VERDICT r8 task #1), converting the signature
+    store from a single-shot demo into an ADVANCING artifact:
+
+      day 1: probe the day-1 batch against the store (corpus excludes
+             both days — day 2 hasn't been crawled yet), then ADMIT the
+             day-1 signatures into the store (append_minhash_signatures);
+      day 2: probe the day-2 batch against the ADVANCED store — a day-2
+             doc whose only near-dup is a day-1 doc is caught via the
+             day-1 STORED signatures, its text never re-shingled.
+
+    Per-day cost is the incoming batch's shingling plus the banded
+    probe; the corpus contributes only partition-pruned store FileScans
+    (day-2 plan pinned by tests/test_plans.py). The store advance is
+    executed between the probes (the admission write is an action); the
+    day-1 result is insensitive to it because its corpus filter excludes
+    exactly the admitted partition. Oracle = the full recompute of both
+    days (reference semantics: the same report a from-scratch re-shingle
+    of corpus ∪ day1 ∪ day2 produces)."""
+    r1 = dedup_incremental_minhash_from_store(
+        documents, spark.read.parquet(store_path), day1
+    )
+    append_minhash_signatures(
+        documents.filter(F.col("source") == day1), store_path
+    )
+    r2 = dedup_incremental_minhash_from_store(
+        documents, spark.read.parquet(store_path), day2
+    )
+    return r1.select(F.lit(1).alias("day"), "*").unionByName(
+        r2.select(F.lit(2).alias("day"), "*")
+    )
+
+
+def dedup_minhash_rolling_sql(
+    day1: str = INCREMENTAL_INCOMING_SOURCE, day2: str = ROLLING_DAY2_SOURCE
+) -> str:
+    """Full-recompute oracle for the rolling loop: day 1 classified
+    against the corpus minus both days, day 2 against everything except
+    itself (corpus ∪ day 1) — the stores change COST, never answers."""
+    day1_sql = dedup_incremental_minhash_sql(
+        incoming_where=f"source = '{day1}'",
+        corpus_where=f"source NOT IN ('{day1}', '{day2}')",
+    )
+    day2_sql = dedup_incremental_minhash_sql(
+        incoming_where=f"source = '{day2}'",
+        corpus_where=f"source <> '{day2}'",
+    )
+    return (
+        f"SELECT CAST(1 AS INT) AS day, * FROM ({day1_sql})\n"
+        f"UNION ALL\nSELECT CAST(2 AS INT) AS day, * FROM ({day2_sql})"
+    )
+
+
+DEDUP_MINHASH_ROLLING_SQL = dedup_minhash_rolling_sql()
 
 
 # --- benchmark decontamination --------------------------------------------

@@ -902,6 +902,14 @@ def nb_doc_scores(documents: DataFrame) -> DataFrame:
         9,
     ).cast("decimal(18,9)")
     weights = stats.join(F.broadcast(totals)).select("tok", w.alias("w"))
+    # vocab-size gate on the weight broadcast (SCALING.md r8: copy-
+    # inflated corpora grow the vocab with the data): stats is persisted
+    # and feeds the totals/weights anyway, so this count materializes
+    # work the plan was about to do — past the gate the scoring join
+    # falls back to a shuffled join on the uniform token hash
+    from flink_cep_task_spark.operators.broadcast_gate import gated_broadcast
+
+    n_vocab = stats.count()
     priors = documents.agg(
         F.round(
             F.log(
@@ -914,7 +922,7 @@ def nb_doc_scores(documents: DataFrame) -> DataFrame:
         .alias("__prior")
     )
     doc_scores = (
-        toks.join(F.broadcast(weights), "tok")
+        toks.join(gated_broadcast(weights, n_vocab), "tok")
         .groupBy("doc_id", "source")
         .agg(F.sum("w").alias("__sum_w"))
         .join(F.broadcast(priors))
@@ -1030,6 +1038,7 @@ def quality_nb_score_from_store(
     model: DataFrame,
     consts: dict | None = None,
     weights: DataFrame | None = None,
+    n_weights: int | None = None,
 ) -> DataFrame:
     """Score an incoming batch against the STORED classifier: per-doc
     NB log-odds + the keep gate, corpus never read. The vocab-bounded
@@ -1041,15 +1050,24 @@ def quality_nb_score_from_store(
 
     A repeated caller (the streaming scorer runs this per micro-batch)
     passes pre-collected `consts` / pre-filtered `weights` so the 2-row
-    driver collect happens once per stream, not once per batch."""
+    driver collect happens once per stream, not once per batch.
+
+    The weight broadcast is vocab-size GATED (operators/broadcast_gate):
+    the model store grows with vocabulary, and past the gate the scoring
+    join must degrade to a shuffled join instead of force-broadcasting —
+    the count is a metadata-cheap scan of the bounded store."""
+    from flink_cep_task_spark.operators.broadcast_gate import gated_broadcast
+
     if consts is None:
         consts = nb_model_consts(model)
     if weights is None:
         weights = model.filter(F.col("kind") == "w").select("tok", "w")
+    if n_weights is None:
+        n_weights = weights.count()
     toks = incoming.select(
         "doc_id", F.explode(tokens(F.col("text"))).alias("tok")
     )
-    scored = toks.join(F.broadcast(weights), "tok", "left").select(
+    scored = toks.join(gated_broadcast(weights, n_weights), "tok", "left").select(
         "doc_id",
         F.coalesce(F.col("w"), F.lit(consts["unseen"]).cast("decimal(18,9)")).alias(
             "w"
@@ -1370,19 +1388,21 @@ def heavy_hitters_report(documents: DataFrame) -> DataFrame:
     target scale the exploded token column is ~10x the corpus and a
     second linear scan is cheaper than materializing it.
 
-    Broadcast-scale assumption: the candidate set is at most
-    HH_COUNTERS x n_scan_partitions rows, which broadcasts comfortably
-    up to ~10^4 partitions (a few million short strings). A 100 TB scan
-    at 10^5-10^6 partitions breaks that — there the recount join must
-    fall back to a shuffled semi-join (drop the F.broadcast hint and let
-    AQE pick; candidate keys are uniform-hashed so the shuffle is skew
-    free), or the sketch pass must run on coalesced inputs so
-    n_partitions stays bounded. The hint is kept here because the gate
-    fixtures run tens of partitions and the broadcast path is the one
-    being plan-pinned."""
+    Broadcast scale: the candidate set is at most
+    HH_COUNTERS x n_scan_partitions rows — a few million short strings
+    at ~10^4 partitions, comfortable; a 100 TB scan at 10^5-10^6
+    partitions breaks that. The recount join is therefore SIZE-GATED
+    (operators/broadcast_gate.gated_broadcast, using the static
+    HH_COUNTERS x partitions bound — no extra job): under the gate it
+    broadcasts; past it the hint is dropped and the recount degrades to
+    a shuffled semi-join (candidate keys are uniform-hashed, so the
+    fallback shuffle is skew-free). Both paths are result-identity
+    tested and the fallback is plan-pinned in tests/test_plans.py."""
+    from flink_cep_task_spark.operators.broadcast_gate import gated_broadcast
     from flink_cep_task_spark.operators.cache import persisted
 
     tok = documents.select(F.explode(tokens(F.col("text"))).alias("token"))
+    cand_bound = (HH_COUNTERS + 1) * tok.rdd.getNumPartitions()
     # persist the sketch output (bounded: <= (HH_COUNTERS+1) x partitions
     # rows) — the cand and total branches are separate broadcast subplans
     # and would otherwise each re-run the tokenize + MG pass, silently
@@ -1393,7 +1413,7 @@ def heavy_hitters_report(documents: DataFrame) -> DataFrame:
     cand = mg.filter(~F.col("is_total")).select("token").distinct()
     total = mg.filter(F.col("is_total")).groupBy().agg(F.sum("n").alias("n_total"))
     counts = (
-        tok.join(F.broadcast(cand), "token")
+        tok.join(gated_broadcast(cand, cand_bound), "token")
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("n_occurrences"))
     )

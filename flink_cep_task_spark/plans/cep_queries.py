@@ -1522,6 +1522,7 @@ def q_quality_nb_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     # every micro-batch (6+ per replay)
     consts = nb_model_consts(model)
     weights = model.filter(F.col("kind") == "w").select("tok", "w")
+    n_weights = weights.count()  # vocab gate input — once, not per batch
     work, n_parts = _docs_stream_workdir(spark, sf_dir)
     run = tempfile.mkdtemp(prefix=f"nbstream_{uuid.uuid4().hex[:8]}_", dir=work)
     sink = os.path.join(run, "scores")
@@ -1538,6 +1539,7 @@ def q_quality_nb_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             model,
             consts=consts,
             weights=weights,
+            n_weights=n_weights,
         ).write.mode("overwrite").parquet(os.path.join(sink, f"bid={bid}"))
 
     with _shuffle_partitions(spark, 8):

@@ -253,6 +253,45 @@ def dedup_substring_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# the rolling loop's own store: built WITHOUT either day's partition —
+# day 1 must be admitted by the query's write-back path, and day 2 must
+# not exist yet at build time (a shared store containing src1 would let
+# day-1 probes see tomorrow's crawl)
+_ROLLING_SIG_STORE_CACHE: dict[str, str] = {}
+
+
+def _rolling_sig_store(spark: SparkSession, sf_dir: str) -> str:
+    return _store_path(
+        _ROLLING_SIG_STORE_CACHE, sf_dir, "rolling_sig_store_", "signatures",
+        lambda p: D.write_minhash_signature_store(
+            widen_small_scan(load_table(spark, sf_dir, "documents")).filter(
+                ~F.col("source").isin(
+                    D.INCREMENTAL_INCOMING_SOURCE, D.ROLLING_DAY2_SOURCE
+                )
+            ),
+            p,
+        ),
+    )
+
+
+def dedup_incremental_minhash_rolling(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Day-over-day signature-store MAINTENANCE (VERDICT r8 task #1):
+    probe day 1 (src0) against the corpus store, write day-1's
+    signatures back into the store (operators/dedup.
+    append_minhash_signatures — idempotent dynamic-partition overwrite),
+    then probe day 2 (src1) against the ADVANCED store, so day-2 near-
+    dups of day-1 docs are caught via stored signatures without
+    re-shingling day-1 text. Oracle is the full recompute over
+    corpus ∪ day1 ∪ day2; the store changes cost, never answers."""
+    return D.dedup_minhash_rolling(
+        spark,
+        widen_small_scan(load_table(spark, sf_dir, "documents")),
+        _rolling_sig_store(spark, sf_dir),
+    )
+
+
 def dedup_incremental_minhash_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
     """dedup_incremental_minhash against a MATERIALIZED signature store
     (see operators/dedup.write_minhash_signature_store): corpus
@@ -555,6 +594,10 @@ DATAPIPE_QUERIES: dict[str, tuple] = {
     "dedup_incremental_minhash_stored": (
         dedup_incremental_minhash_stored,
         D.DEDUP_INCREMENTAL_MINHASH_SQL,
+    ),
+    "dedup_incremental_minhash_rolling": (
+        dedup_incremental_minhash_rolling,
+        D.DEDUP_MINHASH_ROLLING_SQL,
     ),
     "dedup_substring_stored": (
         dedup_substring_stored,

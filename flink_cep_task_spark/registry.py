@@ -177,6 +177,8 @@ OVERFLOW_LAST = (
     "quality_nb_stored",
     "quality_nb_stream",
     "bpe_apply_stored",
+    # round-9 additions
+    "dedup_incremental_minhash_rolling",
 )
 
 

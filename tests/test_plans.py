@@ -741,6 +741,28 @@ def test_ann_ivf_stored_probes_store_not_corpus(spark):
     ]
     assert inc_scans, "incoming label filter not pushed to the embeddings scan"
     assert "CartesianProduct" not in plan
+    # no full-corpus persist (VERDICT r8 task #5): every cached relation
+    # must be the BOUNDED query slice (vec_id upper bound pushed to its
+    # scan), and the exact-rerank corpus side must be a STREAMED
+    # unbounded FileScan, not an InMemoryTableScan pinning 100 TB
+    import re
+
+    cached_scan, streamed_corpus = False, False
+    for i, ln in enumerate(lines):
+        if "FileScan parquet" not in ln or "embeddings.parquet" not in ln:
+            continue
+        under_cache = any(
+            "InMemoryRelation" in prev for prev in lines[max(0, i - 6):i]
+        )
+        filters = ln.split("DataFilters: [", 1)[-1].split("]", 1)[0]
+        bounded = re.search(r"vec_id#\d+L? < \d", filters) is not None
+        if under_cache:
+            assert bounded, f"full-corpus persist crept back in: {ln[:200]}"
+            cached_scan = True
+        elif not bounded and "<=>" not in filters:
+            streamed_corpus = True
+    assert cached_scan, "bounded query-slice cache missing"
+    assert streamed_corpus, "rerank corpus scan is not streamed"
 
 
 def test_ivf_store_split_covers_null_labels(spark):
@@ -821,3 +843,52 @@ def test_dedup_clusters_stored_probe_reads_no_corpus_text(spark):
         and "source" in ln.split("PartitionFilters")[1].split("]")[0]
         for ln in sig_scans
     ), "corpus signature store scan lost its source PARTITION filter"
+
+
+def test_rolling_day2_probe_touches_only_batch_and_store(spark):
+    # the maintenance loop's scale contract (VERDICT r8 task #1): after
+    # day-1 admission, the day-2 probe's plan reads (a) the documents
+    # scan with the day-2 source equality PUSHED, and (b) the advanced
+    # signature store with the != partition filter — day-1 text is never
+    # re-shingled; its signatures arrive via the store partition the
+    # query itself wrote
+    import pyspark.sql.functions as F
+
+    from flink_cep_task_spark.operators.dedup import (
+        INCREMENTAL_INCOMING_SOURCE,
+        ROLLING_DAY2_SOURCE,
+        append_minhash_signatures,
+        dedup_incremental_minhash_from_store,
+    )
+    from flink_cep_task_spark.plans.datapipe import _rolling_sig_store
+    from flink_cep_task_spark.sources.tables import load_table, widen_small_scan
+
+    docs = widen_small_scan(load_table(spark, SF_DIR, "documents"))
+    path = _rolling_sig_store(spark, SF_DIR)
+    append_minhash_signatures(
+        docs.filter(F.col("source") == INCREMENTAL_INCOMING_SOURCE), path
+    )
+    spark.conf.set("spark.sql.maxMetadataStringLength", "4000")
+    df = dedup_incremental_minhash_from_store(
+        docs, spark.read.parquet(path), ROLLING_DAY2_SOURCE
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    doc_scans = [
+        ln for ln in plan.splitlines()
+        if "FileScan parquet" in ln and "documents.parquet" in ln
+    ]
+    assert doc_scans, "documents scan missing"
+    for ln in doc_scans:
+        assert f"EqualTo(source,{ROLLING_DAY2_SOURCE})" in ln, (
+            f"day-2 probe reads more than the day-2 batch: {ln[:200]}"
+        )
+    store_scans = [
+        ln for ln in plan.splitlines()
+        if "FileScan parquet" in ln and "signatures" in ln
+    ]
+    assert store_scans, "signature store scan missing"
+    assert any(
+        "PartitionFilters" in ln and "NOT (source" in ln for ln in store_scans
+    ), "store scan lost its partition-pruning source filter"
