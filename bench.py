@@ -163,6 +163,17 @@ def main() -> None:
     detail_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), detail_name
     )
+    # fold the committed streaming throughput/state measurement into the
+    # detail file (BASELINE.md's table; produced by
+    # scripts/streaming_baseline.py, re-run when the streaming paths change)
+    sb_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "STREAMING_BASELINE.json"
+    )
+    streaming_baseline = None
+    if os.path.exists(sb_path):
+        with open(sb_path) as fh:
+            streaming_baseline = json.load(fh)
+
     with open(detail_path, "w") as fh:
         json.dump(
             {
@@ -173,6 +184,7 @@ def main() -> None:
                 "n_queries": len(timings),
                 "store_build_seconds_total": total_builds,
                 "store_builds": store_builds,
+                "streaming_baseline": streaming_baseline,
                 "notes": [
                     "Round-8 TRUE final surface (152 queries): 241.8 s "
                     "committed (full-run history this round: 224.2/214.5 "

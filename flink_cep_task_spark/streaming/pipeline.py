@@ -352,6 +352,13 @@ def build_streaming_cep(
     return windowed, global_part
 
 
+# StreamingQueryProgress of the most recently drained stream (filled by
+# await_stream): scripts/streaming_baseline.py reads ingest rows/s and
+# stateOperators footprint from here — measurement without changing any
+# query's signature or behavior
+LAST_PROGRESS: list[dict] = []
+
+
 def await_stream(query, timeout_s: float = 180.0) -> None:
     """awaitTermination with a hard deadline: a query that does not reach a
     terminal state in time is STOPPED and the wait raises, so a regression
@@ -364,6 +371,15 @@ def await_stream(query, timeout_s: float = 180.0) -> None:
         )
     # surface any exception the query died with
     query.awaitTermination()
+    try:
+        import json as _json
+
+        LAST_PROGRESS[:] = [
+            _json.loads(p.json) if hasattr(p, "json") else p
+            for p in query.recentProgress
+        ]
+    except Exception:
+        pass  # progress capture is best-effort telemetry, never a failure
 
 
 def run_to_memory(
