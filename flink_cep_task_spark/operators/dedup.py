@@ -259,14 +259,16 @@ def shingles_hashed(documents: DataFrame) -> DataFrame:
     )
 
 
-def shingles_hashed_cte(suffix: str = "") -> str:
+def shingles_hashed_cte(suffix: str = "", source: str = "documents") -> str:
     """The shingle-extraction CTE pair with parameterizable names, for
     oracles that need a SECOND independent copy next to one already
     embedded in a subquery (string-replace surgery on the shared constant
-    silently breaks when the constant is reformatted)."""
+    silently breaks when the constant is reformatted). `source` lets a
+    composed oracle shingle a survivor CTE instead of the base table
+    (curation_funnel's near-dup stage)."""
     return f"""sh{suffix} AS (
   SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
-  FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS w FROM documents),
+  FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS w FROM {source}),
        LATERAL (SELECT unnest(generate_series(1, len(w) - 2)) AS i) s
 ),
 shh{suffix} AS (SELECT doc_id, {h64_sql("shingle")} AS sh FROM sh{suffix})
@@ -384,7 +386,7 @@ def dedup_minhash_lsh(documents: DataFrame) -> DataFrame:
     return persisted_shared(_pair_jaccard(sh, cand, MINHASH_TAU), src=sh)
 
 
-def _minhash_sql() -> str:
+def _minhash_sql(source: str = "documents") -> str:
     mh_aggs = ",\n    ".join(
         "min({h}) AS mh{p}".format(h=perm_hash_sql("sh", p), p=p)
         for p in range(NUM_PERMS)
@@ -398,7 +400,7 @@ def _minhash_sql() -> str:
         for b in range(BANDS)
     )
     return f"""
-WITH {SHINGLES_HASHED_CTE.strip()},
+WITH {shingles_hashed_cte(source=source).strip()},
 sig AS (
   SELECT doc_id,
     {mh_aggs}
@@ -1187,15 +1189,19 @@ def _cc_fixpoint_loop(edges: DataFrame, labels: DataFrame) -> DataFrame:
             return labels
 
 
-DEDUP_CLUSTERS_SQL = f"""
-WITH RECURSIVE pairs AS ({MINHASH_LSH_SQL}),
+def dedup_clusters_sql(source: str = "documents") -> str:
+    """Recursive-CTE replay of the CC fixpoint over the minhash pair
+    graph; `source` lets a composed oracle cluster a survivor CTE
+    instead of the base table (curation_funnel's near-dup stage)."""
+    return f"""
+WITH RECURSIVE pairs AS ({_minhash_sql(source)}),
 edges AS (
   SELECT doc_a AS a, doc_b AS b FROM pairs
   UNION ALL
   SELECT doc_b, doc_a FROM pairs
 ),
 cc AS (
-  SELECT doc_id, doc_id AS label FROM documents
+  SELECT doc_id, doc_id AS label FROM {source}
   UNION
   SELECT e.b AS doc_id, cc.label
   FROM cc JOIN edges e ON e.a = cc.doc_id
@@ -1204,6 +1210,9 @@ SELECT doc_id, min(label) AS cluster_id,
        doc_id = min(label) AS is_canonical
 FROM cc GROUP BY doc_id
 """
+
+
+DEDUP_CLUSTERS_SQL = dedup_clusters_sql()
 
 
 # --- passage-level (exact-substring-style) dedup -------------------------
