@@ -179,6 +179,7 @@ OVERFLOW_LAST = (
     "bpe_apply_stored",
     # round-9 additions
     "dedup_incremental_minhash_rolling",
+    "incremental_rollup_rolling",
 )
 
 

@@ -144,6 +144,48 @@ def load_events_since(
     return df
 
 
+def load_events_between(
+    spark: SparkSession, sf_dir: str, lower_inclusive_s: int,
+    upper_exclusive_s: int,
+) -> DataFrame:
+    """Events with ts in [lower_inclusive_s, upper_exclusive_s) — one
+    bounded day/window slice with BOTH predicates applied to the raw
+    parquet column before the ts normalization (see load_events_before),
+    so a single day's batch read touches only that day's row groups."""
+    import datetime as _dt
+
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ts_type = dict(df.dtypes).get("ts")
+    if ts_type == "bigint":
+        df = df.filter(
+            (F.col("ts") >= lower_inclusive_s * 1_000_000_000)
+            & (F.col("ts") < upper_exclusive_s * 1_000_000_000)
+        )
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    else:
+        lo = _dt.datetime.utcfromtimestamp(lower_inclusive_s).strftime(
+            "%Y-%m-%d %H:%M:%S"
+        )
+        hi = _dt.datetime.utcfromtimestamp(upper_exclusive_s).strftime(
+            "%Y-%m-%d %H:%M:%S"
+        )
+        df = df.filter(
+            (F.col("ts") >= F.lit(lo).cast("timestamp_ntz"))
+            & (F.col("ts") < F.lit(hi).cast("timestamp_ntz"))
+        )
+        df = df.withColumn(
+            "ts",
+            F.timestamp_micros(
+                F.expr(
+                    "timestampdiff(MICROSECOND, "
+                    "TIMESTAMP_NTZ'1970-01-01 00:00:00', ts)"
+                )
+            ),
+        )
+    df._graft_input_files = (f"{sf_dir}/events.parquet",)
+    return df
+
+
 def widen_small_scan(df: DataFrame, target: int | None = None) -> DataFrame:
     """Repartition an under-parallel scan BEFORE per-row-expensive work.
 

@@ -103,6 +103,9 @@ QUERIES = [
     "quality_nb_stored",
     "quality_nb_stream",
     "bpe_apply_stored",
+    # round-9 additions
+    "dedup_incremental_minhash_rolling",
+    "incremental_rollup_rolling",
 ]
 BASE = "/root/testdata/sf0.1"
 
