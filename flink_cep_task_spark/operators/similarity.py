@@ -759,10 +759,12 @@ inv_file AS (SELECT vec_id, cid AS cell FROM ranked_cells WHERE rnk = 1)"""
     return ctes, cfin
 
 
-def _ivf_sql(fit_where: str = "") -> str:
+def _ivf_sql(fit_where: str = "", neighbor_where: str = "TRUE") -> str:
     """Mirrors ann_ivf: shared fit/inverted-file prefix + probe/verify.
     With fit_where, mirrors ann_ivf_stored instead (corpus-only fit,
-    assignment unchanged)."""
+    assignment unchanged). neighbor_where restricts which vectors may be
+    NEIGHBORS (the rolling day-1 universe excludes the not-yet-crawled
+    day-2 batch); queries and the fit are unaffected."""
     ctes, _cfin = _ivf_common_ctes(fit_where)
     return f"""
 WITH {ctes},
@@ -773,7 +775,7 @@ probes AS (
 cand AS (
   SELECT DISTINCT p.query_id, f.vec_id AS neighbor_id
   FROM inv_file f JOIN probes p USING (cell)
-  WHERE f.vec_id <> p.query_id
+  WHERE f.vec_id <> p.query_id AND ({neighbor_where})
 ),
 {_NORMS_CTE},
 pair_dots AS (
@@ -808,8 +810,16 @@ ANN_IVF_SQL = _ivf_sql()
 # split.
 IVF_INCOMING_LABEL = 9
 
+# the rolling (day-over-day) loop's first batch: label 8 plays
+# "yesterday's crawl", label 9 stays "today's"
+IVF_ROLLING_DAY1_LABEL = 8
 
-def write_ivf_index_store(embeddings: DataFrame, path: str) -> None:
+
+def write_ivf_index_store(
+    embeddings: DataFrame,
+    path: str,
+    exclude_labels: tuple = (IVF_INCOMING_LABEL,),
+) -> None:
     """Persist the IVF index a daily ANN pipeline maintains — the ANN
     analog of the MinHash/winnowing signature stores: the k-means
     centroids fitted on the CORPUS ONLY (label != IVF_INCOMING_LABEL;
@@ -823,23 +833,70 @@ def write_ivf_index_store(embeddings: DataFrame, path: str) -> None:
     from flink_cep_task_spark.operators.cache import persisted
 
     # null-safe split: a NULL label is CORPUS (the complement of the
-    # incoming batch), so every vector lands in exactly one side of the
+    # incoming batches), so every vector lands in exactly one side of the
     # index — a plain != would drop NULL-label rows from BOTH sides and
     # diverge from the oracle, whose inverted file assigns every vector
-    corpus = persisted(
-        _with_norm(embeddings.filter(~F.col("label").eqNullSafe(IVF_INCOMING_LABEL)))
+    pred = F.lit(False)
+    for lbl in exclude_labels:
+        pred = pred | F.col("label").eqNullSafe(lbl)
+    corpus = persisted(_with_norm(embeddings.filter(~pred)))
+    cents = _fit_centroids(
+        corpus, key_extra="ivf_corpus_fit_" + "_".join(map(str, exclude_labels))
     )
-    cents = _fit_centroids(corpus, key_extra="ivf_corpus_fit")
     spark = embeddings.sparkSession
     spark.createDataFrame(
         [(int(cid), [int(x) for x in v]) for cid, v in cents],
         "cid LONG, cv ARRAY<BIGINT>",
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
-    inv = _assign_cells(corpus, cents, 1).filter(F.col("rank") == 0).drop("rank")
-    inv.write.partitionBy("cell").mode("overwrite").parquet(f"{path}/inv_file")
+    # `batch` sub-partitions the inverted file by ADMISSION: the corpus
+    # build owns batch=base, each daily admission owns its own value, so
+    # a dynamic-overwrite re-admission rewrites only its own directories
+    inv = (
+        _assign_cells(corpus, cents, 1)
+        .filter(F.col("rank") == 0)
+        .drop("rank")
+        .withColumn("batch", F.lit("base"))
+    )
+    inv.write.partitionBy("cell", "batch").mode("overwrite").parquet(
+        f"{path}/inv_file"
+    )
 
 
-def ann_ivf_stored(embeddings: DataFrame, store_path: str) -> DataFrame:
+def append_ivf_assignments(
+    embeddings: DataFrame, store_path: str, label, batch: str
+) -> None:
+    """The ADMISSION job for the IVF index store — the ANN analog of
+    append_minhash_signatures: assign ONLY the arriving batch (one
+    bounded matmul against the STORED centroids; the corpus is never
+    re-scored, the centroids never refitted) and land the (vec_id, cell)
+    rows in the inverted file under the batch's own partition value.
+    Dynamic partition overwrite keeps admission idempotent per batch."""
+    spark = embeddings.sparkSession
+    cents = sorted(
+        (r["cid"], list(r["cv"]))
+        for r in spark.read.parquet(f"{store_path}/centroids").collect()
+    )
+    incoming = _with_norm(embeddings.filter(F.col("label").eqNullSafe(label)))
+    inv = (
+        _assign_cells(incoming, cents, 1)
+        .filter(F.col("rank") == 0)
+        .select("vec_id", "cell")
+        .withColumn("batch", F.lit(batch))
+    )
+    (
+        inv.write.partitionBy("cell", "batch")
+        .mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .parquet(f"{store_path}/inv_file")
+    )
+
+
+def ann_ivf_stored(
+    embeddings: DataFrame,
+    store_path: str,
+    incoming_label=IVF_INCOMING_LABEL,
+    batch_in: tuple | None = None,
+) -> DataFrame:
     """Incremental IVF probe: top-5 cosine neighbors per query where the
     index = the STORED corpus inverted file UNIONed with today's batch
     assigned on the fly to the STORED centroids. Result-identical to
@@ -863,7 +920,13 @@ def ann_ivf_stored(embeddings: DataFrame, store_path: str) -> DataFrame:
         (r["cid"], list(r["cv"]))
         for r in spark.read.parquet(f"{store_path}/centroids").collect()
     )
-    corpus_inv = spark.read.parquet(f"{store_path}/inv_file").select(
+    inv_raw = spark.read.parquet(f"{store_path}/inv_file")
+    if batch_in is not None:
+        # pin WHICH admissions this probe sees (rolling day-1 must read
+        # only the corpus partitions regardless of directory-listing
+        # time, and stay rerun-safe after its own day has been admitted)
+        inv_raw = inv_raw.filter(F.col("batch").isin(*batch_in))
+    corpus_inv = inv_raw.select(
         "vec_id", F.col("cell").cast("int").alias("cell")
     )
     queries = persisted(
@@ -871,7 +934,7 @@ def ann_ivf_stored(embeddings: DataFrame, store_path: str) -> DataFrame:
     )
     # eqNullSafe: the exact complement of the store's corpus predicate
     incoming = _with_norm(
-        embeddings.filter(F.col("label").eqNullSafe(IVF_INCOMING_LABEL))
+        embeddings.filter(F.col("label").eqNullSafe(incoming_label))
     )
     inc_inv = (
         _assign_cells(incoming, cents, 1)
@@ -924,6 +987,68 @@ ANN_IVF_STORED_SQL = _ivf_sql(
         f"WHERE label IS DISTINCT FROM {IVF_INCOMING_LABEL})"
     )
 )
+
+
+def ann_ivf_rolling(
+    spark,
+    embeddings: DataFrame,
+    store_path: str,
+    day1=IVF_ROLLING_DAY1_LABEL,
+    day2=IVF_INCOMING_LABEL,
+) -> DataFrame:
+    """Day-over-day IVF index maintenance — the ANN edition of the
+    signature-store maintenance loop (VERDICT r8 task #1):
+
+      day 1: top-5 probe with inv = STORED corpus (batch=base only) ∪
+             the day-1 batch assigned on the fly, then ADMIT the day-1
+             (vec_id, cell) rows into the inverted file
+             (append_ivf_assignments — idempotent dynamic overwrite of
+             the batch=d1 partitions; centroids never refitted);
+      day 2: the same probe with inv = the ADVANCED store (base ∪ d1
+             partitions) ∪ the day-2 batch — day-1 vectors are never
+             re-assigned through Python; their cells arrive as store
+             FileScan rows.
+
+    Day-1's store read is pinned to batch=base (rerun-safe after its own
+    admission and independent of directory-listing time). Oracle = the
+    from-scratch IVF replay per day (fit excludes both days, exactly the
+    store build's corpus; day-1's neighbor universe excludes the
+    not-yet-crawled day-2 batch)."""
+    r1 = ann_ivf_stored(
+        embeddings, store_path, incoming_label=day1, batch_in=("base",)
+    )
+    append_ivf_assignments(embeddings, store_path, day1, "d1")
+    r2 = ann_ivf_stored(
+        embeddings, store_path, incoming_label=day2, batch_in=("base", "d1")
+    )
+    return r1.select(F.lit(1).alias("day"), "*").unionByName(
+        r2.select(F.lit(2).alias("day"), "*")
+    )
+
+
+def _ann_ivf_rolling_sql(
+    day1=IVF_ROLLING_DAY1_LABEL, day2=IVF_INCOMING_LABEL
+) -> str:
+    fit = (
+        "vec_id IN (SELECT vec_id FROM embeddings "
+        f"WHERE label IS DISTINCT FROM {day1} "
+        f"AND label IS DISTINCT FROM {day2})"
+    )
+    d1 = _ivf_sql(
+        fit_where=fit,
+        neighbor_where=(
+            "f.vec_id NOT IN (SELECT vec_id FROM embeddings "
+            f"WHERE label IS NOT DISTINCT FROM {day2})"
+        ),
+    )
+    d2 = _ivf_sql(fit_where=fit)
+    return (
+        f"SELECT CAST(1 AS INT) AS day, * FROM ({d1})\n"
+        f"UNION ALL\nSELECT CAST(2 AS INT) AS day, * FROM ({d2})"
+    )
+
+
+ANN_IVF_ROLLING_SQL = _ann_ivf_rolling_sql()
 
 
 # --- cluster-scoped semantic dedup (SemDeDup) ------------------------------

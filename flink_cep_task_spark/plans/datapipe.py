@@ -362,6 +362,36 @@ def ann_ivf_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.ann_ivf_stored(emb, _ivf_store(spark, sf_dir))
 
 
+# the rolling loop's own IVF store: corpus excludes BOTH day labels
+# (day 1 must arrive via the query's admission write-back, day 2 does
+# not exist yet at build time), and it cannot share _ivf_store's because
+# the loop MUTATES the inverted file
+_ROLLING_IVF_STORE_CACHE: dict[str, str] = {}
+
+
+def _rolling_ivf_store(spark: SparkSession, sf_dir: str) -> str:
+    return _store_path(
+        _ROLLING_IVF_STORE_CACHE, sf_dir, "rolling_ivf_store_", "ivf_index",
+        lambda p: S.write_ivf_index_store(
+            widen_small_scan(load_table(spark, sf_dir, "embeddings")),
+            p,
+            exclude_labels=(S.IVF_ROLLING_DAY1_LABEL, S.IVF_INCOMING_LABEL),
+        ),
+    )
+
+
+def ann_ivf_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-over-day IVF index maintenance (operators/similarity.
+    ann_ivf_rolling): day-1 probe against the corpus-only inverted file,
+    admission of day-1's (vec_id, cell) rows into the store, day-2 probe
+    against the ADVANCED index — the ANN member of the maintenance-loop
+    family (minhash signatures, rollup partials, IVF inverted file).
+    Oracle = the from-scratch IVF replay per day; the store changes
+    cost, never answers."""
+    emb = widen_small_scan(load_table(spark, sf_dir, "embeddings"))
+    return S.ann_ivf_rolling(spark, emb, _rolling_ivf_store(spark, sf_dir))
+
+
 def rag_retrieve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RAG retrieval composition: exact top-k cosine neighbors for each
     query vector (knn_bruteforce), joined to the documents table
@@ -674,6 +704,7 @@ DATAPIPE_QUERIES: dict[str, tuple] = {
     "ann_pq": (_embs(S.ann_pq), S.ANN_PQ_SQL),
     "ann_ivf_pq": (_embs(S.ann_ivf_pq), S.ANN_IVF_PQ_SQL),
     "ann_ivf_stored": (ann_ivf_stored, S.ANN_IVF_STORED_SQL),
+    "ann_ivf_rolling": (ann_ivf_rolling, S.ANN_IVF_ROLLING_SQL),
     "pq_codes": (_embs(S.pq_codes), S.PQ_CODES_SQL),
     "dedup_embedding_cosine": (_embs(S.dedup_embedding_cosine), S.COSINE_DUP_SQL),
     "media_feature_stats": (_docs(M.media_feature_stats), M.MEDIA_FEATURES_SQL),

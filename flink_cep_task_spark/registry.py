@@ -180,6 +180,7 @@ OVERFLOW_LAST = (
     # round-9 additions
     "dedup_incremental_minhash_rolling",
     "incremental_rollup_rolling",
+    "ann_ivf_rolling",
 )
 
 

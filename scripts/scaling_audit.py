@@ -106,6 +106,7 @@ QUERIES = [
     # round-9 additions
     "dedup_incremental_minhash_rolling",
     "incremental_rollup_rolling",
+    "ann_ivf_rolling",
 ]
 BASE = "/root/testdata/sf0.1"
 

@@ -120,3 +120,49 @@ def test_admission_touches_only_the_batch_partition(spark, tmp_path):
     for p, mt in before.items():
         assert after[p] == mt, f"pre-existing store file rewritten: {p}"
     assert any("source=d1" in p for p in set(after) - set(before))
+
+
+def test_ivf_admission_touches_only_its_batch_partitions(spark):
+    # the IVF admission's scale contract, mirroring the minhash one:
+    # existing inverted-file partitions (batch=base) survive
+    # byte-identical; only batch=d1 directories appear; a retried
+    # admission is idempotent (same file count, base still untouched)
+    import glob
+    import os
+
+    from flink_cep_task_spark.operators.similarity import (
+        IVF_ROLLING_DAY1_LABEL,
+        append_ivf_assignments,
+    )
+    from flink_cep_task_spark.plans.datapipe import _rolling_ivf_store
+    from flink_cep_task_spark.sources.tables import load_table, widen_small_scan
+    from tests.conftest import SF_DIR
+
+    emb = widen_small_scan(load_table(spark, SF_DIR, "embeddings"))
+    path = _rolling_ivf_store(spark, SF_DIR)
+    inv = os.path.join(path, "inv_file")
+
+    def snap():
+        return {
+            p: os.path.getmtime(p)
+            for p in glob.glob(os.path.join(inv, "**", "*.parquet"), recursive=True)
+        }
+
+    before = snap()
+    append_ivf_assignments(emb, path, IVF_ROLLING_DAY1_LABEL, "d1")
+    mid = snap()
+    base_before = {p for p in before if "batch=base" in p}
+    assert base_before == {p for p in mid if "batch=base" in p}
+    for p in base_before:
+        assert mid[p] == before[p], f"base partition rewritten: {p}"
+    d1_dirs = {os.path.dirname(p) for p in mid if "batch=d1" in p}
+    assert d1_dirs, "admission produced no batch=d1 partitions"
+    n_rows = spark.read.parquet(inv).count()
+    # retry: same partition DIRECTORIES (files are rewritten — that's
+    # what overwrite means), same row count, base still byte-untouched
+    append_ivf_assignments(emb, path, IVF_ROLLING_DAY1_LABEL, "d1")
+    after = snap()
+    assert {os.path.dirname(p) for p in after if "batch=d1" in p} == d1_dirs
+    assert spark.read.parquet(inv).count() == n_rows
+    for p in base_before:
+        assert after[p] == before[p]
