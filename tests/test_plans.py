@@ -744,8 +744,20 @@ def test_ann_ivf_stored_probes_store_not_corpus(spark):
     # no full-corpus persist (VERDICT r8 task #5): every cached relation
     # must be the BOUNDED query slice (vec_id upper bound pushed to its
     # scan), and the exact-rerank corpus side must be a STREAMED
-    # unbounded FileScan, not an InMemoryTableScan pinning 100 TB
+    # unbounded FileScan, not an InMemoryTableScan pinning 100 TB.
+    # Clear session caches first: Spark's CacheManager substitutes ANY
+    # canonically-equal cached subtree (another test's persisted
+    # full-corpus frame) into this plan, which is fixture-scale reuse by
+    # the session, not a persist by THIS operator — the pin must measure
+    # the operator's own plan.
     import re
+
+    from flink_cep_task_spark.operators.cache import release_caches
+
+    release_caches()
+    spark.catalog.clearCache()
+    plan = _plan(spark, "ann_ivf_stored")
+    lines = plan.splitlines()
 
     cached_scan, streamed_corpus = False, False
     for i, ln in enumerate(lines):
