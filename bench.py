@@ -186,26 +186,29 @@ def main() -> None:
                 "store_builds": store_builds,
                 "streaming_baseline": streaming_baseline,
                 "notes": [
-                    "Round-8 TRUE final surface (152 queries): 241.8 s "
-                    "committed (full-run history this round: 224.2/214.5 "
-                    "@150, 235.4/223.7 @151, 241.8 @152 — the streaming "
-                    "scorer costs ~3-5 s of replay fixed cost and "
-                    "bpe_apply_stored books 6.5 s of one-time tokenizer-"
-                    "store build against a 0.56 s probe, see "
-                    "store_builds), first runs fired in a VERIFIED load trough "
-                    "(uptime sampled for 3+ min, 1-min load 0.04-0.28 at "
-                    "fire time) — vs the driver's own round-7 "
-                    "BENCH_r07.json 248.4 s @ 146: faster with four more "
-                    "queries. The gains are real, not load: "
-                    "media_dedup_report's union double-execution fix, the "
-                    "BPE merges memo (bpe_apply_report rides "
-                    "bpe_merges_report's induction), and the clean "
-                    "window. store_build_seconds_total 19.6 s -> "
-                    "probe-only total ~204.6 s. Round-8 additions cost "
-                    "~7 s in-bench (bpe_apply 0.46 riding the memoized "
-                    "induction bpe_merges pays at 2.3, quality_nb 1.7, "
-                    "media_dedup 2.9, quality_nb_stored 2.1 of which "
-                    "1.5 is the one-time model-store build).",
+                    "Round-9 final surface (155 queries): 281.2 s "
+                    "committed (runs this round: 291.9, 281.2 — both "
+                    "fired in verified troughs, 1-min load 0.06-0.19 at "
+                    "fire time) vs the driver's round-8 BENCH_r08.json "
+                    "232.0 s @ 152. The +49 s decomposes: ~23 s is the "
+                    "three NEW maintenance-loop queries "
+                    "(ann_ivf_rolling 13.0 of which 8.9 is its one-time "
+                    "store build; dedup_incremental_minhash_rolling 6.5 "
+                    "of which 2.2 build; incremental_rollup_rolling 2.3 "
+                    "of which 1.0 build — see store_builds), ~4.5 s is "
+                    "curation_funnel's directed near-dup stage (4.27 -> "
+                    "8.9, the MinHash cluster CC loop's fixed job "
+                    "overhead — flat to 64x, see SCALING.md round-9 "
+                    "stage isolation), and the rest is uniform ~0.3-1 s "
+                    "drift across the cep_*/stored entries within this "
+                    "box's documented run variance (no single shared "
+                    "query regressed beyond it). "
+                    "store_build_seconds_total 38.4 s -> probe-only "
+                    "total ~242.8 s over 155 queries.",
+                    "streaming_baseline (BASELINE.md's table, from "
+                    "scripts/streaming_baseline.py): ingest rows/s and "
+                    "peak stateOperators rows/bytes for the live "
+                    "rule engine and the native windowed path at sf0.1.",
                     "store_builds splits every query that triggered a "
                     "one-time per-process store build (the *_stored "
                     "index/signature/cluster/bucket stores) into build_s "
