@@ -766,10 +766,13 @@ def unigram_logprob_score(documents: DataFrame) -> DataFrame:
 
     Plan: one explode→count aggregate fits the "model" (vocab-sized, so
     the token→count table broadcasts back to the exploded stream — at
-    real-corpus vocab sizes this is tens of MB, still broadcast range);
-    the per-doc fold is a second aggregate on doc_id. Total: two shuffles
-    (vocab fit, doc fold), both map-side combined. ln() runs on the same
-    IEEE doubles in both engines; the 6dp round absorbs libm ulps."""
+    real-corpus vocab sizes this is tens of MB, still broadcast range,
+    and past the size gate the hint drops and the scoring join degrades
+    to a shuffled join, same lever as the NB weights); the per-doc fold
+    is a second aggregate on doc_id. Total: two shuffles (vocab fit, doc
+    fold), both map-side combined. ln() runs on the same IEEE doubles in
+    both engines; the 6dp round absorbs libm ulps."""
+    from flink_cep_task_spark.operators.broadcast_gate import gated_broadcast
     from flink_cep_task_spark.operators.cache import persisted
 
     # three consumers (vocab fit, total, scoring join) — persist the
@@ -778,7 +781,10 @@ def unigram_logprob_score(documents: DataFrame) -> DataFrame:
     toks = persisted(
         documents.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
     )
-    vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    # vocab persisted for the same reason: total + the gate count + the
+    # scoring join are three consumers of the fit
+    vocab = persisted(toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c")))
+    n_vocab = vocab.count()
     total = vocab.agg(F.sum("c").cast("double").alias("__total"))
     # each term is rounded to 9 dp and summed as EXACT decimal: a raw
     # double sum is order-dependent under repartitioning (associativity),
@@ -787,7 +793,7 @@ def unigram_logprob_score(documents: DataFrame) -> DataFrame:
     # sits three digits under the 6 dp output rounding.
     nll = F.round(-F.log(F.col("c") / F.col("__total")), 9).cast("decimal(18,9)")
     scored = (
-        toks.join(F.broadcast(vocab), "tok")
+        toks.join(gated_broadcast(vocab, n_vocab), "tok")
         .join(F.broadcast(total))
         .select("doc_id", nll.alias("nll"))
     )
@@ -1661,7 +1667,10 @@ def bpe_apply_report(
     Scale shape: the merge list is a collected model parameter
     (BPE_N_MERGES rows) folded into the projection as literals, so the
     encode is a map-only plan — ONE corpus scan, ZERO exchanges
-    (plan-pinned). A production-size vocabulary (30k merges) would swap
+    (plan-pinned). Unlike the NB weight table, the merge table does NOT
+    grow with corpus vocabulary: its size is the induction's fixed merge
+    BUDGET (BPE_N_MERGES — a tokenizer design constant), so no size gate
+    is needed here. A production-size budget (30k merges) would swap
     the literal replace chain for a mapInPandas trie encoder with the
     merge table broadcast — same scan shape, the chain is chosen here
     because it is exactly replayable by the SQL oracle. The induction

@@ -117,3 +117,19 @@ def test_nb_stored_scorer_identical_on_both_paths(spark, gate_shut, tmp_path):
     assert _broadcast_hinted_joins(bcast_df) == 1
     assert _rows(bcast_df) == fallback
     assert len(fallback) > 0
+
+
+def test_unigram_logprob_identical_on_both_paths(spark, gate_shut):
+    from flink_cep_task_spark.operators.text import unigram_logprob_score
+
+    docs = widen_small_scan(load_table(spark, SF_DIR, "documents"))
+    fallback_df = unigram_logprob_score(docs)
+    # gate shut: the vocab join loses its hint; the single-row total
+    # scalar join keeps its provably-bounded one
+    assert _broadcast_hinted_joins(fallback_df) == 1
+    fallback = _rows(fallback_df)
+    spark.conf.unset(BROADCAST_ROWS_GATE_CONF)
+    bcast_df = unigram_logprob_score(docs)
+    assert _broadcast_hinted_joins(bcast_df) == 2
+    assert _rows(bcast_df) == fallback
+    assert len(fallback) > 0
