@@ -749,7 +749,9 @@ def _classify_incoming(
     )
 
 
-def write_minhash_signature_store(documents: DataFrame, path: str) -> None:
+def write_minhash_signature_store(
+    documents: DataFrame, path: str, dynamic: bool = False
+) -> None:
     """Materialize the PRODUCTION artifact the incremental near-dup probe
     reads: per doc — source, the 16 MinHash values, and the distinct
     hashed-shingle SET (needed for the exact-Jaccard verify; 60-bit longs,
@@ -758,18 +760,26 @@ def write_minhash_signature_store(documents: DataFrame, path: str) -> None:
     file listing and an admission job appends only its own partition.
     At 100 TB of text the store is the thing that makes daily dedup
     affordable: signatures are computed once per document's lifetime,
-    never re-shingled per probe."""
+    never re-shingled per probe.
+
+    `dynamic=True` is the ADMISSION mode (see append_minhash_signatures):
+    dynamic partition overwrite rewrites only the source partitions
+    present in `documents`, leaving the rest of the store untouched —
+    ONE writer, so the built and admitted partitions can never diverge
+    in row shape."""
     sh = _persisted(shingles_hashed(documents))
     sig = _minhash_from_shingles(sh)
     sets = sh.groupBy("doc_id").agg(F.collect_list("sh").alias("S"))
     src = documents.select("doc_id", "source")
-    (
+    w = (
         sig.join(sets, "doc_id")
         .join(src, "doc_id")
         .write.mode("overwrite")
         .partitionBy("source")
-        .parquet(path)
     )
+    if dynamic:
+        w = w.option("partitionOverwriteMode", "dynamic")
+    w.parquet(path)
 
 
 def _incoming_sets(sh_inc: DataFrame) -> DataFrame:
@@ -928,18 +938,9 @@ def append_minhash_signatures(batch: DataFrame, path: str) -> None:
     admission idempotent per source: a retried/replayed admission
     rewrites the same partition instead of appending duplicate signature
     rows — the write-side analog of rollup_stream_maintain's bid=N
-    overwrite under at-least-once delivery."""
-    sh = _persisted(shingles_hashed(batch))
-    sig = _minhash_from_shingles(sh)
-    sets = sh.groupBy("doc_id").agg(F.collect_list("sh").alias("S"))
-    (
-        sig.join(sets, "doc_id")
-        .join(batch.select("doc_id", "source"), "doc_id")
-        .write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("source")
-        .parquet(path)
-    )
+    overwrite under at-least-once delivery. Delegates to the ONE store
+    writer so built and admitted partitions share the exact row shape."""
+    write_minhash_signature_store(batch, path, dynamic=True)
 
 
 def dedup_minhash_rolling(
@@ -965,12 +966,18 @@ def dedup_minhash_rolling(
     (day-2 plan pinned by tests/test_plans.py). The store advance is
     executed between the probes (the admission write is an action); the
     day-1 result is insensitive to it because its corpus filter excludes
-    exactly the admitted partition. Oracle = the full recompute of both
-    days (reference semantics: the same report a from-scratch re-shingle
-    of corpus ∪ day1 ∪ day2 produces)."""
-    r1 = dedup_incremental_minhash_from_store(
-        documents, spark.read.parquet(store_path), day1
+    exactly the admitted partition. Day-1's store read is additionally
+    pinned to exclude BOTH days' partitions (the IVF twin's
+    batch_in=('base',) in source-partition form): without it, a day-1
+    rerun against a store that has since admitted day 2 would read
+    tomorrow's signatures — the oracle's day-1 corpus excludes both
+    days. Oracle = the full recompute of both days (reference
+    semantics: the same report a from-scratch re-shingle of
+    corpus ∪ day1 ∪ day2 produces)."""
+    store1 = spark.read.parquet(store_path).filter(
+        ~F.col("source").isin(day1, day2)
     )
+    r1 = dedup_incremental_minhash_from_store(documents, store1, day1)
     append_minhash_signatures(
         documents.filter(F.col("source") == day1), store_path
     )

@@ -862,6 +862,16 @@ def write_ivf_index_store(
     )
 
 
+def _read_centroids(spark, store_path: str) -> list[tuple[int, list[int]]]:
+    """Deserialize the stored centroid model — the ONE reader shared by
+    every store probe and the admission job, so an index-layout change
+    can never make admission-time and probe-time cell assignment drift."""
+    return sorted(
+        (r["cid"], list(r["cv"]))
+        for r in spark.read.parquet(f"{store_path}/centroids").collect()
+    )
+
+
 def append_ivf_assignments(
     embeddings: DataFrame, store_path: str, label, batch: str
 ) -> None:
@@ -872,10 +882,7 @@ def append_ivf_assignments(
     rows in the inverted file under the batch's own partition value.
     Dynamic partition overwrite keeps admission idempotent per batch."""
     spark = embeddings.sparkSession
-    cents = sorted(
-        (r["cid"], list(r["cv"]))
-        for r in spark.read.parquet(f"{store_path}/centroids").collect()
-    )
+    cents = _read_centroids(spark, store_path)
     incoming = _with_norm(embeddings.filter(F.col("label").eqNullSafe(label)))
     inv = (
         _assign_cells(incoming, cents, 1)
@@ -916,10 +923,7 @@ def ann_ivf_stored(
     from flink_cep_task_spark.operators.cache import persisted
 
     spark = embeddings.sparkSession
-    cents = sorted(
-        (r["cid"], list(r["cv"]))
-        for r in spark.read.parquet(f"{store_path}/centroids").collect()
-    )
+    cents = _read_centroids(spark, store_path)
     inv_raw = spark.read.parquet(f"{store_path}/inv_file")
     if batch_in is not None:
         # pin WHICH admissions this probe sees (rolling day-1 must read

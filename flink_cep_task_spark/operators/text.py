@@ -1033,8 +1033,8 @@ def nb_model_consts(model: DataFrame) -> dict:
         raise ValueError(
             "NB model store is missing required const rows "
             f"{sorted(missing)}: expected rows with kind in "
-            "('prior', 'unseen', 'w'), got kinds "
-            f"{sorted(consts) + ['w']}"
+            "('prior', 'unseen', 'w'), got non-weight kinds "
+            f"{sorted(consts)}"
         )
     return consts
 

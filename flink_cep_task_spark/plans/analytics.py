@@ -1706,6 +1706,15 @@ GROUP BY event_type
 ROLLUP_DAY2_TS_S = ROLLUP_CUTOFF_TS_S + 86_400  # day-2 window start
 ROLLUP_DAY1_IDX = ROLLUP_CUTOFF_TS_S // 86_400  # day-1's epoch-day index
 
+# the rolling loop's day-1 store filter (day < ROLLUP_DAY1_IDX) and the
+# admission's one-partition idempotency BOTH require the cutoff to sit
+# exactly on an epoch-day boundary — a mid-day cutoff would make
+# pre-cutoff events share day-1's partition index (silently dropped from
+# day-1's merge) and spread the day-1 batch across two partitions
+assert ROLLUP_CUTOFF_TS_S % 86_400 == 0, (
+    "ROLLUP_CUTOFF_TS_S must be epoch-day aligned for the rolling loop"
+)
+
 _ROLLING_ROLLUP_STORE_CACHE: dict[str, str] = {}
 
 

@@ -166,3 +166,21 @@ def test_ivf_admission_touches_only_its_batch_partitions(spark):
     assert spark.read.parquet(inv).count() == n_rows
     for p in base_before:
         assert after[p] == before[p]
+
+
+def test_day1_probe_pinned_against_later_admissions(spark, tmp_path):
+    # rerun-safety the other way around (self-review r9): after day-2
+    # has ALSO been admitted, a day-1 rerun must still see only the
+    # original corpus — doc 10's only near-dup partner is the day-2 doc,
+    # so an unpinned day-1 store read would flip it to 'near_dup'
+    path = _store(spark, tmp_path)
+    append_minhash_signatures(_docs(spark).filter(F.col("source") == "d1"), path)
+    append_minhash_signatures(_docs(spark).filter(F.col("source") == "d2"), path)
+    got = {
+        (r["day"], r["doc_id"]): r["status"]
+        for r in dedup_minhash_rolling(
+            spark, _docs(spark), path, day1="d1", day2="d2"
+        ).collect()
+    }
+    assert got[(1, 10)] == "new"
+    assert got[(2, 20)] == "near_dup"
