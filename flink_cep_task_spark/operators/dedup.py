@@ -1430,22 +1430,39 @@ JOIN n_fps nb ON nb.doc_id = doc_b
 """
 
 
-def write_winnow_fingerprint_store(documents: DataFrame, path: str) -> None:
+def write_winnow_fingerprint_store(
+    documents: DataFrame, path: str, dynamic: bool = False
+) -> None:
     """Materialize the winnowing-fingerprint store — the substring-dedup
     analog of write_minhash_signature_store: per doc the selected
     (doc_id, fp) fingerprints plus the source, partitioned BY SOURCE so
     a daily probe's corpus read (source != today) prunes the incoming
     partition at the file listing and an admission job appends only its
     own partition. Fingerprints are computed once per document's
-    lifetime; no probe ever re-tokenizes corpus text."""
+    lifetime; no probe ever re-tokenizes corpus text.
+
+    `dynamic=True` is the ADMISSION mode (the daily increment): dynamic
+    partition overwrite rewrites only the source partitions present in
+    `documents` — idempotent per source, existing partitions untouched,
+    ONE writer for built and admitted partitions."""
     fps = _winnow_fps(documents)
     src = documents.select("doc_id", "source")
-    (
+    w = (
         fps.join(src, "doc_id")
         .write.mode("overwrite")
         .partitionBy("source")
-        .parquet(path)
     )
+    if dynamic:
+        w = w.option("partitionOverwriteMode", "dynamic")
+    w.parquet(path)
+
+
+def append_winnow_fingerprints(batch: DataFrame, path: str) -> None:
+    """The ADMISSION job for the winnowing-fingerprint store — the daily
+    increment; see append_minhash_signatures for the idempotence
+    contract (same dynamic-overwrite pattern, same single-writer
+    delegation)."""
+    write_winnow_fingerprint_store(batch, path, dynamic=True)
 
 
 def dedup_substring_incremental_from_store(
@@ -1531,9 +1548,45 @@ def dedup_substring_incremental_from_store(
     )
 
 
+def dedup_substring_rolling(
+    spark,
+    documents: DataFrame,
+    store_path: str,
+    day1: str = INCREMENTAL_INCOMING_SOURCE,
+    day2: str = ROLLING_DAY2_SOURCE,
+) -> DataFrame:
+    """Day-over-day maintenance loop for the SUBSTRING tier — the
+    winnowing-fingerprint edition of dedup_minhash_rolling (same probe →
+    admit → probe-the-advanced-store shape, same per-day cost: only the
+    arriving batch is tokenized; the corpus rides partition-pruned store
+    FileScans). A day-2 document sharing a shifted passage ONLY with a
+    day-1 document is caught via day-1's STORED fingerprints. Day-1's
+    store read excludes BOTH days' partitions (rerun-safe after any
+    later admission); oracle = the full recompute of both days."""
+    store1 = spark.read.parquet(store_path).filter(
+        ~F.col("source").isin(day1, day2)
+    )
+    r1 = dedup_substring_incremental_from_store(documents, store1, day1)
+    append_winnow_fingerprints(
+        documents.filter(F.col("source") == day1), store_path
+    )
+    r2 = dedup_substring_incremental_from_store(
+        documents, spark.read.parquet(store_path), day2
+    )
+    return r1.select(F.lit(1).alias("day"), "*").unionByName(
+        r2.select(F.lit(2).alias("day"), "*")
+    )
+
+
 def dedup_substring_incremental_sql(
     incoming_source: str = INCREMENTAL_INCOMING_SOURCE,
+    incoming_where: str | None = None,
+    corpus_where: str | None = None,
 ) -> str:
+    if incoming_where is None:
+        incoming_where = f"source = '{incoming_source}'"
+    if corpus_where is None:
+        corpus_where = f"NOT ({incoming_where})"
     return f"""
 WITH words AS (
   SELECT doc_id, source, regexp_split_to_array(lower(trim(text)), '\\s+') AS w
@@ -1552,9 +1605,9 @@ WITH words AS (
   SELECT DISTINCT doc_id, source, wmin AS fp
   FROM win WHERE i <= greatest(m - {WINNOW_W} + 1, 1)
 ), inc AS (
-  SELECT doc_id, fp FROM fps WHERE source = '{incoming_source}'
+  SELECT doc_id, fp FROM fps WHERE {incoming_where}
 ), cor AS (
-  SELECT doc_id, fp FROM fps WHERE source <> '{incoming_source}'
+  SELECT doc_id, fp FROM fps WHERE {corpus_where}
 ), cfreq AS (
   SELECT fp FROM cor GROUP BY fp HAVING count(*) <= {WINNOW_MAX_DOCS_PER_FP}
 ), na AS (
@@ -1581,12 +1634,34 @@ SELECT d.doc_id,
        b.doc_b AS match_id,
        CAST(b.shared AS BIGINT) AS shared_fps,
        b.containment
-FROM (SELECT doc_id FROM documents WHERE source = '{incoming_source}') d
+FROM (SELECT doc_id FROM documents WHERE {incoming_where}) d
 LEFT JOIN best b ON b.doc_a = d.doc_id
 """
 
 
 DEDUP_SUBSTRING_INCREMENTAL_SQL = dedup_substring_incremental_sql()
+
+
+def dedup_substring_rolling_sql(
+    day1: str = INCREMENTAL_INCOMING_SOURCE, day2: str = ROLLING_DAY2_SOURCE
+) -> str:
+    """Full-recompute oracle for the substring rolling loop — same
+    two-day composition as dedup_minhash_rolling_sql."""
+    d1 = dedup_substring_incremental_sql(
+        incoming_where=f"source = '{day1}'",
+        corpus_where=f"source NOT IN ('{day1}', '{day2}')",
+    )
+    d2 = dedup_substring_incremental_sql(
+        incoming_where=f"source = '{day2}'",
+        corpus_where=f"source <> '{day2}'",
+    )
+    return (
+        f"SELECT CAST(1 AS INT) AS day, * FROM ({d1})\n"
+        f"UNION ALL\nSELECT CAST(2 AS INT) AS day, * FROM ({d2})"
+    )
+
+
+DEDUP_SUBSTRING_ROLLING_SQL = dedup_substring_rolling_sql()
 
 
 # --- dedup retention report (clusters applied as a corpus filter) ---------

@@ -274,6 +274,38 @@ def _rolling_sig_store(spark: SparkSession, sf_dir: str) -> str:
     )
 
 
+# the substring (winnowing) edition of the rolling store — same
+# both-days-excluded build rationale as _rolling_sig_store
+_ROLLING_FP_STORE_CACHE: dict[str, str] = {}
+
+
+def _rolling_fp_store(spark: SparkSession, sf_dir: str) -> str:
+    return _store_path(
+        _ROLLING_FP_STORE_CACHE, sf_dir, "rolling_fp_store_", "fingerprints",
+        lambda p: D.write_winnow_fingerprint_store(
+            widen_small_scan(load_table(spark, sf_dir, "documents")).filter(
+                ~F.col("source").isin(
+                    D.INCREMENTAL_INCOMING_SOURCE, D.ROLLING_DAY2_SOURCE
+                )
+            ),
+            p,
+        ),
+    )
+
+
+def dedup_substring_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-over-day winnowing-fingerprint store maintenance
+    (operators/dedup.dedup_substring_rolling): the substring-tier member
+    of the maintenance-loop family — day-1 probe, fingerprint admission
+    (idempotent dynamic-partition overwrite), day-2 probe against the
+    advanced store. Oracle = the full recompute of both days."""
+    return D.dedup_substring_rolling(
+        spark,
+        widen_small_scan(load_table(spark, sf_dir, "documents")),
+        _rolling_fp_store(spark, sf_dir),
+    )
+
+
 def dedup_incremental_minhash_rolling(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -673,6 +705,10 @@ DATAPIPE_QUERIES: dict[str, tuple] = {
     "dedup_incremental_minhash_rolling": (
         dedup_incremental_minhash_rolling,
         D.DEDUP_MINHASH_ROLLING_SQL,
+    ),
+    "dedup_substring_rolling": (
+        dedup_substring_rolling,
+        D.DEDUP_SUBSTRING_ROLLING_SQL,
     ),
     "dedup_substring_stored": (
         dedup_substring_stored,

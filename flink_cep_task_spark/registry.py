@@ -181,6 +181,7 @@ OVERFLOW_LAST = (
     "dedup_incremental_minhash_rolling",
     "incremental_rollup_rolling",
     "ann_ivf_rolling",
+    "dedup_substring_rolling",
 )
 
 

@@ -107,6 +107,7 @@ QUERIES = [
     "dedup_incremental_minhash_rolling",
     "incremental_rollup_rolling",
     "ann_ivf_rolling",
+    "dedup_substring_rolling",
 ]
 BASE = "/root/testdata/sf0.1"
 

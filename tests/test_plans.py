@@ -937,3 +937,50 @@ def test_rollup_rolling_scans_are_bounded(spark):
     assert any(
         "day" in partfilters(ln) and "<" in partfilters(ln) for ln in store
     ), "day-1 store read lost its pre-cutoff partition filter"
+
+
+def test_substring_rolling_day2_probe_touches_only_batch_and_store(spark):
+    # winnowing edition of the rolling day-2 pin: after admission, the
+    # day-2 probe tokenizes only the day-2 batch (source equality pushed
+    # to the documents scan) and the corpus arrives as partition-pruned
+    # fingerprint-store FileScans
+    import pyspark.sql.functions as F
+
+    from flink_cep_task_spark.operators.dedup import (
+        INCREMENTAL_INCOMING_SOURCE,
+        ROLLING_DAY2_SOURCE,
+        append_winnow_fingerprints,
+        dedup_substring_incremental_from_store,
+    )
+    from flink_cep_task_spark.plans.datapipe import _rolling_fp_store
+    from flink_cep_task_spark.sources.tables import load_table, widen_small_scan
+
+    docs = widen_small_scan(load_table(spark, SF_DIR, "documents"))
+    path = _rolling_fp_store(spark, SF_DIR)
+    append_winnow_fingerprints(
+        docs.filter(F.col("source") == INCREMENTAL_INCOMING_SOURCE), path
+    )
+    spark.conf.set("spark.sql.maxMetadataStringLength", "4000")
+    df = dedup_substring_incremental_from_store(
+        docs, spark.read.parquet(path), ROLLING_DAY2_SOURCE
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    doc_scans = [
+        ln for ln in plan.splitlines()
+        if "FileScan parquet" in ln and "documents.parquet" in ln
+    ]
+    assert doc_scans, "documents scan missing"
+    for ln in doc_scans:
+        assert f"EqualTo(source,{ROLLING_DAY2_SOURCE})" in ln, (
+            f"day-2 probe reads more than the day-2 batch: {ln[:200]}"
+        )
+    store_scans = [
+        ln for ln in plan.splitlines()
+        if "FileScan parquet" in ln and "fingerprints" in ln
+    ]
+    assert store_scans, "fingerprint store scan missing"
+    assert any(
+        "PartitionFilters" in ln and "NOT (source" in ln for ln in store_scans
+    ), "store scan lost its partition-pruning source filter"

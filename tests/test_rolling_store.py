@@ -184,3 +184,54 @@ def test_day1_probe_pinned_against_later_admissions(spark, tmp_path):
     }
     assert got[(1, 10)] == "new"
     assert got[(2, 20)] == "near_dup"
+
+
+PASSAGE = (
+    "zephyr quince bramble osprey tundra velvet cobalt marrow "
+    "sickle plume gossamer ember lattice drift harrow tonic "
+    "mica fable sprocket vane crag nimbus ledger fjord pylon "
+    "saffron grotto whelk tarn rill"
+)  # 30 distinctive words: guarantees >= WINNOW_MIN_SHARED shared fps
+SS_ROWS = [
+    (1, BASE, "en", "base"),
+    (10, "one two three " + PASSAGE, "en", "d1"),
+    # same passage SHIFTED inside otherwise-new day-2 text
+    (20, "red orange yellow green blue " + PASSAGE + " indigo violet",
+     "en", "d2"),
+]
+
+
+def test_substring_day2_matches_day1_via_advanced_store(spark, tmp_path):
+    # the substring-tier crux, mirroring the minhash one: day-2's only
+    # shared passage is with a day-1 doc — catching it proves the probe
+    # reads fingerprints the query itself admitted; and a day-1 rerun
+    # AFTER day-2's admission stays pinned to the original corpus
+    from flink_cep_task_spark.operators.dedup import (
+        append_winnow_fingerprints,
+        dedup_substring_rolling,
+        write_winnow_fingerprint_store,
+    )
+
+    docs = spark.createDataFrame(SS_ROWS, SCHEMA)
+    path = str(tmp_path / "fingerprints")
+    write_winnow_fingerprint_store(
+        docs.filter(~F.col("source").isin("d1", "d2")), path
+    )
+    got = {
+        (r["day"], r["doc_id"]): (r["status"], r["match_id"])
+        for r in dedup_substring_rolling(
+            spark, docs, path, day1="d1", day2="d2"
+        ).collect()
+    }
+    assert got[(1, 10)] == ("new", None)
+    assert got[(2, 20)] == ("substring_dup", 10)
+    # pin check: admit day 2 too, rerun — day 1 must not see tomorrow
+    append_winnow_fingerprints(docs.filter(F.col("source") == "d2"), path)
+    rerun = {
+        (r["day"], r["doc_id"]): r["status"]
+        for r in dedup_substring_rolling(
+            spark, docs, path, day1="d1", day2="d2"
+        ).collect()
+    }
+    assert rerun[(1, 10)] == "new"
+    assert rerun[(2, 20)] == "substring_dup"
