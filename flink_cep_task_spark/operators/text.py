@@ -974,6 +974,21 @@ def write_nb_model_store(documents: DataFrame, path: str) -> None:
             F.sum(F.when(F.col("is_pos"), 0).otherwise(1)).alias("c_neg"),
         )
     )
+    class_docs = documents.agg(
+        F.sum(F.when(pos, 1).otherwise(0)).cast("long").alias("n_pos"),
+        F.sum(F.when(pos, 0).otherwise(1)).cast("long").alias("n_neg"),
+    )
+    _nb_model_frame(stats, class_docs).write.mode("overwrite").parquet(path)
+    stats.unpersist()
+    toks.unpersist()
+
+
+def _nb_model_frame(stats: DataFrame, class_docs: DataFrame) -> DataFrame:
+    """The ONE derivation of the model frame (kind ∈ {'w','unseen',
+    'prior'}, 9-dp DECIMAL convention) from token class counts
+    (tok, c_pos, c_neg) + a 1-row class doc-count frame (n_pos, n_neg) —
+    shared by the weight store writer and the count-store model
+    derivation, so a refit and a count-merge can never drift."""
     totals = stats.agg(
         F.sum("c_pos").cast("double").alias("__t_pos"),
         F.sum("c_neg").cast("double").alias("__t_neg"),
@@ -999,24 +1014,139 @@ def write_nb_model_store(documents: DataFrame, path: str) -> None:
         .alias("w"),
         F.lit("unseen").alias("kind"),
     )
-    prior = documents.agg(
+    prior = class_docs.select(
+        F.lit(None).cast("string").alias("tok"),
         F.round(
-            F.log(
-                F.sum(F.when(pos, 1).otherwise(0)).cast("double")
-                / F.sum(F.when(pos, 0).otherwise(1)).cast("double")
-            ),
-            9,
+            F.log(F.col("n_pos").cast("double") / F.col("n_neg")), 9
         )
         .cast("decimal(18,9)")
-        .alias("w")
-    ).select(
-        F.lit(None).cast("string").alias("tok"), "w", F.lit("prior").alias("kind")
+        .alias("w"),
+        F.lit("prior").alias("kind"),
     )
-    weights.unionByName(unseen).unionByName(prior).write.mode(
-        "overwrite"
-    ).parquet(path)
-    stats.unpersist()
-    toks.unpersist()
+    return weights.unionByName(unseen).unionByName(prior)
+
+
+def write_nb_count_store(
+    documents: DataFrame, path: str, batch: str = "base", dynamic: bool = False
+) -> None:
+    """The MERGEABLE edition of the NB model store — the classifier's
+    maintenance-loop artifact: raw per-token class counts (kind='tok')
+    plus one per-class document-count row (kind='docs'), partitioned by
+    ADMISSION batch. Counts are additive, so a daily run lands its own
+    batch partition (dynamic overwrite — idempotent per batch, existing
+    partitions untouched) and the exact model is re-derived from SUMMED
+    counts (nb_model_from_counts) without re-tokenizing a single corpus
+    document. The weight store (write_nb_model_store) is the frozen
+    deployment artifact; this is the one the training loop advances."""
+    pos = F.expr(NB_POS_LABEL_SQL)
+    toks = documents.select(
+        pos.alias("is_pos"), F.explode(tokens(F.col("text"))).alias("tok")
+    )
+    stats = toks.groupBy("tok").agg(
+        F.sum(F.when(F.col("is_pos"), 1).otherwise(0)).alias("c_pos"),
+        F.sum(F.when(F.col("is_pos"), 0).otherwise(1)).alias("c_neg"),
+    ).withColumn("kind", F.lit("tok"))
+    docs_row = documents.agg(
+        F.sum(F.when(pos, 1).otherwise(0)).alias("c_pos"),
+        F.sum(F.when(pos, 0).otherwise(1)).alias("c_neg"),
+    ).select(
+        F.lit(None).cast("string").alias("tok"),
+        "c_pos",
+        "c_neg",
+        F.lit("docs").alias("kind"),
+    )
+    w = (
+        stats.unionByName(docs_row)
+        .withColumn("batch", F.lit(batch))
+        .write.mode("overwrite")
+        .partitionBy("batch")
+    )
+    if dynamic:
+        w = w.option("partitionOverwriteMode", "dynamic")
+    w.parquet(path)
+
+
+def nb_model_from_counts(counts: DataFrame) -> DataFrame:
+    """Derive the exact model frame from a (filtered) count store: sum
+    the token counts across the selected batch partitions, sum the
+    class doc counts, and run the SAME model derivation as the weight
+    store writer — count-merge ≡ refit, bit-for-bit (pinned by
+    tests/test_rolling_store.py)."""
+    stats = (
+        counts.filter(F.col("kind") == "tok")
+        .groupBy("tok")
+        .agg(F.sum("c_pos").alias("c_pos"), F.sum("c_neg").alias("c_neg"))
+    )
+    class_docs = counts.filter(F.col("kind") == "docs").agg(
+        F.sum("c_pos").cast("long").alias("n_pos"),
+        F.sum("c_neg").cast("long").alias("n_neg"),
+    )
+    return _nb_model_frame(stats, class_docs)
+
+
+def quality_nb_rolling(
+    spark,
+    documents: DataFrame,
+    store_path: str,
+    day1: str,
+    day2: str,
+) -> DataFrame:
+    """Day-over-day CLASSIFIER maintenance — the NB member of the
+    maintenance-loop family (minhash signatures, rollup partials, IVF
+    inverted file, winnowing fingerprints):
+
+      day 1: score the day-1 batch against the model derived from the
+             stored CORPUS counts (batch=base only), then ADMIT day-1's
+             token/doc counts as its own batch partition
+             (write_nb_count_store dynamic mode — idempotent);
+      day 2: score the day-2 batch against the model derived from the
+             SUMMED base ∪ d1 counts — the classifier learned from
+             day-1's labeled documents without re-tokenizing them;
+             count-merge ≡ refit exactly (shared _nb_model_frame).
+
+    Day-1's model read is pinned to batch=base (rerun-safe after its own
+    admission). Oracle = the from-scratch fit+score of both days."""
+    counts = spark.read.parquet(store_path)
+    m1 = nb_model_from_counts(counts.filter(F.col("batch") == "base"))
+    r1 = quality_nb_score_from_store(
+        documents.filter(F.col("source") == day1), m1
+    )
+    write_nb_count_store(
+        documents.filter(F.col("source") == day1),
+        store_path,
+        batch="d1",
+        dynamic=True,
+    )
+    m2 = nb_model_from_counts(
+        spark.read.parquet(store_path).filter(
+            F.col("batch").isin("base", "d1")
+        )
+    )
+    r2 = quality_nb_score_from_store(
+        documents.filter(F.col("source") == day2), m2
+    )
+    return r1.select(F.lit(1).alias("day"), "*").unionByName(
+        r2.select(F.lit(2).alias("day"), "*")
+    )
+
+
+def quality_nb_rolling_sql(day1: str, day2: str) -> str:
+    """Full-recompute oracle for the NB rolling loop: day 1 fit on the
+    corpus minus both days, day 2 fit on everything except itself."""
+    d1 = quality_nb_stored_sql(
+        day1,
+        score_where=f"source = '{day1}'",
+        corpus_where=f"source NOT IN ('{day1}', '{day2}')",
+    )
+    d2 = quality_nb_stored_sql(
+        day2,
+        score_where=f"source = '{day2}'",
+        corpus_where=f"source <> '{day2}'",
+    )
+    return (
+        f"SELECT CAST(1 AS INT) AS day, * FROM ({d1})\n"
+        f"UNION ALL\nSELECT CAST(2 AS INT) AS day, * FROM ({d2})"
+    )
 
 
 def nb_model_consts(model: DataFrame) -> dict:
@@ -1173,7 +1303,11 @@ def bpe_apply_from_store(documents: DataFrame, store: DataFrame) -> DataFrame:
     return bpe_apply_report(documents, merges=merges)
 
 
-def quality_nb_stored_sql(incoming_source: str, score_where: str | None = None) -> str:
+def quality_nb_stored_sql(
+    incoming_source: str,
+    score_where: str | None = None,
+    corpus_where: str | None = None,
+) -> str:
     """Oracle for the stored-model probe: the full from-scratch SQL
     replay with the FIT restricted to corpus documents
     (source <> incoming) and scoring restricted to the incoming batch —
@@ -1181,14 +1315,18 @@ def quality_nb_stored_sql(incoming_source: str, score_where: str | None = None) 
     tokens take the Laplace unseen constant; the keep gate compares the
     exact decimal sum. `score_where` overrides WHICH documents are
     scored (default: the incoming batch; the streaming twin scores the
-    whole replayed corpus)."""
+    whole replayed corpus); `corpus_where` overrides which documents the
+    model is FIT on (the rolling loop's day-1 corpus excludes both
+    days)."""
     if score_where is None:
         score_where = f"source = '{incoming_source}'"
+    if corpus_where is None:
+        corpus_where = f"source <> '{incoming_source}'"
     return f"""
 WITH ctoks AS (
   SELECT {NB_POS_LABEL_SQL} AS is_pos,
          unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS tok
-  FROM documents WHERE source <> '{incoming_source}'
+  FROM documents WHERE {corpus_where}
 ), stats AS (
   SELECT tok,
          sum(CASE WHEN is_pos THEN 1 ELSE 0 END) AS c_pos,
@@ -1214,7 +1352,7 @@ WITH ctoks AS (
            CAST(sum(CASE WHEN {NB_POS_LABEL_SQL} THEN 1 ELSE 0 END) AS DOUBLE)
            / sum(CASE WHEN {NB_POS_LABEL_SQL} THEN 0 ELSE 1 END)), 9)
          AS DECIMAL(18,9)) AS p
-  FROM documents WHERE source <> '{incoming_source}'
+  FROM documents WHERE {corpus_where}
 ), itoks AS (
   SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS tok
   FROM documents WHERE {score_where}

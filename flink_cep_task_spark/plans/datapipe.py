@@ -394,6 +394,42 @@ def ann_ivf_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.ann_ivf_stored(emb, _ivf_store(spark, sf_dir))
 
 
+# the NB maintenance loop's COUNT store (mergeable, batch-partitioned):
+# corpus excludes BOTH day sources, same rationale as the other rolling
+# stores
+_ROLLING_NB_STORE_CACHE: dict[str, str] = {}
+
+
+def _rolling_nb_count_store(spark: SparkSession, sf_dir: str) -> str:
+    return _store_path(
+        _ROLLING_NB_STORE_CACHE, sf_dir, "rolling_nb_store_", "nb_counts",
+        lambda p: T.write_nb_count_store(
+            widen_small_scan(load_table(spark, sf_dir, "documents")).filter(
+                ~F.col("source").isin(
+                    D.INCREMENTAL_INCOMING_SOURCE, D.ROLLING_DAY2_SOURCE
+                )
+            ),
+            p,
+        ),
+    )
+
+
+def quality_nb_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-over-day NB classifier maintenance (operators/text.
+    quality_nb_rolling): day-1 batch scored against the corpus count
+    store's model, day-1 counts admitted as their own batch partition,
+    day-2 scored against the model derived from the SUMMED counts —
+    count-merge ≡ refit exactly. Oracle = the from-scratch fit+score of
+    both days."""
+    return T.quality_nb_rolling(
+        spark,
+        widen_small_scan(load_table(spark, sf_dir, "documents")),
+        _rolling_nb_count_store(spark, sf_dir),
+        D.INCREMENTAL_INCOMING_SOURCE,
+        D.ROLLING_DAY2_SOURCE,
+    )
+
+
 # the rolling loop's own IVF store: corpus excludes BOTH day labels
 # (day 1 must arrive via the query's admission write-back, day 2 does
 # not exist yet at build time), and it cannot share _ivf_store's because
@@ -727,6 +763,12 @@ DATAPIPE_QUERIES: dict[str, tuple] = {
     "quality_nb_stored": (
         quality_nb_stored,
         T.quality_nb_stored_sql(D.INCREMENTAL_INCOMING_SOURCE),
+    ),
+    "quality_nb_rolling": (
+        quality_nb_rolling,
+        T.quality_nb_rolling_sql(
+            D.INCREMENTAL_INCOMING_SOURCE, D.ROLLING_DAY2_SOURCE
+        ),
     ),
     "media_dedup_report": (q_media_dedup_report, M.MEDIA_DEDUP_SQL),
     "pii_redact_report": (_docs(T.pii_redact_report), T.PII_REDACT_SQL),

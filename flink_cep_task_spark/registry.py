@@ -182,6 +182,7 @@ OVERFLOW_LAST = (
     "incremental_rollup_rolling",
     "ann_ivf_rolling",
     "dedup_substring_rolling",
+    "quality_nb_rolling",
 )
 
 

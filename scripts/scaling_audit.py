@@ -108,6 +108,7 @@ QUERIES = [
     "incremental_rollup_rolling",
     "ann_ivf_rolling",
     "dedup_substring_rolling",
+    "quality_nb_rolling",
 ]
 BASE = "/root/testdata/sf0.1"
 

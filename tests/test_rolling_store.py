@@ -235,3 +235,52 @@ def test_substring_day2_matches_day1_via_advanced_store(spark, tmp_path):
     }
     assert rerun[(1, 10)] == "new"
     assert rerun[(2, 20)] == "substring_dup"
+
+
+def test_nb_count_merge_equals_refit(spark, tmp_path):
+    # the NB maintenance loop's crux: the day-2 model derived from
+    # SUMMED count partitions (base ∪ d1) must score bit-identically to
+    # a from-scratch weight-store fit on corpus ∪ day-1 — count-merge ≡
+    # refit, which is what makes advancing the store legal
+    from flink_cep_task_spark.operators.text import (
+        quality_nb_rolling,
+        quality_nb_score_from_store,
+        write_nb_count_store,
+        write_nb_model_store,
+    )
+
+    rows = [
+        (1, "alpha alpha beta common", "en", "base"),
+        (2, "gamma delta common common", "de", "base"),
+        (3, "alpha beta beta epsilon", "en", "d1"),
+        (4, "gamma gamma epsilon", "de", "d1"),
+        (10, "alpha epsilon zzznovel common", "en", "d2"),
+        (11, "gamma epsilon", "de", "d2"),
+    ]
+    docs = spark.createDataFrame(rows, SCHEMA)
+    cpath = str(tmp_path / "nb_counts")
+    write_nb_count_store(docs.filter(F.col("source") == "base"), cpath)
+    rolling = {
+        (r["day"], r["doc_id"]): (r["n_tokens"], r["log_odds"], r["keep"])
+        for r in quality_nb_rolling(spark, docs, cpath, "d1", "d2").collect()
+    }
+    # from-scratch refit on corpus ∪ day-1, scoring day-2
+    wpath = str(tmp_path / "nb_weights")
+    write_nb_model_store(docs.filter(F.col("source").isin("base", "d1")), wpath)
+    refit = {
+        r["doc_id"]: (r["n_tokens"], r["log_odds"], r["keep"])
+        for r in quality_nb_score_from_store(
+            docs.filter(F.col("source") == "d2"), spark.read.parquet(wpath)
+        ).collect()
+    }
+    assert {d: v for (day, d), v in rolling.items() if day == 2} == refit
+    # and day-1 was scored by the PRE-admission model: refit on base only
+    wpath1 = str(tmp_path / "nb_weights_base")
+    write_nb_model_store(docs.filter(F.col("source") == "base"), wpath1)
+    refit1 = {
+        r["doc_id"]: (r["n_tokens"], r["log_odds"], r["keep"])
+        for r in quality_nb_score_from_store(
+            docs.filter(F.col("source") == "d1"), spark.read.parquet(wpath1)
+        ).collect()
+    }
+    assert {d: v for (day, d), v in rolling.items() if day == 1} == refit1
