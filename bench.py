@@ -186,25 +186,27 @@ def main() -> None:
                 "store_builds": store_builds,
                 "streaming_baseline": streaming_baseline,
                 "notes": [
-                    "Round-9 final surface (155 queries): 281.2 s "
-                    "committed (runs this round: 291.9, 281.2 — both "
-                    "fired in verified troughs, 1-min load 0.06-0.19 at "
-                    "fire time) vs the driver's round-8 BENCH_r08.json "
-                    "232.0 s @ 152. The +49 s decomposes: ~23 s is the "
-                    "three NEW maintenance-loop queries "
-                    "(ann_ivf_rolling 13.0 of which 8.9 is its one-time "
-                    "store build; dedup_incremental_minhash_rolling 6.5 "
-                    "of which 2.2 build; incremental_rollup_rolling 2.3 "
-                    "of which 1.0 build — see store_builds), ~4.5 s is "
+                    "Round-9 final surface (157 queries): 277.0 s "
+                    "committed (full runs this round: 291.9/281.2 @155, "
+                    "307.1/277.0 @157 — all fired in verified troughs, "
+                    "1-min load 0.06-0.19 at fire time) vs the driver's "
+                    "round-8 BENCH_r08.json 232.0 s @ 152. The +45 s "
+                    "decomposes: ~32 s is the FIVE new maintenance-loop "
+                    "queries with their one-time store builds "
+                    "(ann_ivf_rolling ~13 of which ~9 build; "
+                    "dedup_incremental_minhash_rolling ~6.5 of which "
+                    "~2.2 build; dedup_substring_rolling ~7 of which "
+                    "~2.7 build; quality_nb_rolling ~2.7 incl. ~1 "
+                    "build; incremental_rollup_rolling ~2.3 incl. ~1 "
+                    "build — see store_builds), ~3-4.5 s is "
                     "curation_funnel's directed near-dup stage (4.27 -> "
-                    "8.9, the MinHash cluster CC loop's fixed job "
+                    "7.5-8.9, the MinHash cluster CC loop's fixed job "
                     "overhead — flat to 64x, see SCALING.md round-9 "
-                    "stage isolation), and the rest is uniform ~0.3-1 s "
-                    "drift across the cep_*/stored entries within this "
-                    "box's documented run variance (no single shared "
-                    "query regressed beyond it). "
-                    "store_build_seconds_total 38.4 s -> probe-only "
-                    "total ~242.8 s over 155 queries.",
+                    "stage isolation), and the rest is uniform sub-1 s "
+                    "drift within this box's documented run variance "
+                    "(no single shared query regressed beyond it). "
+                    "store_build_seconds_total 40.3 s -> probe-only "
+                    "total ~236.7 s over 157 queries.",
                     "streaming_baseline (BASELINE.md's table, from "
                     "scripts/streaming_baseline.py): ingest rows/s and "
                     "peak stateOperators rows/bytes for the live "
