@@ -1003,10 +1003,9 @@ def dedup_minhash_rolling_sql(
         incoming_where=f"source = '{day2}'",
         corpus_where=f"source <> '{day2}'",
     )
-    return (
-        f"SELECT CAST(1 AS INT) AS day, * FROM ({day1_sql})\n"
-        f"UNION ALL\nSELECT CAST(2 AS INT) AS day, * FROM ({day2_sql})"
-    )
+    from flink_cep_task_spark.functions.rolling import two_day_union_sql
+
+    return two_day_union_sql(day1_sql, day2_sql)
 
 
 DEDUP_MINHASH_ROLLING_SQL = dedup_minhash_rolling_sql()
@@ -1655,10 +1654,9 @@ def dedup_substring_rolling_sql(
         incoming_where=f"source = '{day2}'",
         corpus_where=f"source <> '{day2}'",
     )
-    return (
-        f"SELECT CAST(1 AS INT) AS day, * FROM ({d1})\n"
-        f"UNION ALL\nSELECT CAST(2 AS INT) AS day, * FROM ({d2})"
-    )
+    from flink_cep_task_spark.functions.rolling import two_day_union_sql
+
+    return two_day_union_sql(d1, d2)
 
 
 DEDUP_SUBSTRING_ROLLING_SQL = dedup_substring_rolling_sql()

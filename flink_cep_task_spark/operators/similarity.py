@@ -1046,10 +1046,9 @@ def _ann_ivf_rolling_sql(
         ),
     )
     d2 = _ivf_sql(fit_where=fit)
-    return (
-        f"SELECT CAST(1 AS INT) AS day, * FROM ({d1})\n"
-        f"UNION ALL\nSELECT CAST(2 AS INT) AS day, * FROM ({d2})"
-    )
+    from flink_cep_task_spark.functions.rolling import two_day_union_sql
+
+    return two_day_union_sql(d1, d2)
 
 
 ANN_IVF_ROLLING_SQL = _ann_ivf_rolling_sql()

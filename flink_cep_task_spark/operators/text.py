@@ -960,27 +960,31 @@ def write_nb_model_store(documents: DataFrame, path: str) -> None:
     from flink_cep_task_spark.operators.cache import persisted
 
     pos = F.expr(NB_POS_LABEL_SQL)
-    toks = persisted(
-        documents.select(
-            pos.alias("is_pos"), F.explode(tokens(F.col("text"))).alias("tok")
-        )
-    )
     # persisted like nb_doc_scores' stats: three plan branches consume
     # it (the weights join side + both totals aggregates) and would each
     # re-run the vocab groupBy otherwise
-    stats = persisted(
-        toks.groupBy("tok").agg(
-            F.sum(F.when(F.col("is_pos"), 1).otherwise(0)).alias("c_pos"),
-            F.sum(F.when(F.col("is_pos"), 0).otherwise(1)).alias("c_neg"),
-        )
-    )
+    stats = persisted(_nb_token_stats(documents))
     class_docs = documents.agg(
         F.sum(F.when(pos, 1).otherwise(0)).cast("long").alias("n_pos"),
         F.sum(F.when(pos, 0).otherwise(1)).cast("long").alias("n_neg"),
     )
     _nb_model_frame(stats, class_docs).write.mode("overwrite").parquet(path)
     stats.unpersist()
-    toks.unpersist()
+
+
+def _nb_token_stats(documents: DataFrame) -> DataFrame:
+    """(tok, c_pos, c_neg) class counts over the exploded token stream —
+    the ONE tokenize+label+count derivation shared by the weight-store
+    and count-store writers, so a tokenization or label change can never
+    silently break the count-merge ≡ refit invariant."""
+    pos = F.expr(NB_POS_LABEL_SQL)
+    toks = documents.select(
+        pos.alias("is_pos"), F.explode(tokens(F.col("text"))).alias("tok")
+    )
+    return toks.groupBy("tok").agg(
+        F.sum(F.when(F.col("is_pos"), 1).otherwise(0)).alias("c_pos"),
+        F.sum(F.when(F.col("is_pos"), 0).otherwise(1)).alias("c_neg"),
+    )
 
 
 def _nb_model_frame(stats: DataFrame, class_docs: DataFrame) -> DataFrame:
@@ -1039,13 +1043,7 @@ def write_nb_count_store(
     document. The weight store (write_nb_model_store) is the frozen
     deployment artifact; this is the one the training loop advances."""
     pos = F.expr(NB_POS_LABEL_SQL)
-    toks = documents.select(
-        pos.alias("is_pos"), F.explode(tokens(F.col("text"))).alias("tok")
-    )
-    stats = toks.groupBy("tok").agg(
-        F.sum(F.when(F.col("is_pos"), 1).otherwise(0)).alias("c_pos"),
-        F.sum(F.when(F.col("is_pos"), 0).otherwise(1)).alias("c_neg"),
-    ).withColumn("kind", F.lit("tok"))
+    stats = _nb_token_stats(documents).withColumn("kind", F.lit("tok"))
     docs_row = documents.agg(
         F.sum(F.when(pos, 1).otherwise(0)).alias("c_pos"),
         F.sum(F.when(pos, 0).otherwise(1)).alias("c_neg"),
@@ -1105,21 +1103,31 @@ def quality_nb_rolling(
              count-merge ≡ refit exactly (shared _nb_model_frame).
 
     Day-1's model read is pinned to batch=base (rerun-safe after its own
-    admission). Oracle = the from-scratch fit+score of both days."""
+    admission), and the admission lands under batch=DAY1'S OWN NAME —
+    consecutive days accumulate their own partitions instead of
+    clobbering one 'latest' slot, exactly like the source-partitioned
+    sibling stores. Both models are persisted: the scorer consumes each
+    model frame three ways (consts collect, vocab-gate count, scoring
+    join), which would otherwise re-run the count-store aggregation per
+    consumer. Oracle = the from-scratch fit+score of both days."""
+    from flink_cep_task_spark.operators.cache import persisted
+
     counts = spark.read.parquet(store_path)
-    m1 = nb_model_from_counts(counts.filter(F.col("batch") == "base"))
+    m1 = persisted(nb_model_from_counts(counts.filter(F.col("batch") == "base")))
     r1 = quality_nb_score_from_store(
         documents.filter(F.col("source") == day1), m1
     )
     write_nb_count_store(
         documents.filter(F.col("source") == day1),
         store_path,
-        batch="d1",
+        batch=day1,
         dynamic=True,
     )
-    m2 = nb_model_from_counts(
-        spark.read.parquet(store_path).filter(
-            F.col("batch").isin("base", "d1")
+    m2 = persisted(
+        nb_model_from_counts(
+            spark.read.parquet(store_path).filter(
+                F.col("batch").isin("base", day1)
+            )
         )
     )
     r2 = quality_nb_score_from_store(
@@ -1143,10 +1151,9 @@ def quality_nb_rolling_sql(day1: str, day2: str) -> str:
         score_where=f"source = '{day2}'",
         corpus_where=f"source <> '{day2}'",
     )
-    return (
-        f"SELECT CAST(1 AS INT) AS day, * FROM ({d1})\n"
-        f"UNION ALL\nSELECT CAST(2 AS INT) AS day, * FROM ({d2})"
-    )
+    from flink_cep_task_spark.functions.rolling import two_day_union_sql
+
+    return two_day_union_sql(d1, d2)
 
 
 def nb_model_consts(model: DataFrame) -> dict:

@@ -1799,9 +1799,11 @@ def incremental_rollup_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _rollup_rolling_sql() -> str:
-    def one(day: int, where: str) -> str:
+    from flink_cep_task_spark.functions.rolling import two_day_union_sql
+
+    def one(where: str) -> str:
         return f"""
-SELECT CAST({day} AS INT) AS day, event_type,
+SELECT event_type,
        count(*) AS n_events,
        count(value) AS n_vals,
        round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_value,
@@ -1812,11 +1814,7 @@ SELECT CAST({day} AS INT) AS day, event_type,
 FROM events WHERE {where}
 GROUP BY event_type"""
 
-    return (
-        one(1, f"epoch(ts) < {ROLLUP_DAY2_TS_S}")
-        + "\nUNION ALL\n"
-        + one(2, "TRUE")
-    )
+    return two_day_union_sql(one(f"epoch(ts) < {ROLLUP_DAY2_TS_S}"), one("TRUE"))
 
 
 ROLLUP_ROLLING_SQL = _rollup_rolling_sql()

@@ -260,10 +260,17 @@ def dedup_substring_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ROLLING_SIG_STORE_CACHE: dict[str, str] = {}
 
 
-def _rolling_sig_store(spark: SparkSession, sf_dir: str) -> str:
+def _rolling_docs_store(
+    spark: SparkSession, sf_dir: str, cache: dict, prefix: str,
+    subdir: str, writer,
+) -> str:
+    """Both-days-excluded documents store build, shared by every rolling
+    (maintenance-loop) query over the documents table: day 1 must arrive
+    via the query's own admission write-back, and day 2 does not exist
+    yet at build time — only the store WRITER varies per family."""
     return _store_path(
-        _ROLLING_SIG_STORE_CACHE, sf_dir, "rolling_sig_store_", "signatures",
-        lambda p: D.write_minhash_signature_store(
+        cache, sf_dir, prefix, subdir,
+        lambda p: writer(
             widen_small_scan(load_table(spark, sf_dir, "documents")).filter(
                 ~F.col("source").isin(
                     D.INCREMENTAL_INCOMING_SOURCE, D.ROLLING_DAY2_SOURCE
@@ -274,22 +281,22 @@ def _rolling_sig_store(spark: SparkSession, sf_dir: str) -> str:
     )
 
 
+def _rolling_sig_store(spark: SparkSession, sf_dir: str) -> str:
+    return _rolling_docs_store(
+        spark, sf_dir, _ROLLING_SIG_STORE_CACHE, "rolling_sig_store_",
+        "signatures", D.write_minhash_signature_store,
+    )
+
+
 # the substring (winnowing) edition of the rolling store — same
 # both-days-excluded build rationale as _rolling_sig_store
 _ROLLING_FP_STORE_CACHE: dict[str, str] = {}
 
 
 def _rolling_fp_store(spark: SparkSession, sf_dir: str) -> str:
-    return _store_path(
-        _ROLLING_FP_STORE_CACHE, sf_dir, "rolling_fp_store_", "fingerprints",
-        lambda p: D.write_winnow_fingerprint_store(
-            widen_small_scan(load_table(spark, sf_dir, "documents")).filter(
-                ~F.col("source").isin(
-                    D.INCREMENTAL_INCOMING_SOURCE, D.ROLLING_DAY2_SOURCE
-                )
-            ),
-            p,
-        ),
+    return _rolling_docs_store(
+        spark, sf_dir, _ROLLING_FP_STORE_CACHE, "rolling_fp_store_",
+        "fingerprints", D.write_winnow_fingerprint_store,
     )
 
 
@@ -401,16 +408,9 @@ _ROLLING_NB_STORE_CACHE: dict[str, str] = {}
 
 
 def _rolling_nb_count_store(spark: SparkSession, sf_dir: str) -> str:
-    return _store_path(
-        _ROLLING_NB_STORE_CACHE, sf_dir, "rolling_nb_store_", "nb_counts",
-        lambda p: T.write_nb_count_store(
-            widen_small_scan(load_table(spark, sf_dir, "documents")).filter(
-                ~F.col("source").isin(
-                    D.INCREMENTAL_INCOMING_SOURCE, D.ROLLING_DAY2_SOURCE
-                )
-            ),
-            p,
-        ),
+    return _rolling_docs_store(
+        spark, sf_dir, _ROLLING_NB_STORE_CACHE, "rolling_nb_store_",
+        "nb_counts", T.write_nb_count_store,
     )
 
 
