@@ -186,9 +186,9 @@ def main() -> None:
                 "store_builds": store_builds,
                 "streaming_baseline": streaming_baseline,
                 "notes": [
-                    "Round-9 final surface (157 queries): 277.0 s "
-                    "committed (full runs this round: 291.9/281.2 @155, "
-                    "307.1/277.0 @157 — all fired in verified troughs, "
+                    "Round-9 final surface (157 queries): 283.7 s "
+                    "committed on the final code (full runs this round: 291.9/281.2 @155, "
+                    "307.1/277.0/283.7 @157 — all fired in verified troughs, "
                     "1-min load 0.06-0.19 at fire time) vs the driver's "
                     "round-8 BENCH_r08.json 232.0 s @ 152. The +45 s "
                     "decomposes: ~32 s is the FIVE new maintenance-loop "
