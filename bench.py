@@ -205,8 +205,8 @@ def main() -> None:
                     "stage isolation), and the rest is uniform sub-1 s "
                     "drift within this box's documented run variance "
                     "(no single shared query regressed beyond it). "
-                    "store_build_seconds_total 40.3 s -> probe-only "
-                    "total ~236.7 s over 157 queries.",
+                    "store_build_seconds_total 44.7 s -> probe-only "
+                    "total ~239.0 s over 157 queries.",
                     "streaming_baseline (BASELINE.md's table, from "
                     "scripts/streaming_baseline.py): ingest rows/s and "
                     "peak stateOperators rows/bytes for the live "
