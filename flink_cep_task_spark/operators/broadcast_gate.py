@@ -40,6 +40,27 @@ def broadcast_rows_gate(spark) -> int:
     )
 
 
+def scan_partition_bound(df: DataFrame) -> int:
+    """A sound UPPER bound on `df`'s partition count that never runs a
+    job: the raw file scan's split count (re-derived from the
+    provenance path sources/tables.load_table threads through — a pure
+    planning read, no action) joined with the session parallelism.
+    Calling .rdd.getNumPartitions() on the frame ITSELF is not an
+    option once widen_small_scan's repartition sits below the caller —
+    under AQE that finalizes the adaptive plan and executes the shuffle
+    map stage, a whole extra scan+shuffle-write job just to read a
+    count. widen_small_scan only ever repartitions UP to
+    defaultParallelism, so max(raw splits, parallelism) dominates the
+    widened frame's true partition count; for frames without provenance
+    (test LocalRelations) the parallelism alone is the bound."""
+    spark = df.sparkSession
+    bound = spark.sparkContext.defaultParallelism
+    files = getattr(df, "_graft_input_files", None)
+    if files:
+        bound = max(bound, spark.read.parquet(*files).rdd.getNumPartitions())
+    return bound
+
+
 def gated_broadcast(df: DataFrame, n_rows: int) -> DataFrame:
     """Hint `df` for broadcast iff `n_rows` — an exact count or a sound
     UPPER bound on its rows — is within the configured gate; otherwise

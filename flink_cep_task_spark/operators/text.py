@@ -1544,16 +1544,21 @@ def heavy_hitters_report(documents: DataFrame) -> DataFrame:
     at ~10^4 partitions, comfortable; a 100 TB scan at 10^5-10^6
     partitions breaks that. The recount join is therefore SIZE-GATED
     (operators/broadcast_gate.gated_broadcast, using the static
-    HH_COUNTERS x partitions bound — no extra job): under the gate it
-    broadcasts; past it the hint is dropped and the recount degrades to
-    a shuffled semi-join (candidate keys are uniform-hashed, so the
-    fallback shuffle is skew-free). Both paths are result-identity
-    tested and the fallback is plan-pinned in tests/test_plans.py."""
-    from flink_cep_task_spark.operators.broadcast_gate import gated_broadcast
+    HH_COUNTERS x partition-bound product — scan_partition_bound is a
+    planning-only read of the raw scan's split count, so the gate costs
+    no job): under the gate it broadcasts; past it the hint is dropped
+    and the recount degrades to a shuffled semi-join (candidate keys
+    are uniform-hashed, so the fallback shuffle is skew-free). Both
+    paths are result-identity tested and the fallback is plan-pinned in
+    tests/test_plans.py."""
+    from flink_cep_task_spark.operators.broadcast_gate import (
+        gated_broadcast,
+        scan_partition_bound,
+    )
     from flink_cep_task_spark.operators.cache import persisted
 
     tok = documents.select(F.explode(tokens(F.col("text"))).alias("token"))
-    cand_bound = (HH_COUNTERS + 1) * tok.rdd.getNumPartitions()
+    cand_bound = (HH_COUNTERS + 1) * scan_partition_bound(documents)
     # persist the sketch output (bounded: <= (HH_COUNTERS+1) x partitions
     # rows) — the cand and total branches are separate broadcast subplans
     # and would otherwise each re-run the tokenize + MG pass, silently

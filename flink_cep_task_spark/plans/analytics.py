@@ -1711,9 +1711,13 @@ ROLLUP_DAY1_IDX = ROLLUP_CUTOFF_TS_S // 86_400  # day-1's epoch-day index
 # exactly on an epoch-day boundary — a mid-day cutoff would make
 # pre-cutoff events share day-1's partition index (silently dropped from
 # day-1's merge) and spread the day-1 batch across two partitions
-assert ROLLUP_CUTOFF_TS_S % 86_400 == 0, (
-    "ROLLUP_CUTOFF_TS_S must be epoch-day aligned for the rolling loop"
-)
+# explicit raise, not assert: the invariant must survive `python -O`
+# (asserts compile out), and the rolling loop silently drops day-1 rows
+# from its merge if the cutoff ever drifts off a day boundary
+if ROLLUP_CUTOFF_TS_S % 86_400:
+    raise ValueError(
+        "ROLLUP_CUTOFF_TS_S must be epoch-day aligned for the rolling loop"
+    )
 
 _ROLLING_ROLLUP_STORE_CACHE: dict[str, str] = {}
 

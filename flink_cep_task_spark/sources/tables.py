@@ -72,42 +72,60 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def _events_raw_bounded(
+    spark: SparkSession,
+    sf_dir: str,
+    lower_inclusive_s: int | None = None,
+    upper_exclusive_s: int | None = None,
+) -> DataFrame:
+    """Shared core of the three time-pruned event loaders: apply the
+    given epoch-second bounds to the RAW parquet ts column BEFORE the
+    normalization — so they reach the reader as pushed row-group
+    filters. A predicate on load_table's derived instant column can
+    never push (the NTZ→instant conversion wraps the scan column in an
+    expression), and at 100 TB the pushdown IS the query: a bounded
+    read should touch only row groups inside the window. Exact for
+    both physical encodings (nanos bigint and TIMESTAMP_NTZ — the
+    normalization re-tags the same instant, so raw-column order equals
+    normalized order). One implementation, so an encoding change can
+    never drift between the before/since/between variants."""
+    import datetime as _dt
+
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    if dict(df.dtypes).get("ts") == "bigint":
+        def raw(s: int):
+            return F.lit(s * 1_000_000_000)
+
+        norm = F.timestamp_micros(F.expr("ts div 1000"))
+    else:
+        def raw(s: int):
+            wall = _dt.datetime.fromtimestamp(s, _dt.timezone.utc).strftime(
+                "%Y-%m-%d %H:%M:%S"
+            )
+            return F.lit(wall).cast("timestamp_ntz")
+
+        norm = F.timestamp_micros(
+            F.expr(
+                "timestampdiff(MICROSECOND, "
+                "TIMESTAMP_NTZ'1970-01-01 00:00:00', ts)"
+            )
+        )
+    if lower_inclusive_s is not None:
+        df = df.filter(F.col("ts") >= raw(lower_inclusive_s))
+    if upper_exclusive_s is not None:
+        df = df.filter(F.col("ts") < raw(upper_exclusive_s))
+    df = df.withColumn("ts", norm)
+    df._graft_input_files = (f"{sf_dir}/events.parquet",)
+    return df
+
+
 def load_events_before(
     spark: SparkSession, sf_dir: str, upper_exclusive_s: int
 ) -> DataFrame:
     """Events with ts strictly before `upper_exclusive_s` (epoch
-    seconds), the time predicate applied to the RAW parquet column
-    BEFORE the ts normalization — so it reaches the reader as a pushed
-    row-group filter. A predicate on load_table's derived instant column
-    can never push (the NTZ→instant conversion wraps the scan column in
-    an expression), and at 100 TB the pushdown IS the query: a
-    point-in-time read should touch only row groups whose min ts
-    precedes the cutoff. Exact for both physical encodings (nanos
-    bigint and TIMESTAMP_NTZ — the normalization re-tags the same
-    instant, so raw-column order equals normalized order)."""
-    import datetime as _dt
-
-    df = spark.read.parquet(f"{sf_dir}/events.parquet")
-    ts_type = dict(df.dtypes).get("ts")
-    if ts_type == "bigint":
-        df = df.filter(F.col("ts") < upper_exclusive_s * 1_000_000_000)
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    else:
-        cut = _dt.datetime.utcfromtimestamp(upper_exclusive_s).strftime(
-            "%Y-%m-%d %H:%M:%S"
-        )
-        df = df.filter(F.col("ts") < F.lit(cut).cast("timestamp_ntz"))
-        df = df.withColumn(
-            "ts",
-            F.timestamp_micros(
-                F.expr(
-                    "timestampdiff(MICROSECOND, "
-                    "TIMESTAMP_NTZ'1970-01-01 00:00:00', ts)"
-                )
-            ),
-        )
-    df._graft_input_files = (f"{sf_dir}/events.parquet",)
-    return df
+    seconds) — a point-in-time read that touches only row groups whose
+    min ts precedes the cutoff (see _events_raw_bounded)."""
+    return _events_raw_bounded(spark, sf_dir, upper_exclusive_s=upper_exclusive_s)
 
 
 def load_events_since(
@@ -115,33 +133,8 @@ def load_events_since(
 ) -> DataFrame:
     """Events with ts at or after `lower_inclusive_s` (epoch seconds) —
     the mirror of load_events_before, for incremental pipelines whose
-    'today's batch' is the tail of the table: the predicate is applied
-    to the RAW parquet column before the ts normalization so it reaches
-    the reader as a pushed row-group filter, and at 100 TB the daily
-    batch read touches only the trailing row groups / partitions."""
-    import datetime as _dt
-
-    df = spark.read.parquet(f"{sf_dir}/events.parquet")
-    ts_type = dict(df.dtypes).get("ts")
-    if ts_type == "bigint":
-        df = df.filter(F.col("ts") >= lower_inclusive_s * 1_000_000_000)
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    else:
-        cut = _dt.datetime.utcfromtimestamp(lower_inclusive_s).strftime(
-            "%Y-%m-%d %H:%M:%S"
-        )
-        df = df.filter(F.col("ts") >= F.lit(cut).cast("timestamp_ntz"))
-        df = df.withColumn(
-            "ts",
-            F.timestamp_micros(
-                F.expr(
-                    "timestampdiff(MICROSECOND, "
-                    "TIMESTAMP_NTZ'1970-01-01 00:00:00', ts)"
-                )
-            ),
-        )
-    df._graft_input_files = (f"{sf_dir}/events.parquet",)
-    return df
+    'today's batch' is the tail of the table (see _events_raw_bounded)."""
+    return _events_raw_bounded(spark, sf_dir, lower_inclusive_s=lower_inclusive_s)
 
 
 def load_events_between(
@@ -149,41 +142,12 @@ def load_events_between(
     upper_exclusive_s: int,
 ) -> DataFrame:
     """Events with ts in [lower_inclusive_s, upper_exclusive_s) — one
-    bounded day/window slice with BOTH predicates applied to the raw
-    parquet column before the ts normalization (see load_events_before),
-    so a single day's batch read touches only that day's row groups."""
-    import datetime as _dt
-
-    df = spark.read.parquet(f"{sf_dir}/events.parquet")
-    ts_type = dict(df.dtypes).get("ts")
-    if ts_type == "bigint":
-        df = df.filter(
-            (F.col("ts") >= lower_inclusive_s * 1_000_000_000)
-            & (F.col("ts") < upper_exclusive_s * 1_000_000_000)
-        )
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    else:
-        lo = _dt.datetime.utcfromtimestamp(lower_inclusive_s).strftime(
-            "%Y-%m-%d %H:%M:%S"
-        )
-        hi = _dt.datetime.utcfromtimestamp(upper_exclusive_s).strftime(
-            "%Y-%m-%d %H:%M:%S"
-        )
-        df = df.filter(
-            (F.col("ts") >= F.lit(lo).cast("timestamp_ntz"))
-            & (F.col("ts") < F.lit(hi).cast("timestamp_ntz"))
-        )
-        df = df.withColumn(
-            "ts",
-            F.timestamp_micros(
-                F.expr(
-                    "timestampdiff(MICROSECOND, "
-                    "TIMESTAMP_NTZ'1970-01-01 00:00:00', ts)"
-                )
-            ),
-        )
-    df._graft_input_files = (f"{sf_dir}/events.parquet",)
-    return df
+    bounded day/window slice whose batch read touches only that day's
+    row groups (see _events_raw_bounded)."""
+    return _events_raw_bounded(
+        spark, sf_dir, lower_inclusive_s=lower_inclusive_s,
+        upper_exclusive_s=upper_exclusive_s,
+    )
 
 
 def widen_small_scan(df: DataFrame, target: int | None = None) -> DataFrame:
