@@ -770,7 +770,10 @@ def write_minhash_signature_store(
     sh = _persisted(shingles_hashed(documents))
     sig = _minhash_from_shingles(sh)
     sets = sh.groupBy("doc_id").agg(F.collect_list("sh").alias("S"))
-    src = documents.select("doc_id", "source")
+    # the exact-dedup key rides along (32 bytes/doc): a daily pipeline's
+    # exact stage probes the SAME store the near-dup stage does, so one
+    # admission covers both tiers (see plans/datapipe.daily_crawl_pipeline)
+    src = documents.select("doc_id", "source", _exact_key().alias("k"))
     w = (
         sig.join(sets, "doc_id")
         .join(src, "doc_id")
@@ -1195,12 +1198,16 @@ def _cc_fixpoint_loop(edges: DataFrame, labels: DataFrame) -> DataFrame:
             return labels
 
 
-def dedup_clusters_sql(source: str = "documents") -> str:
+def dedup_clusters_sql(source: str = "documents", prelude: str = "") -> str:
     """Recursive-CTE replay of the CC fixpoint over the minhash pair
     graph; `source` lets a composed oracle cluster a survivor CTE
-    instead of the base table (curation_funnel's near-dup stage)."""
+    instead of the base table (curation_funnel's near-dup stage), and
+    `prelude` prepends extra CTE definitions (e.g. a filtered-documents
+    view for the rolling oracle's day-1 universe — never SHADOW
+    `documents` itself: DuckDB binds outer CTE bodies at use site, so a
+    shadowing CTE poisons every transitively-referenced one)."""
     return f"""
-WITH RECURSIVE pairs AS ({_minhash_sql(source)}),
+WITH RECURSIVE {prelude}pairs AS ({_minhash_sql(source)}),
 edges AS (
   SELECT doc_a AS a, doc_b AS b FROM pairs
   UNION ALL
@@ -2156,3 +2163,147 @@ def dedup_clusters_from_store(
         F.col("doc_id").alias("doc_a"), F.col("cluster_id").alias("doc_b")
     )
     return _cluster_from_pairs(documents, new_pairs.unionByName(label_pairs))
+
+
+# --- day-over-day cluster-label store maintenance (VERDICT r9 task #2) ----
+
+CLUSTER_BASE_EPOCH = "base"
+
+
+def minhash_pairs_from_store(store: DataFrame) -> DataFrame:
+    """The dedup_minhash_lsh pair set computed ENTIRELY from the
+    signature store — no document is ever re-shingled: banded candidates
+    self-join the stored signatures, and the exact-Jaccard verify runs
+    on the stored distinct-shingle sets via the shared
+    _verify_set_pairs criterion. This is what makes the cluster-label
+    store's base build a store-side derivation: at 100 TB the corpus
+    text is read once per document lifetime (when its signatures are
+    admitted), and cluster maintenance touches only the store."""
+    b = _persisted(_banded(store).select("doc_id", "band", "sig"))
+    a_side, b_side = b.alias("a"), b.alias("b")
+    cand = (
+        a_side.join(
+            b_side,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    va = store.select(
+        F.col("doc_id").alias("doc_a"), F.col("S").alias("Sa"), F.size("S").alias("na")
+    )
+    vb = store.select(
+        F.col("doc_id").alias("doc_b"), F.col("S").alias("Sb"), F.size("S").alias("nb")
+    )
+    return _verify_set_pairs(cand, va, vb).select("doc_a", "doc_b")
+
+
+def write_cluster_label_store(
+    labels: DataFrame, path: str, epoch: str, dynamic: bool = False
+) -> None:
+    """Materialize per-doc cluster labels under an EPOCH partition — the
+    spanning-structure artifact incremental clustering advances. Unlike
+    the signature stores (per-source partitions that only ever ADD), a
+    label advance REWRITES labels of existing docs (components merge),
+    so admissions land complete label sets under the admitting day's own
+    epoch: the base epoch stays untouched (day-1 probes re-run pinned
+    against it) and a retried admission dynamically overwrites its own
+    epoch partition — idempotent, like the sibling stores' batch
+    partitions."""
+    w = (
+        labels.select("doc_id", "cluster_id", "is_canonical")
+        .withColumn("epoch", F.lit(epoch))
+        .write.mode("overwrite")
+        .partitionBy("epoch")
+    )
+    if dynamic:
+        w = w.option("partitionOverwriteMode", "dynamic")
+    w.parquet(path)
+
+
+def dedup_clusters_rolling(
+    spark,
+    documents: DataFrame,
+    label_store_path: str,
+    sig_store_path: str,
+    day1: str = INCREMENTAL_INCOMING_SOURCE,
+    day2: str = ROLLING_DAY2_SOURCE,
+) -> DataFrame:
+    """Day-over-day CLUSTER-label maintenance — the missing maintenance-
+    family member (VERDICT r9 task #2), closing the loop
+    dedup_clusters_stored opened: that query merges one batch against
+    stored labels but never admits the merged labels back, so nothing
+    proved the advanced labels are a valid spanning structure for the
+    NEXT day. This query does the full cycle:
+
+      day 1: CC over (base-epoch stored labels ∪ the day-1 batch's
+             signature-store edges) — clusters of corpus ∪ day1;
+             then ADMIT day-1's signatures into the signature store and
+             the merged labels under the day-1 epoch;
+      day 2: CC over (day-1-epoch stored labels ∪ the day-2 batch's
+             edges against the ADVANCED signature store) — a day-2 doc
+             whose only near-dup partner is a day-1 doc lands in the
+             day-1 doc's cluster purely via stored state (its partner's
+             text is never re-shingled), and a day-1 merge of two
+             corpus clusters is visible to day 2 through the admitted
+             labels alone.
+
+    Why each day equals the full recompute (the oracle): stored labels
+    are a spanning structure of their epoch's near-dup graph, the batch
+    edge set is every pair involving the batch (pairwise-local
+    criterion), so CC over the union has the full graph's components
+    and min-label propagation yields each component's global min — see
+    dedup_clusters_from_store. Day-1 reads are PINNED (base epoch;
+    signature store minus both day partitions) so a rerun after both
+    admissions still answers as day 1. Oracle = full recursive-CTE
+    recompute of both days (day 1 over documents minus day 2, day 2
+    over everything)."""
+    sig1 = spark.read.parquet(sig_store_path).filter(
+        ~F.col("source").isin(day1, day2)
+    )
+    lab_base = (
+        spark.read.parquet(label_store_path)
+        .filter(F.col("epoch") == CLUSTER_BASE_EPOCH)
+        .select("doc_id", "cluster_id")
+    )
+    docs_d1 = documents.filter(F.col("source") != day2)
+    r1 = dedup_clusters_from_store(docs_d1, lab_base, sig1, day1)
+    # ADMISSION: day-1 signatures (source partition, shared writer) and
+    # the merged labels (day-1 epoch) — both idempotent dynamic
+    # overwrites; the label write executes r1's (already-persisted) CC
+    # result, so the day-2 probe below genuinely reads stored state
+    append_minhash_signatures(documents.filter(F.col("source") == day1), sig_store_path)
+    write_cluster_label_store(r1, label_store_path, epoch=day1, dynamic=True)
+    lab_d1 = (
+        spark.read.parquet(label_store_path)
+        .filter(F.col("epoch") == day1)
+        .select("doc_id", "cluster_id")
+    )
+    r2 = dedup_clusters_from_store(
+        documents, lab_d1, spark.read.parquet(sig_store_path), day2
+    )
+    return r1.select(F.lit(1).alias("day"), "*").unionByName(
+        r2.select(F.lit(2).alias("day"), "*")
+    )
+
+
+def dedup_clusters_rolling_sql(
+    day1: str = INCREMENTAL_INCOMING_SOURCE, day2: str = ROLLING_DAY2_SOURCE
+) -> str:
+    """Full-recompute oracle for the cluster rolling loop: day 1
+    clustered over the world minus day 2 (tomorrow hasn't been crawled),
+    day 2 over everything — the stores change COST, never answers."""
+    from flink_cep_task_spark.functions.rolling import two_day_union_sql
+
+    d1 = dedup_clusters_sql(
+        source="docs_d1",
+        prelude=(
+            f"docs_d1 AS (SELECT * FROM documents WHERE source <> '{day2}'),\n"
+        ),
+    )
+    return two_day_union_sql(d1, dedup_clusters_sql())
+
+
+DEDUP_CLUSTERS_ROLLING_SQL = dedup_clusters_rolling_sql()

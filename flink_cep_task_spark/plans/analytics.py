@@ -1795,7 +1795,14 @@ def incremental_rollup_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
     r1 = _merge_rollup(store1, day1)
     # ADMISSION: day-1's partials land in their own day partition
     write_rollup_partial_store(day1, path, dynamic=True)
-    store2 = read_rollup_partial_store(spark, path)
+    # day-2's store read is pinned to partitions up to day 1's index —
+    # its batch is the UNBOUNDED tail [day2, ∞), so any later-day
+    # partition another maintenance job has admitted into the shared
+    # store (daily_crawl_pipeline admits day 2's own window) would
+    # double-count against the batch without the pin
+    store2 = read_rollup_partial_store(spark, path).filter(
+        F.col("day") <= ROLLUP_DAY1_IDX
+    )
     r2 = _merge_rollup(store2, load_events_since(spark, sf_dir, ROLLUP_DAY2_TS_S))
     return r1.select(F.lit(1).alias("day"), "*").unionByName(
         r2.select(F.lit(2).alias("day"), "*")

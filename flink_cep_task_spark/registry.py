@@ -183,6 +183,9 @@ OVERFLOW_LAST = (
     "ann_ivf_rolling",
     "dedup_substring_rolling",
     "quality_nb_rolling",
+    # round-10 additions
+    "dedup_clusters_rolling",
+    "daily_crawl_pipeline",
 )
 
 

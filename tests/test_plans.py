@@ -984,3 +984,79 @@ def test_substring_rolling_day2_probe_touches_only_batch_and_store(spark):
     assert any(
         "PartitionFilters" in ln and "NOT (source" in ln for ln in store_scans
     ), "store scan lost its partition-pruning source filter"
+
+
+def test_daily_cycle_day2_reads_only_batch_and_stores(spark):
+    # the composed daily pipeline's scale contract (VERDICT r9 task #1):
+    # in the day-2 probe, EVERY documents scan carries the pushed day-2
+    # source equality — each stage tokenizes only the day's own batch,
+    # and the corpus appears ONLY as partition-pruned store FileScans
+    # (signatures by source, NB counts by batch). Scan-line COUNTS are
+    # not asserted: the plan string reprints cached subtrees, so they
+    # overcount; the batch-only filter is the property that scales.
+    import pyspark.sql.functions as F
+
+    from flink_cep_task_spark.operators.dedup import (
+        INCREMENTAL_INCOMING_SOURCE,
+        ROLLING_DAY2_SOURCE,
+        append_minhash_signatures,
+    )
+    from flink_cep_task_spark.operators.text import (
+        nb_model_from_counts,
+        write_nb_count_store,
+    )
+    from flink_cep_task_spark.plans.datapipe import (
+        _daily_cycle,
+        _rolling_nb_count_store,
+        _rolling_sig_store,
+    )
+    from flink_cep_task_spark.sources.tables import load_table, widen_small_scan
+
+    docs = widen_small_scan(load_table(spark, SF_DIR, "documents"))
+    day1 = docs.filter(F.col("source") == INCREMENTAL_INCOMING_SOURCE)
+    sig_path = _rolling_sig_store(spark, SF_DIR)
+    append_minhash_signatures(day1, sig_path)
+    nb_path = _rolling_nb_count_store(spark, SF_DIR)
+    write_nb_count_store(day1, nb_path, batch=INCREMENTAL_INCOMING_SOURCE,
+                         dynamic=True)
+    model = nb_model_from_counts(
+        spark.read.parquet(nb_path).filter(
+            F.col("batch").isin("base", INCREMENTAL_INCOMING_SOURCE)
+        )
+    )
+    spark.conf.set("spark.sql.maxMetadataStringLength", "4000")
+    df = _daily_cycle(
+        spark, docs, ROLLING_DAY2_SOURCE, sig_path,
+        F.col("source") != ROLLING_DAY2_SOURCE, model,
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    doc_scans = [
+        ln for ln in plan.splitlines()
+        if "FileScan parquet" in ln and "documents.parquet" in ln
+    ]
+    assert doc_scans, "documents scan missing"
+    for ln in doc_scans:
+        assert f"EqualTo(source,{ROLLING_DAY2_SOURCE})" in ln, (
+            f"day-2 probe reads more than the day-2 batch: {ln[:200]}"
+        )
+    sig_scans = [
+        ln for ln in plan.splitlines()
+        if "FileScan parquet" in ln and "signatures" in ln
+    ]
+    assert sig_scans, "signature store scan missing"
+    assert all(
+        "PartitionFilters" in ln
+        and "source" in ln.split("PartitionFilters")[1].split("]")[0]
+        for ln in sig_scans
+    ), "a signature store scan lost its source partition filter"
+    nb_scans = [
+        ln for ln in plan.splitlines()
+        if "FileScan parquet" in ln and "nb_counts" in ln
+    ]
+    assert nb_scans, "NB count store scan missing"
+    assert all(
+        "PartitionFilters" in ln
+        and "batch" in ln.split("PartitionFilters")[1].split("]")[0]
+        for ln in nb_scans
+    ), "an NB count store scan lost its batch partition filter"

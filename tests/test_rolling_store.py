@@ -237,6 +237,166 @@ def test_substring_day2_matches_day1_via_advanced_store(spark, tmp_path):
     assert rerun[(2, 20)] == "substring_dup"
 
 
+# sliding 20-word windows over a 32-word vocabulary: consecutive windows
+# (4-word step) share 14 of 18 3-shingles (jaccard 0.636 >= tau AND all
+# verified band-colliding for this vocabulary), windows two steps apart
+# share 10/26 (0.385 < tau) — a pure CHAIN A1~A2~D~E with no shortcut
+# edges, so each hop is provable only through the stored state of the
+# previous day
+_CHAIN_W = [f"ta{i:02d}" for i in range(1, 33)]
+
+
+def _chain_txt(a: int, b: int) -> str:
+    return " ".join(_CHAIN_W[a - 1 : b])
+
+
+CHAIN_ROWS = [
+    (1, _chain_txt(1, 20), "en", "base"),   # A1: corpus cluster min
+    (2, _chain_txt(5, 24), "en", "base"),   # A2 ~ A1 (stored star edge)
+    (10, _chain_txt(9, 28), "en", "d1"),    # D ~ A2 only
+    (20, _chain_txt(13, 32), "en", "d2"),   # E ~ D only
+]
+
+
+def _chain_stores(spark, tmp_path):
+    from flink_cep_task_spark.operators.dedup import (
+        CLUSTER_BASE_EPOCH,
+        _cluster_from_pairs,
+        minhash_pairs_from_store,
+        write_cluster_label_store,
+    )
+
+    docs = spark.createDataFrame(CHAIN_ROWS, SCHEMA)
+    sig_path = str(tmp_path / "signatures")
+    write_minhash_signature_store(
+        docs.filter(~F.col("source").isin("d1", "d2")), sig_path
+    )
+    sig = spark.read.parquet(sig_path)
+    lab_path = str(tmp_path / "labels")
+    write_cluster_label_store(
+        _cluster_from_pairs(sig.select("doc_id"), minhash_pairs_from_store(sig)),
+        lab_path,
+        epoch=CLUSTER_BASE_EPOCH,
+    )
+    return docs, lab_path, sig_path
+
+
+def test_clusters_day2_joins_day1_cluster_via_advanced_stores(spark, tmp_path):
+    # the cluster loop's crux: E(day 2) has ONE near-dup partner, D
+    # (day 1) — labeling E with the corpus cluster's min (doc 1) needs
+    # BOTH admissions the query itself performs: D's membership arrives
+    # via the day-1 label epoch, the E~D edge via D's stored signatures
+    from flink_cep_task_spark.operators.dedup import dedup_clusters_rolling
+
+    docs, lab_path, sig_path = _chain_stores(spark, tmp_path)
+    got = {
+        (r["day"], r["doc_id"]): (r["cluster_id"], r["is_canonical"])
+        for r in dedup_clusters_rolling(
+            spark, docs, lab_path, sig_path, day1="d1", day2="d2"
+        ).collect()
+    }
+    # day 1: D joins the corpus cluster through the stored A2→A1 star
+    # edge (D is NOT a near-dup of A1 directly)
+    assert got[(1, 10)] == (1, False)
+    assert got[(1, 1)] == (1, True) and got[(1, 2)] == (1, False)
+    # day 2: E lands in the same cluster purely via stored state
+    assert got[(2, 20)] == (1, False)
+    assert got[(2, 10)] == (1, False)
+
+
+def test_clusters_day2_without_admission_misses_the_chain(spark, tmp_path):
+    # negative control: against the UN-advanced stores (base labels,
+    # corpus-only signatures) E has no visible partner — the positive
+    # test cannot be passing through some fallback full recompute
+    from flink_cep_task_spark.operators.dedup import (
+        CLUSTER_BASE_EPOCH,
+        dedup_clusters_from_store,
+    )
+
+    docs, lab_path, sig_path = _chain_stores(spark, tmp_path)
+    lab = (
+        spark.read.parquet(lab_path)
+        .filter(F.col("epoch") == CLUSTER_BASE_EPOCH)
+        .select("doc_id", "cluster_id")
+    )
+    got = {
+        r["doc_id"]: (r["cluster_id"], r["is_canonical"])
+        for r in dedup_clusters_from_store(
+            docs, lab, spark.read.parquet(sig_path), "d2"
+        ).collect()
+    }
+    assert got[20] == (20, True)
+
+
+def test_clusters_day1_pinned_and_rerun_idempotent(spark, tmp_path):
+    # rerun safety: after day-2 signatures land AND a poisoned label set
+    # sits under a foreign epoch (cluster_id -99 would propagate as the
+    # new min through ANY unpinned label read), a full rerun of the
+    # rolling query must return the identical report and leave the
+    # store's partition set stable
+    from flink_cep_task_spark.operators.dedup import (
+        dedup_clusters_rolling,
+        write_cluster_label_store,
+    )
+
+    docs, lab_path, sig_path = _chain_stores(spark, tmp_path)
+    first = sorted(
+        map(tuple, dedup_clusters_rolling(
+            spark, docs, lab_path, sig_path, day1="d1", day2="d2"
+        ).collect())
+    )
+    append_minhash_signatures(docs.filter(F.col("source") == "d2"), sig_path)
+    poisoned = docs.select(
+        "doc_id", F.lit(-99).cast("long").alias("cluster_id"),
+        F.lit(False).alias("is_canonical"),
+    )
+    write_cluster_label_store(poisoned, lab_path, epoch="d2", dynamic=True)
+    import glob
+    import os
+
+    dirs_before = {
+        os.path.dirname(p)
+        for p in glob.glob(os.path.join(lab_path, "**", "*.parquet"), recursive=True)
+    }
+    rerun = sorted(
+        map(tuple, dedup_clusters_rolling(
+            spark, docs, lab_path, sig_path, day1="d1", day2="d2"
+        ).collect())
+    )
+    assert rerun == first
+    dirs_after = {
+        os.path.dirname(p)
+        for p in glob.glob(os.path.join(lab_path, "**", "*.parquet"), recursive=True)
+    }
+    assert dirs_before == dirs_after
+
+
+def test_cluster_base_labels_from_store_equal_full_recompute(spark, tmp_path):
+    # the base build's derivation claim: labels computed purely from the
+    # signature store (banded candidates + stored-set verify — no text
+    # re-shingle) must equal dedup_clusters over the same corpus
+    from flink_cep_task_spark.operators.dedup import (
+        _cluster_from_pairs,
+        dedup_clusters,
+        minhash_pairs_from_store,
+    )
+
+    docs, _lab, sig_path = _chain_stores(spark, tmp_path)
+    corpus = docs.filter(~F.col("source").isin("d1", "d2"))
+    sig = spark.read.parquet(sig_path)
+    from_store = {
+        r["doc_id"]: (r["cluster_id"], r["is_canonical"])
+        for r in _cluster_from_pairs(
+            sig.select("doc_id"), minhash_pairs_from_store(sig)
+        ).collect()
+    }
+    full = {
+        r["doc_id"]: (r["cluster_id"], r["is_canonical"])
+        for r in dedup_clusters(corpus).collect()
+    }
+    assert from_store == full
+
+
 def test_nb_count_merge_equals_refit(spark, tmp_path):
     # the NB maintenance loop's crux: the day-2 model derived from
     # SUMMED count partitions (base ∪ d1) must score bit-identically to
