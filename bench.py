@@ -173,6 +173,30 @@ def main() -> None:
     if os.path.exists(sb_path):
         with open(sb_path) as fh:
             streaming_baseline = json.load(fh)
+        # staleness guard (r9 advice): the folded file carries its own
+        # measured_at epoch + git rev; flag it when a streaming-path
+        # source commit postdates the measurement so a fresh
+        # BENCH_DETAIL can't silently republish stale throughput numbers
+        measured = streaming_baseline.get("measured_at_epoch_s")
+        if measured is not None:
+            import subprocess
+
+            try:
+                last_change = int(
+                    subprocess.run(
+                        [
+                            "git", "log", "-1", "--format=%ct", "--",
+                            "flink_cep_task_spark/streaming",
+                            "flink_cep_task_spark/plans/cep_queries.py",
+                            "scripts/streaming_baseline.py",
+                        ],
+                        cwd=os.path.dirname(os.path.abspath(__file__)),
+                        capture_output=True, text=True, timeout=10,
+                    ).stdout.strip() or 0
+                )
+                streaming_baseline["stale"] = last_change > measured
+            except Exception:
+                pass
 
     with open(detail_path, "w") as fh:
         json.dump(

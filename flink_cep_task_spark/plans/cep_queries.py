@@ -120,11 +120,12 @@ def _rule_query(rules: list[Rule]):
     return q
 
 
-# replay workdirs keyed by sf_dir: BOTH parity queries replay the identical
-# (data + pusher) file set, so the scaffold is built once per process and
-# per dataset. Checkpoint dirs / sink names stay per-invocation (a reused
-# availableNow checkpoint would silently skip all input).
-_WORKDIR_CACHE: dict[str, tuple[str, int]] = {}
+# replay workdirs keyed by (sf_dir, ordered): BOTH parity queries replay
+# the identical (data + pusher) file set, so the scaffold is built once
+# per process, dataset, and ordering variant. Checkpoint dirs / sink
+# names stay per-invocation (a reused availableNow checkpoint would
+# silently skip all input).
+_WORKDIR_CACHE: dict[tuple[str, bool], tuple[str, int]] = {}
 
 
 # documents replay scaffold for the streaming-dedup parity query — same
@@ -174,7 +175,9 @@ import atexit as _atexit
 _atexit.register(_cleanup_workdirs)
 
 
-def _events_stream_workdir(spark: SparkSession, sf_dir: str, prefix: str) -> tuple[str, int]:
+def _events_stream_workdir(
+    spark: SparkSession, sf_dir: str, prefix: str, ordered: bool = False
+) -> tuple[str, int]:
     """Replay scaffold shared by the streaming parity queries: the events
     table in Metric shape written as PARQUET (parallel write, columnar
     re-read — no JSON round trip; the JSON ingest path has its own
@@ -195,24 +198,42 @@ def _events_stream_workdir(spark: SparkSession, sf_dir: str, prefix: str) -> tup
     with the pusher-advanced watermark and fires every event-time
     timeout/window close — measured result-identical to a second explicit
     pusher batch, one ~1.2 s batch cheaper. Per-batch fixed cost (state
-    commit + Arrow exchange) is the replay's dominant term."""
+    commit + Arrow exchange) is the replay's dominant term.
+
+    `ordered=True` builds a TIME-ORDERED variant (range-partitioned on
+    event_time, file mtimes in range order) for multi-micro-batch
+    replays: the default scaffold's files are hash partitions, so a
+    file-per-batch replay would legitimately drop most of every later
+    file behind the watermark — a late-data experiment, not a
+    throughput run. The steady-state measurement must arrive in event
+    order, the way a live source does."""
     import glob as _glob
     import os
     import tempfile
 
     from pyspark.sql import functions as F
 
-    cached = _WORKDIR_CACHE.get(sf_dir)
+    key = (sf_dir, ordered)
+    cached = _WORKDIR_CACHE.get(key)
     if cached is not None and os.path.isdir(os.path.join(cached[0], "src")):
         return cached
 
     work = tempfile.mkdtemp(prefix=prefix, dir=_pick_tmpfs())
     src = os.path.join(work, "src")
     ev = events_to_metrics(load_table(spark, sf_dir, "events"))
-    ev.repartition(8).write.mode("overwrite").parquet(src)
+    if ordered:
+        ev.repartitionByRange(8, "event_time").write.mode("overwrite").parquet(src)
+    else:
+        ev.repartition(8).write.mode("overwrite").parquet(src)
     max_ms = ev.agg(F.max((F.col("event_time").cast("double") * 1000).cast("long"))).first()[0]
-    parts = _glob.glob(os.path.join(src, "part-*.parquet"))
+    parts = sorted(_glob.glob(os.path.join(src, "part-*.parquet")))
     base = max(os.path.getmtime(p) for p in parts)
+    if ordered:
+        # part-0000i holds range i: stamp strictly increasing mtimes so
+        # the file source replays ranges in event-time order
+        for k, p in enumerate(parts):
+            os.utime(p, (base + k, base + k))
+        base += len(parts)
     t_us = (max_ms + 40 * 86_400_000) * 1000
     dest = os.path.join(src, "zz_flush_0.parquet")
     _write_metric_file(
@@ -220,7 +241,7 @@ def _events_stream_workdir(spark: SparkSession, sf_dir: str, prefix: str) -> tup
         [(t_us, {"t_event_type": "zz_flush", "t_user": "zz"}, {"zzf": "0.00"})],
     )
     os.utime(dest, (base + 10, base + 10))
-    _WORKDIR_CACHE[sf_dir] = (work, len(parts))
+    _WORKDIR_CACHE[key] = (work, len(parts))
     return work, len(parts)
 
 
@@ -276,12 +297,16 @@ class _shuffle_partitions:
         self.spark.conf.set("spark.sql.shuffle.partitions", self.prev)
 
 
-def q_live_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_live_streaming(
+    spark: SparkSession, sf_dir: str, files_per_trigger: int | None = None
+) -> DataFrame:
     """STREAMING parity query #1 — the LIVE rule engine: per-micro-batch
     rule refresh + dynamic-window applyInPandasWithState operator
     (streaming/live.py), drained with availableNow, append output returned
     as a batch DataFrame. Hash-matches the same DuckDB oracle as the batch
-    engine — the correctness gate covers the live path end-to-end."""
+    engine — the correctness gate covers the live path end-to-end.
+    `files_per_trigger` overrides the gate's one-data-batch replay (the
+    steady-state throughput measurement replays file-per-batch)."""
     import os
     import uuid
 
@@ -294,7 +319,9 @@ def q_live_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
         metrics_stream_from_parquet,
     )
 
-    work, n_parts = _events_stream_workdir(spark, sf_dir, "live_cep_")
+    work, n_parts = _events_stream_workdir(
+        spark, sf_dir, "live_cep_", ordered=files_per_trigger is not None
+    )
     store = RuleFileStore(os.path.join(work, "rules.json"))
     for r in LIVE_STREAMING_RULES:
         store.upsert({
@@ -312,7 +339,7 @@ def q_live_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
     # every event-time timeout fires.
     metrics = metrics_stream_from_parquet(
         spark, os.path.join(work, "src"), METRIC_SCHEMA,
-        max_files_per_trigger=n_parts + 1,
+        max_files_per_trigger=files_per_trigger or (n_parts + 1),
     )
     out = build_live_cep(metrics, spark, store.path, watermark="1 minute")
     name = f"live_cep_{uuid.uuid4().hex[:8]}"
@@ -326,12 +353,15 @@ def q_live_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name).filter(~F.col("group_id").contains("zz_flush"))
 
 
-def q_streaming_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_streaming_windows(
+    spark: SparkSession, sf_dir: str, files_per_trigger: int | None = None
+) -> DataFrame:
     """STREAMING parity query #2 — the NATIVE windowed pipeline
     (streaming/pipeline.build_streaming_cep): static rule set, built-in
     F.window aggregation on the JVM state store, watermark-driven append.
     The production-default path when rules don't change mid-run; same
-    oracle as the batch engine and the live path."""
+    oracle as the batch engine and the live path. `files_per_trigger`
+    as in q_live_streaming."""
     import os
     import uuid
 
@@ -344,12 +374,14 @@ def q_streaming_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         run_to_memory,
     )
 
-    work, n_parts = _events_stream_workdir(spark, sf_dir, "native_cep_")
+    work, n_parts = _events_stream_workdir(
+        spark, sf_dir, "native_cep_", ordered=files_per_trigger is not None
+    )
     # one data trigger (data+flush) + Spark's no-data batch closes the
     # final windows — see _events_stream_workdir.
     metrics = metrics_stream_from_parquet(
         spark, os.path.join(work, "src"), METRIC_SCHEMA,
-        max_files_per_trigger=n_parts + 1,
+        max_files_per_trigger=files_per_trigger or (n_parts + 1),
     )
     # one tumbling + one sliding spec: every DISTINCT window spec becomes
     # its own stateful aggregation in the unioned plan, so the spec count

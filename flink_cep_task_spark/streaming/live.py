@@ -246,6 +246,14 @@ def live_cep_windows(
                             gs.append(gid_codes[m])
                             ss.append(s[m])
                             vs.append(vals[m])
+                    if not gs:
+                        # GAP windows (slide > size): every event in this
+                        # batch slice fell between windows — nothing to
+                        # fold. Guard required: a one-data-batch replay
+                        # always has some in-window event, but a multi-
+                        # micro-batch cadence can hand a bucket a
+                        # gap-only slice (np.concatenate([]) raises).
+                        continue
                     g_all = np.concatenate(gs)
                     s_all = np.concatenate(ss)
                     v_all = np.concatenate(vs)

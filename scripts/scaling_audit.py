@@ -109,6 +109,9 @@ QUERIES = [
     "ann_ivf_rolling",
     "dedup_substring_rolling",
     "quality_nb_rolling",
+    # round-10 additions
+    "dedup_clusters_rolling",
+    "daily_crawl_pipeline",
 ]
 BASE = "/root/testdata/sf0.1"
 

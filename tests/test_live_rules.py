@@ -641,3 +641,75 @@ def test_new_tag_key_appearing_mid_stream(spark, tmp_path):
     got = sorted((r.group_id, r.window_start - base_s, r.agg_value) for r in rows)
     # ONLY the phase-B window, grouped by the new tag's value
     assert got == [("1_eu", 240, 4.0)], got
+
+
+def test_gap_rule_survives_gap_only_micro_batch(spark, tmp_path):
+    """Regression (found by the round-10 steady-state throughput replay):
+    a GAP-window rule (slide > size) in a MULTI-micro-batch cadence can
+    hand the stateful operator a batch slice whose events ALL fall
+    between windows — the vectorized cover loop then collects zero
+    arrays and np.concatenate raised. The one-data-batch gate replay
+    could never hit this (100k events always cover some window), which
+    is exactly why throughput measurement must run the real cadence.
+    Output must equal the batch engine's on the same data."""
+    gap_wire = {
+        "ruleId": 7, "ruleState": "ACTIVE", "windowType": "sliding",
+        "windowMinutes": 1, "windowSlideMinute": 3,
+        "groupingKeyNames": ["t_g"], "aggregatorFunctionType": "SUM",
+        "aggregateFieldName": "m", "limitOperatorType": ">", "limit": 1,
+    }
+    gap_rule = Rule(rule_id=7, window_type="sliding", window_minutes=1,
+                    window_slide_minutes=3, grouping_keys=("t_g",),
+                    agg_type="SUM", agg_field="m", limit_op=">", limit="1")
+    # epoch-aligned 60s windows every 180s: offset 0 is a window start,
+    # offsets [60, 180) are the gap
+    base_s = 1_700_000_100
+    assert base_s % 180 == 0
+    in_window = {"eventTime": base_s * 1000, "t_g": "g0", "m": 5}
+    gap_only = [
+        {"eventTime": (base_s + 60) * 1000, "t_g": "g0", "m": 7},
+        {"eventTime": (base_s + 70) * 1000, "t_g": "g0", "m": 9},
+    ]
+    src = tmp_path / f"gapstream-{uuid.uuid4().hex[:8]}"
+    src.mkdir()
+    paths = []
+    for i, chunk in enumerate([[in_window], gap_only]):
+        p = src / f"{i:08d}.json"
+        p.write_text("\n".join(json.dumps(e) for e in chunk))
+        paths.append(p)
+    max_t = (base_s + 70) * 1000
+    for j, off in enumerate([86_400_000, 86_500_000]):
+        p = src / f"zz_flush_{j}.json"
+        p.write_text(json.dumps(
+            {"eventTime": max_t + off, "t_g": FLUSH_TAG, "m": 0}))
+        paths.append(p)
+    base = time.time() - len(paths) - 10
+    for k, p in enumerate(paths):
+        os.utime(p, (base + k, base + k))
+
+    store = RuleFileStore(str(tmp_path / "rules.json"))
+    store.upsert(gap_wire)
+    metrics = metrics_stream_from_text(spark, str(src), max_files_per_trigger=1)
+    out = build_live_cep(metrics, spark, store.path, watermark="1 minute")
+    name = f"live_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.format("memory").queryName(name).outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_gap"))
+        .trigger(availableNow=True).start()
+    )
+    await_stream(q, 180)
+    got = (
+        spark.table(name)
+        .filter(~F.col("group_id").contains(FLUSH_TAG))
+        .collect()
+    )
+    batch_metrics = parse_metric_lines(
+        spark.createDataFrame(
+            [(json.dumps(e),) for e in [in_window] + gap_only], ["value"]
+        )
+    )
+    expected = evaluate_rules(spark, batch_metrics, [gap_rule]).collect()
+    key = lambda r: (r.rule_id, r.group_id, r.window_start, r.window_end,
+                     r.agg_type, r.agg_value)
+    assert sorted(map(key, got)) == sorted(map(key, expected))
+    assert len(got) == 1  # exactly the in-window event's window fires
