@@ -843,11 +843,25 @@ def write_ivf_index_store(
     cents = _fit_centroids(
         corpus, key_extra="ivf_corpus_fit_" + "_".join(map(str, exclude_labels))
     )
-    spark = embeddings.sparkSession
-    spark.createDataFrame(
-        [(int(cid), [int(x) for x in v]) for cid, v in cents],
-        "cid LONG, cv ARRAY<BIGINT>",
-    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+    import pyarrow as pa
+
+    from flink_cep_task_spark.sources.sink import write_model_parquet
+
+    # bounded model parameters: direct pyarrow write (a 15-row
+    # createDataFrame().write costs ~5 s of Spark job overhead — see
+    # write_model_parquet)
+    write_model_parquet(
+        f"{path}/centroids",
+        pa.table(
+            {
+                "cid": pa.array([int(cid) for cid, _v in cents], pa.int64()),
+                "cv": pa.array(
+                    [[int(x) for x in v] for _cid, v in cents],
+                    pa.list_(pa.int64()),
+                ),
+            }
+        ),
+    )
     # `batch` sub-partitions the inverted file by ADMISSION: the corpus
     # build owns batch=base, each daily admission owns its own value, so
     # a dynamic-overwrite re-admission rewrites only its own directories

@@ -1290,10 +1290,26 @@ def write_bpe_merges_store(documents: DataFrame, path: str) -> None:
     instead of re-running the induction. Merges are plain strings +
     longs, so the parquet round trip is exact and rank order fully
     reconstructs the greedy application sequence."""
-    documents.sparkSession.createDataFrame(
-        _learn_bpe_merges(documents),
-        "rank INT, lft STRING, rgt STRING, merged STRING, pair_count BIGINT",
-    ).coalesce(1).write.mode("overwrite").parquet(path)
+    import pyarrow as pa
+
+    from flink_cep_task_spark.sources.sink import write_model_parquet
+
+    merges = _learn_bpe_merges(documents)
+    # bounded model artifact: direct pyarrow write (see
+    # sink.write_model_parquet — a tiny createDataFrame().write costs
+    # whole seconds of Spark job overhead per call)
+    write_model_parquet(
+        path,
+        pa.table(
+            {
+                "rank": pa.array([int(m[0]) for m in merges], pa.int32()),
+                "lft": pa.array([m[1] for m in merges], pa.string()),
+                "rgt": pa.array([m[2] for m in merges], pa.string()),
+                "merged": pa.array([m[3] for m in merges], pa.string()),
+                "pair_count": pa.array([int(m[4]) for m in merges], pa.int64()),
+            }
+        ),
+    )
 
 
 def bpe_apply_from_store(documents: DataFrame, store: DataFrame) -> DataFrame:

@@ -64,6 +64,25 @@ def read_partitioned(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def write_model_parquet(path: str, table) -> None:
+    """Write a BOUNDED driver-local model artifact (centroid matrix,
+    merge table — model parameters, never data) as one parquet file via
+    pyarrow, bypassing Spark's write path: a createDataFrame().write of
+    a 15-row table measures ~5 s of job/committer overhead per call
+    (profiled round 10 — it was a third of every IVF store build),
+    while the direct write is milliseconds. Readers keep using
+    spark.read.parquet — the arrow types round-trip exactly. `table`
+    is a pyarrow.Table."""
+    import os
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    shutil.rmtree(path, ignore_errors=True)  # overwrite semantics
+    os.makedirs(path, exist_ok=True)
+    pq.write_table(table, os.path.join(path, "part-00000.parquet"))
+
+
 def compact_dataset(
     spark: SparkSession,
     src: str,
