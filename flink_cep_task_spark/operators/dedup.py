@@ -2169,6 +2169,24 @@ def dedup_clusters_from_store(
 
 CLUSTER_BASE_EPOCH = "base"
 
+# explicit reader schema: a duplicate-free corpus writes ZERO star-edge
+# rows, and a 0-row partitionBy write leaves no parquet files at all —
+# schema inference would fail on the empty store (same contract as
+# read_rollup_partial_store)
+CLUSTER_LABEL_STORE_SCHEMA = "doc_id LONG, cluster_id LONG, epoch STRING"
+
+
+def read_cluster_label_store(spark, path: str, epoch: str) -> DataFrame:
+    """One epoch's star edges from the label store — the ONE reader, so
+    the empty-store schema contract can't drift between the rolling
+    query's two day probes."""
+    return (
+        spark.read.schema(CLUSTER_LABEL_STORE_SCHEMA)
+        .parquet(path)
+        .filter(F.col("epoch") == epoch)
+        .select("doc_id", "cluster_id")
+    )
+
 
 def minhash_pairs_from_store(store: DataFrame) -> DataFrame:
     """The dedup_minhash_lsh pair set computed ENTIRELY from the
@@ -2203,17 +2221,26 @@ def minhash_pairs_from_store(store: DataFrame) -> DataFrame:
 def write_cluster_label_store(
     labels: DataFrame, path: str, epoch: str, dynamic: bool = False
 ) -> None:
-    """Materialize per-doc cluster labels under an EPOCH partition — the
-    spanning-structure artifact incremental clustering advances. Unlike
-    the signature stores (per-source partitions that only ever ADD), a
+    """Materialize cluster labels under an EPOCH partition — the
+    spanning-structure artifact incremental clustering advances. Only
+    the STAR EDGES are stored (doc_id != cluster_id — each duplicate
+    doc pointing at its component min): singletons and canonical roots
+    re-derive as their own id in every consumer
+    (dedup_clusters_from_store's label_pairs filter and the final
+    coalesce both treat an absent row as label = doc_id), so storing
+    them would spend O(corpus) rows on information the doc_id column
+    already carries — the store stays O(duplicate docs), which is what
+    makes daily label admission affordable at 100 TB. Unlike the
+    signature stores (per-source partitions that only ever ADD), a
     label advance REWRITES labels of existing docs (components merge),
-    so admissions land complete label sets under the admitting day's own
-    epoch: the base epoch stays untouched (day-1 probes re-run pinned
-    against it) and a retried admission dynamically overwrites its own
-    epoch partition — idempotent, like the sibling stores' batch
-    partitions."""
+    so admissions land complete star-edge sets under the admitting
+    day's own epoch: the base epoch stays untouched (day-1 probes
+    re-run pinned against it) and a retried admission dynamically
+    overwrites its own epoch partition — idempotent, like the sibling
+    stores' batch partitions."""
     w = (
-        labels.select("doc_id", "cluster_id", "is_canonical")
+        labels.filter(F.col("doc_id") != F.col("cluster_id"))
+        .select("doc_id", "cluster_id")
         .withColumn("epoch", F.lit(epoch))
         .write.mode("overwrite")
         .partitionBy("epoch")
@@ -2263,11 +2290,7 @@ def dedup_clusters_rolling(
     sig1 = spark.read.parquet(sig_store_path).filter(
         ~F.col("source").isin(day1, day2)
     )
-    lab_base = (
-        spark.read.parquet(label_store_path)
-        .filter(F.col("epoch") == CLUSTER_BASE_EPOCH)
-        .select("doc_id", "cluster_id")
-    )
+    lab_base = read_cluster_label_store(spark, label_store_path, CLUSTER_BASE_EPOCH)
     docs_d1 = documents.filter(F.col("source") != day2)
     r1 = dedup_clusters_from_store(docs_d1, lab_base, sig1, day1)
     # ADMISSION: day-1 signatures (source partition, shared writer) and
@@ -2276,11 +2299,7 @@ def dedup_clusters_rolling(
     # result, so the day-2 probe below genuinely reads stored state
     append_minhash_signatures(documents.filter(F.col("source") == day1), sig_store_path)
     write_cluster_label_store(r1, label_store_path, epoch=day1, dynamic=True)
-    lab_d1 = (
-        spark.read.parquet(label_store_path)
-        .filter(F.col("epoch") == day1)
-        .select("doc_id", "cluster_id")
-    )
+    lab_d1 = read_cluster_label_store(spark, label_store_path, day1)
     r2 = dedup_clusters_from_store(
         documents, lab_d1, spark.read.parquet(sig_store_path), day2
     )

@@ -311,14 +311,11 @@ def test_clusters_day2_without_admission_misses_the_chain(spark, tmp_path):
     from flink_cep_task_spark.operators.dedup import (
         CLUSTER_BASE_EPOCH,
         dedup_clusters_from_store,
+        read_cluster_label_store,
     )
 
     docs, lab_path, sig_path = _chain_stores(spark, tmp_path)
-    lab = (
-        spark.read.parquet(lab_path)
-        .filter(F.col("epoch") == CLUSTER_BASE_EPOCH)
-        .select("doc_id", "cluster_id")
-    )
+    lab = read_cluster_label_store(spark, lab_path, CLUSTER_BASE_EPOCH)
     got = {
         r["doc_id"]: (r["cluster_id"], r["is_canonical"])
         for r in dedup_clusters_from_store(
