@@ -210,7 +210,76 @@ def main() -> None:
                 "store_builds": store_builds,
                 "streaming_baseline": streaming_baseline,
                 "notes": [
-                    "Round-9 final surface (157 queries): 283.7 s "
+                    "Round-10 final surface (159 queries): 299.2 s "
+                    "(runs this round: 307.8/299.2 @159, both fired at "
+                    "1-min load <= 0.1; store builds 31.6 s -> "
+                    "probe-only ~267.5). Vs the AUTHORITATIVE round-9 "
+                    "number (the driver's BENCH_r09.json = 327.7 s "
+                    "@157 — see the reconciliation note), the shared "
+                    "157 queries total 262.1 s, ratio 0.80 (median "
+                    "per-query 0.91): ~25 s of that is the round-10 "
+                    "store-build trim (bounded model artifacts — IVF "
+                    "centroids, BPE merge table — now write via direct "
+                    "pyarrow instead of ~5 s Spark jobs each: "
+                    "ann_ivf_stored 14.8->7.1, ann_ivf_rolling "
+                    "19.1->8.7, bpe_apply_stored 9.0->2.1), the rest "
+                    "is the r9 driver run's documented uniform load "
+                    "inflation unwinding. The two NEW queries add "
+                    "~37 s: dedup_clusters_rolling 25.9 (2.7 s build; "
+                    "the 23.2 s probe is TWO CC fixpoints + two "
+                    "store-edge probes + two admissions — the "
+                    "documented CC driver-loop fixed overhead, twice, "
+                    "flat to 64x: SCALING.md round-10 ratio 2.0) and "
+                    "daily_crawl_pipeline 11.2 (zero dedicated builds "
+                    "— it shares the rolling stores; 2.9x at 64x).",
+                    "Round-9 reconciliation (VERDICT r9 'What's wrong' "
+                    "#1): the authoritative round-9 number is the "
+                    "driver's own BENCH_r09.json = 327.7 s @ 157; the "
+                    "283.7 s that previously led these notes was the "
+                    "builder's trough-verified run of the same code "
+                    "(the driver run carried the box's documented "
+                    "uniform tenant-load signature — median "
+                    "shared-query ratio 1.13 with tight quartiles, "
+                    "inflating untouched TPC-H plans too).",
+                    "Round-10 isolation reruns of the four r8->r9 "
+                    ">1.5x deltas (VERDICT r9 task #3; "
+                    "SPARK_GRAFT_BENCH_ONLY, 3 passes, 1-min load "
+                    "0.05): cep_not_followed_by_stream 11.8/12.1/13.0 "
+                    "s — inside the documented +-2x replay band that "
+                    "brackets r8's 7.98 and r9's 14.18 (isolation runs "
+                    "are SLOWER than in-suite because the suite "
+                    "pre-pays stream codegen; plan unchanged, pins "
+                    "green); ann_ivf_stored 9.1/9.1/9.0 s incl. the "
+                    "per-process store build — r9's 14.8 was "
+                    "build-dominated (11.8 s build) and the build is "
+                    "now trimmed to ~4.9 s, steady probe ~2.0 s; "
+                    "bpe_apply_stored 3.3/3.4/3.1 s — same verdict "
+                    "(was 8.0 s build + 1.0 s probe, build now 2.0); "
+                    "quality_nb_classifier 3.8/3.9/3.4 s isolation "
+                    "(first-use Arrow warmup not pre-paid) vs 1.6-1.7 "
+                    "in-suite — r9's 2.79 sits inside the warmup/load "
+                    "band, plan identical. VERDICT: all four are "
+                    "variance/build-accounting, no regression.",
+                    "Store-build floor (VERDICT r9 task #6): "
+                    "store_build_seconds_total 56.7 (r9) -> 31.6 s "
+                    "(~10.5% of wall). The trim was the bounded-model "
+                    "write path (see round-10 note); what remains is "
+                    "the irreducible hermetic floor: two SEPARATE "
+                    "iterative IVF k-means fits (~4.5-4.9 s each — the "
+                    "stored fit excludes the incoming label, the "
+                    "rolling fit excludes BOTH day labels; they are "
+                    "different models and their oracles replay exactly "
+                    "those fits, so they cannot share), the "
+                    "signature/fingerprint/cluster/NB/rollup store "
+                    "writes (one corpus pass each over their excluded "
+                    "subsets — same-exclusion families already share: "
+                    "daily_crawl_pipeline adds ZERO builds by reusing "
+                    "the rolling stores, and the cluster label store "
+                    "derives from the signature store without "
+                    "re-shingling), and the bucketed-table build. A "
+                    "production deployment pays each once per ingest, "
+                    "not per process.",
+                    "Round-9 context (superseded): 283.7 s "
                     "committed on the final code (full runs this round: 291.9/281.2 @155, "
                     "307.1/277.0/283.7 @157 — all fired in verified troughs, "
                     "1-min load 0.06-0.19 at fire time) vs the driver's "
