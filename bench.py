@@ -173,28 +173,40 @@ def main() -> None:
     if os.path.exists(sb_path):
         with open(sb_path) as fh:
             streaming_baseline = json.load(fh)
-        # staleness guard (r9 advice): the folded file carries its own
-        # measured_at epoch + git rev; flag it when a streaming-path
-        # source commit postdates the measurement so a fresh
-        # BENCH_DETAIL can't silently republish stale throughput numbers
-        measured = streaming_baseline.get("measured_at_epoch_s")
-        if measured is not None:
+        # staleness guard (r9 advice): the folded file carries the git
+        # rev it measured; flag it stale when streaming-path sources
+        # changed SINCE that rev (commits in rev..HEAD touching the
+        # paths, or uncommitted edits to them) so a fresh BENCH_DETAIL
+        # can't silently republish old throughput numbers. Comparing
+        # wall-clock stamps against commit times is wrong in both
+        # directions (measure-then-commit flags a fresh measurement;
+        # uncommitted edits evade it) — the rev range is the truth.
+        rev = streaming_baseline.get("git_rev")
+        if rev and rev != "unknown":
             import subprocess
 
-            try:
-                last_change = int(
-                    subprocess.run(
-                        [
-                            "git", "log", "-1", "--format=%ct", "--",
-                            "flink_cep_task_spark/streaming",
-                            "flink_cep_task_spark/plans/cep_queries.py",
-                            "scripts/streaming_baseline.py",
-                        ],
-                        cwd=os.path.dirname(os.path.abspath(__file__)),
-                        capture_output=True, text=True, timeout=10,
-                    ).stdout.strip() or 0
+            paths = [
+                "flink_cep_task_spark/streaming",
+                "flink_cep_task_spark/plans/cep_queries.py",
+                "scripts/streaming_baseline.py",
+            ]
+            repo = os.path.dirname(os.path.abspath(__file__))
+
+            def _git(*args):
+                return subprocess.run(
+                    ["git", *args], cwd=repo, capture_output=True,
+                    text=True, timeout=10,
                 )
-                streaming_baseline["stale"] = last_change > measured
+
+            try:
+                newer = _git(
+                    "log", "--format=%h", "-1", f"{rev}..HEAD", "--", *paths
+                )
+                dirty = _git("status", "--porcelain", "--", *paths)
+                if newer.returncode == 0 and dirty.returncode == 0:
+                    streaming_baseline["stale"] = bool(
+                        newer.stdout.strip() or dirty.stdout.strip()
+                    )
             except Exception:
                 pass
 

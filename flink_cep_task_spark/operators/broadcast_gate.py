@@ -52,9 +52,15 @@ def scan_partition_bound(df: DataFrame) -> int:
     count. widen_small_scan only ever repartitions UP to
     defaultParallelism, so max(raw splits, parallelism) dominates the
     widened frame's true partition count; for frames without provenance
-    (test LocalRelations) the parallelism alone is the bound."""
+    (test LocalRelations) the parallelism alone is the bound. A caller
+    that widened with an EXPLICIT target above the parallelism is
+    covered too: widen_small_scan records its target on the frame
+    (_graft_widen_target, threaded by copy_provenance)."""
     spark = df.sparkSession
-    bound = spark.sparkContext.defaultParallelism
+    bound = max(
+        spark.sparkContext.defaultParallelism,
+        getattr(df, "_graft_widen_target", 0),
+    )
     files = getattr(df, "_graft_input_files", None)
     if files:
         bound = max(bound, spark.read.parquet(*files).rdd.getNumPartitions())

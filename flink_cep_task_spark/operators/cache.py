@@ -44,6 +44,9 @@ def copy_provenance(dst: DataFrame, src: DataFrame) -> DataFrame:
     files = getattr(src, "_graft_input_files", None)
     if files:
         dst._graft_input_files = files
+    target = getattr(src, "_graft_widen_target", None)
+    if target:
+        dst._graft_widen_target = target
     return dst
 
 

@@ -334,7 +334,17 @@ def _banded(sig: DataFrame) -> DataFrame:
     """Explode a 16-column signature frame into (doc_id, band, sig) rows —
     the LSH banding shared by the full-corpus pair search and the
     incremental probe (and derivable from a stored signature table, so a
-    signature store needs only the mh columns)."""
+    signature store needs only the mh columns).
+
+    Null-signature rows are dropped HERE, in the one shared site: the
+    signature store keeps a row for EVERY doc (its exact-dedup key
+    column must be complete — a <SHINGLE-token doc still has a key) but
+    shingle-less docs carry null mh columns, and concat_ws SKIPS nulls,
+    so without the filter every such doc would band-collide on the
+    empty-string signature — a quadratic candidate explosion among
+    short docs. A shingle-less doc has no near-dup pairs by definition
+    (the oracle's shingle CTE emits nothing for it)."""
+    sig = sig.filter(F.col("mh0").isNotNull())
     band_structs = F.array(
         *[
             F.struct(
@@ -349,6 +359,26 @@ def _banded(sig: DataFrame) -> DataFrame:
     )
     return sig.select("doc_id", F.explode(band_structs).alias("bs")).select(
         "doc_id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig")
+    )
+
+
+def _self_band_candidates(banded: DataFrame) -> DataFrame:
+    """Distinct (doc_a < doc_b) pairs whose signatures collide in some
+    band — the ONE self-join candidate criterion, shared by the
+    full-corpus pair search (dedup_minhash_lsh), the incoming↔incoming
+    branch of incremental_cluster_edges, and the store-side pair
+    derivation (minhash_pairs_from_store), so the predicate can never
+    drift between them. `banded` is a (doc_id, band, sig) frame."""
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
     )
 
 
@@ -369,20 +399,7 @@ def dedup_minhash_lsh(documents: DataFrame) -> DataFrame:
     from flink_cep_task_spark.operators.cache import persisted_shared
 
     sh = _persisted(shingles_hashed(documents))
-    sig = _minhash_from_shingles(sh)
-    banded = _banded(sig)
-    a = banded.alias("a")
-    b = banded.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.sig") == F.col("b.sig"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
-    )
+    cand = _self_band_candidates(_banded(_minhash_from_shingles(sh)))
     return persisted_shared(_pair_jaccard(sh, cand, MINHASH_TAU), src=sh)
 
 
@@ -772,11 +789,15 @@ def write_minhash_signature_store(
     sets = sh.groupBy("doc_id").agg(F.collect_list("sh").alias("S"))
     # the exact-dedup key rides along (32 bytes/doc): a daily pipeline's
     # exact stage probes the SAME store the near-dup stage does, so one
-    # admission covers both tiers (see plans/datapipe.daily_crawl_pipeline)
+    # admission covers both tiers (see plans/datapipe.daily_crawl_pipeline).
+    # LEFT joins from the doc list: a doc too short to shingle (fewer
+    # than SHINGLE tokens) still HAS an exact key and must be in the
+    # store — its mh/S columns stay null and _banded drops it from every
+    # near-dup candidate search
     src = documents.select("doc_id", "source", _exact_key().alias("k"))
     w = (
-        sig.join(sets, "doc_id")
-        .join(src, "doc_id")
+        src.join(sig, "doc_id", "left")
+        .join(sets, "doc_id", "left")
         .write.mode("overwrite")
         .partitionBy("source")
     )
@@ -2110,17 +2131,7 @@ def incremental_cluster_edges(
         .select("doc_a", "doc_b")
         .distinct()
     )
-    a, b = inc_b.alias("a"), inc_b.alias("b")
-    cand_ii = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.sig") == F.col("b.sig"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
-    )
+    cand_ii = _self_band_candidates(inc_b)
     va = _incoming_sets(sh_inc)
     vb_store = corpus.select(
         F.col("doc_id").alias("doc_b"), F.col("S").alias("Sb"), F.size("S").alias("nb")
@@ -2197,17 +2208,8 @@ def minhash_pairs_from_store(store: DataFrame) -> DataFrame:
     store's base build a store-side derivation: at 100 TB the corpus
     text is read once per document lifetime (when its signatures are
     admitted), and cluster maintenance touches only the store."""
-    b = _persisted(_banded(store).select("doc_id", "band", "sig"))
-    a_side, b_side = b.alias("a"), b.alias("b")
-    cand = (
-        a_side.join(
-            b_side,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.sig") == F.col("b.sig"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
+    cand = _self_band_candidates(
+        _persisted(_banded(store).select("doc_id", "band", "sig"))
     )
     va = store.select(
         F.col("doc_id").alias("doc_a"), F.col("S").alias("Sa"), F.size("S").alias("na")

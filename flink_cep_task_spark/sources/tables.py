@@ -169,7 +169,16 @@ def widen_small_scan(df: DataFrame, target: int | None = None) -> DataFrame:
         return df
     from flink_cep_task_spark.operators.cache import copy_provenance
 
-    return copy_provenance(df.repartition(target), df)
+    out = copy_provenance(df.repartition(target), df)
+    # record the widen target so broadcast_gate.scan_partition_bound
+    # stays a sound UPPER bound even for an explicit target above the
+    # session parallelism (the raw-splits/parallelism max alone would
+    # under-count such a frame's partitions and could let a gated
+    # candidate set broadcast past the configured gate)
+    out._graft_widen_target = max(
+        target, getattr(df, "_graft_widen_target", 0)
+    )
+    return out
 
 
 def register_views(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES) -> None:

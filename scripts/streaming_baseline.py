@@ -155,9 +155,12 @@ def main() -> None:
         n_steady = fn(spark, sf_dir, files_per_trigger=1).count()
         entry["steady_replay"] = _progress_metrics(P.LAST_PROGRESS, consumers)
         entry["steady_replay"]["output_rows"] = n_steady
-        assert n_steady == n_out, (
-            f"{name}: steady replay changed the answer ({n_steady} vs {n_out})"
-        )
+        # explicit raise, not assert (python -O strips asserts): a replay
+        # that changes the answer must never publish throughput numbers
+        if n_steady != n_out:
+            raise ValueError(
+                f"{name}: steady replay changed the answer ({n_steady} vs {n_out})"
+            )
         # steady replay on the RocksDB state store (deployment conf)
         default = spark.conf.get(provider_key)
         try:
@@ -169,9 +172,10 @@ def main() -> None:
             P.LAST_PROGRESS, consumers
         )
         entry["steady_replay_rocksdb"]["output_rows"] = n_rocks
-        assert n_rocks == n_out, (
-            f"{name}: RocksDB replay changed the answer ({n_rocks} vs {n_out})"
-        )
+        if n_rocks != n_out:
+            raise ValueError(
+                f"{name}: RocksDB replay changed the answer ({n_rocks} vs {n_out})"
+            )
         out["queries"][name] = entry
         print(name, json.dumps(entry, indent=1))
     path = os.path.join(REPO, "STREAMING_BASELINE.json")

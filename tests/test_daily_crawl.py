@@ -29,10 +29,12 @@ D1 = "alpha beta gamma delta epsilon zeta eta theta iota kappa mu nu xi"
 ROWS = [
     (1, BASE_EN, "en", "base"),
     (2, BASE_DE, "de", "base"),
+    (3, "tiny doc", "en", "base"),   # < SHINGLE tokens: key-only store row
     (10, D1, "en", "d1"),            # novel on day 1
     (11, BASE_EN, "en", "d1"),       # exact dup of a CORPUS doc
     (20, D1 + " omega", "en", "d2"), # near-dup of the day-1 doc ONLY
     (21, D1, "en", "d2"),            # exact dup of the day-1 doc ONLY
+    (22, "tiny doc", "en", "d2"),    # exact dup of the SHORT corpus doc
 ]
 SCHEMA = "doc_id LONG, text STRING, lang STRING, source STRING"
 
@@ -73,6 +75,12 @@ def test_day2_decisions_flow_through_day1_admissions(spark, tmp_path):
     assert got[(2, 20)]["match_id"] == 10
     assert got[(2, 20)]["is_exact_dup"] is False
     assert got[(2, 21)]["is_exact_dup"] is True
+    # a document too short to shingle still has an exact key in the
+    # store (self-review r10: the key column rides the doc list via a
+    # LEFT join, not the shingle aggregation — an inner join silently
+    # dropped short docs from the exact tier while the oracle kept them)
+    assert got[(2, 22)]["is_exact_dup"] is True
+    assert got[(2, 22)]["near_status"] == "new"  # no shingles → no pairs
     # the day-2 NB score exists (model derived from base ∪ day-1 counts;
     # merge ≡ refit is pinned in tests/test_rolling_store.py)
     assert got[(2, 20)]["log_odds"] is not None
