@@ -1167,7 +1167,7 @@ def _cluster_from_pairs(documents: DataFrame, und_pairs: DataFrame) -> DataFrame
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
-    return (
+    out = (
         documents.select("doc_id")
         .join(labels.withColumnRenamed("label", "__cl"), "doc_id", "left")
         .select(
@@ -1176,14 +1176,42 @@ def _cluster_from_pairs(documents: DataFrame, und_pairs: DataFrame) -> DataFrame
             (F.col("doc_id") == F.coalesce(F.col("__cl"), F.col("doc_id"))).alias("is_canonical"),
         )
     )
+    # Thread the node-only fixpoint mapping through for consumers that
+    # need ONLY the star edges (label-store admission): every doc absent
+    # from the mapping coalesces to doc_id == cluster_id above, i.e.
+    # contributes no star edge — so the mapping alone determines the
+    # store contents, and a writer that uses it skips this corpus-wide
+    # join entirely. Same attribute-threading idiom as
+    # cache.copy_provenance. Precondition (holds at every call site:
+    # pairs derive from the same universe as `documents`): edge
+    # endpoints ⊆ documents.doc_id, else the mapping would carry star
+    # edges the corpus-joined frame doesn't.
+    out._graft_cc_labels = labels
+    return out
 
 
 def _cc_fixpoint_loop(edges: DataFrame, labels: DataFrame) -> DataFrame:
     """Min-label propagation + path halving to fixpoint; returns the final
-    (doc_id, label) mapping (persisted). Driver holds only counts."""
+    (doc_id, label) mapping with TRUNCATED lineage (localCheckpoint).
+    Driver holds only counts.
+
+    Cache discipline (the round-10 probe profile found the old loop
+    re-executing its entire lineage for every downstream consumer):
+    unpersisting generation N-1 makes Spark recompile-and-drop the
+    materialized buffers of every cache entry whose plan contains it —
+    generation N included (the same cascade cache.py documents for the
+    shared tier). So the loop DEFERS all unpersists: every generation
+    stays cached until convergence, the final mapping is decoupled from
+    the generation caches by an eager localCheckpoint (a LogicalRDD has
+    no plan ancestry, so nothing released later can invalidate it), and
+    only then are the O(log diameter) intermediate generations freed.
+    The checkpoint trades executor-loss recovery for a guaranteed-stable
+    materialization — the same trade cache.persisted_shared makes, and
+    the right one for the loop's bounded (nodes-in-edges × 2 longs)
+    state; the generations briefly co-resident are the same size."""
     from flink_cep_task_spark.operators.cache import persisted
 
-    cached = labels  # the persisted root of the current generation
+    generations: list[DataFrame] = []
     while True:
         neighbor_min = (
             edges.join(labels, edges.src == labels.doc_id)
@@ -1212,11 +1240,13 @@ def _cc_fixpoint_loop(edges: DataFrame, labels: DataFrame) -> DataFrame:
         # this count is the action that materializes new_gen's cache AND
         # decides convergence — one job per round, no old-vs-new join
         changed = new_gen.filter(F.col("label") != F.col("old")).count()
-        cached.unpersist()
-        cached = new_gen
+        generations.append(new_gen)
         labels = new_gen.select("doc_id", "label")
         if changed == 0:
-            return labels
+            final = labels.localCheckpoint(eager=True)
+            for g in generations:
+                g.unpersist()
+            return final
 
 
 def dedup_clusters_sql(source: str = "documents", prelude: str = "") -> str:
@@ -2239,7 +2269,19 @@ def write_cluster_label_store(
     day's own epoch: the base epoch stays untouched (day-1 probes
     re-run pinned against it) and a retried admission dynamically
     overwrites its own epoch partition — idempotent, like the sibling
-    stores' batch partitions."""
+    stores' batch partitions.
+
+    When `labels` carries the _graft_cc_labels attribute
+    (_cluster_from_pairs threads its node-only fixpoint mapping), the
+    write uses THAT: docs absent from the mapping are exactly the
+    doc_id == cluster_id rows the filter below discards, so the star
+    edges are identical — but the mapping is a checkpointed few-row
+    frame, while the full per-doc frame costs a corpus scan + join per
+    admission (the round-10 probe profile measured that join dominating
+    the admission wall)."""
+    src = getattr(labels, "_graft_cc_labels", None)
+    if src is not None:
+        labels = src.select("doc_id", F.col("label").alias("cluster_id"))
     w = (
         labels.filter(F.col("doc_id") != F.col("cluster_id"))
         .select("doc_id", "cluster_id")
