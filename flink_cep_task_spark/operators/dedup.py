@@ -2339,8 +2339,9 @@ def dedup_clusters_rolling(
     r1 = dedup_clusters_from_store(docs_d1, lab_base, sig1, day1)
     # ADMISSION: day-1 signatures (source partition, shared writer) and
     # the merged labels (day-1 epoch) — both idempotent dynamic
-    # overwrites; the label write executes r1's (already-persisted) CC
-    # result, so the day-2 probe below genuinely reads stored state
+    # overwrites; the label write lands r1's checkpointed CC mapping
+    # (star edges only), so the day-2 probe below genuinely reads
+    # stored state
     append_minhash_signatures(documents.filter(F.col("source") == day1), sig_store_path)
     write_cluster_label_store(r1, label_store_path, epoch=day1, dynamic=True)
     lab_d1 = read_cluster_label_store(spark, label_store_path, day1)

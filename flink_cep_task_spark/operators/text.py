@@ -1738,7 +1738,7 @@ def _learn_bpe_merges(documents: DataFrame) -> list[tuple[int, str, str, str, in
         )
     )
     merges: list[tuple[int, str, str, str, int]] = []
-    prev_gen = None
+    generations: list[DataFrame] = [seg]
     for _rank in range(1, BPE_N_MERGES + 1):
         arr = F.split(F.expr("rtrim('|', trim(seg))"), r"\| ")
         # single-symbol words yield an empty zip and drop out of the
@@ -1759,17 +1759,11 @@ def _learn_bpe_merges(documents: DataFrame) -> list[tuple[int, str, str, str, in
             .limit(1)
             .collect()
         )
-        # the collect above materialized THIS generation's cache, so its
-        # predecessor is safe to drop — each round reads only one
-        # generation back; without this, BPE_N_MERGES copies of the
-        # vocabulary table stay pinned simultaneously
-        if prev_gen is not None:
-            prev_gen.unpersist()
         if not best:
             break
         lft, rgt, cnt = best[0]["lft"], best[0]["rgt"], best[0]["pair_count"]
         merges.append((_rank, lft, rgt, lft + rgt, cnt))
-        new_seg = persisted(
+        seg = persisted(
             seg.select(
                 F.replace(
                     "seg", F.lit(f" {lft}| {rgt}|"), F.lit(f" {lft}{rgt}|")
@@ -1777,10 +1771,18 @@ def _learn_bpe_merges(documents: DataFrame) -> list[tuple[int, str, str, str, in
                 "freq",
             )
         )
-        prev_gen, seg = seg, new_seg
-    if prev_gen is not None:
-        prev_gen.unpersist()
-    seg.unpersist()
+        generations.append(seg)
+    # Unpersists are DEFERRED to after convergence (same cache
+    # discipline as dedup._cc_fixpoint_loop): dropping generation N-1
+    # mid-loop makes Spark recompile-and-drop generation N's
+    # just-materialized buffers, so every later round re-ran the whole
+    # lineage back to the corpus word count. The price is
+    # BPE_N_MERGES+1 copies of the vocabulary table briefly co-resident
+    # — vocabulary-bounded, not corpus-bounded, so the memory stays
+    # model-sized; the result itself is a driver-side list, so nothing
+    # downstream depends on these caches.
+    for g in generations:
+        g.unpersist()
     return merges
 
 

@@ -253,21 +253,17 @@ def dedup_substring_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# the rolling loop's own store: built WITHOUT either day's partition —
-# day 1 must be admitted by the query's write-back path, and day 2 must
-# not exist yet at build time (a shared store containing src1 would let
-# day-1 probes see tomorrow's crawl)
-_ROLLING_SIG_STORE_CACHE: dict[str, str] = {}
-
-
 def _rolling_docs_store(
     spark: SparkSession, sf_dir: str, cache: dict, prefix: str,
     subdir: str, writer,
 ) -> str:
-    """Both-days-excluded documents store build, shared by every rolling
-    (maintenance-loop) query over the documents table: day 1 must arrive
-    via the query's own admission write-back, and day 2 does not exist
-    yet at build time — only the store WRITER varies per family."""
+    """Both-days-excluded documents store build, for rolling
+    (maintenance-loop) stores whose BUILT CONTENT depends on the corpus
+    exclusion (the NB count store's 'base' batch aggregates the corpus,
+    so a day partition baked into 'base' would poison every merge).
+    Day 1 must arrive via the query's own admission write-back, and day
+    2 does not exist yet at build time; only the store WRITER varies
+    per family."""
     return _store_path(
         cache, sf_dir, prefix, subdir,
         lambda p: writer(
@@ -282,22 +278,26 @@ def _rolling_docs_store(
 
 
 def _rolling_sig_store(spark: SparkSession, sf_dir: str) -> str:
-    return _rolling_docs_store(
-        spark, sf_dir, _ROLLING_SIG_STORE_CACHE, "rolling_sig_store_",
-        "signatures", D.write_minhash_signature_store,
-    )
-
-
-# the substring (winnowing) edition of the rolling store — same
-# both-days-excluded build rationale as _rolling_sig_store
-_ROLLING_FP_STORE_CACHE: dict[str, str] = {}
+    """The rolling minhash loops share _signature_store rather than
+    building a both-days-excluded copy: the store is partitioned BY
+    SOURCE and per-doc (signatures are a pure function of each doc's own
+    text), so day isolation is a READ property, not a build property —
+    every day-1 probe pins ~isin(day1, day2) on the store scan
+    (operators/dedup.dedup_minhash_rolling / dedup_clusters_rolling),
+    every day-2 probe's from_store filter prunes its own partition, and
+    an admission's dynamic overwrite of a day partition lands content
+    identical to what the full build put there (ONE writer, per-doc
+    rows). A store whose BUILT content mixes the corpus across
+    partitions (NB 'base' counts, the IVF centroid fit) cannot use this
+    — those keep dedicated both-days-excluded builds. Net: one
+    signature-store build per process instead of two."""
+    return _signature_store(spark, sf_dir)
 
 
 def _rolling_fp_store(spark: SparkSession, sf_dir: str) -> str:
-    return _rolling_docs_store(
-        spark, sf_dir, _ROLLING_FP_STORE_CACHE, "rolling_fp_store_",
-        "fingerprints", D.write_winnow_fingerprint_store,
-    )
+    """Winnowing edition of _rolling_sig_store's store sharing — same
+    per-doc, source-partitioned, read-pinned argument."""
+    return _fp_store(spark, sf_dir)
 
 
 def dedup_substring_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
