@@ -395,7 +395,20 @@ def _cluster_store(spark: SparkSession, sf_dir: str) -> str:
         corpus = widen_small_scan(load_table(spark, sf_dir, "documents")).filter(
             F.col("source") != D.INCREMENTAL_INCOMING_SOURCE
         )
-        D.dedup_clusters(corpus).write.mode("overwrite").parquet(p)
+        cl = D.dedup_clusters(corpus)
+        # store ONLY the star edges (doc -> component min), like the
+        # rolling label store: singletons and roots re-derive as their
+        # own id in the consumer, so the corpus-wide doc_id join the
+        # full frame costs at build time buys nothing the store needs
+        lab = getattr(cl, "_graft_cc_labels", None)
+        stars = (
+            lab.select("doc_id", F.col("label").alias("cluster_id"))
+            if lab is not None
+            else cl.select("doc_id", "cluster_id")
+        )
+        stars.filter(F.col("doc_id") != F.col("cluster_id")).write.mode(
+            "overwrite"
+        ).parquet(p)
 
     return _store_path(_CLUSTER_STORE_CACHE, sf_dir, "cl_store_", "clusters", build)
 
@@ -407,8 +420,9 @@ def dedup_clusters_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
     full-recompute recursive-CTE clustering over the whole table — the
     store must change the cost, never the answer."""
     docs = widen_small_scan(load_table(spark, sf_dir, "documents"))
-    cl = spark.read.parquet(_cluster_store(spark, sf_dir)).select(
-        "doc_id", "cluster_id"
+    # explicit schema: a duplicate-free corpus writes a 0-row store
+    cl = spark.read.schema("doc_id LONG, cluster_id LONG").parquet(
+        _cluster_store(spark, sf_dir)
     )
     sig = spark.read.parquet(_signature_store(spark, sf_dir))
     return D.dedup_clusters_from_store(docs, cl, sig)
@@ -509,14 +523,20 @@ def _daily_cycle(
     sig_store_path: str,
     sig_corpus_pred,
     nb_model: DataFrame,
+    fp_store_path: str,
+    fp_corpus_pred=None,
 ) -> DataFrame:
     """One day's curation decisions, every stage probing a STORE: the
     day's batch goes through the Gopher gate (stateless), the stored NB
     classifier model, exact dedup against the signature store's
-    per-doc keys, and MinHash near-dup against the store's signatures —
-    the corpus contributes only store FileScans; its text is never
-    read. Per-stage tokenize/shingle touches the day's batch exactly
-    once (plan-pinned). Returns one decision row per batch doc."""
+    per-doc keys, MinHash near-dup against the store's signatures, and
+    SUBSTRING (winnowing) dedup against the fingerprint store — the
+    corpus contributes only store FileScans; its text is never read.
+    Per-stage tokenize/shingle touches the day's batch exactly once
+    (plan-pinned). Returns one decision row per batch doc.
+
+    `fp_corpus_pred` defaults to `sig_corpus_pred` — the two per-doc
+    stores pin the same day partitions out of a cycle's corpus."""
     from flink_cep_task_spark.operators.text import (
         filter_gopher,
         quality_nb_score_from_store,
@@ -541,10 +561,17 @@ def _daily_cycle(
     near = D.dedup_incremental_minhash_from_store(docs, store, day).select(
         "doc_id", F.col("status").alias("near_status"), "match_id", "jaccard"
     )
+    fp_store = spark.read.parquet(fp_store_path).filter(
+        sig_corpus_pred if fp_corpus_pred is None else fp_corpus_pred
+    )
+    sub = D.dedup_substring_incremental_from_store(docs, fp_store, day).select(
+        "doc_id", F.col("status").alias("substring_status")
+    )
     kept = F.coalesce(F.col("kept"), F.lit(False))
     nb_keep = F.coalesce(F.col("nb_keep"), F.lit(False))
     curated = (
         kept & nb_keep & ~F.col("is_exact_dup") & (F.col("near_status") == "new")
+        & (F.col("substring_status") == "new")
     )
     return (
         batch.select("doc_id")
@@ -552,6 +579,7 @@ def _daily_cycle(
         .join(nb, "doc_id", "left")
         .join(exact, "doc_id")
         .join(near, "doc_id")
+        .join(sub, "doc_id")
         .select(
             "doc_id",
             kept.alias("kept"),
@@ -562,6 +590,7 @@ def _daily_cycle(
             "near_status",
             "match_id",
             "jaccard",
+            "substring_status",
             curated.alias("curated"),
         )
     )
@@ -574,11 +603,20 @@ def daily_crawl_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
       probe — the day's batch through the funnel stages, each against
         stored state (_daily_cycle: Gopher → stored-NB → exact-vs-store
-        → stored-minhash near-dup), emitting one decision row per doc;
+        → stored-minhash near-dup → stored-winnowing substring dedup),
+        emitting one decision row per doc;
       admit — the day into the signature store (signatures + exact
-        keys, one writer), the NB count store (the day's own batch
-        partition), and the rollup store (the day's events partial) —
-        all idempotent dynamic partition overwrites.
+        keys, one writer), the winnowing-fingerprint store, the NB
+        count store (the day's own batch partition), and the rollup
+        store (the day's events partial) — all idempotent dynamic
+        partition overwrites.
+
+    The cluster-LABEL store is deliberately NOT advanced here: label
+    maintenance is a graph-global operation (a CC merge over the whole
+    near-dup graph), which production systems schedule as its own job
+    — exactly what dedup_clusters_rolling is. Every PER-DOC decision
+    tier a daily batch needs is in this cycle; IVF maintenance lives on
+    the embeddings table (ann_ivf_rolling), not the crawl path.
 
     Day 2's probes run against the stores day 1's admissions advanced:
     a day-2 doc whose only near-dup partner is a day-1 doc is caught
@@ -617,6 +655,7 @@ def daily_crawl_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs,
         _rolling_sig_store(spark, sf_dir),
         _rolling_nb_count_store(spark, sf_dir),
+        _rolling_fp_store(spark, sf_dir),
         admit_day1=admit_events(ROLLUP_CUTOFF_TS_S, ROLLUP_DAY2_TS_S),
         admit_day2=admit_events(ROLLUP_DAY2_TS_S, ROLLUP_DAY2_TS_S + 86_400),
     )
@@ -627,17 +666,19 @@ def daily_crawl_cycles(
     docs: DataFrame,
     sig_path: str,
     nb_path: str,
+    fp_path: str,
     day1: str = None,
     day2: str = None,
     admit_day1=None,
     admit_day2=None,
 ) -> DataFrame:
     """The pipeline's store-parameterized core (see daily_crawl_pipeline
-    for semantics): probe day 1 → admit day 1 (signatures+keys, NB
-    counts, plus the caller's extra admissions — the registered query
-    lands the day's events rollup partial here) → probe day 2 against
-    the advanced stores → admit day 2. Split out so crux tests can
-    drive the full cycle over synthetic corpora and scratch stores."""
+    for semantics): probe day 1 → admit day 1 (signatures+keys,
+    winnowing fingerprints, NB counts, plus the caller's extra
+    admissions — the registered query lands the day's events rollup
+    partial here) → probe day 2 against the advanced stores → admit
+    day 2. Split out so crux tests can drive the full cycle over
+    synthetic corpora and scratch stores."""
     from flink_cep_task_spark.operators.cache import persisted
     from flink_cep_task_spark.operators.text import (
         nb_model_from_counts,
@@ -652,12 +693,15 @@ def daily_crawl_cycles(
         )
     )
     r1 = _daily_cycle(
-        spark, docs, day1, sig_path, ~F.col("source").isin(day1, day2), m1
+        spark, docs, day1, sig_path, ~F.col("source").isin(day1, day2), m1,
+        fp_path,
     )
     # day-1 admissions (signatures carry the exact keys — one write
-    # advances both dedup tiers)
+    # advances both whole-doc dedup tiers; the fingerprint write
+    # advances the substring tier)
     batch1 = docs.filter(F.col("source") == day1)
     D.append_minhash_signatures(batch1, sig_path)
+    D.append_winnow_fingerprints(batch1, fp_path)
     write_nb_count_store(batch1, nb_path, batch=day1, dynamic=True)
     if admit_day1 is not None:
         admit_day1()
@@ -668,13 +712,14 @@ def daily_crawl_cycles(
         )
     )
     r2 = _daily_cycle(
-        spark, docs, day2, sig_path, F.col("source") != day2, m2
+        spark, docs, day2, sig_path, F.col("source") != day2, m2, fp_path
     )
     # day-2 admissions close its own cycle; every store reader is
     # pinned to the partitions its day expects, so the extra partitions
     # are invisible until a day-3 asks for them
     batch2 = docs.filter(F.col("source") == day2)
     D.append_minhash_signatures(batch2, sig_path)
+    D.append_winnow_fingerprints(batch2, fp_path)
     write_nb_count_store(batch2, nb_path, batch=day2, dynamic=True)
     if admit_day2 is not None:
         admit_day2()
@@ -695,6 +740,9 @@ def _daily_cycle_sql(day: str, corpus_where: str) -> str:
     near = D.dedup_incremental_minhash_sql(
         incoming_where=f"source = '{day}'", corpus_where=corpus_where
     )
+    sub = D.dedup_substring_incremental_sql(
+        incoming_where=f"source = '{day}'", corpus_where=corpus_where
+    )
     return f"""
 SELECT b.doc_id,
        coalesce(g.kept, FALSE) AS kept,
@@ -705,8 +753,10 @@ SELECT b.doc_id,
        nr.status AS near_status,
        nr.match_id,
        nr.jaccard,
+       sr.substring_status,
        (coalesce(g.kept, FALSE) AND coalesce(n.keep, FALSE)
-        AND NOT e.is_exact_dup AND nr.status = 'new') AS curated
+        AND NOT e.is_exact_dup AND nr.status = 'new'
+        AND sr.substring_status = 'new') AS curated
 FROM (SELECT doc_id FROM documents WHERE source = '{day}') b
 LEFT JOIN ({FILTER_GOPHER_SQL.strip()}) g USING (doc_id)
 LEFT JOIN ({nb}) n USING (doc_id)
@@ -718,6 +768,7 @@ JOIN (
              FROM documents WHERE {corpus_where}) c USING (k)
 ) e USING (doc_id)
 JOIN ({near}) nr USING (doc_id)
+JOIN (SELECT doc_id, status AS substring_status FROM ({sub})) sr USING (doc_id)
 """
 
 

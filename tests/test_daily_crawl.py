@@ -18,6 +18,7 @@ import pyspark.sql.functions as F
 from flink_cep_task_spark.operators.dedup import (
     release_caches,
     write_minhash_signature_store,
+    write_winnow_fingerprint_store,
 )
 from flink_cep_task_spark.operators.text import write_nb_count_store
 from flink_cep_task_spark.plans.datapipe import _daily_cycle, daily_crawl_cycles
@@ -25,6 +26,12 @@ from flink_cep_task_spark.plans.datapipe import _daily_cycle, daily_crawl_cycles
 BASE_EN = "the quick brown fox jumps over the lazy dog before breakfast today"
 BASE_DE = "der schnelle braune fuchs springt am morgen ueber den faulen hund"
 D1 = "alpha beta gamma delta epsilon zeta eta theta iota kappa mu nu xi"
+# a 16-word passage unique to day-1 doc 12: long enough for the k+w-1
+# winnowing guarantee, short relative to either carrier doc so the
+# whole-doc Jaccard stays under the minhash tier's 0.5 threshold —
+# substring_dup must come from the FINGERPRINT store, not ride near_dup
+PASSAGE = ("one two three four five six seven eight "
+           "nine ten eleven twelve thirteen fourteen fifteen sixteen")
 
 ROWS = [
     (1, BASE_EN, "en", "base"),
@@ -32,9 +39,14 @@ ROWS = [
     (3, "tiny doc", "en", "base"),   # < SHINGLE tokens: key-only store row
     (10, D1, "en", "d1"),            # novel on day 1
     (11, BASE_EN, "en", "d1"),       # exact dup of a CORPUS doc
+    (12, PASSAGE + " red orange yellow green blue indigo violet pink "
+         "gray black", "en", "d1"),  # day-1 carrier of the passage
     (20, D1 + " omega", "en", "d2"), # near-dup of the day-1 doc ONLY
     (21, D1, "en", "d2"),            # exact dup of the day-1 doc ONLY
     (22, "tiny doc", "en", "d2"),    # exact dup of the SHORT corpus doc
+    (23, "north south east west up down left right near far deep "
+         "shallow " + PASSAGE, "en", "d2"),  # shares ONLY the passage,
+                                             # shifted, with day-1's 12
 ]
 SCHEMA = "doc_id LONG, text STRING, lang STRING, source STRING"
 
@@ -46,22 +58,24 @@ def _setup(spark, tmp_path):
     write_minhash_signature_store(corpus, sig_path)
     nb_path = str(tmp_path / "nb_counts")
     write_nb_count_store(corpus, nb_path)
+    fp_path = str(tmp_path / "fingerprints")
+    write_winnow_fingerprint_store(corpus, fp_path)
     release_caches()
-    return docs, sig_path, nb_path
+    return docs, sig_path, nb_path, fp_path
 
 
-def _run(spark, docs, sig_path, nb_path):
+def _run(spark, docs, sig_path, nb_path, fp_path):
     return {
         (r["day"], r["doc_id"]): r
         for r in daily_crawl_cycles(
-            spark, docs, sig_path, nb_path, day1="d1", day2="d2"
+            spark, docs, sig_path, nb_path, fp_path, day1="d1", day2="d2"
         ).collect()
     }
 
 
 def test_day2_decisions_flow_through_day1_admissions(spark, tmp_path):
-    docs, sig_path, nb_path = _setup(spark, tmp_path)
-    got = _run(spark, docs, sig_path, nb_path)
+    docs, sig_path, nb_path, fp_path = _setup(spark, tmp_path)
+    got = _run(spark, docs, sig_path, nb_path, fp_path)
     # day 1 vs the corpus store: the copy is exact-flagged, the novel
     # doc is clean on both dedup tiers
     assert got[(1, 11)]["is_exact_dup"] is True
@@ -84,6 +98,14 @@ def test_day2_decisions_flow_through_day1_admissions(spark, tmp_path):
     # the day-2 NB score exists (model derived from base ∪ day-1 counts;
     # merge ≡ refit is pinned in tests/test_rolling_store.py)
     assert got[(2, 20)]["log_odds"] is not None
+    # SUBSTRING tier: the day-2 doc shares only a shifted 16-word
+    # passage with day-1's doc 12 — caught via day-1's STORED winnowing
+    # fingerprints (its text is never re-tokenized), while the minhash
+    # tier correctly calls the whole doc new (Jaccard < 0.5)
+    assert got[(1, 12)]["substring_status"] == "new"
+    assert got[(2, 23)]["substring_status"] == "substring_dup"
+    assert got[(2, 23)]["near_status"] == "new"
+    assert got[(2, 23)]["curated"] is False
 
 
 def test_day2_without_admission_misses_both_tiers(spark, tmp_path):
@@ -92,18 +114,19 @@ def test_day2_without_admission_misses_both_tiers(spark, tmp_path):
     # can't pass through some fallback recompute of day-1 text
     from flink_cep_task_spark.operators.text import nb_model_from_counts
 
-    docs, sig_path, nb_path = _setup(spark, tmp_path)
-    store = spark.read.parquet(sig_path).filter(~F.col("source").isin("d1", "d2"))
+    docs, sig_path, nb_path, fp_path = _setup(spark, tmp_path)
     model = nb_model_from_counts(
         spark.read.parquet(nb_path).filter(F.col("batch") == "base")
     )
     got = {
         r["doc_id"]: r
         for r in _daily_cycle(spark, docs, "d2", sig_path,
-                              ~F.col("source").isin("d1", "d2"), model).collect()
+                              ~F.col("source").isin("d1", "d2"), model,
+                              fp_path).collect()
     }
     assert got[20]["near_status"] == "new"
     assert got[21]["is_exact_dup"] is False
+    assert got[23]["substring_status"] == "new"
 
 
 def test_full_cycle_reruns_identically(spark, tmp_path):
@@ -113,15 +136,15 @@ def test_full_cycle_reruns_identically(spark, tmp_path):
     import glob
     import os
 
-    docs, sig_path, nb_path = _setup(spark, tmp_path)
+    docs, sig_path, nb_path, fp_path = _setup(spark, tmp_path)
     first = sorted(map(tuple, daily_crawl_cycles(
-        spark, docs, sig_path, nb_path, day1="d1", day2="d2").collect()))
+        spark, docs, sig_path, nb_path, fp_path, day1="d1", day2="d2").collect()))
     dirs = {
         os.path.dirname(p)
         for p in glob.glob(os.path.join(nb_path, "**", "*.parquet"), recursive=True)
     }
     second = sorted(map(tuple, daily_crawl_cycles(
-        spark, docs, sig_path, nb_path, day1="d1", day2="d2").collect()))
+        spark, docs, sig_path, nb_path, fp_path, day1="d1", day2="d2").collect()))
     assert second == first
     assert dirs == {
         os.path.dirname(p)

@@ -1007,6 +1007,7 @@ def test_daily_cycle_day2_reads_only_batch_and_stores(spark):
     )
     from flink_cep_task_spark.plans.datapipe import (
         _daily_cycle,
+        _rolling_fp_store,
         _rolling_nb_count_store,
         _rolling_sig_store,
     )
@@ -1019,6 +1020,7 @@ def test_daily_cycle_day2_reads_only_batch_and_stores(spark):
     nb_path = _rolling_nb_count_store(spark, SF_DIR)
     write_nb_count_store(day1, nb_path, batch=INCREMENTAL_INCOMING_SOURCE,
                          dynamic=True)
+    fp_path = _rolling_fp_store(spark, SF_DIR)
     model = nb_model_from_counts(
         spark.read.parquet(nb_path).filter(
             F.col("batch").isin("base", INCREMENTAL_INCOMING_SOURCE)
@@ -1027,7 +1029,7 @@ def test_daily_cycle_day2_reads_only_batch_and_stores(spark):
     spark.conf.set("spark.sql.maxMetadataStringLength", "4000")
     df = _daily_cycle(
         spark, docs, ROLLING_DAY2_SOURCE, sig_path,
-        F.col("source") != ROLLING_DAY2_SOURCE, model,
+        F.col("source") != ROLLING_DAY2_SOURCE, model, fp_path,
     )
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
@@ -1060,3 +1062,13 @@ def test_daily_cycle_day2_reads_only_batch_and_stores(spark):
         and "batch" in ln.split("PartitionFilters")[1].split("]")[0]
         for ln in nb_scans
     ), "an NB count store scan lost its batch partition filter"
+    fp_scans = [
+        ln for ln in plan.splitlines()
+        if "FileScan parquet" in ln and "fingerprints" in ln
+    ]
+    assert fp_scans, "fingerprint store scan missing"
+    assert all(
+        "PartitionFilters" in ln
+        and "source" in ln.split("PartitionFilters")[1].split("]")[0]
+        for ln in fp_scans
+    ), "a fingerprint store scan lost its source partition filter"
