@@ -345,10 +345,11 @@ def dedup_incremental_minhash_stored(spark: SparkSession, sf_dir: str) -> DataFr
 
 
 # the cluster rolling loop's label store: BASE labels derived entirely
-# from the (both-days-excluded) rolling signature store — corpus text is
-# never re-shingled for cluster maintenance; the build filter also pins
-# it against day partitions an earlier-run rolling query may already
-# have admitted into the shared signature store this process
+# from the shared signature store — corpus text is never re-shingled
+# for cluster maintenance; the build FILTER (not the build input) is
+# what excludes both day partitions, since the shared store is the
+# full-table superset and may also carry day partitions an earlier-run
+# rolling query admitted this process (identical content either way)
 _ROLLING_CL_STORE_CACHE: dict[str, str] = {}
 
 
