@@ -857,6 +857,53 @@ def test_dedup_clusters_stored_probe_reads_no_corpus_text(spark):
     ), "corpus signature store scan lost its source PARTITION filter"
 
 
+def test_cluster_label_admission_reads_only_checkpointed_mapping(spark):
+    # the round-10 CC cache fix's contract: after the fixpoint
+    # converges, the node-only mapping a label-store admission writes
+    # is a lineage-TRUNCATED checkpoint — its plan is a bare RDD scan,
+    # so the admission (and any later consumer) can never re-execute
+    # the edge-derivation + fixpoint lineage; and the full per-doc
+    # result reads ONLY the documents doc_id projection plus that
+    # mapping — the signature store does not appear in the final plan
+    # at all (its contribution is baked into the checkpointed labels)
+    from flink_cep_task_spark.operators.dedup import (
+        dedup_clusters_from_store,
+    )
+    from flink_cep_task_spark.plans.datapipe import (
+        _cluster_store,
+        _signature_store,
+    )
+    from flink_cep_task_spark.sources.tables import load_table, widen_small_scan
+
+    spark.conf.set("spark.sql.maxMetadataStringLength", "4000")
+    docs = widen_small_scan(load_table(spark, SF_DIR, "documents"))
+    cl = spark.read.schema("doc_id LONG, cluster_id LONG").parquet(
+        _cluster_store(spark, SF_DIR)
+    )
+    sig = spark.read.parquet(_signature_store(spark, SF_DIR))
+    r = dedup_clusters_from_store(docs, cl, sig)
+    lab = getattr(r, "_graft_cc_labels", None)
+    assert lab is not None, "fixpoint mapping not threaded through"
+    lab_plan = lab._jdf.queryExecution().executedPlan().toString()
+    assert "Scan ExistingRDD" in lab_plan, "mapping is not checkpointed"
+    assert "FileScan" not in lab_plan, (
+        "label admission would re-read files:\n" + lab_plan[:800]
+    )
+    full_plan = r._jdf.queryExecution().executedPlan().toString()
+    assert "signatures" not in full_plan, (
+        "final result re-reads the signature store instead of the "
+        "checkpointed mapping"
+    )
+    doc_scans = [
+        ln for ln in full_plan.splitlines()
+        if "FileScan parquet" in ln and "documents.parquet" in ln
+    ]
+    assert doc_scans, "documents doc_id projection missing"
+    for ln in doc_scans:
+        rs = ln.split("ReadSchema")[-1]
+        assert "text" not in rs, f"final join reads text: {ln[-200:]}"
+
+
 def test_rolling_day2_probe_touches_only_batch_and_store(spark):
     # the maintenance loop's scale contract (VERDICT r8 task #1): after
     # day-1 admission, the day-2 probe's plan reads (a) the documents
