@@ -114,3 +114,120 @@ def test_three_day_cadence_then_compaction(spark, tmp_path):
         and "source" in ln.split("PartitionFilters")[1].split("]")[0]
         for ln in scans
     ), "compacted store lost partition pruning"
+
+
+# --- the REWRITING store family: cluster labels under a 3-day cadence ----
+#
+# The signature cadence above covers the ADDITIVE stores (each admission
+# adds its own partition); the label store REWRITES: every admission
+# lands a complete star-edge set under its own epoch, and consumers read
+# only the latest epoch. Sliding 24-word windows with a 5-word step
+# (same construction as tests/test_rolling_store.py's chain, one hop
+# longer): consecutive windows share 17/27 3-shingles (0.63 >= tau),
+# two steps apart 12/32 (0.375 < tau), and ALL four consecutive pairs
+# band-collide for this vocabulary (verified; the pair set is exactly
+# the chain) — A1~A2~D~E~F with no shortcut edges, so F's day-3 cluster
+# membership is provable only through BOTH intermediate label advances.
+_CW = [f"te{i:02d}" for i in range(1, 45)]
+
+
+def _cw_txt(a: int, b: int) -> str:
+    return " ".join(_CW[a - 1 : b])
+
+
+CHAIN3_ROWS = [
+    (1, _cw_txt(1, 24), "en", "base"),   # A1: corpus cluster min
+    (2, _cw_txt(6, 29), "en", "base"),   # A2 ~ A1 (stored star edge)
+    (10, _cw_txt(11, 34), "en", "d1"),   # D ~ A2 only
+    (20, _cw_txt(16, 39), "en", "d2"),   # E ~ D only
+    (30, _cw_txt(21, 44), "en", "d3"),   # F ~ E only
+]
+
+
+def test_cluster_label_three_day_cadence_then_compaction(spark, tmp_path):
+    from flink_cep_task_spark.operators.dedup import (
+        CLUSTER_BASE_EPOCH,
+        _cluster_from_pairs,
+        dedup_clusters,
+        dedup_clusters_from_store,
+        minhash_pairs_from_store,
+        read_cluster_label_store,
+        write_cluster_label_store,
+    )
+
+    docs = spark.createDataFrame(CHAIN3_ROWS, SCHEMA)
+    corpus_sig = docs.filter(~F.col("source").isin(*DAYS))
+    sig_path = str(tmp_path / "signatures")
+    write_minhash_signature_store(corpus_sig, sig_path)
+    lab_path = str(tmp_path / "labels")
+    sig = spark.read.parquet(sig_path)
+    write_cluster_label_store(
+        _cluster_from_pairs(sig.select("doc_id"), minhash_pairs_from_store(sig)),
+        lab_path,
+        epoch=CLUSTER_BASE_EPOCH,
+    )
+    release_caches()
+
+    results: dict[str, dict] = {}
+    prev_epoch = CLUSTER_BASE_EPOCH
+    epoch_dirs = [len(_store_files(lab_path))]
+    for i, day in enumerate(DAYS):
+        store = spark.read.parquet(sig_path).filter(
+            ~F.col("source").isin(*DAYS[i:])
+        )
+        lab = read_cluster_label_store(spark, lab_path, prev_epoch)
+        universe = docs.filter(~F.col("source").isin(*DAYS[i + 1:]))
+        r = dedup_clusters_from_store(universe, lab, store, day)
+        results[day] = {x["doc_id"]: x["cluster_id"] for x in r.collect()}
+        append_minhash_signatures(docs.filter(F.col("source") == day), sig_path)
+        write_cluster_label_store(r, lab_path, epoch=day, dynamic=True)
+        epoch_dirs.append(len(_store_files(lab_path)))
+        prev_epoch = day
+        release_caches()
+
+    # the chain: F (day 3) lands in A1's cluster even though its ONLY
+    # near-dup partner is E — the membership exists only through d1's
+    # AND d2's label admissions (no shortcut edge to the corpus).
+    # D joins via A2's STORED star edge (label = the component min 1),
+    # E via D's admitted label, F via E's.
+    assert results["d1"][10] == 1
+    assert results["d2"][20] == 1
+    assert results["d3"][30] == 1
+    # day-3 equals the from-scratch clustering of the whole table
+    inline = {
+        x["doc_id"]: x["cluster_id"] for x in dedup_clusters(docs).collect()
+    }
+    assert results["d3"] == inline
+    # the epoch store accretes one complete star-edge set per day
+    assert epoch_dirs == sorted(epoch_dirs) and epoch_dirs[-1] > epoch_dirs[0]
+
+    # --- compaction on the epoch-partitioned label store ---
+    dest = str(tmp_path / "labels_compact")
+    stats = compact_dataset(spark, lab_path, dest, partition_cols=["epoch"])
+    assert stats["files_before"] == epoch_dirs[-1]
+    part_dirs = {os.path.dirname(p) for p in _store_files(dest)}
+    assert len(part_dirs) == 4  # base + 3 epochs
+    # re-merge the day-3 probe against the COMPACTED store: identical
+    lab_c = read_cluster_label_store(spark, dest, "d2")
+    store_c = spark.read.parquet(sig_path).filter(
+        ~F.col("source").isin("d3")
+    )
+    recheck = {
+        x["doc_id"]: x["cluster_id"]
+        for x in dedup_clusters_from_store(docs, lab_c, store_c, "d3").collect()
+    }
+    assert recheck == results["d3"]
+    # epoch pruning survives the rewrite
+    spark.conf.set("spark.sql.maxMetadataStringLength", "4000")
+    plan = (
+        read_cluster_label_store(spark, dest, "d2")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    scans = [ln for ln in plan.splitlines() if "FileScan parquet" in ln]
+    assert scans and all(
+        "PartitionFilters" in ln
+        and "epoch" in ln.split("PartitionFilters")[1].split("]")[0]
+        for ln in scans
+    ), "compacted label store lost epoch pruning"
