@@ -223,9 +223,9 @@ def main() -> None:
                 "streaming_baseline": streaming_baseline,
                 "notes": [
                     "Round-10 FINAL (159 queries, post-optimization "
-                    "pass): 292.5 s committed — the minimum of TEN "
+                    "pass): 292.5 s committed — the minimum of ELEVEN "
                     "final-code full runs (292.5/296.4/316.9/318.5/"
-                    "329.3/337.8/339.5/360.6/366.6/380.7; unlike "
+                    "329.3/337.8/339.5/344.6/360.6/366.6/380.7; unlike "
                     "the earlier-round troughs, every run this pass "
                     "caught a tenant-load wave mid-run — fired at "
                     "1-min load 0.06-0.8, crested to 11-18 before "
