@@ -133,17 +133,67 @@ def main() -> None:
     # without reading the notes (VERDICT r7 task #4)
     from flink_cep_task_spark.plans.datapipe import store_build_total
 
+    # Per-query load/CPU columns (VERDICT r10 task #4): three rounds in a
+    # row the builder's and driver's totals diverged 15-20% and needed
+    # after-the-fact median forensics to attribute to tenant load. Record
+    # the attribution data AT MEASUREMENT TIME instead: 1-min loadavg
+    # before/after each query, the box's total busy CPU-seconds across
+    # the query (host_cpu_s — /proc/stat, all cores, all tenants), and
+    # the bench JVM's own CPU-seconds (jvm_cpu_s — /proc/<pid>/stat
+    # utime+stime; undercounts Python-UDF worker time, which accrues to
+    # unreaped worker processes, so treat it as a floor). A query whose
+    # wall inflates while host_cpu_s >> jvm_cpu_s was squeezed by
+    # tenants; one whose jvm_cpu_s grew alongside wall actually did more
+    # work.
+    _hz = float(os.sysconf("SC_CLK_TCK"))
+
+    def _host_jiffies():
+        try:
+            with open("/proc/stat") as fh:
+                parts = fh.readline().split()[1:]
+            # user nice system irq softirq steal (idle+iowait excluded)
+            vals = [int(x) for x in parts[:8]]
+            return vals[0] + vals[1] + vals[2] + vals[5] + vals[6] + vals[7]
+        except Exception:
+            return None
+
+    def _proc_jiffies(pid):
+        try:
+            with open(f"/proc/{pid}/stat") as fh:
+                tail = fh.read().rsplit(")", 1)[1].split()
+            return int(tail[11]) + int(tail[12])  # utime + stime
+        except Exception:
+            return None
+
+    try:
+        jvm_pid = spark.sparkContext._gateway.proc.pid
+    except Exception:
+        jvm_pid = None
+
     timings: dict[str, float] = {}
+    query_loads: dict[str, dict[str, float]] = {}
     store_builds: dict[str, dict[str, float]] = {}
     for name, fn in entrymod.queries().items():
         if only and name not in only:
             continue
         b0 = store_build_total()
+        load_pre = os.getloadavg()[0]
+        h0, j0 = _host_jiffies(), _proc_jiffies(jvm_pid)
         start = time.perf_counter()
         df = fn(spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
         sec = round(time.perf_counter() - start, 3)
         timings[name] = sec
+        h1, j1 = _host_jiffies(), _proc_jiffies(jvm_pid)
+        loads = {
+            "load_pre": round(load_pre, 2),
+            "load_post": round(os.getloadavg()[0], 2),
+        }
+        if h0 is not None and h1 is not None:
+            loads["host_cpu_s"] = round((h1 - h0) / _hz, 2)
+        if j0 is not None and j1 is not None:
+            loads["jvm_cpu_s"] = round((j1 - j0) / _hz, 2)
+        query_loads[name] = loads
         build_s = round(store_build_total() - b0, 3)
         if build_s > 0:
             # independently-rounded operands can make the difference
@@ -221,7 +271,33 @@ def main() -> None:
                 "store_build_seconds_total": total_builds,
                 "store_builds": store_builds,
                 "streaming_baseline": streaming_baseline,
+                "query_loads": query_loads,
                 "notes": [
+                    "Round-10 reconciliation (VERDICT r10 'What's "
+                    "wrong' #1): the AUTHORITATIVE round-10 number is "
+                    "the driver's own BENCH_r10.json = 347.7 s @ 159, "
+                    "produced after the final commit (it overwrote the "
+                    "working-tree value/queries while the committed "
+                    "notes still led with the builder's 292.5 trough). "
+                    "The builder's eleven same-code runs spanned "
+                    "292.5-380.7 s — the driver's 347.7 sits inside "
+                    "that load band (median shared-query ratio vs r9 "
+                    "1.10, a documented tenant-load wave), and over "
+                    "the 157 shared queries the r10 code was FASTER "
+                    "than r9's driver run (327.7 -> 314.0 s, ratio "
+                    "0.96) while adding two composed-maintenance "
+                    "queries. The 292.5 figure below remains as "
+                    "builder trough context.",
+                    "query_loads (new in round 11, VERDICT r10 task "
+                    "#4): per-query load_pre/load_post (1-min "
+                    "loadavg), host_cpu_s (whole-box busy CPU-seconds "
+                    "across the query — includes tenants), and "
+                    "jvm_cpu_s (the bench JVM's own utime+stime; a "
+                    "FLOOR — Python-UDF worker CPU accrues to "
+                    "unreaped worker processes). Tenant-load "
+                    "attribution is now mechanical: wall inflation "
+                    "with host_cpu_s >> jvm_cpu_s and load_pre high "
+                    "is the box, not a regression.",
                     "Round-10 FINAL (159 queries, post-optimization "
                     "pass): 292.5 s committed — the minimum of ELEVEN "
                     "final-code full runs (292.5/296.4/316.9/318.5/"

@@ -1,16 +1,27 @@
 """Shared composition for the day-over-day (rolling) maintenance-loop
-oracles: every family member's oracle is the SAME two-day shape — day 1
-recomputed from scratch against the corpus minus both days, day 2
-against everything except itself — tagged with an INT day column and
-unioned. One composer, so a change to the day-window convention applies
-to the whole family (minhash signatures, winnowing fingerprints, rollup
-partials, IVF inverted file, NB counts) at once."""
+oracles: every family member's oracle is the SAME N-day shape — day i
+recomputed from scratch against the corpus minus days i..N (days not yet
+crawled as of day i), tagged with an INT day column and unioned. One
+composer, so a change to the day-window convention applies to the whole
+family (minhash signatures, winnowing fingerprints, rollup partials, IVF
+inverted file, NB counts, cluster labels) at once.
+
+Round 11 generalized the composer from the 2-day demo shape to N days
+(VERDICT r10 task #6); the minhash member runs at N=3 in the gated
+registry — a day-3 match reachable only through two consecutive store
+advances — while the other members stay at N=2 (same composer, so
+widening any of them is a days-list change)."""
 
 from __future__ import annotations
 
 
-def two_day_union_sql(day1_sql: str, day2_sql: str) -> str:
-    return (
-        f"SELECT CAST(1 AS INT) AS day, * FROM ({day1_sql})\n"
-        f"UNION ALL\nSELECT CAST(2 AS INT) AS day, * FROM ({day2_sql})"
+def day_union_sql(day_sqls: list[str]) -> str:
+    """UNION ALL of per-day oracle blocks, each tagged day=i+1."""
+    return "\nUNION ALL\n".join(
+        f"SELECT CAST({i + 1} AS INT) AS day, * FROM ({q})"
+        for i, q in enumerate(day_sqls)
     )
+
+
+def two_day_union_sql(day1_sql: str, day2_sql: str) -> str:
+    return day_union_sql([day1_sql, day2_sql])

@@ -13,6 +13,23 @@ from pyspark.sql import DataFrame
 
 _PERSISTED: list[DataFrame] = []
 
+# Per-query eager localCheckpoint()s (the CC fixpoint's converged
+# mapping). A checkpointed frame is NOT freed by unpersist() on the
+# DataFrame — its materialized blocks belong to the RDD inside the
+# plan's LogicalRDD node (see release_shared) — so without tracking,
+# each clustering call leaked a small pinned RDD until the JVM
+# ContextCleaner collected it (ADVICE r10). Tracked separately from
+# _PERSISTED because freeing needs the LogicalRDD handle, and because
+# the free is DESTRUCTIVE: a local checkpoint has no lineage to
+# recompute from, so a post-release re-execution of a plan containing
+# it fails instead of re-persisting. That matches the call discipline
+# release_caches already has (called at query boundaries, after the
+# previous query's result is fully consumed — __spark_entry__._wrap
+# releases BEFORE each build, never after), but it is why producers
+# must checkpoint only frames whose every consumer executes within the
+# same query.
+_CHECKPOINTED: list[DataFrame] = []
+
 # Session-shared tier: survives release_caches(). For tiny, deterministic
 # result sets that MULTIPLE registered queries rebuild identically in one
 # session (the MinHash-LSH verified pair set feeds both the
@@ -114,12 +131,31 @@ def persisted_shared(df: DataFrame, src: DataFrame | None = None) -> DataFrame:
     return p
 
 
+def track_checkpoint(df: DataFrame) -> DataFrame:
+    """Register an eagerly-localCheckpoint()ed PER-QUERY frame so
+    release_caches() can free its pinned RDD blocks (via the LogicalRDD
+    handle — a plain unpersist() on the frame frees nothing, see
+    release_shared). Only for frames consumed entirely within one query:
+    after release the blocks are gone and there is no lineage to rebuild
+    them."""
+    _CHECKPOINTED.append(df)
+    return df
+
+
 def release_caches() -> None:
     """Unpersist every per-query operator-persisted DataFrame (the shared
     tier survives — see _SHARED). Safe at any time — a later query simply
-    re-persists."""
+    re-persists. Tracked per-query checkpoints (track_checkpoint) are
+    freed too; those do NOT re-materialize, which is safe at the
+    query-boundary call sites this function has (results consumed)."""
     while _PERSISTED:
         _PERSISTED.pop().unpersist()
+    while _CHECKPOINTED:
+        p = _CHECKPOINTED.pop()
+        try:
+            p._jdf.queryExecution().analyzed().rdd().unpersist(False)
+        except Exception:
+            pass  # never-materialized / non-RDD plan
 
 
 def release_shared() -> None:

@@ -1042,6 +1042,24 @@ def write_nb_count_store(
     counts (nb_model_from_counts) without re-tokenizing a single corpus
     document. The weight store (write_nb_model_store) is the frozen
     deployment artifact; this is the one the training loop advances."""
+    w = (
+        nb_count_rows(documents)
+        .withColumn("batch", F.lit(batch))
+        .write.mode("overwrite")
+        .partitionBy("batch")
+    )
+    if dynamic:
+        w = w.option("partitionOverwriteMode", "dynamic")
+    w.parquet(path)
+
+
+def nb_count_rows(documents: DataFrame) -> DataFrame:
+    """The count store's ROW derivation (kind='tok' per-token class
+    counts + the kind='docs' class doc-count row), shared by the batch
+    writer and the streaming admission path — counts are additive, so a
+    day's counts equal the SUM of its micro-batches' count rows
+    (plans/datapipe.daily_crawl_stream lands one bid=N set per batch;
+    nb_model_from_counts re-aggregates by token across them)."""
     pos = F.expr(NB_POS_LABEL_SQL)
     stats = _nb_token_stats(documents).withColumn("kind", F.lit("tok"))
     docs_row = documents.agg(
@@ -1053,15 +1071,7 @@ def write_nb_count_store(
         "c_neg",
         F.lit("docs").alias("kind"),
     )
-    w = (
-        stats.unionByName(docs_row)
-        .withColumn("batch", F.lit(batch))
-        .write.mode("overwrite")
-        .partitionBy("batch")
-    )
-    if dynamic:
-        w = w.option("partitionOverwriteMode", "dynamic")
-    w.parquet(path)
+    return stats.unionByName(docs_row)
 
 
 def nb_model_from_counts(counts: DataFrame) -> DataFrame:
@@ -1780,7 +1790,12 @@ def _learn_bpe_merges(documents: DataFrame) -> list[tuple[int, str, str, str, in
     # BPE_N_MERGES+1 copies of the vocabulary table briefly co-resident
     # — vocabulary-bounded, not corpus-bounded, so the memory stays
     # model-sized; the result itself is a driver-side list, so nothing
-    # downstream depends on these caches.
+    # downstream depends on these caches. If a large multilingual
+    # vocabulary × many merges ever makes that aggregate footprint
+    # spill, the relief valve is the one _cc_fixpoint_loop uses for its
+    # final mapping: localCheckpoint each generation (lineage truncated
+    # ⇒ no recompile-and-drop cascade) so predecessors can be freed
+    # mid-loop (ADVICE r10 — deliberate deferral until pressure shows).
     for g in generations:
         g.unpersist()
     return merges

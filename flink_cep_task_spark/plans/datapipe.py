@@ -290,7 +290,22 @@ def _rolling_sig_store(spark: SparkSession, sf_dir: str) -> str:
     rows). A store whose BUILT content mixes the corpus across
     partitions (NB 'base' counts, the IVF centroid fit) cannot use this
     — those keep dedicated both-days-excluded builds. Net: one
-    signature-store build per process instead of two."""
+    signature-store build per process instead of two.
+
+    File-listing staleness hazard (ADVICE r10): content identity makes
+    ANSWERS order-independent, but a dynamic partition overwrite
+    replaces a partition's files under NEW names — a DataFrame whose
+    file listing was captured before an admission and EXECUTED after
+    it, with a rewritten day partition in scope, fails with
+    missing-file errors (it is not wrong, it is dead). Every consumer
+    of the shared stores (dedup_incremental_minhash_stored,
+    dedup_substring_stored, dedup_clusters_stored, the rolling loops,
+    daily_crawl_pipeline) therefore creates its store read AFTER the
+    last admission that could rewrite a partition its scan keeps —
+    either by pinning the day partitions OUT (the rolling day-1 reads)
+    or by reading fresh post-admission (the day-2 probes). Hold that
+    ordering when adding consumers, or re-read the store after any
+    admission instead of reusing a pre-admission DataFrame."""
     return _signature_store(spark, sf_dir)
 
 
@@ -316,18 +331,23 @@ def dedup_substring_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_incremental_minhash_rolling(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    """Day-over-day signature-store MAINTENANCE (VERDICT r8 task #1):
-    probe day 1 (src0) against the corpus store, write day-1's
-    signatures back into the store (operators/dedup.
-    append_minhash_signatures — idempotent dynamic-partition overwrite),
-    then probe day 2 (src1) against the ADVANCED store, so day-2 near-
-    dups of day-1 docs are caught via stored signatures without
-    re-shingling day-1 text. Oracle is the full recompute over
-    corpus ∪ day1 ∪ day2; the store changes cost, never answers."""
+    """Day-over-day signature-store MAINTENANCE (VERDICT r8 task #1),
+    widened to a THREE-day cadence in round 11 (VERDICT r10 task #6):
+    for each day in ROLLING_DAYS (src0, src1, src2), probe the day's
+    batch against the store as advanced by every PRIOR day's admission
+    (day-i store read pinned to exclude days i..N), then write the
+    day's signatures back (operators/dedup.append_minhash_signatures —
+    idempotent dynamic-partition overwrite). A day-3 near-dup whose
+    only partner arrived on day 2 is caught via stored signatures that
+    exist ONLY because two consecutive admissions advanced the store —
+    the gated oracle (full recompute of all three days) proves the
+    cadence, not just a single advance. No day's text is ever
+    re-shingled after its own admission."""
     return D.dedup_minhash_rolling(
         spark,
         widen_small_scan(load_table(spark, sf_dir, "documents")),
         _rolling_sig_store(spark, sf_dir),
+        days=D.ROLLING_DAYS,
     )
 
 
@@ -786,6 +806,128 @@ def _daily_crawl_sql() -> str:
 DAILY_CRAWL_SQL = _daily_crawl_sql()
 
 
+def daily_crawl_stream_run(spark: SparkSession, sf_dir: str):
+    """STREAMING edition of the daily crawl cycle (VERDICT r10 task #5),
+    returning (decisions, workdir, n_batches) so the replay test can
+    inspect the micro-batch layout; daily_crawl_stream is the registered
+    wrapper.
+
+    Day-1's documents are replayed as a FILE STREAM across 4 micro-
+    batches (maxFilesPerTrigger=1 over a 4-file day partition — the
+    shape of a crawler landing files through the day), and each
+    micro-batch runs, inside foreachBatch:
+      * the REAL batch decision probe — _daily_cycle against the
+        corpus-pinned stores (gopher → stored-NB → exact-vs-store →
+        stored-minhash → stored-winnowing), exactly the code
+        daily_crawl_pipeline runs for its day-1 slice;
+      * the REAL admission row derivations — minhash_signature_rows,
+        winnow_fingerprint_rows, nb_count_rows, the same functions the
+        batch store writers call;
+    each landing under its own bid=N directory with overwrite — the
+    rollup_stream_maintain idempotence pattern, exactly-once under
+    foreachBatch's at-least-once retries.
+
+    Why batch boundaries can't change anything: every stage is PER-DOC
+    (a doc's decision depends on its own text plus stores that do not
+    advance during the day — the day's own admissions land in bid
+    areas, not in the probed stores), so the union of micro-batch
+    outputs equals the one-shot day-1 computation. The oracle is the
+    from-scratch day-1 cycle SQL (DAILY_CRAWL_STREAM_SQL — the day-1
+    half of daily_crawl_pipeline's oracle), and
+    tests/test_crawl_stream.py pins the multi-batch replay plus
+    admission-content equality: union(bid=*) signature/fingerprint rows
+    == the whole day's derivation, and the bid-sharded NB counts
+    re-aggregate to the day's exact counts. At production scale the
+    admission areas are a streaming sink compacted into the day's store
+    partition at day close (compact_dataset), turning N micro-batch
+    files into the same partition the batch admission writes."""
+    import glob as _glob
+    import os
+    import tempfile
+    import uuid
+
+    from flink_cep_task_spark.operators.cache import persisted
+    from flink_cep_task_spark.operators.text import (
+        nb_count_rows,
+        nb_model_from_counts,
+    )
+    from flink_cep_task_spark.plans.cep_queries import _shuffle_partitions
+    from flink_cep_task_spark.streaming.pipeline import await_stream
+
+    day1, day2 = D.INCREMENTAL_INCOMING_SOURCE, D.ROLLING_DAY2_SOURCE
+    sig_path = _rolling_sig_store(spark, sf_dir)
+    fp_path = _rolling_fp_store(spark, sf_dir)
+    nb_path = _rolling_nb_count_store(spark, sf_dir)
+    m1 = persisted(
+        nb_model_from_counts(
+            spark.read.parquet(nb_path).filter(F.col("batch") == "base")
+        )
+    )
+    pred = ~F.col("source").isin(day1, day2)
+
+    work = tempfile.mkdtemp(prefix=f"crawlstream_{uuid.uuid4().hex[:8]}_")
+    src = os.path.join(work, "src")
+    n_files = 4
+    (
+        widen_small_scan(load_table(spark, sf_dir, "documents"))
+        .filter(F.col("source") == day1)
+        .select("doc_id", "text", "lang", "source")
+        .repartition(n_files)
+        .write.mode("overwrite")
+        .parquet(src)
+    )
+    stream = (
+        spark.readStream.schema(
+            "doc_id LONG, text STRING, lang STRING, source STRING"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    sink = os.path.join(work, "decisions")
+
+    def crawl_batch(bdf: DataFrame, bid: int) -> None:
+        _daily_cycle(spark, bdf, day1, sig_path, pred, m1, fp_path).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(sink, f"bid={bid}"))
+        for sub, rows in (
+            ("adm_sig", D.minhash_signature_rows(bdf)),
+            ("adm_fp", D.winnow_fingerprint_rows(bdf)),
+            ("adm_nb", nb_count_rows(bdf)),
+        ):
+            rows.write.mode("overwrite").parquet(
+                os.path.join(work, sub, f"bid={bid}")
+            )
+
+    with _shuffle_partitions(spark, 8):
+        q = (
+            stream.writeStream.foreachBatch(crawl_batch)
+            .option("checkpointLocation", os.path.join(work, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        await_stream(q, 600)
+
+    n_batches = len(_glob.glob(os.path.join(sink, "bid=*")))
+    decisions = spark.read.parquet(sink).select(
+        "doc_id", "kept", "n_tokens", "log_odds", "nb_keep", "is_exact_dup",
+        "near_status", "match_id", "jaccard", "substring_status", "curated",
+    )
+    return decisions, work, n_batches
+
+
+def daily_crawl_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered streaming crawl-cycle query — see daily_crawl_stream_run."""
+    return daily_crawl_stream_run(spark, sf_dir)[0]
+
+
+def _daily_crawl_stream_sql() -> str:
+    day1, day2 = D.INCREMENTAL_INCOMING_SOURCE, D.ROLLING_DAY2_SOURCE
+    return _daily_cycle_sql(day1, f"source NOT IN ('{day1}', '{day2}')")
+
+
+DAILY_CRAWL_STREAM_SQL = _daily_crawl_stream_sql()
+
+
 def rag_retrieve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RAG retrieval composition: exact top-k cosine neighbors for each
     query vector (knn_bruteforce), joined to the documents table
@@ -1124,6 +1266,7 @@ DATAPIPE_QUERIES: dict[str, tuple] = {
         D.DEDUP_CLUSTERS_ROLLING_SQL,
     ),
     "daily_crawl_pipeline": (daily_crawl_pipeline, DAILY_CRAWL_SQL),
+    "daily_crawl_stream": (daily_crawl_stream, DAILY_CRAWL_STREAM_SQL),
     "decontaminate": (_docs(D.decontaminate), D.DECONTAMINATE_SQL),
     "curate_top_quality": (_docs(T.curate_top_quality), T.CURATE_SQL),
     "media_chunk_audio": (_docs(M.media_chunk_audio), M.MEDIA_CHUNK_SQL),

@@ -186,6 +186,8 @@ OVERFLOW_LAST = (
     # round-10 additions
     "dedup_clusters_rolling",
     "daily_crawl_pipeline",
+    # round-11 additions
+    "daily_crawl_stream",
 )
 
 

@@ -115,3 +115,58 @@ def test_curation_funnel_counts_null_text_docs_in_raw(spark, tmp_path):
     # and the null-text doc is in src0's raw count, not kept
     base_src0 = base.filter("source = 'src0'").count()
     assert got["src0"][0] == base_src0 + 1
+
+
+def test_cc_checkpoint_freed_by_release_caches(spark):
+    """The CC fixpoint's converged mapping is an eager localCheckpoint;
+    unpersist() on the frame frees nothing (the blocks belong to the
+    LogicalRDD's RDD), so before round 11 each clustering call leaked a
+    pinned RDD until JVM ContextCleaner GC (ADVICE r10). Pin: after
+    release_caches() the persistent-RDD registry is back to its
+    pre-clustering size."""
+    from flink_cep_task_spark.operators.cache import release_caches
+    from flink_cep_task_spark.operators.dedup import _cluster_from_pairs
+
+    def n_persistent() -> int:
+        return spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+
+    release_caches()
+    n0 = n_persistent()
+    docs = spark.createDataFrame([(1,), (2,), (3,)], "doc_id LONG")
+    pairs = spark.createDataFrame([(1, 2)], "doc_a LONG, doc_b LONG")
+    out = _cluster_from_pairs(docs, pairs)
+    got = {r["doc_id"]: r["cluster_id"] for r in out.collect()}
+    assert got == {1: 1, 2: 1, 3: 3}
+    assert n_persistent() > n0  # operator persists + the checkpoint live
+    release_caches()
+    assert n_persistent() == n0  # checkpoint included — nothing pinned
+
+
+def test_cluster_label_store_debug_containment(spark, tmp_path, monkeypatch):
+    """SPARK_GRAFT_DEBUG_STORES=1 makes write_cluster_label_store verify
+    the threaded CC mapping's universe is contained in the passed labels
+    frame (the precondition under which the star-edge fast path equals
+    the full frame — ADVICE r10). A pair set referencing a doc outside
+    the documents universe must raise instead of silently persisting a
+    star edge the full frame would have dropped."""
+    import pytest as _pytest
+
+    from flink_cep_task_spark.operators.cache import release_caches
+    from flink_cep_task_spark.operators.dedup import (
+        _cluster_from_pairs,
+        write_cluster_label_store,
+    )
+
+    monkeypatch.setenv("SPARK_GRAFT_DEBUG_STORES", "1")
+    docs = spark.createDataFrame([(1,), (2,)], "doc_id LONG")
+    ok = _cluster_from_pairs(docs, spark.createDataFrame([(1, 2)], "doc_a LONG, doc_b LONG"))
+    write_cluster_label_store(ok, str(tmp_path / "ok"), epoch="base")
+    rows = spark.read.parquet(str(tmp_path / "ok")).collect()
+    assert {(r["doc_id"], r["cluster_id"]) for r in rows} == {(2, 1)}
+
+    # poisoned: edge endpoint 3 is not in the documents universe — the
+    # mapping carries it, the corpus-joined frame drops it
+    bad = _cluster_from_pairs(docs, spark.createDataFrame([(1, 3)], "doc_a LONG, doc_b LONG"))
+    with _pytest.raises(ValueError, match="outside"):
+        write_cluster_label_store(bad, str(tmp_path / "bad"), epoch="base")
+    release_caches()

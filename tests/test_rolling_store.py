@@ -441,3 +441,26 @@ def test_nb_count_merge_equals_refit(spark, tmp_path):
         ).collect()
     }
     assert {d: v for (day, d), v in rolling.items() if day == 1} == refit1
+
+
+def test_three_day_rolling_operator_chain(spark, tmp_path):
+    """The N-day generalization (VERDICT r10 task #6) run by the
+    operator itself: day 3's partner arrived on day 2, whose partner
+    arrived on day 1 — the chain exists only through two consecutive
+    admissions inside ONE dedup_minhash_rolling call."""
+    from tests.test_store_compaction import ROWS, SCHEMA
+
+    docs = spark.createDataFrame(ROWS, SCHEMA)
+    path = str(tmp_path / "sig3")
+    write_minhash_signature_store(
+        docs.filter(~F.col("source").isin("d1", "d2", "d3")), path
+    )
+    got = {
+        (r["day"], r["doc_id"]): (r["status"], r["match_id"])
+        for r in dedup_minhash_rolling(
+            spark, docs, path, days=["d1", "d2", "d3"]
+        ).collect()
+    }
+    assert got[(1, 10)] == ("new", None)
+    assert got[(2, 20)] == ("near_dup", 10)
+    assert got[(3, 30)] == ("near_dup", 20)

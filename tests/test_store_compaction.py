@@ -144,7 +144,7 @@ CHAIN3_ROWS = [
 ]
 
 
-def test_cluster_label_three_day_cadence_then_compaction(spark, tmp_path):
+def test_cluster_label_three_day_cadence_then_compaction(spark, tmp_path, monkeypatch):
     from flink_cep_task_spark.operators.dedup import (
         CLUSTER_BASE_EPOCH,
         _cluster_from_pairs,
@@ -152,8 +152,13 @@ def test_cluster_label_three_day_cadence_then_compaction(spark, tmp_path):
         dedup_clusters_from_store,
         minhash_pairs_from_store,
         read_cluster_label_store,
+        retire_label_epochs,
         write_cluster_label_store,
     )
+
+    # every admission in this cadence runs under the debug containment
+    # check (write_cluster_label_store's fast-path precondition)
+    monkeypatch.setenv("SPARK_GRAFT_DEBUG_STORES", "1")
 
     docs = spark.createDataFrame(CHAIN3_ROWS, SCHEMA)
     corpus_sig = docs.filter(~F.col("source").isin(*DAYS))
@@ -231,3 +236,88 @@ def test_cluster_label_three_day_cadence_then_compaction(spark, tmp_path):
         and "epoch" in ln.split("PartitionFilters")[1].split("]")[0]
         for ln in scans
     ), "compacted label store lost epoch pruning"
+
+
+def test_label_epoch_gc_after_cadence(spark, tmp_path):
+    """Epoch retention for the REWRITING store (VERDICT r10 task #1):
+    every advance writes a complete corpus-sized star-edge mapping under
+    a new epoch, so without GC the store grows O(corpus × days). Reads
+    are epoch-pinned, so retiring superseded epochs is safe by
+    construction — proven here: after a 3-day cadence, GC epochs
+    base+d1, and the day-3 probe (pinned to the surviving d2 epoch)
+    answers bit-for-bit what it answered pre-GC."""
+    from flink_cep_task_spark.operators.dedup import (
+        CLUSTER_BASE_EPOCH,
+        _cluster_from_pairs,
+        dedup_clusters_from_store,
+        minhash_pairs_from_store,
+        read_cluster_label_store,
+        retire_label_epochs,
+        write_cluster_label_store,
+    )
+    import pytest as _pytest
+
+    docs = spark.createDataFrame(CHAIN3_ROWS, SCHEMA)
+    sig_path = str(tmp_path / "signatures")
+    write_minhash_signature_store(
+        docs.filter(~F.col("source").isin(*DAYS)), sig_path
+    )
+    lab_path = str(tmp_path / "labels")
+    sig = spark.read.parquet(sig_path)
+    write_cluster_label_store(
+        _cluster_from_pairs(sig.select("doc_id"), minhash_pairs_from_store(sig)),
+        lab_path,
+        epoch=CLUSTER_BASE_EPOCH,
+    )
+    release_caches()
+
+    prev = CLUSTER_BASE_EPOCH
+    day3_pre = None
+    bytes_per_epoch: dict[str, int] = {}
+    for i, day in enumerate(DAYS):
+        store = spark.read.parquet(sig_path).filter(~F.col("source").isin(*DAYS[i:]))
+        lab = read_cluster_label_store(spark, lab_path, prev)
+        universe = docs.filter(~F.col("source").isin(*DAYS[i + 1:]))
+        r = dedup_clusters_from_store(universe, lab, store, day)
+        if day == "d3":
+            day3_pre = {x["doc_id"]: x["cluster_id"] for x in r.collect()}
+        else:
+            r.collect()
+        append_minhash_signatures(docs.filter(F.col("source") == day), sig_path)
+        write_cluster_label_store(r, lab_path, epoch=day, dynamic=True)
+        prev = day
+        release_caches()
+    bytes_per_epoch = {
+        ep: sum(
+            os.path.getsize(p)
+            for p in _store_files(os.path.join(lab_path, f"epoch={ep}"))
+        )
+        for ep in [CLUSTER_BASE_EPOCH, *DAYS]
+    }
+    # O(corpus × days): every epoch carries a full mapping's bytes
+    assert all(b > 0 for b in bytes_per_epoch.values())
+
+    # guard: a retain set matching no existing epoch refuses to run
+    with _pytest.raises(ValueError, match="retains no existing epoch"):
+        retire_label_epochs(lab_path, keep=["nonexistent"])
+
+    # GC the superseded epochs (keep_last sorts: base < d1 < d2 < d3 —
+    # but 'base' sorts first so keep_last=2 keeps d2, d3)
+    stats = retire_label_epochs(lab_path, keep_last=2)
+    assert stats == {"retired": [CLUSTER_BASE_EPOCH, "d1"], "kept": ["d2", "d3"]}
+    dirs = {os.path.basename(d) for d in glob.glob(os.path.join(lab_path, "epoch=*"))}
+    assert dirs == {"epoch=d2", "epoch=d3"}
+    # reclaimed exactly the superseded epochs' bytes
+    left = sum(os.path.getsize(p) for p in _store_files(lab_path))
+    assert left == bytes_per_epoch["d2"] + bytes_per_epoch["d3"]
+
+    # the day-3 probe re-runs pinned to the SURVIVING d2 epoch,
+    # bit-for-bit identical — GC changed bytes, never answers
+    store3 = spark.read.parquet(sig_path).filter(F.col("source") != "d3")
+    lab3 = read_cluster_label_store(spark, lab_path, "d2")
+    recheck = {
+        x["doc_id"]: x["cluster_id"]
+        for x in dedup_clusters_from_store(docs, lab3, store3, "d3").collect()
+    }
+    assert recheck == day3_pre
+    release_caches()
