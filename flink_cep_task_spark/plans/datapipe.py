@@ -546,6 +546,9 @@ def _daily_cycle(
     nb_model: DataFrame,
     fp_store_path: str,
     fp_corpus_pred=None,
+    nb_consts: dict | None = None,
+    nb_weights: DataFrame | None = None,
+    nb_n_weights: int | None = None,
 ) -> DataFrame:
     """One day's curation decisions, every stage probing a STORE: the
     day's batch goes through the Gopher gate (stateless), the stored NB
@@ -565,9 +568,14 @@ def _daily_cycle(
 
     batch = docs.filter(F.col("source") == day)
     gate = filter_gopher(batch).select("doc_id", "kept")
-    nb = quality_nb_score_from_store(batch, nb_model).withColumnRenamed(
-        "keep", "nb_keep"
-    )
+    # nb_consts/nb_weights: a repeated caller (daily_crawl_stream runs
+    # this per micro-batch) pre-collects the 2-row model scalars and the
+    # weight frame once per stream so the driver round-trip isn't paid
+    # per batch — same contract as quality_nb_score_from_store itself
+    nb = quality_nb_score_from_store(
+        batch, nb_model, consts=nb_consts, weights=nb_weights,
+        n_weights=nb_n_weights,
+    ).withColumnRenamed("keep", "nb_keep")
     store = spark.read.parquet(sig_store_path).filter(sig_corpus_pred)
     # exact tier: batch keys vs the store's key column — a shuffled
     # equi-join of 32-byte md5 keys (the corpus side is every stored
@@ -849,6 +857,7 @@ def daily_crawl_stream_run(spark: SparkSession, sf_dir: str):
     from flink_cep_task_spark.operators.cache import persisted
     from flink_cep_task_spark.operators.text import (
         nb_count_rows,
+        nb_model_consts,
         nb_model_from_counts,
     )
     from flink_cep_task_spark.plans.cep_queries import _shuffle_partitions
@@ -863,6 +872,12 @@ def daily_crawl_stream_run(spark: SparkSession, sf_dir: str):
             spark.read.parquet(nb_path).filter(F.col("batch") == "base")
         )
     )
+    # model consts + weight frame collected ONCE before the stream —
+    # inside the per-batch cycle they would re-run as driver round-trips
+    # every micro-batch (quality_nb_stream's discipline)
+    consts = nb_model_consts(m1)
+    weights = m1.filter(F.col("kind") == "w").select("tok", "w")
+    n_weights = weights.count()
     pred = ~F.col("source").isin(day1, day2)
 
     work = tempfile.mkdtemp(prefix=f"crawlstream_{uuid.uuid4().hex[:8]}_")
@@ -886,9 +901,10 @@ def daily_crawl_stream_run(spark: SparkSession, sf_dir: str):
     sink = os.path.join(work, "decisions")
 
     def crawl_batch(bdf: DataFrame, bid: int) -> None:
-        _daily_cycle(spark, bdf, day1, sig_path, pred, m1, fp_path).write.mode(
-            "overwrite"
-        ).parquet(os.path.join(sink, f"bid={bid}"))
+        _daily_cycle(
+            spark, bdf, day1, sig_path, pred, m1, fp_path,
+            nb_consts=consts, nb_weights=weights, nb_n_weights=n_weights,
+        ).write.mode("overwrite").parquet(os.path.join(sink, f"bid={bid}"))
         for sub, rows in (
             ("adm_sig", D.minhash_signature_rows(bdf)),
             ("adm_fp", D.winnow_fingerprint_rows(bdf)),
