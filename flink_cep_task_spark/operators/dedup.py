@@ -1660,30 +1660,43 @@ def dedup_substring_rolling(
     spark,
     documents: DataFrame,
     store_path: str,
-    day1: str = INCREMENTAL_INCOMING_SOURCE,
-    day2: str = ROLLING_DAY2_SOURCE,
+    day1: str | None = None,
+    day2: str | None = None,
+    days: list[str] | None = None,
 ) -> DataFrame:
     """Day-over-day maintenance loop for the SUBSTRING tier — the
     winnowing-fingerprint edition of dedup_minhash_rolling (same probe →
     admit → probe-the-advanced-store shape, same per-day cost: only the
     arriving batch is tokenized; the corpus rides partition-pruned store
     FileScans). A day-2 document sharing a shifted passage ONLY with a
-    day-1 document is caught via day-1's STORED fingerprints. Day-1's
-    store read excludes BOTH days' partitions (rerun-safe after any
-    later admission); oracle = the full recompute of both days."""
-    store1 = spark.read.parquet(store_path).filter(
-        ~F.col("source").isin(day1, day2)
-    )
-    r1 = dedup_substring_incremental_from_store(documents, store1, day1)
-    append_winnow_fingerprints(
-        documents.filter(F.col("source") == day1), store_path
-    )
-    r2 = dedup_substring_incremental_from_store(
-        documents, spark.read.parquet(store_path), day2
-    )
-    return r1.select(F.lit(1).alias("day"), "*").unionByName(
-        r2.select(F.lit(2).alias("day"), "*")
-    )
+    day-1 document is caught via day-1's STORED fingerprints. Each
+    day's store read excludes its own and all FUTURE days' partitions
+    (rerun-safe after any later admission, and created after every
+    admission that rewrites a partition it keeps — the file-listing
+    discipline _rolling_sig_store documents); oracle = the full
+    recompute of all days. The registered query runs days=ROLLING_DAYS
+    (N=3) like its minhash sibling — one composer, two families proving
+    the cadence chain through the gated oracle; the 2-day day1=/day2=
+    form remains for the pytest fixtures."""
+    if days is None:
+        days = [
+            day1 or INCREMENTAL_INCOMING_SOURCE,
+            day2 or ROLLING_DAY2_SOURCE,
+        ]
+    parts = []
+    for i, day in enumerate(days):
+        store = spark.read.parquet(store_path).filter(
+            ~F.col("source").isin(*days[i:])
+        )
+        r = dedup_substring_incremental_from_store(documents, store, day)
+        parts.append(r.select(F.lit(i + 1).alias("day"), "*"))
+        append_winnow_fingerprints(
+            documents.filter(F.col("source") == day), store_path
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 def dedup_substring_incremental_sql(
@@ -1750,22 +1763,23 @@ LEFT JOIN best b ON b.doc_a = d.doc_id
 DEDUP_SUBSTRING_INCREMENTAL_SQL = dedup_substring_incremental_sql()
 
 
-def dedup_substring_rolling_sql(
-    day1: str = INCREMENTAL_INCOMING_SOURCE, day2: str = ROLLING_DAY2_SOURCE
-) -> str:
-    """Full-recompute oracle for the substring rolling loop — same
-    two-day composition as dedup_minhash_rolling_sql."""
-    d1 = dedup_substring_incremental_sql(
-        incoming_where=f"source = '{day1}'",
-        corpus_where=f"source NOT IN ('{day1}', '{day2}')",
-    )
-    d2 = dedup_substring_incremental_sql(
-        incoming_where=f"source = '{day2}'",
-        corpus_where=f"source <> '{day2}'",
-    )
-    from flink_cep_task_spark.functions.rolling import two_day_union_sql
+def dedup_substring_rolling_sql(days: list[str] | None = None) -> str:
+    """Full-recompute oracle for the substring rolling loop — the same
+    N-day composition as dedup_minhash_rolling_sql: day i classified
+    against the corpus minus days i..N."""
+    from flink_cep_task_spark.functions.rolling import day_union_sql
 
-    return two_day_union_sql(d1, d2)
+    days = list(days or ROLLING_DAYS)
+    sqls = []
+    for i, day in enumerate(days):
+        not_in = ", ".join(f"'{d}'" for d in days[i:])
+        sqls.append(
+            dedup_substring_incremental_sql(
+                incoming_where=f"source = '{day}'",
+                corpus_where=f"source NOT IN ({not_in})",
+            )
+        )
+    return day_union_sql(sqls)
 
 
 DEDUP_SUBSTRING_ROLLING_SQL = dedup_substring_rolling_sql()

@@ -318,13 +318,18 @@ def _rolling_fp_store(spark: SparkSession, sf_dir: str) -> str:
 def dedup_substring_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Day-over-day winnowing-fingerprint store maintenance
     (operators/dedup.dedup_substring_rolling): the substring-tier member
-    of the maintenance-loop family — day-1 probe, fingerprint admission
-    (idempotent dynamic-partition overwrite), day-2 probe against the
-    advanced store. Oracle = the full recompute of both days."""
+    of the maintenance-loop family, running the SAME three-day cadence
+    as its minhash sibling (days=ROLLING_DAYS — probe pinned to prior
+    admissions, fingerprint admission as idempotent dynamic-partition
+    overwrite, next day's probe against the advanced store). Oracle =
+    the full recompute of all three days; the shared N-day composer
+    (functions/rolling.day_union_sql) proves the generalization holds
+    across families, not just for minhash."""
     return D.dedup_substring_rolling(
         spark,
         widen_small_scan(load_table(spark, sf_dir, "documents")),
         _rolling_fp_store(spark, sf_dir),
+        days=D.ROLLING_DAYS,
     )
 
 

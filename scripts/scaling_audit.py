@@ -112,6 +112,8 @@ QUERIES = [
     # round-10 additions
     "dedup_clusters_rolling",
     "daily_crawl_pipeline",
+    # round-11 additions
+    "daily_crawl_stream",
 ]
 BASE = "/root/testdata/sf0.1"
 
