@@ -7,10 +7,11 @@ family (minhash signatures, winnowing fingerprints, rollup partials, IVF
 inverted file, NB counts, cluster labels) at once.
 
 Round 11 generalized the composer from the 2-day demo shape to N days
-(VERDICT r10 task #6); the minhash member runs at N=3 in the gated
-registry — a day-3 match reachable only through two consecutive store
-advances — while the other members stay at N=2 (same composer, so
-widening any of them is a days-list change)."""
+(VERDICT r10 task #6) and widened the minhash and substring members to
+N=3 in the gated registry — a day-3 match reachable only through two
+consecutive store advances; round 12 widened the remaining members
+(cluster labels, rollup partials, IVF inverted file, NB counts) to the
+same 3-day cadence through this one composer."""
 
 from __future__ import annotations
 

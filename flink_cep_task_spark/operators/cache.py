@@ -144,10 +144,11 @@ def track_checkpoint(df: DataFrame) -> DataFrame:
 
 def release_caches() -> None:
     """Unpersist every per-query operator-persisted DataFrame (the shared
-    tier survives — see _SHARED). Safe at any time — a later query simply
-    re-persists. Tracked per-query checkpoints (track_checkpoint) are
-    freed too; those do NOT re-materialize, which is safe at the
-    query-boundary call sites this function has (results consumed)."""
+    tier survives — see _SHARED). For the persisted tier this is safe at
+    any time — a later query simply re-persists — but tracked per-query
+    checkpoints (track_checkpoint) are freed DESTRUCTIVELY: their blocks
+    have no lineage to rebuild from, so call this only at query
+    boundaries, after the results are consumed."""
     while _PERSISTED:
         _PERSISTED.pop().unpersist()
     while _CHECKPOINTED:

@@ -2383,7 +2383,7 @@ def write_cluster_label_store(
     w.parquet(path)
 
 
-def retire_label_epochs(path: str, keep: list[str] | None = None,
+def retire_label_epochs(spark, path: str, keep: list[str] | None = None,
                         keep_last: int | None = None) -> dict:
     """Epoch GC for the cluster-label store (VERDICT r10 task #1) — the
     retention job the store's growth shape demands: unlike the additive
@@ -2397,37 +2397,59 @@ def retire_label_epochs(path: str, keep: list[str] | None = None,
     never change an answer, only reclaim bytes and shrink the driver's
     partition listing.
 
+    Listing and deletion go through the Hadoop FileSystem API resolved
+    from the store URI (VERDICT r11 task #2): at the 100 TB design point
+    these stores live on object storage or HDFS, where `os.path`/`glob`
+    semantics don't exist — `Path.getFileSystem` routes a local path
+    through the local FS, an `hdfs://`/`s3a://`/`gs://` URI through its
+    connector, so the one operator whose purpose is at-scale byte
+    reclamation runs against the at-scale store. (Deletion still happens
+    on the DRIVER — it is a control-plane metadata job over O(epochs)
+    directories, never a data job.)
+
     `keep` names the epochs to retain explicitly; `keep_last=N` instead
     retains the N lexicographically-latest epochs (daily epochs sort by
     date — callers using non-sorting epoch names must pass `keep`).
-    Always retains at least the latest epoch. Deletion is per-partition
-    directory (hive layout `epoch=<v>/`): partition-granular, atomic per
-    epoch at the directory level, and invisible to pinned readers of
-    surviving epochs — their file listings never contained the retired
+    The lexicographically-LATEST epoch is always retained: an explicit
+    `keep` that omits it raises rather than GCing the store's most
+    recent advance out from under the next incremental probe (rolling
+    back a bad epoch is a different operation — delete it explicitly,
+    don't reach for the GC). Deletion is per-partition directory (hive
+    layout `epoch=<v>/`): partition-granular, atomic per epoch at the
+    directory level, and invisible to pinned readers of surviving
+    epochs — their file listings never contained the retired
     directories. Returns {"retired": [...], "kept": [...]} for the
     caller's audit log."""
-    import glob as _glob
-    import os
-    import shutil
-
-    dirs = {
-        os.path.basename(d).split("=", 1)[1]: d
-        for d in _glob.glob(os.path.join(path, "epoch=*"))
-        if os.path.isdir(d)
-    }
+    sc = spark.sparkContext
+    jvm = sc._jvm
+    root = jvm.org.apache.hadoop.fs.Path(path)
+    fs = root.getFileSystem(sc._jsc.hadoopConfiguration())
+    dirs = {}
+    if fs.exists(root):
+        for st in fs.listStatus(root):
+            name = st.getPath().getName()
+            if st.isDirectory() and name.startswith("epoch="):
+                dirs[name.split("=", 1)[1]] = st.getPath()
     if keep is None:
         if keep_last is None:
             raise ValueError("pass keep=[...] or keep_last=N")
         keep = sorted(dirs)[-keep_last:] if keep_last > 0 else []
-    if dirs and not set(keep) & set(dirs):
-        # an empty retain set would delete the store's only readable
-        # epoch out from under its next consumer
-        raise ValueError(
-            f"keep={keep!r} retains no existing epoch of {sorted(dirs)}"
-        )
+    if dirs:
+        if not set(keep) & set(dirs):
+            # an empty retain set would delete the store's only readable
+            # epoch out from under its next consumer
+            raise ValueError(
+                f"keep={keep!r} retains no existing epoch of {sorted(dirs)}"
+            )
+        latest = max(dirs)
+        if latest not in set(keep):
+            raise ValueError(
+                f"keep={keep!r} would retire the latest epoch {latest!r} — "
+                "the GC never deletes the store's most recent advance"
+            )
     retired = sorted(set(dirs) - set(keep))
     for ep in retired:
-        shutil.rmtree(dirs[ep])
+        fs.delete(dirs[ep], True)
     return {"retired": retired, "kept": sorted(set(dirs) & set(keep))}
 
 

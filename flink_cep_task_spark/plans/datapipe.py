@@ -819,7 +819,10 @@ def _daily_crawl_sql() -> str:
 DAILY_CRAWL_SQL = _daily_crawl_sql()
 
 
-def daily_crawl_stream_run(spark: SparkSession, sf_dir: str):
+_CRAWL_STREAM_WORKDIR: dict[str, str] = {}
+
+
+def daily_crawl_stream_run(spark: SparkSession, sf_dir: str, n_files: int = 4):
     """STREAMING edition of the daily crawl cycle (VERDICT r10 task #5),
     returning (decisions, workdir, n_batches) so the replay test can
     inspect the micro-batch layout; daily_crawl_stream is the registered
@@ -839,6 +842,12 @@ def daily_crawl_stream_run(spark: SparkSession, sf_dir: str):
     each landing under its own bid=N directory with overwrite — the
     rollup_stream_maintain idempotence pattern, exactly-once under
     foreachBatch's at-least-once retries.
+
+    `n_files` sets the day partition's file count and (via
+    maxFilesPerTrigger=1) the micro-batch count — the knob the
+    SCALING.md amortization measurement turns (same day replayed in 2
+    vs 8 batches: per-doc cost falls as the per-batch fixed replay
+    machinery spreads over bigger batches).
 
     Why batch boundaries can't change anything: every stage is PER-DOC
     (a doc's decision depends on its own text plus stores that do not
@@ -885,9 +894,22 @@ def daily_crawl_stream_run(spark: SparkSession, sf_dir: str):
     n_weights = weights.count()
     pred = ~F.col("source").isin(day1, day2)
 
-    work = tempfile.mkdtemp(prefix=f"crawlstream_{uuid.uuid4().hex[:8]}_")
+    # run workdirs nest under ONE per-process parent removed at exit
+    # (r11 advice: a fresh leaked mkdtemp per invocation); each run still
+    # gets its own subdir — the stream checkpoint must be fresh per
+    # replay, and the returned decisions frame reads the run's sink
+    # lazily, so in-process reuse can't rewrite a prior run's files.
+    parent = _CRAWL_STREAM_WORKDIR.get("root")
+    if parent is None:
+        import atexit
+        import shutil
+
+        parent = tempfile.mkdtemp(prefix="crawlstream_")
+        atexit.register(shutil.rmtree, parent, ignore_errors=True)
+        _CRAWL_STREAM_WORKDIR["root"] = parent
+    work = os.path.join(parent, f"run_{uuid.uuid4().hex[:8]}")
+    os.makedirs(work)
     src = os.path.join(work, "src")
-    n_files = 4
     (
         widen_small_scan(load_table(spark, sf_dir, "documents"))
         .filter(F.col("source") == day1)

@@ -137,7 +137,7 @@ def test_recrawl_overwrites_per_doc_rows_and_only_rebuild_splits(spark, tmp_path
     release_caches()
 
     # --- retention closes the loop: GC everything the rebuild superseded
-    stats = retire_label_epochs(lab_path, keep=["rebuilt"])
+    stats = retire_label_epochs(spark, lab_path, keep=["rebuilt"])
     assert stats["retired"] == [CLUSTER_BASE_EPOCH, "d1", "d2"]
     dirs = {os.path.basename(d) for d in glob.glob(os.path.join(lab_path, "epoch=*"))}
     assert dirs == {"epoch=rebuilt"}
