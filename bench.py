@@ -133,42 +133,27 @@ def main() -> None:
     # without reading the notes (VERDICT r7 task #4)
     from flink_cep_task_spark.plans.datapipe import store_build_total
 
-    # Per-query load/CPU columns (VERDICT r10 task #4): three rounds in a
-    # row the builder's and driver's totals diverged 15-20% and needed
-    # after-the-fact median forensics to attribute to tenant load. Record
-    # the attribution data AT MEASUREMENT TIME instead: 1-min loadavg
-    # before/after each query, the box's total busy CPU-seconds across
-    # the query (host_cpu_s — /proc/stat, all cores, all tenants), and
-    # the bench JVM's own CPU-seconds (jvm_cpu_s — /proc/<pid>/stat
-    # utime+stime; undercounts Python-UDF worker time, which accrues to
-    # unreaped worker processes, so treat it as a floor). A query whose
-    # wall inflates while host_cpu_s >> jvm_cpu_s was squeezed by
-    # tenants; one whose jvm_cpu_s grew alongside wall actually did more
-    # work.
-    _hz = float(os.sysconf("SC_CLK_TCK"))
-
-    def _host_jiffies():
-        try:
-            with open("/proc/stat") as fh:
-                parts = fh.readline().split()[1:]
-            # user nice system irq softirq steal (idle+iowait excluded)
-            vals = [int(x) for x in parts[:8]]
-            return vals[0] + vals[1] + vals[2] + vals[5] + vals[6] + vals[7]
-        except Exception:
-            return None
-
-    def _proc_jiffies(pid):
-        try:
-            with open(f"/proc/{pid}/stat") as fh:
-                tail = fh.read().rsplit(")", 1)[1].split()
-            return int(tail[11]) + int(tail[12])  # utime + stime
-        except Exception:
-            return None
+    # Per-query load/CPU attribution + in-run retry (VERDICT r10 task #4,
+    # r11 task #1): see flink_cep_task_spark/benchutil.py. cpu_total_s is
+    # the bench's OWN CPU over its whole process tree (driver + JVM +
+    # Python workers — closes the jvm_cpu_s floor); ext_cpu_s is other
+    # tenants' CPU over the query's interval, and a query squeezed past
+    # SPARK_GRAFT_BENCH_RETRY_CORES external cores is re-run once (faster
+    # attempt kept, both recorded) under a suite-wide retry budget.
+    from flink_cep_task_spark.benchutil import (
+        QueryMeter,
+        RetryBudget,
+        measure_with_retry,
+    )
 
     try:
         jvm_pid = spark.sparkContext._gateway.proc.pid
     except Exception:
         jvm_pid = None
+    meter = QueryMeter(jvm_pid=jvm_pid)
+    budget = RetryBudget(int(os.environ.get("SPARK_GRAFT_BENCH_RETRY_MAX", "40")))
+    retry_cores = float(os.environ.get("SPARK_GRAFT_BENCH_RETRY_CORES", "4"))
+    retry_min_wall = float(os.environ.get("SPARK_GRAFT_BENCH_RETRY_MINWALL", "1.0"))
 
     timings: dict[str, float] = {}
     query_loads: dict[str, dict[str, float]] = {}
@@ -176,25 +161,28 @@ def main() -> None:
     for name, fn in entrymod.queries().items():
         if only and name not in only:
             continue
-        b0 = store_build_total()
-        load_pre = os.getloadavg()[0]
-        h0, j0 = _host_jiffies(), _proc_jiffies(jvm_pid)
-        start = time.perf_counter()
-        df = fn(spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        sec = round(time.perf_counter() - start, 3)
+
+        def run_once(fn=fn):
+            b0 = store_build_total()
+            rec = meter.measure(
+                lambda: fn(spark, sf_dir)
+                .write.format("noop")
+                .mode("overwrite")
+                .save()
+            )
+            # per-attempt build split: a retried *_stored query's second
+            # attempt reuses the per-process store, so build_s must ride
+            # the attempt it was actually paid in
+            rec["build_s"] = round(store_build_total() - b0, 3)
+            return rec
+
+        rec = measure_with_retry(
+            run_once, budget, ext_cores=retry_cores, min_wall=retry_min_wall
+        )
+        sec = rec.pop("wall")
         timings[name] = sec
-        h1, j1 = _host_jiffies(), _proc_jiffies(jvm_pid)
-        loads = {
-            "load_pre": round(load_pre, 2),
-            "load_post": round(os.getloadavg()[0], 2),
-        }
-        if h0 is not None and h1 is not None:
-            loads["host_cpu_s"] = round((h1 - h0) / _hz, 2)
-        if j0 is not None and j1 is not None:
-            loads["jvm_cpu_s"] = round((j1 - j0) / _hz, 2)
-        query_loads[name] = loads
-        build_s = round(store_build_total() - b0, 3)
+        build_s = rec.pop("build_s")
+        query_loads[name] = rec
         if build_s > 0:
             # independently-rounded operands can make the difference
             # marginally negative — clamp, a probe can't cost < 0
@@ -205,6 +193,10 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     total_builds = round(sum(v["build_s"] for v in store_builds.values()), 3)
+    cpu_total = round(
+        sum(v.get("cpu_total_s", 0.0) for v in query_loads.values()), 2
+    )
+    n_retried = sum(1 for v in query_loads.values() if v.get("retried"))
 
     # Full per-query breakdown goes to a repo file (committed per round);
     # the stdout line must survive the driver's bounded tail capture.
@@ -268,11 +260,32 @@ def main() -> None:
                 "unit": "sec",
                 "sf": sf,
                 "n_queries": len(timings),
+                "cpu_total_s": cpu_total,
+                "n_retried": n_retried,
                 "store_build_seconds_total": total_builds,
                 "store_builds": store_builds,
                 "streaming_baseline": streaming_baseline,
                 "query_loads": query_loads,
                 "notes": [
+                    "cpu_total_s (new in round 12, VERDICT r11 task #1) "
+                    "is the bench's OWN busy CPU-seconds per query over "
+                    "the whole process tree — driver python + Spark JVM "
+                    "+ pyspark.daemon + every Python UDF worker (via "
+                    "/proc tree walk; reaped workers fold into parent "
+                    "cutime/cstime, closing the documented jvm_cpu_s "
+                    "floor). It is the load-INDEPENDENT secondary total: "
+                    "round-over-round drift detection should key on it, "
+                    "not wall. ext_cpu_s = host_cpu_s - cpu_total_s is "
+                    "the external tenant pressure measured exactly over "
+                    "the query's interval; a query squeezed past "
+                    "SPARK_GRAFT_BENCH_RETRY_CORES (default 4) external "
+                    "cores for >= 1 s of wall is re-run once and the "
+                    "faster attempt kept (wall_all/ext_all record both; "
+                    "n_retried counts them; a suite-wide budget of "
+                    "SPARK_GRAFT_BENCH_RETRY_MAX=40 bounds the worst "
+                    "case). Mechanism pinned by tests/test_benchutil.py "
+                    "(synthetic out-of-tree CPU burner: retry fires, "
+                    "cpu_total stays flat while host inflates).",
                     "Round-11 surface (160 queries): the new entry is "
                     "daily_crawl_stream — the day-1 crawl cycle "
                     "replayed as a 4-micro-batch file stream with "
@@ -626,6 +639,8 @@ def main() -> None:
             "unit": "sec",
             "sf": sf,
             "n_queries": len(timings),
+            "cpu_total_s": cpu_total,
+            "n_retried": n_retried,
             "detail": "BENCH_DETAIL.json",
             "queries": keep,
         },
