@@ -2490,8 +2490,9 @@ def dedup_clusters_rolling(
     documents: DataFrame,
     label_store_path: str,
     sig_store_path: str,
-    day1: str = INCREMENTAL_INCOMING_SOURCE,
-    day2: str = ROLLING_DAY2_SOURCE,
+    day1: str | None = None,
+    day2: str | None = None,
+    days: list[str] | None = None,
 ) -> DataFrame:
     """Day-over-day CLUSTER-label maintenance — the missing maintenance-
     family member (VERDICT r9 task #2), closing the loop
@@ -2536,44 +2537,81 @@ def dedup_clusters_rolling(
         overwrite replaces the doc's rows), so the split mechanism is a
         scheduled full epoch rebuild from the current signature store
         (rebuild_label_epoch) followed by epoch GC — daily merges,
-        recrawl-cadence rebuilds."""
-    sig1 = spark.read.parquet(sig_store_path).filter(
-        ~F.col("source").isin(day1, day2)
-    )
-    lab_base = read_cluster_label_store(spark, label_store_path, CLUSTER_BASE_EPOCH)
-    docs_d1 = documents.filter(F.col("source") != day2)
-    r1 = dedup_clusters_from_store(docs_d1, lab_base, sig1, day1)
-    # ADMISSION: day-1 signatures (source partition, shared writer) and
-    # the merged labels (day-1 epoch) — both idempotent dynamic
-    # overwrites; the label write lands r1's checkpointed CC mapping
-    # (star edges only), so the day-2 probe below genuinely reads
-    # stored state
-    append_minhash_signatures(documents.filter(F.col("source") == day1), sig_store_path)
-    write_cluster_label_store(r1, label_store_path, epoch=day1, dynamic=True)
-    lab_d1 = read_cluster_label_store(spark, label_store_path, day1)
-    r2 = dedup_clusters_from_store(
-        documents, lab_d1, spark.read.parquet(sig_store_path), day2
-    )
-    return r1.select(F.lit(1).alias("day"), "*").unionByName(
-        r2.select(F.lit(2).alias("day"), "*")
-    )
+        recrawl-cadence rebuilds.
+
+    Generalized to the N-day cadence (VERDICT r11 task #3 — this is the
+    epoch-REWRITING store, where the chained proof matters most): day i
+    merges from the PREVIOUS day's admitted epoch, so a day-3 membership
+    whose only path runs through a day-1⊔day-2 merge is reachable only
+    if both label admissions genuinely advanced the store. Day i's
+    signature read pins OUT days i..N (its own and future partitions —
+    rerun-safe after any number of later admissions) and its universe
+    excludes days i+1..N (not yet crawled). The registered query runs
+    days=ROLLING_DAYS (N=3); the 2-day day1=/day2= form remains for the
+    pytest fixtures."""
+    if days is None:
+        days = [
+            day1 or INCREMENTAL_INCOMING_SOURCE,
+            day2 or ROLLING_DAY2_SOURCE,
+        ]
+    parts = []
+    prev_epoch = CLUSTER_BASE_EPOCH
+    for i, day in enumerate(days):
+        sig = spark.read.parquet(sig_store_path).filter(
+            ~F.col("source").isin(*days[i:])
+        )
+        lab = read_cluster_label_store(spark, label_store_path, prev_epoch)
+        universe = (
+            documents.filter(~F.col("source").isin(*days[i + 1:]))
+            if days[i + 1:]
+            else documents
+        )
+        r = dedup_clusters_from_store(universe, lab, sig, day)
+        parts.append(r.select(F.lit(i + 1).alias("day"), "*"))
+        # ADMISSION: the day's signatures (source partition, shared
+        # writer) and the merged labels (the day's own epoch) — both
+        # idempotent dynamic overwrites; the label write lands r's
+        # checkpointed CC mapping (star edges only), so the next day's
+        # probe genuinely reads stored state
+        append_minhash_signatures(
+            documents.filter(F.col("source") == day), sig_store_path
+        )
+        write_cluster_label_store(r, label_store_path, epoch=day, dynamic=True)
+        prev_epoch = day
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
 
 
-def dedup_clusters_rolling_sql(
-    day1: str = INCREMENTAL_INCOMING_SOURCE, day2: str = ROLLING_DAY2_SOURCE
-) -> str:
-    """Full-recompute oracle for the cluster rolling loop: day 1
-    clustered over the world minus day 2 (tomorrow hasn't been crawled),
-    day 2 over everything — the stores change COST, never answers."""
-    from flink_cep_task_spark.functions.rolling import two_day_union_sql
+def dedup_clusters_rolling_sql(days: list[str] | None = None) -> str:
+    """Full-recompute oracle for the cluster rolling loop: day i
+    clustered over the world minus days i+1..N (the days not yet
+    crawled as of day i) — the stores change COST, never answers. The
+    N-day shape makes the gated oracle prove the label-cadence chain:
+    a day-3 membership that exists only via a day-2 merge of day-1
+    clusters requires both admitted epochs to be correct spanning
+    structures."""
+    from flink_cep_task_spark.functions.rolling import day_union_sql
 
-    d1 = dedup_clusters_sql(
-        source="docs_d1",
-        prelude=(
-            f"docs_d1 AS (SELECT * FROM documents WHERE source <> '{day2}'),\n"
-        ),
-    )
-    return two_day_union_sql(d1, dedup_clusters_sql())
+    days = list(days or ROLLING_DAYS)
+    blocks = []
+    for i in range(len(days)):
+        future = days[i + 1:]
+        if future:
+            in_list = ", ".join(f"'{d}'" for d in future)
+            blocks.append(
+                dedup_clusters_sql(
+                    source=f"docs_d{i + 1}",
+                    prelude=(
+                        f"docs_d{i + 1} AS (SELECT * FROM documents "
+                        f"WHERE source NOT IN ({in_list})),\n"
+                    ),
+                )
+            )
+        else:
+            blocks.append(dedup_clusters_sql())
+    return day_union_sql(blocks)
 
 
 DEDUP_CLUSTERS_ROLLING_SQL = dedup_clusters_rolling_sql()

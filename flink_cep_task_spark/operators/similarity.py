@@ -814,6 +814,11 @@ IVF_INCOMING_LABEL = 9
 # "yesterday's crawl", label 9 stays "today's"
 IVF_ROLLING_DAY1_LABEL = 8
 
+# the 3-day rolling cadence (VERDICT r11 task #3): label 7 is the
+# earliest day, 9 the latest — the day-3 probe's index state is
+# reachable only through two consecutive inverted-file admissions
+IVF_ROLLING_DAYS = (7, IVF_ROLLING_DAY1_LABEL, IVF_INCOMING_LABEL)
+
 
 def write_ivf_index_store(
     embeddings: DataFrame,
@@ -1011,58 +1016,67 @@ def ann_ivf_rolling(
     spark,
     embeddings: DataFrame,
     store_path: str,
-    day1=IVF_ROLLING_DAY1_LABEL,
-    day2=IVF_INCOMING_LABEL,
+    days: tuple = IVF_ROLLING_DAYS,
 ) -> DataFrame:
     """Day-over-day IVF index maintenance — the ANN edition of the
-    signature-store maintenance loop (VERDICT r8 task #1):
+    signature-store maintenance loop (VERDICT r8 task #1), at the
+    shared 3-day cadence (VERDICT r11 task #3):
 
-      day 1: top-5 probe with inv = STORED corpus (batch=base only) ∪
-             the day-1 batch assigned on the fly, then ADMIT the day-1
-             (vec_id, cell) rows into the inverted file
+      day i: top-5 probe with inv = the STORED inverted file pinned to
+             the partitions admitted BEFORE day i (batch=base ∪
+             d1..d{i-1}) ∪ the day-i batch assigned on the fly, then
+             ADMIT the day-i (vec_id, cell) rows
              (append_ivf_assignments — idempotent dynamic overwrite of
-             the batch=d1 partitions; centroids never refitted);
-      day 2: the same probe with inv = the ADVANCED store (base ∪ d1
-             partitions) ∪ the day-2 batch — day-1 vectors are never
-             re-assigned through Python; their cells arrive as store
-             FileScan rows.
+             the batch=d{i} partitions; centroids never refitted).
 
-    Day-1's store read is pinned to batch=base (rerun-safe after its own
-    admission and independent of directory-listing time). Oracle = the
-    from-scratch IVF replay per day (fit excludes both days, exactly the
-    store build's corpus; day-1's neighbor universe excludes the
-    not-yet-crawled day-2 batch)."""
-    r1 = ann_ivf_stored(
-        embeddings, store_path, incoming_label=day1, batch_in=("base",)
-    )
-    append_ivf_assignments(embeddings, store_path, day1, "d1")
-    r2 = ann_ivf_stored(
-        embeddings, store_path, incoming_label=day2, batch_in=("base", "d1")
-    )
-    return r1.select(F.lit(1).alias("day"), "*").unionByName(
-        r2.select(F.lit(2).alias("day"), "*")
-    )
+    Day-i vectors are assigned through Python exactly once (their own
+    probe); every later day sees their cells as store FileScan rows.
+    Each probe's batch_in pin makes it rerun-safe after any number of
+    later admissions. Oracle = the from-scratch IVF replay per day
+    (fit excludes every rolling day, exactly the store build's corpus;
+    day i's neighbor universe excludes the not-yet-crawled days
+    i+1..N)."""
+    parts = []
+    batches = ["base"]
+    for i, day in enumerate(days):
+        r = ann_ivf_stored(
+            embeddings, store_path, incoming_label=day,
+            batch_in=tuple(batches),
+        )
+        parts.append(r.select(F.lit(i + 1).alias("day"), "*"))
+        append_ivf_assignments(embeddings, store_path, day, f"d{i + 1}")
+        batches.append(f"d{i + 1}")
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
 
 
-def _ann_ivf_rolling_sql(
-    day1=IVF_ROLLING_DAY1_LABEL, day2=IVF_INCOMING_LABEL
-) -> str:
-    fit = (
-        "vec_id IN (SELECT vec_id FROM embeddings "
-        f"WHERE label IS DISTINCT FROM {day1} "
-        f"AND label IS DISTINCT FROM {day2})"
-    )
-    d1 = _ivf_sql(
-        fit_where=fit,
-        neighbor_where=(
-            "f.vec_id NOT IN (SELECT vec_id FROM embeddings "
-            f"WHERE label IS NOT DISTINCT FROM {day2})"
-        ),
-    )
-    d2 = _ivf_sql(fit_where=fit)
-    from flink_cep_task_spark.functions.rolling import two_day_union_sql
+def _ann_ivf_rolling_sql(days: tuple = IVF_ROLLING_DAYS) -> str:
+    from flink_cep_task_spark.functions.rolling import day_union_sql
 
-    return two_day_union_sql(d1, d2)
+    fit = "vec_id IN (SELECT vec_id FROM embeddings WHERE " + " AND ".join(
+        f"label IS DISTINCT FROM {d}" for d in days
+    ) + ")"
+    blocks = []
+    for i in range(len(days)):
+        future = days[i + 1:]
+        if future:
+            excl = " OR ".join(
+                f"label IS NOT DISTINCT FROM {d}" for d in future
+            )
+            blocks.append(
+                _ivf_sql(
+                    fit_where=fit,
+                    neighbor_where=(
+                        "f.vec_id NOT IN (SELECT vec_id FROM embeddings "
+                        f"WHERE {excl})"
+                    ),
+                )
+            )
+        else:
+            blocks.append(_ivf_sql(fit_where=fit))
+    return day_union_sql(blocks)
 
 
 ANN_IVF_ROLLING_SQL = _ann_ivf_rolling_sql()

@@ -1096,8 +1096,9 @@ def quality_nb_rolling(
     spark,
     documents: DataFrame,
     store_path: str,
-    day1: str,
-    day2: str,
+    day1: str | None = None,
+    day2: str | None = None,
+    days: list[str] | None = None,
 ) -> DataFrame:
     """Day-over-day CLASSIFIER maintenance — the NB member of the
     maintenance-loop family (minhash signatures, rollup partials, IVF
@@ -1119,51 +1120,68 @@ def quality_nb_rolling(
     sibling stores. Both models are persisted: the scorer consumes each
     model frame three ways (consts collect, vocab-gate count, scoring
     join), which would otherwise re-run the count-store aggregation per
-    consumer. Oracle = the from-scratch fit+score of both days."""
+    consumer. Oracle = the from-scratch fit+score of every day.
+
+    Generalized to the N-day cadence (VERDICT r11 task #3): day i is
+    scored against the model summed from base ∪ days 1..i-1 — each
+    day's model read pins exactly the batches admitted BEFORE it, so a
+    rerun after later admissions still answers as day i. The registered
+    query runs days=ROLLING_DAYS (N=3: the day-3 score depends on two
+    consecutive count admissions); the 2-day day1=/day2= form remains
+    for the pytest fixtures."""
     from flink_cep_task_spark.operators.cache import persisted
 
-    counts = spark.read.parquet(store_path)
-    m1 = persisted(nb_model_from_counts(counts.filter(F.col("batch") == "base")))
-    r1 = quality_nb_score_from_store(
-        documents.filter(F.col("source") == day1), m1
-    )
-    write_nb_count_store(
-        documents.filter(F.col("source") == day1),
-        store_path,
-        batch=day1,
-        dynamic=True,
-    )
-    m2 = persisted(
-        nb_model_from_counts(
-            spark.read.parquet(store_path).filter(
-                F.col("batch").isin("base", day1)
+    if days is None:
+        days = [day1, day2]
+    parts = []
+    admitted = ["base"]
+    for i, day in enumerate(days):
+        m = persisted(
+            nb_model_from_counts(
+                spark.read.parquet(store_path).filter(
+                    F.col("batch").isin(*admitted)
+                )
             )
         )
-    )
-    r2 = quality_nb_score_from_store(
-        documents.filter(F.col("source") == day2), m2
-    )
-    return r1.select(F.lit(1).alias("day"), "*").unionByName(
-        r2.select(F.lit(2).alias("day"), "*")
-    )
+        r = quality_nb_score_from_store(
+            documents.filter(F.col("source") == day), m
+        )
+        parts.append(r.select(F.lit(i + 1).alias("day"), "*"))
+        write_nb_count_store(
+            documents.filter(F.col("source") == day),
+            store_path,
+            batch=day,
+            dynamic=True,
+        )
+        admitted.append(day)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
 
 
-def quality_nb_rolling_sql(day1: str, day2: str) -> str:
-    """Full-recompute oracle for the NB rolling loop: day 1 fit on the
-    corpus minus both days, day 2 fit on everything except itself."""
-    d1 = quality_nb_stored_sql(
-        day1,
-        score_where=f"source = '{day1}'",
-        corpus_where=f"source NOT IN ('{day1}', '{day2}')",
-    )
-    d2 = quality_nb_stored_sql(
-        day2,
-        score_where=f"source = '{day2}'",
-        corpus_where=f"source <> '{day2}'",
-    )
-    from flink_cep_task_spark.functions.rolling import two_day_union_sql
+def quality_nb_rolling_sql(
+    day1: str | None = None,
+    day2: str | None = None,
+    days: list[str] | None = None,
+) -> str:
+    """Full-recompute oracle for the NB rolling loop: day i fit on the
+    corpus minus days i..N (the days not yet crawled as of day i)."""
+    from flink_cep_task_spark.functions.rolling import day_union_sql
 
-    return two_day_union_sql(d1, d2)
+    if days is None:
+        days = [day1, day2]
+    blocks = []
+    for i, day in enumerate(days):
+        not_in = ", ".join(f"'{d}'" for d in days[i:])
+        blocks.append(
+            quality_nb_stored_sql(
+                day,
+                score_where=f"source = '{day}'",
+                corpus_where=f"source NOT IN ({not_in})",
+            )
+        )
+    return day_union_sql(blocks)
 
 
 def nb_model_consts(model: DataFrame) -> dict:

@@ -1546,7 +1546,12 @@ SNAPSHOT_DIFF_SQL = _snapshot_diff_sql()
 # corpus/batch split: partials cover days strictly before this instant
 # (2024-01-29T00:00:00Z, near the end of the 30-day fixture range), the
 # "daily batch" is everything at or after it.
-ROLLUP_CUTOFF_TS_S = 1_706_486_400
+# 2024-01-28 00:00 UTC — two full event days remain after the cutoff
+# (events span Jan 1-30), giving the 3-day rolling cadence non-empty
+# day-2 AND day-3 windows (round 12 moved this back one day from
+# 2024-01-29 when the rollup loop widened to N=3; every consumer and
+# oracle derives from this one constant)
+ROLLUP_CUTOFF_TS_S = 1_706_400_000
 
 _ROLLUP_STORE_CACHE: dict[str, str] = {}
 
@@ -1704,7 +1709,9 @@ GROUP BY event_type
 # --- day-over-day rollup-store maintenance (VERDICT r8 task #1 analog) ----
 
 ROLLUP_DAY2_TS_S = ROLLUP_CUTOFF_TS_S + 86_400  # day-2 window start
+ROLLUP_DAY3_TS_S = ROLLUP_DAY2_TS_S + 86_400  # day-3 window start
 ROLLUP_DAY1_IDX = ROLLUP_CUTOFF_TS_S // 86_400  # day-1's epoch-day index
+ROLLUP_DAY2_IDX = ROLLUP_DAY2_TS_S // 86_400  # day-2's epoch-day index
 
 # the rolling loop's day-1 store filter (day < ROLLUP_DAY1_IDX) and the
 # admission's one-partition idempotency BOTH require the cutoff to sit
@@ -1774,43 +1781,53 @@ def incremental_rollup_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
              arrives as the |event_types| partial rows the query itself
              wrote.
 
-    The day-1 merge filters the store to partitions strictly before
-    day 1's index, pinning its corpus independently of when Spark lists
-    the store directory (and making a re-run against the already-
-    advanced store return identical results). Oracle = full recomputes
-    of both days (day 1 over events before the day-2 cutoff, day 2 over
-    everything) — the store changes cost, never answers."""
+    Each day's merge filters the store to partitions strictly before
+    its own window, pinning its corpus independently of when Spark
+    lists the store directory (and making a re-run against the already-
+    advanced store return identical results — any later-day partition
+    another maintenance job has admitted into the shared store, e.g.
+    daily_crawl_pipeline's own windows, would otherwise double-count
+    against the batch). Runs the shared 3-day cadence (VERDICT r11
+    task #3): day-3's total is derivable only through two consecutive
+    partial admissions. Oracle = full recomputes of each day (day i
+    over events before day i+1's window, the last day over everything)
+    — the store changes cost, never answers."""
     from flink_cep_task_spark.sources.tables import (
         load_events_between,
         load_events_since,
     )
 
     path = _rolling_rollup_store(spark, sf_dir)
-    store1 = read_rollup_partial_store(spark, path).filter(
-        F.col("day") < ROLLUP_DAY1_IDX
-    )
-    day1 = load_events_between(
-        spark, sf_dir, ROLLUP_CUTOFF_TS_S, ROLLUP_DAY2_TS_S
-    )
-    r1 = _merge_rollup(store1, day1)
-    # ADMISSION: day-1's partials land in their own day partition
-    write_rollup_partial_store(day1, path, dynamic=True)
-    # day-2's store read is pinned to partitions up to day 1's index —
-    # its batch is the UNBOUNDED tail [day2, ∞), so any later-day
-    # partition another maintenance job has admitted into the shared
-    # store (daily_crawl_pipeline admits day 2's own window) would
-    # double-count against the batch without the pin
-    store2 = read_rollup_partial_store(spark, path).filter(
-        F.col("day") <= ROLLUP_DAY1_IDX
-    )
-    r2 = _merge_rollup(store2, load_events_since(spark, sf_dir, ROLLUP_DAY2_TS_S))
-    return r1.select(F.lit(1).alias("day"), "*").unionByName(
-        r2.select(F.lit(2).alias("day"), "*")
-    )
+    windows = [
+        (ROLLUP_DAY1_IDX, ROLLUP_CUTOFF_TS_S, ROLLUP_DAY2_TS_S),
+        (ROLLUP_DAY2_IDX, ROLLUP_DAY2_TS_S, ROLLUP_DAY3_TS_S),
+        (ROLLUP_DAY3_TS_S // 86_400, ROLLUP_DAY3_TS_S, None),
+    ]
+    parts = []
+    for i, (idx, lo, hi) in enumerate(windows):
+        # store pinned strictly before the day's own partition index
+        store = read_rollup_partial_store(spark, path).filter(
+            F.col("day") < idx
+        )
+        batch = (
+            load_events_between(spark, sf_dir, lo, hi)
+            if hi is not None
+            else load_events_since(spark, sf_dir, lo)
+        )
+        parts.append(
+            _merge_rollup(store, batch).select(F.lit(i + 1).alias("day"), "*")
+        )
+        if hi is not None:
+            # ADMISSION: the day's partials land in their own partition
+            write_rollup_partial_store(batch, path, dynamic=True)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 def _rollup_rolling_sql() -> str:
-    from flink_cep_task_spark.functions.rolling import two_day_union_sql
+    from flink_cep_task_spark.functions.rolling import day_union_sql
 
     def one(where: str) -> str:
         return f"""
@@ -1825,7 +1842,13 @@ SELECT event_type,
 FROM events WHERE {where}
 GROUP BY event_type"""
 
-    return two_day_union_sql(one(f"epoch(ts) < {ROLLUP_DAY2_TS_S}"), one("TRUE"))
+    return day_union_sql(
+        [
+            one(f"epoch(ts) < {ROLLUP_DAY2_TS_S}"),
+            one(f"epoch(ts) < {ROLLUP_DAY3_TS_S}"),
+            one("TRUE"),
+        ]
+    )
 
 
 ROLLUP_ROLLING_SQL = _rollup_rolling_sql()

@@ -257,20 +257,20 @@ def _rolling_docs_store(
     spark: SparkSession, sf_dir: str, cache: dict, prefix: str,
     subdir: str, writer,
 ) -> str:
-    """Both-days-excluded documents store build, for rolling
+    """All-rolling-days-excluded documents store build, for rolling
     (maintenance-loop) stores whose BUILT CONTENT depends on the corpus
     exclusion (the NB count store's 'base' batch aggregates the corpus,
     so a day partition baked into 'base' would poison every merge).
-    Day 1 must arrive via the query's own admission write-back, and day
-    2 does not exist yet at build time; only the store WRITER varies
-    per family."""
+    Each day must arrive via the query's own admission write-back, and
+    later days do not exist yet at build time; only the store WRITER
+    varies per family. The exclusion covers the whole ROLLING_DAYS
+    window — the one corpus convention the 3-day rolling loops and the
+    composed crawl cycles share."""
     return _store_path(
         cache, sf_dir, prefix, subdir,
         lambda p: writer(
             widen_small_scan(load_table(spark, sf_dir, "documents")).filter(
-                ~F.col("source").isin(
-                    D.INCREMENTAL_INCOMING_SOURCE, D.ROLLING_DAY2_SOURCE
-                )
+                ~F.col("source").isin(*D.ROLLING_DAYS)
             ),
             p,
         ),
@@ -381,9 +381,7 @@ _ROLLING_CL_STORE_CACHE: dict[str, str] = {}
 def _rolling_cluster_label_store(spark: SparkSession, sf_dir: str) -> str:
     def build(p: str) -> None:
         sig = spark.read.parquet(_rolling_sig_store(spark, sf_dir)).filter(
-            ~F.col("source").isin(
-                D.INCREMENTAL_INCOMING_SOURCE, D.ROLLING_DAY2_SOURCE
-            )
+            ~F.col("source").isin(*D.ROLLING_DAYS)
         )
         labels = D._cluster_from_pairs(
             sig.select("doc_id"), D.minhash_pairs_from_store(sig)
@@ -397,16 +395,20 @@ def _rolling_cluster_label_store(spark: SparkSession, sf_dir: str) -> str:
 
 def dedup_clusters_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Day-over-day cluster-label store maintenance (operators/dedup.
-    dedup_clusters_rolling): day-1 batch edges merged with the stored
-    base-epoch labels, merged labels + day-1 signatures ADMITTED, day-2
-    merged against the advanced label + signature stores — the
-    clustering member of the maintenance-loop family. Oracle = the
-    full recursive-CTE recompute of both days."""
+    dedup_clusters_rolling): each day's batch edges merged with the
+    PREVIOUS day's admitted label epoch, merged labels + the day's
+    signatures ADMITTED — the clustering member of the maintenance-loop
+    family, at the same 3-day cadence as its siblings (days=
+    ROLLING_DAYS, VERDICT r11 task #3: this is the epoch-REWRITING
+    store, so the gated oracle now proves a day-3 membership reachable
+    only through two consecutive label advances). Oracle = the full
+    recursive-CTE recompute of all three days."""
     return D.dedup_clusters_rolling(
         spark,
         widen_small_scan(load_table(spark, sf_dir, "documents")),
         _rolling_cluster_label_store(spark, sf_dir),
         _rolling_sig_store(spark, sf_dir),
+        days=D.ROLLING_DAYS,
     )
 
 
@@ -496,17 +498,17 @@ def _rolling_nb_count_store(spark: SparkSession, sf_dir: str) -> str:
 
 def quality_nb_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Day-over-day NB classifier maintenance (operators/text.
-    quality_nb_rolling): day-1 batch scored against the corpus count
-    store's model, day-1 counts admitted as their own batch partition,
-    day-2 scored against the model derived from the SUMMED counts —
-    count-merge ≡ refit exactly. Oracle = the from-scratch fit+score of
-    both days."""
+    quality_nb_rolling): each day's batch scored against the model
+    summed from the count store's base ∪ prior-day partitions, its own
+    counts then admitted as a batch partition — count-merge ≡ refit
+    exactly, at the shared 3-day cadence (days=ROLLING_DAYS: the day-3
+    score is derivable only through two consecutive count admissions).
+    Oracle = the from-scratch fit+score of every day."""
     return T.quality_nb_rolling(
         spark,
         widen_small_scan(load_table(spark, sf_dir, "documents")),
         _rolling_nb_count_store(spark, sf_dir),
-        D.INCREMENTAL_INCOMING_SOURCE,
-        D.ROLLING_DAY2_SOURCE,
+        days=D.ROLLING_DAYS,
     )
 
 
@@ -523,19 +525,20 @@ def _rolling_ivf_store(spark: SparkSession, sf_dir: str) -> str:
         lambda p: S.write_ivf_index_store(
             widen_small_scan(load_table(spark, sf_dir, "embeddings")),
             p,
-            exclude_labels=(S.IVF_ROLLING_DAY1_LABEL, S.IVF_INCOMING_LABEL),
+            exclude_labels=S.IVF_ROLLING_DAYS,
         ),
     )
 
 
 def ann_ivf_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Day-over-day IVF index maintenance (operators/similarity.
-    ann_ivf_rolling): day-1 probe against the corpus-only inverted file,
-    admission of day-1's (vec_id, cell) rows into the store, day-2 probe
-    against the ADVANCED index — the ANN member of the maintenance-loop
-    family (minhash signatures, rollup partials, IVF inverted file).
-    Oracle = the from-scratch IVF replay per day; the store changes
-    cost, never answers."""
+    ann_ivf_rolling): each day probes against the inverted-file
+    partitions admitted before it, then admits its own (vec_id, cell)
+    rows — the ANN member of the maintenance-loop family, at the shared
+    3-day cadence (days=IVF_ROLLING_DAYS: the day-3 index state is
+    reachable only through two consecutive admissions). Oracle = the
+    from-scratch IVF replay per day; the store changes cost, never
+    answers."""
     emb = widen_small_scan(load_table(spark, sf_dir, "embeddings"))
     return S.ann_ivf_rolling(spark, emb, _rolling_ivf_store(spark, sf_dir))
 
@@ -692,6 +695,7 @@ def daily_crawl_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         _rolling_fp_store(spark, sf_dir),
         admit_day1=admit_events(ROLLUP_CUTOFF_TS_S, ROLLUP_DAY2_TS_S),
         admit_day2=admit_events(ROLLUP_DAY2_TS_S, ROLLUP_DAY2_TS_S + 86_400),
+        future_days=[D.ROLLING_DAY3_SOURCE],
     )
 
 
@@ -705,6 +709,7 @@ def daily_crawl_cycles(
     day2: str = None,
     admit_day1=None,
     admit_day2=None,
+    future_days: list[str] | None = None,
 ) -> DataFrame:
     """The pipeline's store-parameterized core (see daily_crawl_pipeline
     for semantics): probe day 1 → admit day 1 (signatures+keys,
@@ -712,7 +717,11 @@ def daily_crawl_cycles(
     admissions — the registered query lands the day's events rollup
     partial here) → probe day 2 against the advanced stores → admit
     day 2. Split out so crux tests can drive the full cycle over
-    synthetic corpora and scratch stores."""
+    synthetic corpora and scratch stores. `future_days` names sources
+    crawled AFTER day 2 (the registered query passes the rest of the
+    ROLLING_DAYS window): they are excluded from every corpus pred, so
+    the composed cycle shares the rolling loops' one corpus
+    convention — world minus the not-yet-crawled days."""
     from flink_cep_task_spark.operators.cache import persisted
     from flink_cep_task_spark.operators.text import (
         nb_model_from_counts,
@@ -721,14 +730,15 @@ def daily_crawl_cycles(
 
     day1 = day1 or D.INCREMENTAL_INCOMING_SOURCE
     day2 = day2 or D.ROLLING_DAY2_SOURCE
+    future = list(future_days or [])
     m1 = persisted(
         nb_model_from_counts(
             spark.read.parquet(nb_path).filter(F.col("batch") == "base")
         )
     )
     r1 = _daily_cycle(
-        spark, docs, day1, sig_path, ~F.col("source").isin(day1, day2), m1,
-        fp_path,
+        spark, docs, day1, sig_path,
+        ~F.col("source").isin(day1, day2, *future), m1, fp_path,
     )
     # day-1 admissions (signatures carry the exact keys — one write
     # advances both whole-doc dedup tiers; the fingerprint write
@@ -746,7 +756,8 @@ def daily_crawl_cycles(
         )
     )
     r2 = _daily_cycle(
-        spark, docs, day2, sig_path, F.col("source") != day2, m2, fp_path
+        spark, docs, day2, sig_path,
+        ~F.col("source").isin(day2, *future), m2, fp_path,
     )
     # day-2 admissions close its own cycle; every store reader is
     # pinned to the partitions its day expects, so the extra partitions
@@ -810,9 +821,12 @@ def _daily_crawl_sql() -> str:
     from flink_cep_task_spark.functions.rolling import two_day_union_sql
 
     day1, day2 = D.INCREMENTAL_INCOMING_SOURCE, D.ROLLING_DAY2_SOURCE
+    day3 = D.ROLLING_DAY3_SOURCE
     return two_day_union_sql(
-        _daily_cycle_sql(day1, f"source NOT IN ('{day1}', '{day2}')"),
-        _daily_cycle_sql(day2, f"source <> '{day2}'"),
+        _daily_cycle_sql(
+            day1, f"source NOT IN ('{day1}', '{day2}', '{day3}')"
+        ),
+        _daily_cycle_sql(day2, f"source NOT IN ('{day2}', '{day3}')"),
     )
 
 
@@ -892,7 +906,7 @@ def daily_crawl_stream_run(spark: SparkSession, sf_dir: str, n_files: int = 4):
     consts = nb_model_consts(m1)
     weights = m1.filter(F.col("kind") == "w").select("tok", "w")
     n_weights = weights.count()
-    pred = ~F.col("source").isin(day1, day2)
+    pred = ~F.col("source").isin(*D.ROLLING_DAYS)
 
     # run workdirs nest under ONE per-process parent removed at exit
     # (r11 advice: a fresh leaked mkdtemp per invocation); each run still
@@ -964,8 +978,10 @@ def daily_crawl_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _daily_crawl_stream_sql() -> str:
-    day1, day2 = D.INCREMENTAL_INCOMING_SOURCE, D.ROLLING_DAY2_SOURCE
-    return _daily_cycle_sql(day1, f"source NOT IN ('{day1}', '{day2}')")
+    days = ", ".join(f"'{d}'" for d in D.ROLLING_DAYS)
+    return _daily_cycle_sql(
+        D.INCREMENTAL_INCOMING_SOURCE, f"source NOT IN ({days})"
+    )
 
 
 DAILY_CRAWL_STREAM_SQL = _daily_crawl_stream_sql()
@@ -1277,9 +1293,7 @@ DATAPIPE_QUERIES: dict[str, tuple] = {
     ),
     "quality_nb_rolling": (
         quality_nb_rolling,
-        T.quality_nb_rolling_sql(
-            D.INCREMENTAL_INCOMING_SOURCE, D.ROLLING_DAY2_SOURCE
-        ),
+        T.quality_nb_rolling_sql(days=D.ROLLING_DAYS),
     ),
     "media_dedup_report": (q_media_dedup_report, M.MEDIA_DEDUP_SQL),
     "pii_redact_report": (_docs(T.pii_redact_report), T.PII_REDACT_SQL),

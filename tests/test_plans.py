@@ -954,36 +954,37 @@ def test_rolling_day2_probe_touches_only_batch_and_store(spark):
 
 
 def test_rollup_rolling_scans_are_bounded(spark):
-    # the rollup maintenance loop's scale contract: both days' batch
-    # scans carry the RAW-column time predicate (day 1 bounded on both
-    # sides, day 2 on the left), the corpus arrives only as
-    # rollup_partials FileScans, and day-1's store read is partition-
-    # pruned to days strictly before its own index — no unbounded
-    # events scan anywhere
+    # the rollup maintenance loop's scale contract (3-day cadence):
+    # every day's batch scan carries the RAW-column time predicate
+    # (days 1-2 bounded on both sides, day 3 on the left), the corpus
+    # arrives only as rollup_partials FileScans, and every store read
+    # is partition-pruned to days strictly before its own index — no
+    # unbounded events scan anywhere
     plan = _plan(spark, "incremental_rollup_rolling")
     lines = plan.splitlines()
     ev = [
         ln for ln in lines
         if "FileScan parquet" in ln and "events.parquet" in ln
     ]
-    assert len(ev) == 2, f"expected 2 batch scans, got {len(ev)}"
+    assert len(ev) == 3, f"expected 3 batch scans, got {len(ev)}"
     def datafilters(ln):
         return ln.split("DataFilters: [", 1)[-1].split("]", 1)[0]
     for ln in ev:
         assert ">=" in datafilters(ln), f"batch scan missing lower bound: {ln[:200]}"
-    assert any("<" in datafilters(ln) for ln in ev), (
-        "day-1 batch scan lost its upper bound"
+    assert sum("<" in datafilters(ln) for ln in ev) >= 2, (
+        "a bounded day's batch scan lost its upper bound"
     )
     store = [
         ln for ln in lines
         if "FileScan parquet" in ln and "rollup_partials" in ln
     ]
-    assert len(store) == 2, f"expected 2 store scans, got {len(store)}"
+    assert len(store) == 3, f"expected 3 store scans, got {len(store)}"
     def partfilters(ln):
         return ln.split("PartitionFilters: [", 1)[-1].split("]", 1)[0]
-    assert any(
-        "day" in partfilters(ln) and "<" in partfilters(ln) for ln in store
-    ), "day-1 store read lost its pre-cutoff partition filter"
+    for ln in store:
+        assert "day" in partfilters(ln) and "<" in partfilters(ln), (
+            "a store read lost its own-day partition pin"
+        )
 
 
 def test_substring_rolling_day2_probe_touches_only_batch_and_store(spark):
