@@ -965,6 +965,11 @@ def daily_crawl_stream_run(spark: SparkSession, sf_dir: str, n_files: int = 4):
         await_stream(q, 600)
 
     n_batches = len(_glob.glob(os.path.join(sink, "bid=*")))
+    if n_files == 4:
+        # the registered replay shape: daily_crawl_stream_day2 reuses
+        # this run's admission areas instead of replaying the stream
+        # again (the amortization-knob runs never land in the cache)
+        _CRAWL_STREAM_RUN_CACHE[sf_dir] = work
     decisions = spark.read.parquet(sink).select(
         "doc_id", "kept", "n_tokens", "log_odds", "nb_keep", "is_exact_dup",
         "near_status", "match_id", "jaccard", "substring_status", "curated",
@@ -977,6 +982,95 @@ def daily_crawl_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return daily_crawl_stream_run(spark, sf_dir)[0]
 
 
+_CRAWL_STREAM_RUN_CACHE: dict[str, str] = {}
+
+
+def compact_stream_admissions(
+    spark: SparkSession, work: str, sig_path: str, fp_path: str,
+    nb_path: str, day: str,
+) -> None:
+    """The DAY-CLOSE compaction job the streaming crawl cycle's
+    docstring promised (VERDICT r11 task #4): fold the replay's
+    bid-sharded admission areas into the day's REAL store partitions,
+    so downstream days consume stores the STREAM advanced.
+
+    Per-doc stores (signatures+keys, winnowing fingerprints): the bid
+    union IS the day's row set (pinned content-equal to the batch
+    writer's by tests/test_crawl_stream.py), so compaction is a
+    dynamic partition overwrite of the day's source partition — N
+    micro-batch files become one right-sized partition, and a retried
+    compaction is idempotent exactly like a batch admission.
+
+    Additive count store (NB): counts are mergeable, so the day's
+    partition is the per-(tok, kind) SUM across micro-batches —
+    count-merge ≡ refit, the same invariant quality_nb_rolling rides.
+
+    Scale shape: each write is one shuffle-free pass over O(day) rows
+    (the NB sum is a map-side-combinable aggregate over the day's
+    vocabulary); the stores' existing partitions are never read."""
+    import os
+
+    for sub, path in (("adm_sig", sig_path), ("adm_fp", fp_path)):
+        (
+            spark.read.parquet(os.path.join(work, sub))
+            .drop("bid")
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("source")
+            .parquet(path)
+        )
+    nb_day = (
+        spark.read.parquet(os.path.join(work, "adm_nb"))
+        .groupBy("tok", "kind")
+        .agg(F.sum("c_pos").alias("c_pos"), F.sum("c_neg").alias("c_neg"))
+        .select("tok", "c_pos", "c_neg", "kind")
+        .withColumn("batch", F.lit(day))
+    )
+    (
+        nb_day.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch")
+        .parquet(nb_path)
+    )
+
+
+def daily_crawl_stream_day2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day 2 of the crawl cycle, fed by STREAM-written stores (VERDICT
+    r11 task #4 — the probe that finally CONSUMES the streaming
+    admissions): replay day 1 as the micro-batch file stream
+    (daily_crawl_stream_run; reused from the registered query's run
+    when one already happened this process), compact its bid-sharded
+    admission areas into the day-1 store partitions
+    (compact_stream_admissions), then run the REAL day-2 batch probe —
+    the same _daily_cycle daily_crawl_pipeline runs — against those
+    stream-advanced stores. The oracle is daily_crawl_pipeline's day-2
+    block (the from-scratch recompute), so a hash match proves the
+    stream-then-compact path advances every store to states
+    indistinguishable from the batch writer's: signatures + exact keys,
+    winnowing fingerprints, and the count-merged NB model."""
+    from flink_cep_task_spark.operators.cache import persisted
+    from flink_cep_task_spark.operators.text import nb_model_from_counts
+
+    day1, day2, day3 = D.ROLLING_DAYS
+    sig_path = _rolling_sig_store(spark, sf_dir)
+    fp_path = _rolling_fp_store(spark, sf_dir)
+    nb_path = _rolling_nb_count_store(spark, sf_dir)
+    work = _CRAWL_STREAM_RUN_CACHE.get(sf_dir)
+    if work is None:
+        _, work, _ = daily_crawl_stream_run(spark, sf_dir)
+    compact_stream_admissions(spark, work, sig_path, fp_path, nb_path, day1)
+    m2 = persisted(
+        nb_model_from_counts(
+            spark.read.parquet(nb_path).filter(F.col("batch").isin("base", day1))
+        )
+    )
+    docs = widen_small_scan(load_table(spark, sf_dir, "documents"))
+    return _daily_cycle(
+        spark, docs, day2, sig_path,
+        ~F.col("source").isin(day2, day3), m2, fp_path,
+    )
+
+
 def _daily_crawl_stream_sql() -> str:
     days = ", ".join(f"'{d}'" for d in D.ROLLING_DAYS)
     return _daily_cycle_sql(
@@ -985,6 +1079,11 @@ def _daily_crawl_stream_sql() -> str:
 
 
 DAILY_CRAWL_STREAM_SQL = _daily_crawl_stream_sql()
+
+DAILY_CRAWL_STREAM_DAY2_SQL = _daily_cycle_sql(
+    D.ROLLING_DAY2_SOURCE,
+    f"source NOT IN ('{D.ROLLING_DAY2_SOURCE}', '{D.ROLLING_DAY3_SOURCE}')",
+)
 
 
 def rag_retrieve(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1324,6 +1423,10 @@ DATAPIPE_QUERIES: dict[str, tuple] = {
     ),
     "daily_crawl_pipeline": (daily_crawl_pipeline, DAILY_CRAWL_SQL),
     "daily_crawl_stream": (daily_crawl_stream, DAILY_CRAWL_STREAM_SQL),
+    "daily_crawl_stream_day2": (
+        daily_crawl_stream_day2,
+        DAILY_CRAWL_STREAM_DAY2_SQL,
+    ),
     "decontaminate": (_docs(D.decontaminate), D.DECONTAMINATE_SQL),
     "curate_top_quality": (_docs(T.curate_top_quality), T.CURATE_SQL),
     "media_chunk_audio": (_docs(M.media_chunk_audio), M.MEDIA_CHUNK_SQL),

@@ -188,6 +188,8 @@ OVERFLOW_LAST = (
     "daily_crawl_pipeline",
     # round-11 additions
     "daily_crawl_stream",
+    # round-12 additions
+    "daily_crawl_stream_day2",
 )
 
 
