@@ -117,6 +117,21 @@ FROM (SELECT doc_id, {DEDUP_KEY_SQL} AS k
 INCREMENTAL_INCOMING_SOURCE = "src0"  # stands in for "today's crawl"
 
 
+def _incoming_filter(incoming):
+    """The incremental probes' incoming-batch predicate: a plain source
+    name in the common case (pushes to the scan as a partition/data
+    filter), or a prebuilt Column for composite batches — the recrawl
+    day's "today's source plus re-fetched day-1 docs" mix
+    (plans/datapipe.daily_crawl_recrawl). Store-side corpus reads negate
+    the same predicate, so the two sides stay exact complements for any
+    predicate over columns both frames carry (source, doc_id)."""
+    from pyspark.sql import Column
+
+    if isinstance(incoming, Column):
+        return incoming
+    return F.col("source") == incoming
+
+
 def dedup_incremental(
     documents: DataFrame, incoming_source: str = INCREMENTAL_INCOMING_SOURCE
 ) -> DataFrame:
@@ -752,7 +767,7 @@ def _classify_incoming(
             F.col("m.j").alias("jaccard"),
         )
     )
-    inc_docs = documents.filter(F.col("source") == incoming_source).select("doc_id")
+    inc_docs = documents.filter(_incoming_filter(incoming_source)).select("doc_id")
     return (
         inc_docs.join(best, inc_docs["doc_id"] == best["doc_a"], "left")
         .select(
@@ -858,12 +873,12 @@ def dedup_incremental_minhash_from_store(
     spark.read.parquet(store_path)); the source != incoming filter lands
     on the store scan as a partition filter. Result-identical to the
     inline variant (same oracle SQL; pinned by tests)."""
-    inc_docs = documents.filter(F.col("source") == incoming_source)
+    inc_docs = documents.filter(_incoming_filter(incoming_source))
     sh_inc = _persisted(shingles_hashed(inc_docs))
     inc_b = _banded(_minhash_from_shingles(sh_inc)).select(
         F.col("doc_id").alias("doc_a"), "band", "sig"
     )
-    corpus = store.filter(F.col("source") != incoming_source)
+    corpus = store.filter(~_incoming_filter(incoming_source))
     cor_b = _banded(corpus).select(F.col("doc_id").alias("doc_b"), "band", "sig")
     cand = inc_b.join(cor_b, ["band", "sig"]).select("doc_a", "doc_b").distinct()
     # exact verify: incoming sets fresh, corpus sets from the store
@@ -1600,9 +1615,9 @@ def dedup_substring_incremental_from_store(
     over-common cull runs on the CORPUS side frequencies (precomputable
     at admission), bounding any fingerprint's contribution at
     max_docs_per_fp candidate rows per incoming fingerprint."""
-    inc_docs = documents.filter(F.col("source") == incoming_source)
+    inc_docs = documents.filter(_incoming_filter(incoming_source))
     fa = _persisted(_winnow_fps(inc_docs))
-    corpus = store.filter(F.col("source") != incoming_source)
+    corpus = store.filter(~_incoming_filter(incoming_source))
     cfreq = corpus.groupBy("fp").agg(F.count(F.lit(1)).alias("nd"))
     cor_ok = corpus.join(cfreq.filter(F.col("nd") <= max_docs_per_fp), "fp")
     na = fa.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_a"))

@@ -568,13 +568,18 @@ def _daily_cycle(
     (plan-pinned). Returns one decision row per batch doc.
 
     `fp_corpus_pred` defaults to `sig_corpus_pred` — the two per-doc
-    stores pin the same day partitions out of a cycle's corpus."""
+    stores pin the same day partitions out of a cycle's corpus. `day`
+    is a source name in the common case, or a Column predicate for
+    composite batches (the recrawl day's today's-source-plus-refetched
+    mix — see daily_crawl_recrawl); the dedup probes thread the same
+    predicate through operators/dedup._incoming_filter."""
+    from flink_cep_task_spark.operators.dedup import _incoming_filter
     from flink_cep_task_spark.operators.text import (
         filter_gopher,
         quality_nb_score_from_store,
     )
 
-    batch = docs.filter(F.col("source") == day)
+    batch = docs.filter(_incoming_filter(day))
     gate = filter_gopher(batch).select("doc_id", "kept")
     # nb_consts/nb_weights: a repeated caller (daily_crawl_stream runs
     # this per micro-batch) pre-collects the 2-row model scalars and the
@@ -773,20 +778,35 @@ def daily_crawl_cycles(
     )
 
 
-def _daily_cycle_sql(day: str, corpus_where: str) -> str:
+def _daily_cycle_sql(
+    day: str,
+    corpus_where: str,
+    incoming_where: str | None = None,
+    nb_corpus_where: str | None = None,
+) -> str:
+    """One day's decision-cycle oracle. `incoming_where` generalizes the
+    batch beyond one source (the recrawl day's composite batch);
+    `nb_corpus_where` lets the NB fit corpus differ from the dedup
+    corpus — on a recrawl day the dedup tiers mask the re-fetched docs'
+    own stored rows (a doc is not its own duplicate) while the count
+    store legitimately carries their re-admitted counts."""
     from flink_cep_task_spark.operators.text import (
         FILTER_GOPHER_SQL,
         quality_nb_stored_sql,
     )
 
+    if incoming_where is None:
+        incoming_where = f"source = '{day}'"
+    if nb_corpus_where is None:
+        nb_corpus_where = corpus_where
     nb = quality_nb_stored_sql(
-        day, score_where=f"source = '{day}'", corpus_where=corpus_where
+        day, score_where=incoming_where, corpus_where=nb_corpus_where
     )
     near = D.dedup_incremental_minhash_sql(
-        incoming_where=f"source = '{day}'", corpus_where=corpus_where
+        incoming_where=incoming_where, corpus_where=corpus_where
     )
     sub = D.dedup_substring_incremental_sql(
-        incoming_where=f"source = '{day}'", corpus_where=corpus_where
+        incoming_where=incoming_where, corpus_where=corpus_where
     )
     return f"""
 SELECT b.doc_id,
@@ -802,19 +822,207 @@ SELECT b.doc_id,
        (coalesce(g.kept, FALSE) AND coalesce(n.keep, FALSE)
         AND NOT e.is_exact_dup AND nr.status = 'new'
         AND sr.substring_status = 'new') AS curated
-FROM (SELECT doc_id FROM documents WHERE source = '{day}') b
+FROM (SELECT doc_id FROM documents WHERE {incoming_where}) b
 LEFT JOIN ({FILTER_GOPHER_SQL.strip()}) g USING (doc_id)
 LEFT JOIN ({nb}) n USING (doc_id)
 JOIN (
   SELECT d.doc_id, (c.k IS NOT NULL) AS is_exact_dup
   FROM (SELECT doc_id, {D.DEDUP_KEY_SQL} AS k
-        FROM documents WHERE source = '{day}') d
+        FROM documents WHERE {incoming_where}) d
   LEFT JOIN (SELECT DISTINCT {D.DEDUP_KEY_SQL} AS k
              FROM documents WHERE {corpus_where}) c USING (k)
 ) e USING (doc_id)
 JOIN ({near}) nr USING (doc_id)
 JOIN (SELECT doc_id, status AS substring_status FROM ({sub})) sr USING (doc_id)
 """
+
+
+# --- the recrawl day (VERDICT r11 task #5) --------------------------------
+
+# which day-1 docs the crawler re-fetches on day 2 (doc_ids in the
+# fixtures are round-robin by source, so % 60 picks every third src0
+# doc); pure-modulo form so the Spark and DuckDB predicates are
+# literally the same arithmetic
+RECRAWL_MOD = 60
+
+# appended on re-fetch: changes the exact key, the token counts, and a
+# bounded slice of the shingle/fingerprint sets — the "content changed"
+# recrawl, not a byte-identical refetch
+RECRAWL_SUFFIX = " recrawl2a recrawl2b recrawl2c"
+
+
+def _recrawl_pred():
+    return (F.col("source") == D.INCREMENTAL_INCOMING_SOURCE) & (
+        F.col("doc_id") % RECRAWL_MOD == 0
+    )
+
+
+_RECRAWL_STORE_CACHE: dict[str, dict] = {}
+
+
+def _recrawl_stores(spark: SparkSession, sf_dir: str) -> dict:
+    """Per-process PRIVATE copies of the three crawl stores: the recrawl
+    re-admits day-1's partitions with CHANGED text, which would poison
+    the shared stores every other query reads, so this query forks the
+    store directories (a file copy — the cheap production analog is a
+    snapshot/clone) and mutates only its own fork. Copy-time shared
+    content may or may not already include day partitions admitted by
+    earlier queries this process; every read below pins or overwrites
+    those partitions, so the fork's history cannot change an answer."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+    import time
+
+    cached = _RECRAWL_STORE_CACHE.get(sf_dir)
+    if cached is not None:
+        return cached
+    t0 = time.perf_counter()
+    parent = tempfile.mkdtemp(prefix="recrawl_stores_")
+    atexit.register(shutil.rmtree, parent, ignore_errors=True)
+    paths = {}
+    for name, src in (
+        ("signatures", _rolling_sig_store(spark, sf_dir)),
+        ("fingerprints", _rolling_fp_store(spark, sf_dir)),
+        ("nb_counts", _rolling_nb_count_store(spark, sf_dir)),
+    ):
+        dst = os.path.join(parent, name)
+        shutil.copytree(src, dst)
+        paths[name] = dst
+    _record_store_build("recrawl_stores_" + sf_dir, time.perf_counter() - t0)
+    _RECRAWL_STORE_CACHE[sf_dir] = paths
+    return paths
+
+
+def daily_crawl_recrawl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed crawl cycle WITH A RECRAWL DAY (VERDICT r11 task #5
+    — the operator-level recrawl semantics of tests/test_recrawl.py
+    exercised end-to-end inside the pipeline):
+
+      day 1: the normal src0 cycle — probe against the 3-day-excluded
+        corpus, admit signatures+keys / fingerprints / NB counts (v1);
+      day 2 INGEST: the crawler re-fetched every RECRAWL_MOD-th day-1
+        doc with CHANGED text (RECRAWL_SUFFIX appended). The per-doc
+        stores' src0 partitions are RE-ADMITTED through the same
+        writers (dynamic overwrite: one row per doc, new content — no
+        duplicates) and the NB count batch is REPLACED (count-merge ≡
+        refit over the CURRENT text, never v1 + v2);
+      day 2 PROBE: the composite batch — src1 plus the re-fetched docs
+        — probed against stores whose corpus masks the re-fetched docs'
+        own rows (a doc is not its own duplicate) but whose NB model
+        legitimately carries their re-admitted counts; then src1
+        admits;
+      day 3: the src2 cycle against stores where the recrawl is settled
+        corpus — the exact tier sees the NEW hash, near-dup the NEW
+        signatures, NB the REPLACED counts.
+
+    The oracle recomputes all three days from scratch over a
+    CASE-modified documents view (v1 for day 1, v2 for days 2-3), so a
+    hash match pins every store-state claim end-to-end: day-3 log_odds
+    alone would flip if old counts lingered or double-counted, and the
+    day-2/3 dedup columns flip if a stale signature/fingerprint/key
+    survives the overwrite."""
+    from flink_cep_task_spark.operators.cache import persisted
+    from flink_cep_task_spark.operators.text import (
+        nb_model_from_counts,
+        write_nb_count_store,
+    )
+
+    day1, day2, day3 = D.ROLLING_DAYS
+    st = _recrawl_stores(spark, sf_dir)
+    sig_path, fp_path, nb_path = (
+        st["signatures"], st["fingerprints"], st["nb_counts"],
+    )
+    docs = widen_small_scan(load_table(spark, sf_dir, "documents"))
+    rp = _recrawl_pred()
+    docs2 = docs.withColumn(
+        "text",
+        F.when(rp, F.concat(F.col("text"), F.lit(RECRAWL_SUFFIX))).otherwise(
+            F.col("text")
+        ),
+    )
+
+    def model(batches):
+        return persisted(
+            nb_model_from_counts(
+                spark.read.parquet(nb_path).filter(F.col("batch").isin(*batches))
+            )
+        )
+
+    # --- day 1 (v1 text) ---
+    r1 = _daily_cycle(
+        spark, docs, day1, sig_path,
+        ~F.col("source").isin(*D.ROLLING_DAYS), model(["base"]), fp_path,
+    )
+    b1 = docs.filter(F.col("source") == day1)
+    D.append_minhash_signatures(b1, sig_path)
+    D.append_winnow_fingerprints(b1, fp_path)
+    write_nb_count_store(b1, nb_path, batch=day1, dynamic=True)
+
+    # --- day-2 ingest: the recrawl overwrite (v2 text) ---
+    b1v2 = docs2.filter(F.col("source") == day1)
+    D.append_minhash_signatures(b1v2, sig_path)
+    D.append_winnow_fingerprints(b1v2, fp_path)
+    write_nb_count_store(b1v2, nb_path, batch=day1, dynamic=True)
+
+    # --- day-2 probe + admission ---
+    inc2 = (F.col("source") == day2) | rp
+    corpus2 = ~F.col("source").isin(day2, day3) & ~rp
+    r2 = _daily_cycle(
+        spark, docs2, inc2, sig_path, corpus2, model(["base", day1]), fp_path,
+    )
+    b2 = docs2.filter(F.col("source") == day2)
+    D.append_minhash_signatures(b2, sig_path)
+    D.append_winnow_fingerprints(b2, fp_path)
+    write_nb_count_store(b2, nb_path, batch=day2, dynamic=True)
+
+    # --- day 3: the recrawl is settled corpus ---
+    r3 = _daily_cycle(
+        spark, docs2, day3, sig_path,
+        F.col("source") != day3, model(["base", day1, day2]), fp_path,
+    )
+    return (
+        r1.select(F.lit(1).alias("day"), "*")
+        .unionByName(r2.select(F.lit(2).alias("day"), "*"))
+        .unionByName(r3.select(F.lit(3).alias("day"), "*"))
+    )
+
+
+def _daily_crawl_recrawl_sql() -> str:
+    import re
+
+    from flink_cep_task_spark.functions.rolling import day_union_sql
+
+    day1, day2, day3 = D.ROLLING_DAYS
+    rp = f"(source = '{day1}' AND doc_id % {RECRAWL_MOD} = 0)"
+    d1 = _daily_cycle_sql(
+        day1, f"source NOT IN ('{day1}', '{day2}', '{day3}')"
+    )
+    d2 = _daily_cycle_sql(
+        day2,
+        corpus_where=(
+            f"source NOT IN ('{day2}', '{day3}') AND NOT {rp}"
+        ),
+        incoming_where=f"(source = '{day2}' OR {rp})",
+        nb_corpus_where=f"source NOT IN ('{day2}', '{day3}')",
+    )
+    d3 = _daily_cycle_sql(day3, f"source <> '{day3}'")
+    # days 2-3 see the re-fetched text: swap their table refs onto the
+    # CASE-modified view (a distinct name — never shadow `documents`,
+    # see dedup_clusters_sql)
+    d2, d3 = (
+        re.sub(r"\bdocuments\b", "documents2", d) for d in (d2, d3)
+    )
+    return (
+        "WITH documents2 AS (\n"
+        f"  SELECT doc_id, CASE WHEN {rp} THEN text || '{RECRAWL_SUFFIX}' "
+        "ELSE text END AS text, lang, source FROM documents\n"
+        ")\n" + day_union_sql([d1, d2, d3])
+    )
+
+
+DAILY_CRAWL_RECRAWL_SQL = _daily_crawl_recrawl_sql()
 
 
 def _daily_crawl_sql() -> str:
@@ -1427,6 +1635,7 @@ DATAPIPE_QUERIES: dict[str, tuple] = {
         daily_crawl_stream_day2,
         DAILY_CRAWL_STREAM_DAY2_SQL,
     ),
+    "daily_crawl_recrawl": (daily_crawl_recrawl, DAILY_CRAWL_RECRAWL_SQL),
     "decontaminate": (_docs(D.decontaminate), D.DECONTAMINATE_SQL),
     "curate_top_quality": (_docs(T.curate_top_quality), T.CURATE_SQL),
     "media_chunk_audio": (_docs(M.media_chunk_audio), M.MEDIA_CHUNK_SQL),

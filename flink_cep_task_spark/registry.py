@@ -190,6 +190,7 @@ OVERFLOW_LAST = (
     "daily_crawl_stream",
     # round-12 additions
     "daily_crawl_stream_day2",
+    "daily_crawl_recrawl",
 )
 
 

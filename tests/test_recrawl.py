@@ -180,3 +180,63 @@ def test_recrawl_nb_counts_do_not_double_count(spark, tmp_path):
     assert not toks & {"te30", "te31", "te32", "te33", "te34"}
     assert "zz01" in toks
     release_caches()
+
+
+def test_composed_recrawl_pipeline_store_states(spark):
+    """VERDICT r11 task #5: the recrawl exercised INSIDE the composed
+    pipeline (daily_crawl_recrawl), not just at operator level. Pins the
+    three store-state claims on the query's own forked stores: the
+    re-fetched docs appear in day 2's composite batch, the signature
+    store holds exactly ONE row per day-1 doc with the NEW content
+    (overwrite, not append), and the NB count batch equals a recount
+    over the CURRENT text (replace, never v1 + v2)."""
+    from flink_cep_task_spark.operators.dedup import minhash_signature_rows
+    from flink_cep_task_spark.operators.text import nb_count_rows
+    from flink_cep_task_spark.plans.datapipe import (
+        RECRAWL_SUFFIX,
+        _recrawl_pred,
+        _recrawl_stores,
+        daily_crawl_recrawl,
+    )
+    from flink_cep_task_spark.sources.tables import load_table
+    from tests.conftest import SF_DIR
+
+    res = daily_crawl_recrawl(spark, SF_DIR).collect()
+    docs = load_table(spark, SF_DIR, "documents")
+    rp_ids = {r["doc_id"] for r in docs.filter(_recrawl_pred()).collect()}
+    assert rp_ids, "fixture must contain recrawled docs"
+    day2_ids = {r["doc_id"] for r in res if r["day"] == 2}
+    assert rp_ids <= day2_ids, "re-fetched docs must ride day 2's batch"
+
+    st = _recrawl_stores(spark, SF_DIR)  # per-process cache: same fork
+    stored = (
+        spark.read.parquet(st["signatures"]).filter("source = 'src0'").collect()
+    )
+    per_doc = {}
+    for r in stored:
+        per_doc.setdefault(r["doc_id"], []).append(r)
+    assert all(len(v) == 1 for v in per_doc.values()), "overwrite, not append"
+    docs2 = docs.withColumn(
+        "text",
+        F.when(
+            _recrawl_pred(), F.concat(F.col("text"), F.lit(RECRAWL_SUFFIX))
+        ).otherwise(F.col("text")),
+    )
+    b1v2 = docs2.filter("source = 'src0'")
+    exp = {r["doc_id"]: r["k"] for r in minhash_signature_rows(b1v2).collect()}
+    got = {d: rows[0]["k"] for d, rows in per_doc.items()}
+    assert got == exp, "stored exact keys must be the NEW content's"
+    v1k = {
+        r["doc_id"]: r["k"]
+        for r in minhash_signature_rows(docs.filter("source = 'src0'")).collect()
+    }
+    assert all(got[d] != v1k[d] for d in rp_ids), "recrawl must change the key"
+
+    # NB replace: the src0 batch partition equals a recount over v2
+    nb = spark.read.parquet(st["nb_counts"]).filter("batch = 'src0'")
+    def counts(df):
+        return {
+            (r["kind"], r["tok"]): (r["c_pos"], r["c_neg"]) for r in df.collect()
+        }
+    assert counts(nb.drop("batch")) == counts(nb_count_rows(b1v2))
+    release_caches()
