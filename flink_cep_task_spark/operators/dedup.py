@@ -2534,10 +2534,10 @@ def dedup_clusters_rolling(
     criterion), so CC over the union has the full graph's components
     and min-label propagation yields each component's global min — see
     dedup_clusters_from_store. Day-1 reads are PINNED (base epoch;
-    signature store minus both day partitions) so a rerun after both
+    signature store minus every day partition) so a rerun after any
     admissions still answers as day 1. Oracle = full recursive-CTE
-    recompute of both days (day 1 over documents minus day 2, day 2
-    over everything).
+    recompute of each day (day i over documents minus the days not yet
+    crawled).
 
     Lifecycle policy (VERDICT r10 tasks #1/#2, pinned by
     tests/test_recrawl.py + tests/test_store_compaction.py):

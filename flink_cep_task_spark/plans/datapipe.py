@@ -279,7 +279,7 @@ def _rolling_docs_store(
 
 def _rolling_sig_store(spark: SparkSession, sf_dir: str) -> str:
     """The rolling minhash loops share _signature_store rather than
-    building a both-days-excluded copy: the store is partitioned BY
+    building a days-excluded copy: the store is partitioned BY
     SOURCE and per-doc (signatures are a pure function of each doc's own
     text), so day isolation is a READ property, not a build property —
     every day-1 probe pins ~isin(day1, day2) on the store scan
@@ -289,7 +289,7 @@ def _rolling_sig_store(spark: SparkSession, sf_dir: str) -> str:
     identical to what the full build put there (ONE writer, per-doc
     rows). A store whose BUILT content mixes the corpus across
     partitions (NB 'base' counts, the IVF centroid fit) cannot use this
-    — those keep dedicated both-days-excluded builds. Net: one
+    — those keep dedicated days-excluded builds. Net: one
     signature-store build per process instead of two.
 
     File-listing staleness hazard (ADVICE r10): content identity makes
@@ -484,8 +484,8 @@ def ann_ivf_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # the NB maintenance loop's COUNT store (mergeable, batch-partitioned):
-# corpus excludes BOTH day sources, same rationale as the other rolling
-# stores
+# corpus excludes every ROLLING_DAYS source, same rationale as the
+# other rolling stores
 _ROLLING_NB_STORE_CACHE: dict[str, str] = {}
 
 
@@ -512,10 +512,11 @@ def quality_nb_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# the rolling loop's own IVF store: corpus excludes BOTH day labels
-# (day 1 must arrive via the query's admission write-back, day 2 does
-# not exist yet at build time), and it cannot share _ivf_store's because
-# the loop MUTATES the inverted file
+# the rolling loop's own IVF store: corpus excludes every
+# IVF_ROLLING_DAYS label (each day must arrive via the query's own
+# admission write-back; later days do not exist yet at build time), and
+# it cannot share _ivf_store's because the loop MUTATES the inverted
+# file
 _ROLLING_IVF_STORE_CACHE: dict[str, str] = {}
 
 

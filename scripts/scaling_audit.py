@@ -114,6 +114,9 @@ QUERIES = [
     "daily_crawl_pipeline",
     # round-11 additions
     "daily_crawl_stream",
+    # round-12 additions
+    "daily_crawl_stream_day2",
+    "daily_crawl_recrawl",
 ]
 BASE = "/root/testdata/sf0.1"
 

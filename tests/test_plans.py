@@ -1120,3 +1120,14 @@ def test_daily_cycle_day2_reads_only_batch_and_stores(spark):
         and "source" in ln.split("PartitionFilters")[1].split("]")[0]
         for ln in fp_scans
     ), "a fingerprint store scan lost its source partition filter"
+
+
+def test_recrawl_and_stream_day2_plans_are_bounded(spark):
+    # the round-12 composed cycles keep the family's plan contract: no
+    # cartesian products (every dedup tier is an equi-join on
+    # hash/band/fingerprint keys; the only nested-loop joins are the
+    # sanctioned single-row scalar-consts broadcasts the NB scorer and
+    # gopher gate share with daily_crawl_pipeline)
+    for name in ("daily_crawl_recrawl", "daily_crawl_stream_day2"):
+        plan = _plan(spark, name)
+        assert "CartesianProduct" not in plan, name
