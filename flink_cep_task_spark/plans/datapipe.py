@@ -865,7 +865,9 @@ def _recrawl_stores(spark: SparkSession, sf_dir: str) -> dict:
     """Per-process PRIVATE copies of the three crawl stores: the recrawl
     re-admits day-1's partitions with CHANGED text, which would poison
     the shared stores every other query reads, so this query forks the
-    store directories (a file copy — the cheap production analog is a
+    store directories (Hadoop FileUtil.copy — the same FS-API substrate
+    as retire_label_epochs, so the fork works against any
+    Hadoop-supported store URI; the cheap production analog is a
     snapshot/clone) and mutates only its own fork. Copy-time shared
     content may or may not already include day partitions admitted by
     earlier queries this process; every read below pins or overwrites
@@ -882,6 +884,10 @@ def _recrawl_stores(spark: SparkSession, sf_dir: str) -> dict:
     t0 = time.perf_counter()
     parent = tempfile.mkdtemp(prefix="recrawl_stores_")
     atexit.register(shutil.rmtree, parent, ignore_errors=True)
+    sc = spark.sparkContext
+    jvm = sc._jvm
+    conf = sc._jsc.hadoopConfiguration()
+    futil = jvm.org.apache.hadoop.fs.FileUtil
     paths = {}
     for name, src in (
         ("signatures", _rolling_sig_store(spark, sf_dir)),
@@ -889,7 +895,10 @@ def _recrawl_stores(spark: SparkSession, sf_dir: str) -> dict:
         ("nb_counts", _rolling_nb_count_store(spark, sf_dir)),
     ):
         dst = os.path.join(parent, name)
-        shutil.copytree(src, dst)
+        sp = jvm.org.apache.hadoop.fs.Path(src)
+        dp = jvm.org.apache.hadoop.fs.Path(dst)
+        sfs = sp.getFileSystem(conf)
+        futil.copy(sfs, sp, dp.getFileSystem(conf), dp, False, conf)
         paths[name] = dst
     _record_store_build("recrawl_stores_" + sf_dir, time.perf_counter() - t0)
     _RECRAWL_STORE_CACHE[sf_dir] = paths

@@ -105,20 +105,33 @@ def compact_dataset(
     directory level (rename/retarget), never an in-place rewrite that a
     concurrent reader could see half-done.
 
+    Listing and sizing go through the Hadoop FileSystem API resolved
+    from the dataset URI (round 12 — same substrate port as
+    retire_label_epochs): the compaction job's whole purpose is
+    long-lived stores, which at the 100 TB design point live on object
+    storage or HDFS where local `glob` semantics don't exist. A driver-
+    side recursive listing over O(files) statuses is exactly what the
+    job exists to SHRINK, and it runs once per maintenance cycle.
+
     Returns {"files_before", "files_after", "bytes"} for the caller's
     audit log."""
-    import glob as _glob
-    import os
 
-    def _files(root: str) -> list[str]:
-        return [
-            p
-            for p in _glob.glob(os.path.join(root, "**", "*.parquet"), recursive=True)
-            if os.path.isfile(p)
-        ]
+    def _files(root: str) -> list[tuple[str, int]]:
+        sc = spark.sparkContext
+        jpath = sc._jvm.org.apache.hadoop.fs.Path(root)
+        fs = jpath.getFileSystem(sc._jsc.hadoopConfiguration())
+        out = []
+        if fs.exists(jpath):
+            it = fs.listFiles(jpath, True)  # recursive
+            while it.hasNext():
+                st = it.next()
+                name = st.getPath().getName()
+                if name.endswith(".parquet"):
+                    out.append((st.getPath().toString(), st.getLen()))
+        return out
 
     before = _files(src)
-    total = sum(os.path.getsize(p) for p in before)
+    total = sum(n for _p, n in before)
     df = spark.read.parquet(src)
     if partition_cols:
         (

@@ -100,3 +100,20 @@ def test_compact_dataset_preserves_partition_layout(spark, tmp_path):
         r.event_date for r in df.select("event_date").distinct().collect()
     }
     assert b.count() == df.count()
+
+
+def test_compact_dataset_routes_through_hadoop_fs(spark, tmp_path):
+    """compact_dataset lists and sizes through the Hadoop FileSystem API
+    (round-12 substrate port): a `file:`-scheme URI — which the old
+    glob/os.path machinery could not list — compacts correctly, pinning
+    that the maintenance job runs against any Hadoop-supported store
+    URI, which is where the datasets it exists for actually live."""
+    from flink_cep_task_spark.sources.sink import compact_dataset
+
+    src, dest = str(tmp_path / "src"), str(tmp_path / "dest")
+    spark.range(1000).repartition(8).write.parquet(src)
+    stats = compact_dataset(spark, "file:" + src, "file:" + dest)
+    assert stats["files_before"] == 8
+    assert stats["files_after"] == 1
+    assert stats["bytes"] > 0
+    assert spark.read.parquet(dest).count() == 1000
