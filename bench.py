@@ -171,17 +171,32 @@ def main() -> None:
                 .save()
             )
             # per-attempt build split: a retried *_stored query's second
-            # attempt reuses the per-process store, so build_s must ride
-            # the attempt it was actually paid in
+            # attempt reuses the per-process store, so build_s rides the
+            # attempt it was paid in, and attempts compare on the
+            # build-free handicap (measure_with_retry) — a one-time
+            # build can't make the first attempt "lose" to its retry
             rec["build_s"] = round(store_build_total() - b0, 3)
+            rec["wall_handicap"] = round(rec["wall"] - rec["build_s"], 3)
             return rec
 
         rec = measure_with_retry(
             run_once, budget, ext_cores=retry_cores, min_wall=retry_min_wall
         )
         sec = rec.pop("wall")
-        timings[name] = sec
         build_s = rec.pop("build_s")
+        rec.pop("wall_handicap", None)
+        if rec.get("retried"):
+            # the suite pays each one-time build exactly once regardless
+            # of retries: headline = kept attempt's probe wall + every
+            # build paid across attempts, so value - builds stays the
+            # probe-only total and the paid build can't vanish when the
+            # build-free retry wins
+            build_total = round(
+                sum(b for b in rec.get("build_all", []) if b), 3
+            )
+            sec = round(sec - build_s + build_total, 3)
+            build_s = build_total
+        timings[name] = sec
         query_loads[name] = rec
         if build_s > 0:
             # independently-rounded operands can make the difference

@@ -56,16 +56,22 @@ def host_jiffies() -> int | None:
         return None
 
 
-def _proc_self_and_reaped(pid: int) -> int | None:
-    """utime+stime+cutime+cstime of one pid (jiffies), None if gone."""
+def _stat_jiffies(pid: int) -> tuple[int, int] | None:
+    """(utime+stime, cutime+cstime) of one pid in jiffies, None if gone —
+    the ONE /proc/<pid>/stat parser (comm can contain spaces/parens, so
+    split after the LAST ')' to keep field indices stable)."""
     try:
         with open(f"/proc/{pid}/stat") as fh:
-            # the comm field can contain spaces/parens — split after the
-            # LAST ')' so field indices are stable
             tail = fh.read().rsplit(")", 1)[1].split()
-        return int(tail[11]) + int(tail[12]) + int(tail[13]) + int(tail[14])
+        return int(tail[11]) + int(tail[12]), int(tail[13]) + int(tail[14])
     except Exception:
         return None
+
+
+def _proc_self_and_reaped(pid: int) -> int | None:
+    """utime+stime+cutime+cstime of one pid (jiffies), None if gone."""
+    j = _stat_jiffies(pid)
+    return None if j is None else j[0] + j[1]
 
 
 def _children(pid: int) -> list[int]:
@@ -129,7 +135,11 @@ class QueryMeter:
         if h0 is not None and h1 is not None:
             rec["host_cpu_s"] = round((h1 - h0) / HZ, 2)
         if t0 is not None and t1 is not None:
-            rec["cpu_total_s"] = round((t1 - t0) / HZ, 2)
+            # clamp: if an in-tree intermediate (pyspark.daemon, the JVM)
+            # dies mid-query, its live descendants reparent to init and
+            # leave the tree, which can make the raw delta negative —
+            # report 0 rather than poisoning Σ cpu_total_s / ext_cpu_s
+            rec["cpu_total_s"] = round(max(0, t1 - t0) / HZ, 2)
         if j0 is not None and j1 is not None:
             rec["jvm_cpu_s"] = round((j1 - j0) / HZ, 2)
         if "host_cpu_s" in rec and "cpu_total_s" in rec:
@@ -141,12 +151,8 @@ class QueryMeter:
 
 def _proc_jiffies(pid: int) -> int | None:
     """utime+stime of one pid (no children) — the legacy jvm_cpu_s floor."""
-    try:
-        with open(f"/proc/{pid}/stat") as fh:
-            tail = fh.read().rsplit(")", 1)[1].split()
-        return int(tail[11]) + int(tail[12])
-    except Exception:
-        return None
+    j = _stat_jiffies(pid)
+    return None if j is None else j[0]
 
 
 class RetryBudget:
@@ -174,7 +180,15 @@ def measure_with_retry(
     >= `ext_cores` CPU cores over its interval AND the wall is big
     enough to matter — run it once more and keep the faster attempt.
     Both walls and both external pressures are recorded on the kept
-    record, so BENCH_DETAIL shows exactly what the retry adjudicated."""
+    record, so BENCH_DETAIL shows exactly what the retry adjudicated.
+
+    One-time costs ride a handicap: when a record carries
+    `wall_handicap` (bench.py sets it to wall minus the attempt's
+    one-time store-build seconds), attempts compare on the handicap —
+    otherwise a first attempt that paid a per-process store build would
+    lose to a build-free retry regardless of load, silently dropping
+    the paid build from the suite's accounting. `build_all` records
+    both attempts' build_s so the caller can re-attach the total."""
     first = run_once()
     ext = first.get("ext_cpu_s")
     wall = first["wall"]
@@ -183,10 +197,16 @@ def measure_with_retry(
     )
     if not squeezed or not budget.take():
         return first
+
+    def key(rec):
+        return rec.get("wall_handicap", rec["wall"])
+
     second = run_once()
-    kept, other = (second, first) if second["wall"] <= first["wall"] else (first, second)
+    kept = second if key(second) <= key(first) else first
     kept = dict(kept)
     kept["retried"] = True
     kept["wall_all"] = [first["wall"], second["wall"]]
     kept["ext_all"] = [first.get("ext_cpu_s"), second.get("ext_cpu_s")]
+    if "build_s" in first or "build_s" in second:
+        kept["build_all"] = [first.get("build_s"), second.get("build_s")]
     return kept

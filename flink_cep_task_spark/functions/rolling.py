@@ -24,5 +24,23 @@ def day_union_sql(day_sqls: list[str]) -> str:
     )
 
 
+def day_union(parts):
+    """DataFrame-side twin of day_union_sql: tag each day's frame with
+    its 1-based day index and UNION ALL — the ONE fold every rolling
+    loop and composed cycle uses, so the day-tagging convention can't
+    drift between families (it must stay in lockstep with the SQL
+    composer above, or every gated rolling oracle hash-flips)."""
+    from pyspark.sql import functions as F
+
+    tagged = [
+        p.select(F.lit(i + 1).cast("int").alias("day"), "*")
+        for i, p in enumerate(parts)
+    ]
+    out = tagged[0]
+    for p in tagged[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def two_day_union_sql(day1_sql: str, day2_sql: str) -> str:
     return day_union_sql([day1_sql, day2_sql])

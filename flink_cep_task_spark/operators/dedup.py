@@ -1055,14 +1055,13 @@ def dedup_minhash_rolling(
             ~F.col("source").isin(*days[i:])
         )
         r = dedup_incremental_minhash_from_store(documents, store, day)
-        parts.append(r.select(F.lit(i + 1).alias("day"), "*"))
+        parts.append(r)
         append_minhash_signatures(
             documents.filter(F.col("source") == day), store_path
         )
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+    from flink_cep_task_spark.functions.rolling import day_union
+
+    return day_union(parts)
 
 
 def dedup_minhash_rolling_sql(days: list[str] | None = None) -> str:
@@ -1704,14 +1703,13 @@ def dedup_substring_rolling(
             ~F.col("source").isin(*days[i:])
         )
         r = dedup_substring_incremental_from_store(documents, store, day)
-        parts.append(r.select(F.lit(i + 1).alias("day"), "*"))
+        parts.append(r)
         append_winnow_fingerprints(
             documents.filter(F.col("source") == day), store_path
         )
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+    from flink_cep_task_spark.functions.rolling import day_union
+
+    return day_union(parts)
 
 
 def dedup_substring_incremental_sql(
@@ -2582,7 +2580,7 @@ def dedup_clusters_rolling(
             else documents
         )
         r = dedup_clusters_from_store(universe, lab, sig, day)
-        parts.append(r.select(F.lit(i + 1).alias("day"), "*"))
+        parts.append(r)
         # ADMISSION: the day's signatures (source partition, shared
         # writer) and the merged labels (the day's own epoch) — both
         # idempotent dynamic overwrites; the label write lands r's
@@ -2593,10 +2591,9 @@ def dedup_clusters_rolling(
         )
         write_cluster_label_store(r, label_store_path, epoch=day, dynamic=True)
         prev_epoch = day
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+    from flink_cep_task_spark.functions.rolling import day_union
+
+    return day_union(parts)
 
 
 def dedup_clusters_rolling_sql(days: list[str] | None = None) -> str:

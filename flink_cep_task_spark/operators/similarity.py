@@ -1043,13 +1043,12 @@ def ann_ivf_rolling(
             embeddings, store_path, incoming_label=day,
             batch_in=tuple(batches),
         )
-        parts.append(r.select(F.lit(i + 1).alias("day"), "*"))
+        parts.append(r)
         append_ivf_assignments(embeddings, store_path, day, f"d{i + 1}")
         batches.append(f"d{i + 1}")
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+    from flink_cep_task_spark.functions.rolling import day_union
+
+    return day_union(parts)
 
 
 def _ann_ivf_rolling_sql(days: tuple = IVF_ROLLING_DAYS) -> str:

@@ -1133,6 +1133,10 @@ def quality_nb_rolling(
 
     if days is None:
         days = [day1, day2]
+    if any(d is None for d in days):
+        # a silent None would filter source == NULL and return an empty
+        # frame with no error
+        raise ValueError("pass day1/day2 or days=[...]")
     parts = []
     admitted = ["base"]
     for i, day in enumerate(days):
@@ -1146,7 +1150,7 @@ def quality_nb_rolling(
         r = quality_nb_score_from_store(
             documents.filter(F.col("source") == day), m
         )
-        parts.append(r.select(F.lit(i + 1).alias("day"), "*"))
+        parts.append(r)
         write_nb_count_store(
             documents.filter(F.col("source") == day),
             store_path,
@@ -1154,10 +1158,9 @@ def quality_nb_rolling(
             dynamic=True,
         )
         admitted.append(day)
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+    from flink_cep_task_spark.functions.rolling import day_union
+
+    return day_union(parts)
 
 
 def quality_nb_rolling_sql(
@@ -1171,6 +1174,8 @@ def quality_nb_rolling_sql(
 
     if days is None:
         days = [day1, day2]
+    if any(d is None for d in days):
+        raise ValueError("pass day1/day2 or days=[...]")
     blocks = []
     for i, day in enumerate(days):
         not_in = ", ".join(f"'{d}'" for d in days[i:])

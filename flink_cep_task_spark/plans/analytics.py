@@ -1814,16 +1814,13 @@ def incremental_rollup_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
             if hi is not None
             else load_events_since(spark, sf_dir, lo)
         )
-        parts.append(
-            _merge_rollup(store, batch).select(F.lit(i + 1).alias("day"), "*")
-        )
+        parts.append(_merge_rollup(store, batch))
         if hi is not None:
             # ADMISSION: the day's partials land in their own partition
             write_rollup_partial_store(batch, path, dynamic=True)
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+    from flink_cep_task_spark.functions.rolling import day_union
+
+    return day_union(parts)
 
 
 def _rollup_rolling_sql() -> str:

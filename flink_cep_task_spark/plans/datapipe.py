@@ -774,9 +774,9 @@ def daily_crawl_cycles(
     write_nb_count_store(batch2, nb_path, batch=day2, dynamic=True)
     if admit_day2 is not None:
         admit_day2()
-    return r1.select(F.lit(1).alias("day"), "*").unionByName(
-        r2.select(F.lit(2).alias("day"), "*")
-    )
+    from flink_cep_task_spark.functions.rolling import day_union
+
+    return day_union([r1, r2])
 
 
 def _daily_cycle_sql(
@@ -992,11 +992,9 @@ def daily_crawl_recrawl(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, docs2, day3, sig_path,
         F.col("source") != day3, model(["base", day1, day2]), fp_path,
     )
-    return (
-        r1.select(F.lit(1).alias("day"), "*")
-        .unionByName(r2.select(F.lit(2).alias("day"), "*"))
-        .unionByName(r3.select(F.lit(3).alias("day"), "*"))
-    )
+    from flink_cep_task_spark.functions.rolling import day_union
+
+    return day_union([r1, r2, r3])
 
 
 def _daily_crawl_recrawl_sql() -> str:
