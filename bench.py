@@ -300,17 +300,17 @@ def main() -> None:
                     "quality_nb_rolling 3.7 -> 7.2 (third model + "
                     "score), incremental_rollup_rolling 2.1 -> 2.4 "
                     "(third window, flat). The committed run is the "
-                    "best of FIVE final-code runs (396.9/402.0/473.6/"
-                    "555.6/646.8 — the box ran tenant waves all day; "
-                    "the new in-run retry fired 1/2/9/13/14 times "
+                    "best of SEVEN final-code runs (362.6/396.9/402.0/"
+                    "473.6/496.0/555.6/646.8 — waves all day; "
+                    "the in-run retry fired 1/1/2/9/1/13/14 times "
                     "respectively). Shared-160 sum vs the driver's "
-                    "authoritative r11 run: 368.1 vs 447.0, median "
-                    "per-query ratio 0.80 — the r12 code is FASTER on "
+                    "authoritative r11 run: 327.6 vs 447.0, median "
+                    "per-query ratio 0.72 — the r12 code is FASTER on "
                     "the shared surface; every >=1.5x shared increase "
                     "is one of the four deliberately-widened rolling "
-                    "families. cpu_total_s across the five runs: "
-                    "3650/3546/3368/3356/2942 — a 1.24x spread vs the "
-                    "wall's 1.63x; the heaviest-wave runs sit LOWEST "
+                    "families. cpu_total_s across the seven runs: "
+                    "3650/3546/3542/3502/3368/3356/2942 — 1.24x vs the "
+                    "wall's 1.78x; the heaviest-wave runs sit LOWEST "
                     "(preempted threads accrue less CPU and the retry "
                     "keeps the cheaper attempt), so round-over-round "
                     "drift detection should compare cpu_total_s "
