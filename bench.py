@@ -284,20 +284,20 @@ def main() -> None:
                 "notes": [
                     "Round-12 surface (162 queries): two new "
                     "composed-cycle entries — daily_crawl_stream_day2 "
-                    "(6.0 s: compacts the cached stream replay's "
+                    "(5.2 s: compacts the cached stream replay's "
                     "bid-sharded admissions into the day-1 store "
                     "partitions and runs the real day-2 probe against "
                     "them; pays its own replay only in isolation) and "
-                    "daily_crawl_recrawl (22.8 s: THREE full cycle days "
+                    "daily_crawl_recrawl (29.7 s: THREE full cycle days "
                     "incl. a recrawl re-admission, on forked stores — "
                     "the fork copy rides store_builds) — plus the four "
                     "remaining rolling families widened 2 -> 3 days "
                     "(VERDICT r11 task #3), the only shared-surface "
                     "cost growth and all of it real third-day work: "
-                    "dedup_clusters_rolling 17.4 -> 26.2 (a third CC "
+                    "dedup_clusters_rolling 17.4 -> 25.0 (a third CC "
                     "fixpoint + label admission), ann_ivf_rolling 9.4 "
-                    "-> 14.3 (third probe + admission), "
-                    "quality_nb_rolling 3.7 -> 7.2 (third model + "
+                    "-> 12.6 (third probe + admission), "
+                    "quality_nb_rolling 3.7 -> 5.6 (third model + "
                     "score), incremental_rollup_rolling 2.1 -> 2.4 "
                     "(third window, flat). The committed run is the "
                     "best of SEVEN final-code runs (362.6/396.9/402.0/"
@@ -307,8 +307,9 @@ def main() -> None:
                     "authoritative r11 run: 327.6 vs 447.0, median "
                     "per-query ratio 0.72 — the r12 code is FASTER on "
                     "the shared surface; every >=1.5x shared increase "
-                    "is one of the four deliberately-widened rolling "
-                    "families. cpu_total_s across the seven runs: "
+                    "is a deliberately-widened rolling family except "
+                    "ann_pq 2.1x (its documented warmup band). "
+                    "cpu_total_s across the seven runs: "
                     "3650/3546/3542/3502/3368/3356/2942 — 1.24x vs the "
                     "wall's 1.78x; the heaviest-wave runs sit LOWEST "
                     "(preempted threads accrue less CPU and the retry "
