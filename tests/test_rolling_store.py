@@ -464,3 +464,21 @@ def test_three_day_rolling_operator_chain(spark, tmp_path):
     assert got[(1, 10)] == ("new", None)
     assert got[(2, 20)] == ("near_dup", 10)
     assert got[(3, 30)] == ("near_dup", 20)
+
+
+def test_day_union_composers_stay_in_lockstep(spark):
+    """day_union (DataFrame) and day_union_sql (oracle) implement the ONE
+    day-tagging convention every rolling family rides; a drift in either
+    (tag base, column name, dtype) would hash-flip all six gated rolling
+    oracles at once — pin them against each other directly."""
+    import duckdb
+
+    from flink_cep_task_spark.functions.rolling import day_union, day_union_sql
+
+    parts = [spark.createDataFrame([(v,)], "x INT") for v in (10, 20, 30)]
+    df = day_union(parts)
+    got = sorted((r["day"], r["x"]) for r in df.collect())
+    sql = day_union_sql(["SELECT 10 AS x", "SELECT 20 AS x", "SELECT 30 AS x"])
+    exp = sorted(map(tuple, duckdb.connect().execute(sql).fetchall()))
+    assert got == exp == [(1, 10), (2, 20), (3, 30)]
+    assert dict(df.dtypes)["day"] == "int"
