@@ -317,6 +317,24 @@ def main() -> None:
                     "drift detection should compare cpu_total_s "
                     "between runs of similar n_retried, or per-query "
                     "cpu columns directly.",
+                    "Round-12 delta isolation (SPARK_GRAFT_BENCH_ONLY over "
+                    "the six new/widened queries, 3 passes: totals "
+                    "143.9/177.5/162.6 s): isolation is SLOWER than in-suite "
+                    "BY DESIGN — each pass re-pays the shared store builds, "
+                    "daily_crawl_stream_day2 pays its own full stream replay "
+                    "(33.3/41.6/43.0 s vs 5.2 in-suite, where it consumes "
+                    "the registered stream query's cached run), and "
+                    "daily_crawl_recrawl re-forks the stores. n_retried=0 in "
+                    "all three passes is the retry mechanism behaving "
+                    "correctly: 1-min load read 5-16 during the passes but "
+                    "the per-query ext_cpu_s (which excludes our own tree by "
+                    "construction) was 0-52 CPU-s over 28-43 s walls, i.e. "
+                    "0.5-1.8 external cores — under the 4-core threshold; "
+                    "the loadavg was dominated by the bench's own parallel "
+                    "store builds (cpu_total_s 20-338 per query). This is "
+                    "the isolation-attribution class every *_stored/rolling "
+                    "entry documents: build-then-probe, in-suite numbers are "
+                    "the steady state.",
                     "cpu_total_s (new in round 12, VERDICT r11 task #1) "
                     "is the bench's OWN busy CPU-seconds per query over "
                     "the whole process tree — driver python + Spark JVM "
