@@ -1051,6 +1051,11 @@ DAILY_CRAWL_SQL = _daily_crawl_sql()
 
 _CRAWL_STREAM_WORKDIR: dict[str, str] = {}
 
+# most recent COMPLETED registered-shape replay per sf_dir —
+# daily_crawl_stream_day2 compacts this run's admission areas instead of
+# replaying the stream again (filled at the end of daily_crawl_stream_run)
+_CRAWL_STREAM_RUN_CACHE: dict[str, str] = {}
+
 
 def daily_crawl_stream_run(spark: SparkSession, sf_dir: str, n_files: int = 4):
     """STREAMING edition of the daily crawl cycle (VERDICT r10 task #5),
@@ -1196,9 +1201,6 @@ def daily_crawl_stream_run(spark: SparkSession, sf_dir: str, n_files: int = 4):
 def daily_crawl_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Registered streaming crawl-cycle query — see daily_crawl_stream_run."""
     return daily_crawl_stream_run(spark, sf_dir)[0]
-
-
-_CRAWL_STREAM_RUN_CACHE: dict[str, str] = {}
 
 
 def compact_stream_admissions(
