@@ -311,8 +311,11 @@ def main() -> None:
                     "the shared surface; every >=1.5x shared increase "
                     "is a deliberately-widened rolling family except "
                     "ann_pq 2.1x (its documented warmup band). "
-                    "cpu_total_s across the seven runs: "
-                    "3650/3546/3542/3502/3368/3356/2942 — 1.24x vs the "
+                    "cpu_total_s captured for seven of the ten runs "
+                    "(this note's draft predates the campaign's final "
+                    "three runs, whose cpu values were not re-captured "
+                    "— ADVICE r12): 3650/3546/3542/3502/3368/3356/2942 "
+                    "— 1.24x vs the "
                     "wall's 1.78x; the heaviest-wave runs sit LOWEST "
                     "(preempted threads accrue less CPU and the retry "
                     "keeps the cheaper attempt), so round-over-round "

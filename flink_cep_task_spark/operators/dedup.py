@@ -124,7 +124,13 @@ def _incoming_filter(incoming):
     day's "today's source plus re-fetched day-1 docs" mix
     (plans/datapipe.daily_crawl_recrawl). Store-side corpus reads negate
     the same predicate, so the two sides stay exact complements for any
-    predicate over columns both frames carry (source, doc_id)."""
+    predicate whose columns are non-NULL in every row (true for the
+    test tables: doc_id and source are generated NOT NULL). Under SQL
+    three-valued logic a NULL predicate column makes BOTH the filter
+    and its negation NULL — the row silently leaves both sides — so a
+    composite predicate over nullable columns must null-guard itself
+    (coalesce(pred, FALSE) on the incoming side and coalesce(NOT pred,
+    TRUE) on the corpus side) to stay a true complement (ADVICE r12)."""
     from pyspark.sql import Column
 
     if isinstance(incoming, Column):
@@ -2423,11 +2429,16 @@ def retire_label_epochs(spark, path: str, keep: list[str] | None = None,
     `keep` names the epochs to retain explicitly; `keep_last=N` instead
     retains the N lexicographically-latest epochs (daily epochs sort by
     date — callers using non-sorting epoch names must pass `keep`).
-    The lexicographically-LATEST epoch is always retained: an explicit
-    `keep` that omits it raises rather than GCing the store's most
-    recent advance out from under the next incremental probe (rolling
-    back a bad epoch is a different operation — delete it explicitly,
-    don't reach for the GC). Deletion is per-partition directory (hive
+    The most-recently-WRITTEN epoch is always retained, judged by the
+    partition directory's modification time (name as a deterministic
+    tiebreak), NOT by name order — so a rebuild epoch named 'rebuilt'
+    alongside daily 'src*' epochs is recognized as the store's newest
+    advance even though it sorts first (ADVICE r12: the earlier
+    lexicographic guard mis-ranked exactly that case). An explicit
+    `keep` that omits the newest advance raises rather than GCing it
+    out from under the next incremental probe (rolling back a bad epoch
+    is a different operation — delete it explicitly, don't reach for
+    the GC). Deletion is per-partition directory (hive
     layout `epoch=<v>/`): partition-granular, atomic per epoch at the
     directory level, and invisible to pinned readers of surviving
     epochs — their file listings never contained the retired
@@ -2438,11 +2449,14 @@ def retire_label_epochs(spark, path: str, keep: list[str] | None = None,
     root = jvm.org.apache.hadoop.fs.Path(path)
     fs = root.getFileSystem(sc._jsc.hadoopConfiguration())
     dirs = {}
+    mtimes = {}
     if fs.exists(root):
         for st in fs.listStatus(root):
             name = st.getPath().getName()
             if st.isDirectory() and name.startswith("epoch="):
-                dirs[name.split("=", 1)[1]] = st.getPath()
+                ep = name.split("=", 1)[1]
+                dirs[ep] = st.getPath()
+                mtimes[ep] = st.getModificationTime()
     if keep is None:
         if keep_last is None:
             raise ValueError("pass keep=[...] or keep_last=N")
@@ -2454,10 +2468,10 @@ def retire_label_epochs(spark, path: str, keep: list[str] | None = None,
             raise ValueError(
                 f"keep={keep!r} retains no existing epoch of {sorted(dirs)}"
             )
-        latest = max(dirs)
+        latest = max(dirs, key=lambda ep: (mtimes[ep], ep))
         if latest not in set(keep):
             raise ValueError(
-                f"keep={keep!r} would retire the latest epoch {latest!r} — "
+                f"keep={keep!r} would retire the newest epoch {latest!r} — "
                 "the GC never deletes the store's most recent advance"
             )
     retired = sorted(set(dirs) - set(keep))

@@ -72,15 +72,54 @@ def write_model_parquet(path: str, table) -> None:
     (profiled round 10 — it was a third of every IVF store build),
     while the direct write is milliseconds. Readers keep using
     spark.read.parquet — the arrow types round-trip exactly. `table`
-    is a pyarrow.Table."""
+    is a pyarrow.Table.
+
+    Substrate (VERDICT r12 task #2): the artifact is produced locally
+    either way (pyarrow writes bytes, not datasets), but the DESTINATION
+    resolves through the Hadoop FileSystem API whenever `path` carries a
+    non-local scheme — write to driver-local scratch, then
+    `FileUtil.copy` to the URI (the `_recrawl_stores` fork pattern,
+    plans/datapipe.py) — because these model stores (IVF centroids, BPE
+    merges, NB consts) are read back as parts of long-lived stores that
+    at the 100 TB design point live on object storage where `os.path`
+    does not apply. Bare paths keep the pure-local millisecond fast
+    path (every in-repo caller passes one); ANY scheme — including
+    `file:`, which is how the routing test proves the Hadoop path
+    in a container with no object store — takes the FS-API route."""
     import os
     import shutil
+    import tempfile
+    from urllib.parse import urlparse
 
     import pyarrow.parquet as pq
 
-    shutil.rmtree(path, ignore_errors=True)  # overwrite semantics
-    os.makedirs(path, exist_ok=True)
-    pq.write_table(table, os.path.join(path, "part-00000.parquet"))
+    scheme = urlparse(path).scheme
+    if scheme == "" or len(scheme) <= 1:  # bare local path
+        shutil.rmtree(path, ignore_errors=True)  # overwrite semantics
+        os.makedirs(path, exist_ok=True)
+        pq.write_table(table, os.path.join(path, "part-00000.parquet"))
+        return
+
+    spark = SparkSession.getActiveSession()
+    if spark is None:
+        raise ValueError(
+            f"writing model parquet to non-local URI {path!r} needs an "
+            "active SparkSession to resolve the Hadoop FileSystem"
+        )
+    with tempfile.TemporaryDirectory(prefix="model_pq_") as tmp:
+        staged = os.path.join(tmp, "store", "part-00000.parquet")
+        os.makedirs(os.path.dirname(staged))
+        pq.write_table(table, staged)
+        sc = spark.sparkContext
+        jvm = sc._jvm
+        conf = sc._jsc.hadoopConfiguration()
+        dst = jvm.org.apache.hadoop.fs.Path(path)
+        fs = dst.getFileSystem(conf)
+        fs.delete(dst, True)  # overwrite semantics, atomic at dir level
+        src = jvm.org.apache.hadoop.fs.Path(os.path.dirname(staged))
+        jvm.org.apache.hadoop.fs.FileUtil.copy(
+            src.getFileSystem(conf), src, fs, dst, False, conf
+        )
 
 
 def compact_dataset(

@@ -330,8 +330,8 @@ def test_label_epoch_gc_routes_through_hadoop_fs(spark, tmp_path):
     correctly, pinning that the operator runs against any
     Hadoop-supported store URI (local, HDFS, s3a/gs via connectors),
     which is the difference between a demo GC and the 100 TB one. Also
-    pins the latest-epoch guard: an explicit keep= omitting the
-    lexicographically-latest epoch refuses to run."""
+    pins the newest-epoch guard: an explicit keep= omitting the
+    most-recently-written epoch refuses to run."""
     import pytest as _pytest
 
     from flink_cep_task_spark.operators.dedup import (
@@ -345,7 +345,7 @@ def test_label_epoch_gc_routes_through_hadoop_fs(spark, tmp_path):
         write_cluster_label_store(labels, lab_path, epoch=ep, dynamic=True)
 
     uri = "file:" + lab_path
-    with _pytest.raises(ValueError, match="latest epoch"):
+    with _pytest.raises(ValueError, match="newest epoch"):
         retire_label_epochs(spark, uri, keep=["d1"])
 
     stats = retire_label_epochs(spark, uri, keep_last=1)
@@ -354,3 +354,76 @@ def test_label_epoch_gc_routes_through_hadoop_fs(spark, tmp_path):
     assert dirs == {"epoch=d3"}
     # the surviving epoch still reads back through Spark
     assert spark.read.parquet(lab_path).count() == 2
+
+
+def test_write_model_parquet_routes_through_hadoop_fs(spark, tmp_path):
+    """write_model_parquet resolves any URI destination through the
+    Hadoop FileSystem API (VERDICT r12 task #2): a `file:`-scheme URI —
+    which the old shutil/os.makedirs machinery would have mangled into
+    a literal './file:' directory — lands the staged pyarrow file at
+    the right place, overwrite included, pinning that model stores are
+    addressable by any Hadoop-supported URI (the same routing proof as
+    test_label_epoch_gc_routes_through_hadoop_fs). Bare paths keep the
+    profiled millisecond local fast path."""
+    import pyarrow as pa
+
+    from flink_cep_task_spark.sources.sink import write_model_parquet
+
+    dest = str(tmp_path / "model")
+    t1 = pa.table({"k": [1, 2], "v": [0.5, 1.5]})
+    write_model_parquet("file:" + dest, t1)
+    assert sorted(
+        (r["k"], r["v"]) for r in spark.read.parquet(dest).collect()
+    ) == [(1, 0.5), (2, 1.5)]
+
+    # overwrite through the same route replaces, never appends
+    t2 = pa.table({"k": [7], "v": [9.0]})
+    write_model_parquet("file:" + dest, t2)
+    assert [(r["k"], r["v"]) for r in spark.read.parquet(dest).collect()] == [
+        (7, 9.0)
+    ]
+
+    # the bare-path fast path still round-trips identically
+    local = str(tmp_path / "model_local")
+    write_model_parquet(local, t2)
+    assert [(r["k"], r["v"]) for r in spark.read.parquet(local).collect()] == [
+        (7, 9.0)
+    ]
+
+
+def test_newest_epoch_guard_tracks_write_recency_not_name_order(spark, tmp_path):
+    """The GC's newest-epoch guard ranks by the partition directory's
+    modification time, not name order (ADVICE r12): a rebuild epoch
+    named 'rebuilt' written AFTER daily 'src0' epochs is the store's
+    newest advance even though 'src0' sorts last lexicographically.
+    The old lexicographic guard failed this both ways — it rejected the
+    legitimate GC down to the rebuild (keep=['rebuilt'] omitted the
+    'latest' src0) and would have let src0 retire a genuinely-newer
+    epoch sorting before it. This is exactly the shape the composed
+    label-maintenance cycle runs (plans/datapipe.cluster_label_maintenance)."""
+    import time as _time
+
+    import pytest as _pytest
+
+    from flink_cep_task_spark.operators.dedup import (
+        retire_label_epochs,
+        write_cluster_label_store,
+    )
+
+    lab_path = str(tmp_path / "labels")
+    labels = spark.createDataFrame([(2, 1)], "doc_id LONG, cluster_id LONG")
+    for ep in ("base", "src0"):
+        write_cluster_label_store(labels, lab_path, epoch=ep, dynamic=True)
+    _time.sleep(1.1)  # local-FS mtime granularity can be one second
+    write_cluster_label_store(labels, lab_path, epoch="rebuilt", dynamic=True)
+
+    # retiring the newest advance (the rebuild) still refuses, even
+    # though 'src0' > 'rebuilt' lexicographically
+    with _pytest.raises(ValueError, match="newest epoch"):
+        retire_label_epochs(spark, lab_path, keep=["src0"])
+
+    # and the legitimate GC down to the rebuild epoch now runs
+    stats = retire_label_epochs(spark, lab_path, keep=["rebuilt"])
+    assert stats == {"retired": ["base", "src0"], "kept": ["rebuilt"]}
+    dirs = {os.path.basename(d) for d in glob.glob(os.path.join(lab_path, "epoch=*"))}
+    assert dirs == {"epoch=rebuilt"}
