@@ -1033,6 +1033,224 @@ def _daily_crawl_recrawl_sql() -> str:
 DAILY_CRAWL_RECRAWL_SQL = _daily_crawl_recrawl_sql()
 
 
+# --- the composed cluster-label lifecycle (VERDICT r12 task #1) -----------
+
+LABEL_REBUILD_EPOCH = "rebuilt"
+
+
+def _fork_store(spark: SparkSession, src: str, dst: str) -> None:
+    """Copy one store directory via Hadoop FileUtil.copy — the
+    FS-API substrate every lifecycle job in this module shares, so a
+    fork works against any Hadoop-supported store URI."""
+    sc = spark.sparkContext
+    jvm = sc._jvm
+    conf = sc._jsc.hadoopConfiguration()
+    sp = jvm.org.apache.hadoop.fs.Path(src)
+    dp = jvm.org.apache.hadoop.fs.Path(dst)
+    jvm.org.apache.hadoop.fs.FileUtil.copy(
+        sp.getFileSystem(conf), sp, dp.getFileSystem(conf), dp, False, conf
+    )
+
+
+def cluster_label_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WEEKLY label-store maintenance cycle, composed and
+    oracle-gated (VERDICT r12 task #1 — rebuild_label_epoch and
+    retire_label_epochs, previously pytest-only, CONSUMED by a
+    hash-checked query):
+
+      day 1: incremental label advance — CC over (base-epoch stored
+        labels ∪ the day-1 batch's signature-store edges), then ADMIT
+        day-1's signatures and the merged labels (epoch=day1);
+      recrawl: the crawler re-fetched every RECRAWL_MOD-th day-1 doc
+        with CHANGED text (RECRAWL_SUFFIX); the signature store's day-1
+        partition is re-admitted through the same writer — per-doc
+        dynamic overwrite, so the store now carries the NEW signatures.
+        The label store is now STALE-BUT-SUPERSET: an incremental
+        advance is a CC merge and provably cannot split the cluster
+        whose near-dup edge just disappeared (tests/test_recrawl.py);
+      rebuild: the SPLIT mechanism — rebuild_label_epoch recomputes the
+        clustering of corpus ∪ day-1 entirely from the CURRENT
+        signature store (corpus text never re-shingled) and lands it as
+        a fresh epoch;
+      GC: retire_label_epochs(keep=[rebuilt]) reclaims every superseded
+        epoch — base and the day-1 advance — exercising the
+        newest-epoch-by-mtime guard ('rebuilt' sorts BEFORE the daily
+        'src*' names; the lexicographic guard this round replaced would
+        have refused this exact call);
+      day 2: the downstream probe CONSUMES the rebuilt, GC'd store —
+        CC over (rebuilt-epoch labels ∪ the day-2 batch's edges) — and
+        the clusters feed a retention rollup (per-source docs kept when
+        only each cluster's canonical survives), the decision artifact
+        dedup_retention_report produces for the batch pipeline.
+
+    Output: day_union of the two probe days, one row per universe doc:
+    (day, doc_id, source, cluster_id, is_canonical, src_n_docs,
+    src_n_kept, src_doc_retention). The oracle recomputes both days
+    from scratch — day 1 over the v1 world, day 2 over the CASE-
+    modified (v2) world — so the hash flips if the rebuild did not
+    split (a re-fetched doc would keep its stale membership), if a
+    stale signature survived the re-admission (the rebuild would
+    recreate the dead edge), or if the GC deleted the wrong epoch (the
+    day-2 read of 'rebuilt' would come back empty and every corpus
+    cluster would collapse). Reads are epoch-pinned throughout, so a
+    RETIRED epoch can never leak into a read by construction — the
+    probe's correctness after GC is exactly the safety claim
+    retire_label_epochs' docstring makes.
+
+    The store fork is PRIVATE and SINGLE-USE (fresh per invocation, no
+    per-process cache): the GC step destroys the base epoch, so a
+    cached fork could not answer day 1 on a rerun — unlike the sibling
+    forks whose mutations are idempotent overwrites. Copy + rebuild
+    time rides store_builds for the bench's build/probe split.
+
+    Scale shape: both probes iterate over |label edges| + |batch
+    edges| (the sparse near-dup graph); the rebuild is the banded
+    self-join over the signature store — the same job the base-epoch
+    build runs, which is why production schedules it at recrawl
+    cadence (weekly), not daily; GC is a driver-side metadata job over
+    O(epochs) directories via the Hadoop FS API. Corpus text is never
+    read anywhere."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+    import time
+
+    from pyspark.sql import Window
+
+    day1, day2, day3 = D.ROLLING_DAYS
+    t0 = time.perf_counter()
+    parent = tempfile.mkdtemp(prefix="label_maint_")
+    atexit.register(shutil.rmtree, parent, ignore_errors=True)
+    sig_path = os.path.join(parent, "signatures")
+    lab_path = os.path.join(parent, "labels")
+    _fork_store(spark, _rolling_sig_store(spark, sf_dir), sig_path)
+    _fork_store(spark, _rolling_cluster_label_store(spark, sf_dir), lab_path)
+    _record_store_build("label_maint_fork_" + sf_dir, time.perf_counter() - t0)
+
+    docs = widen_small_scan(load_table(spark, sf_dir, "documents"))
+    rp = _recrawl_pred()
+    docs2 = docs.withColumn(
+        "text",
+        F.when(rp, F.concat(F.col("text"), F.lit(RECRAWL_SUFFIX))).otherwise(
+            F.col("text")
+        ),
+    )
+
+    def retention_tagged(universe: DataFrame, clusters: DataFrame) -> DataFrame:
+        w = Window.partitionBy("source")
+        return (
+            universe.select("doc_id", "source")
+            .join(clusters, "doc_id")
+            .select(
+                "doc_id",
+                "source",
+                "cluster_id",
+                "is_canonical",
+                F.count(F.lit(1)).over(w).alias("src_n_docs"),
+                F.sum(F.col("is_canonical").cast("long"))
+                .over(w)
+                .alias("src_n_kept"),
+            )
+            .withColumn(
+                "src_doc_retention",
+                F.round(
+                    F.col("src_n_kept").cast("double") / F.col("src_n_docs"), 6
+                ),
+            )
+        )
+
+    # --- day 1: incremental advance from the base epoch (v1 text) ---
+    sig1 = spark.read.parquet(sig_path).filter(
+        ~F.col("source").isin(*D.ROLLING_DAYS)
+    )
+    lab0 = D.read_cluster_label_store(spark, lab_path, D.CLUSTER_BASE_EPOCH)
+    uni1 = docs.filter(~F.col("source").isin(day2, day3))
+    r1 = D.dedup_clusters_from_store(uni1, lab0, sig1, day1)
+    p1 = retention_tagged(uni1, r1)
+    D.append_minhash_signatures(docs.filter(F.col("source") == day1), sig_path)
+    D.write_cluster_label_store(r1, lab_path, epoch=day1, dynamic=True)
+
+    # --- the recrawl: changed text overwrites the day-1 signatures ---
+    D.append_minhash_signatures(docs2.filter(F.col("source") == day1), sig_path)
+
+    # --- rebuild (split) + GC (reclaim) ---
+    D.rebuild_label_epoch(
+        spark, sig_path, lab_path, epoch=LABEL_REBUILD_EPOCH,
+        corpus_pred=~F.col("source").isin(day2, day3),
+    )
+    gc = D.retire_label_epochs(spark, lab_path, keep=[LABEL_REBUILD_EPOCH])
+    if D.CLUSTER_BASE_EPOCH not in gc["retired"] or day1 not in gc["retired"]:
+        raise ValueError(
+            f"label GC did not retire the superseded epochs: {gc!r}"
+        )
+
+    # --- day 2: the probe consumes the rebuilt, GC'd store (v2 text) ---
+    sig2 = spark.read.parquet(sig_path).filter(
+        ~F.col("source").isin(day2, day3)
+    )
+    lab_rb = D.read_cluster_label_store(spark, lab_path, LABEL_REBUILD_EPOCH)
+    uni2 = docs2.filter(F.col("source") != day3)
+    r2 = D.dedup_clusters_from_store(uni2, lab_rb, sig2, day2)
+    p2 = retention_tagged(uni2, r2)
+
+    from flink_cep_task_spark.functions.rolling import day_union
+
+    return day_union([p1, p2])
+
+
+def _label_maint_part_sql(clusters_sql: str, universe_where: str) -> str:
+    n_kept = "sum(CASE WHEN c.is_canonical THEN 1 ELSE 0 END) OVER (PARTITION BY d.source)"
+    return f"""
+SELECT c.doc_id, d.source, c.cluster_id, c.is_canonical,
+       count(*) OVER (PARTITION BY d.source) AS src_n_docs,
+       CAST({n_kept} AS BIGINT) AS src_n_kept,
+       round(CAST({n_kept} AS DOUBLE)
+             / count(*) OVER (PARTITION BY d.source), 6) AS src_doc_retention
+FROM ({clusters_sql}) c JOIN documents d USING (doc_id)
+WHERE {universe_where}
+"""
+
+
+def _cluster_label_maintenance_sql() -> str:
+    from flink_cep_task_spark.functions.rolling import day_union_sql
+
+    day1, day2, day3 = D.ROLLING_DAYS
+    rp = f"(source = '{day1}' AND doc_id % {RECRAWL_MOD} = 0)"
+    d1 = _label_maint_part_sql(
+        D.dedup_clusters_sql(
+            source="docs_m1",
+            prelude=(
+                "docs_m1 AS (SELECT * FROM documents "
+                f"WHERE source NOT IN ('{day2}', '{day3}')),\n"
+            ),
+        ),
+        f"d.source NOT IN ('{day2}', '{day3}')",
+    )
+    # day 2 sees the re-fetched text: cluster over the CASE-modified
+    # view (the join back for source can stay on `documents` — text
+    # changes, doc_id/source never do)
+    d2 = _label_maint_part_sql(
+        D.dedup_clusters_sql(
+            source="docs_m2",
+            prelude=(
+                "docs_m2 AS (SELECT * FROM documents2 "
+                f"WHERE source <> '{day3}'),\n"
+            ),
+        ),
+        f"d.source <> '{day3}'",
+    )
+    return (
+        "WITH documents2 AS (\n"
+        f"  SELECT doc_id, CASE WHEN {rp} THEN text || '{RECRAWL_SUFFIX}' "
+        "ELSE text END AS text, lang, source FROM documents\n"
+        ")\n" + day_union_sql([d1, d2])
+    )
+
+
+CLUSTER_LABEL_MAINTENANCE_SQL = _cluster_label_maintenance_sql()
+
+
 def _daily_crawl_sql() -> str:
     from flink_cep_task_spark.functions.rolling import two_day_union_sql
 
@@ -1297,6 +1515,283 @@ def _daily_crawl_stream_sql() -> str:
 
 
 DAILY_CRAWL_STREAM_SQL = _daily_crawl_stream_sql()
+
+
+# --- the recrawl day through the STREAMING edition (VERDICT r12 #4) ------
+
+def compact_stream_readmissions(
+    spark: SparkSession, work: str, sig_path: str, fp_path: str,
+    nb_path: str, day: str,
+) -> None:
+    """Day-close compaction for a RE-ADMISSION stream — the recrawl
+    counterpart of compact_stream_admissions, whose invariants are
+    first-admission-only (VERDICT r12 task #4 called this out): there
+    the bid union IS the day's row set and the NB partition is a plain
+    SUM across micro-batches. Under re-admission the stream carries
+    only the RE-FETCHED docs, so both assumptions break, in different
+    ways per store kind:
+
+      per-doc stores (signatures+keys, winnowing fingerprints): the
+        day's new partition = (stored day rows MINUS the re-fetched
+        docs' rows) ∪ (the stream's v2 rows) — an anti-join on doc_id
+        against the stream's own id set, then one dynamic overwrite of
+        the day partition. Blindly overwriting with the bid union (the
+        first-admission rule) would DROP every non-refetched doc's
+        rows; per-doc granularity is what makes the surgical swap
+        possible without touching any text.
+      additive count store (NB): counts are per-(tok, kind) aggregates
+        — a re-fetched doc's v1 contribution cannot be subtracted from
+        the stored partition without per-doc counts. The stream
+        therefore lands DELTAS: each micro-batch emits counts(v2) plus
+        NEGATED counts(v1) (the v1 text read from the document store,
+        which still holds yesterday's fetch while the batch is in
+        flight), and compaction REPLACES the day's partition with
+        stored + Σdeltas, dropping (0, 0) rows so the result is
+        row-identical to a from-scratch recount over the day's CURRENT
+        text — count-merge ≡ refit survives re-admission because the
+        merge carries retractions, the streaming-native fix (sum of
+        v1 + (v2 − v1) = v2). A plain SUM of assertions would have
+        double-counted every re-fetched token; the gated day-3 oracle
+        flips on exactly that (the model's vocabulary and weights
+        shift for every scored doc).
+
+    Both rewrites read the partition they overwrite, so each merged
+    frame is materialized first (eager localCheckpoint — lineage cut,
+    blocks freed at the next release_caches boundary); the writes stay
+    partition-granular and idempotent. Scale shape: one partition-
+    pruned scan of the day's stored rows + the bid areas per store;
+    the NB merge is a map-side-combinable aggregate over the day's
+    vocabulary; no other partition is read or written."""
+    import os
+
+    from flink_cep_task_spark.operators.cache import track_checkpoint
+
+    ids = (
+        spark.read.parquet(os.path.join(work, "adm_sig"))
+        .select("doc_id")
+        .distinct()
+    )
+    for sub, path in (("adm_sig", sig_path), ("adm_fp", fp_path)):
+        new_rows = spark.read.parquet(os.path.join(work, sub)).drop("bid")
+        kept = (
+            spark.read.parquet(path)
+            .filter(F.col("source") == day)
+            .join(ids, "doc_id", "left_anti")
+        )
+        merged = track_checkpoint(
+            kept.unionByName(new_rows).localCheckpoint(eager=True)
+        )
+        (
+            merged.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("source")
+            .parquet(path)
+        )
+    stored = (
+        spark.read.parquet(nb_path)
+        .filter(F.col("batch") == day)
+        .select("tok", "kind", "c_pos", "c_neg")
+    )
+    deltas = (
+        spark.read.parquet(os.path.join(work, "adm_nb_delta"))
+        .select("tok", "kind", "c_pos", "c_neg")
+    )
+    nb_day = (
+        stored.unionByName(deltas)
+        # one group per (tok, kind) — groupBy treats the docs row's
+        # NULL tok as a single key, unlike a join condition would
+        .groupBy("tok", "kind")
+        .agg(F.sum("c_pos").alias("c_pos"), F.sum("c_neg").alias("c_neg"))
+        # a token living only in retracted v1 text nets to (0, 0); a
+        # from-scratch recount has no such row, and keeping it would
+        # inflate the model's vocabulary size
+        .filter((F.col("c_pos") != 0) | (F.col("c_neg") != 0))
+        .select("tok", "c_pos", "c_neg", "kind")
+        .withColumn("batch", F.lit(day))
+    )
+    nb_day = track_checkpoint(nb_day.localCheckpoint(eager=True))
+    (
+        nb_day.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch")
+        .parquet(nb_path)
+    )
+
+
+def daily_crawl_stream_recrawl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The recrawl day run through the STREAMING edition (VERDICT r12
+    task #4 — until now the re-admission path was batch-only):
+
+      day 1 closes normally — the v1 batch admissions land in the
+        (private, forked) signature / fingerprint / NB count stores;
+      day 2 INGEST as a STREAM: the crawler's re-fetch of every
+        RECRAWL_MOD-th day-1 doc (changed text, RECRAWL_SUFFIX) replays
+        as a micro-batch file stream; each batch derives, inside
+        foreachBatch, the v2 per-doc admission rows AND the NB COUNT
+        DELTAS (v2 counts plus negated v1 counts — the retraction the
+        additive store needs, since the stream alone cannot know what
+        to subtract), each landing under its own bid=N area
+        (idempotent overwrite, the rollup_stream_maintain pattern);
+      day-2 close: compact_stream_readmissions folds the areas into
+        the day-1 store partitions — per-doc surgical swap, NB
+        replace-not-merge (see its docstring for why the
+        first-admission compaction's invariants break here);
+      day 3 probes against the settled stores — the REAL batch
+        _daily_cycle, corpus = everything before day 3.
+
+    Output: the day-3 decision rows. Oracle: the from-scratch day-3
+    cycle over the CASE-modified documents view (the same view
+    daily_crawl_recrawl's oracle uses) — the hash flips if the stream
+    left stale v1 signatures/fingerprints (the exact/near/substring
+    tiers see the wrong corpus), dropped non-refetched day-1 rows (the
+    anti-join bug this function exists to avoid), or double-counted NB
+    tokens (v1 + v2 instead of v2 — every scored doc's log_odds moves,
+    because the suffix tokens change the vocabulary itself).
+
+    Stores are the same per-process fork daily_crawl_recrawl uses
+    (_recrawl_stores): both queries only ever (re)write the day
+    partitions they then read, so interleaving is safe — every
+    mutation here is an idempotent partition overwrite preceded by its
+    own re-admission of the partitions it consumes."""
+    import glob as _glob
+    import os
+    import uuid
+
+    from flink_cep_task_spark.operators.cache import persisted
+    from flink_cep_task_spark.operators.text import (
+        nb_count_rows,
+        nb_model_from_counts,
+        write_nb_count_store,
+    )
+    from flink_cep_task_spark.plans.cep_queries import _shuffle_partitions
+    from flink_cep_task_spark.streaming.pipeline import await_stream
+
+    day1, day2, day3 = D.ROLLING_DAYS
+    st = _recrawl_stores(spark, sf_dir)
+    sig_path, fp_path, nb_path = (
+        st["signatures"], st["fingerprints"], st["nb_counts"],
+    )
+    docs = widen_small_scan(load_table(spark, sf_dir, "documents"))
+    rp = _recrawl_pred()
+    docs2 = docs.withColumn(
+        "text",
+        F.when(rp, F.concat(F.col("text"), F.lit(RECRAWL_SUFFIX))).otherwise(
+            F.col("text")
+        ),
+    )
+
+    # --- day 1 closes via the batch path (v1 text) ---
+    b1 = docs.filter(F.col("source") == day1)
+    D.append_minhash_signatures(b1, sig_path)
+    D.append_winnow_fingerprints(b1, fp_path)
+    write_nb_count_store(b1, nb_path, batch=day1, dynamic=True)
+
+    # --- the re-fetch replays as a micro-batch stream (v2 text) ---
+    parent = _CRAWL_STREAM_WORKDIR.get("root")
+    if parent is None:
+        import atexit
+        import shutil
+        import tempfile
+
+        parent = tempfile.mkdtemp(prefix="crawlstream_")
+        atexit.register(shutil.rmtree, parent, ignore_errors=True)
+        _CRAWL_STREAM_WORKDIR["root"] = parent
+    work = os.path.join(parent, f"recrawl_{uuid.uuid4().hex[:8]}")
+    os.makedirs(work)
+    src = os.path.join(work, "src")
+    (
+        docs2.filter(rp)
+        .select("doc_id", "text", "lang", "source")
+        .repartition(2)
+        .write.mode("overwrite")
+        .parquet(src)
+    )
+    # v1 edition of the re-fetched docs, for the per-batch retraction —
+    # the document store still holds yesterday's fetch while the
+    # re-admission is in flight
+    v1_docs = docs.filter(rp).select("doc_id", "text", "lang", "source")
+    stream = (
+        spark.readStream.schema(
+            "doc_id LONG, text STRING, lang STRING, source STRING"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+
+    def readmit_batch(bdf: DataFrame, bid: int) -> None:
+        old = v1_docs.join(bdf.select("doc_id"), "doc_id", "semi")
+        neg = nb_count_rows(old).select(
+            "tok", (-F.col("c_pos")).alias("c_pos"),
+            (-F.col("c_neg")).alias("c_neg"), "kind",
+        )
+        delta = nb_count_rows(bdf).select(
+            "tok", "c_pos", "c_neg", "kind"
+        ).unionByName(neg)
+        for sub, rows in (
+            ("adm_sig", D.minhash_signature_rows(bdf)),
+            ("adm_fp", D.winnow_fingerprint_rows(bdf)),
+            ("adm_nb_delta", delta),
+        ):
+            rows.write.mode("overwrite").parquet(
+                os.path.join(work, sub, f"bid={bid}")
+            )
+
+    with _shuffle_partitions(spark, 8):
+        q = (
+            stream.writeStream.foreachBatch(readmit_batch)
+            .option("checkpointLocation", os.path.join(work, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        await_stream(q, 600)
+    n_batches = len(_glob.glob(os.path.join(work, "adm_sig", "bid=*")))
+    if n_batches < 2:
+        raise ValueError(
+            f"re-admission replay produced {n_batches} micro-batches — "
+            "the multi-batch shape is the point of the streaming edition"
+        )
+
+    # --- day-2 close: fold the re-admissions into the day-1 partitions,
+    # then day 2's own (unchanged-text) batch admissions ---
+    compact_stream_readmissions(
+        spark, work, sig_path, fp_path, nb_path, day1
+    )
+    b2 = docs2.filter(F.col("source") == day2)
+    D.append_minhash_signatures(b2, sig_path)
+    D.append_winnow_fingerprints(b2, fp_path)
+    write_nb_count_store(b2, nb_path, batch=day2, dynamic=True)
+
+    # --- day 3 against the settled stores ---
+    m3 = persisted(
+        nb_model_from_counts(
+            spark.read.parquet(nb_path).filter(
+                F.col("batch").isin("base", day1, day2)
+            )
+        )
+    )
+    return _daily_cycle(
+        spark, docs2, day3, sig_path, F.col("source") != day3, m3, fp_path,
+    )
+
+
+def _daily_crawl_stream_recrawl_sql() -> str:
+    import re
+
+    day1, day2, day3 = D.ROLLING_DAYS
+    rp = f"(source = '{day1}' AND doc_id % {RECRAWL_MOD} = 0)"
+    d3 = re.sub(
+        r"\bdocuments\b", "documents2",
+        _daily_cycle_sql(day3, f"source <> '{day3}'"),
+    )
+    return (
+        "WITH documents2 AS (\n"
+        f"  SELECT doc_id, CASE WHEN {rp} THEN text || '{RECRAWL_SUFFIX}' "
+        "ELSE text END AS text, lang, source FROM documents\n"
+        ")\n" + d3
+    )
+
+
+DAILY_CRAWL_STREAM_RECRAWL_SQL = _daily_crawl_stream_recrawl_sql()
 
 DAILY_CRAWL_STREAM_DAY2_SQL = _daily_cycle_sql(
     D.ROLLING_DAY2_SOURCE,
@@ -1646,6 +2141,14 @@ DATAPIPE_QUERIES: dict[str, tuple] = {
         DAILY_CRAWL_STREAM_DAY2_SQL,
     ),
     "daily_crawl_recrawl": (daily_crawl_recrawl, DAILY_CRAWL_RECRAWL_SQL),
+    "cluster_label_maintenance": (
+        cluster_label_maintenance,
+        CLUSTER_LABEL_MAINTENANCE_SQL,
+    ),
+    "daily_crawl_stream_recrawl": (
+        daily_crawl_stream_recrawl,
+        DAILY_CRAWL_STREAM_RECRAWL_SQL,
+    ),
     "decontaminate": (_docs(D.decontaminate), D.DECONTAMINATE_SQL),
     "curate_top_quality": (_docs(T.curate_top_quality), T.CURATE_SQL),
     "media_chunk_audio": (_docs(M.media_chunk_audio), M.MEDIA_CHUNK_SQL),

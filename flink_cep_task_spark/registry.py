@@ -191,6 +191,9 @@ OVERFLOW_LAST = (
     # round-12 additions
     "daily_crawl_stream_day2",
     "daily_crawl_recrawl",
+    # round-13 additions
+    "cluster_label_maintenance",
+    "daily_crawl_stream_recrawl",
 )
 
 

@@ -132,3 +132,99 @@ def test_stream_day2_consumes_compacted_admissions(spark):
         D.minhash_signature_rows(day1).collect()
     )
     D.release_caches()
+
+
+def test_stream_recrawl_readmission_replaces_not_merges(spark):
+    """VERDICT r12 task #4 crux: a RECRAWL day through the streaming
+    edition. The re-fetched docs replay as micro-batches; compaction
+    must leave every store partition IDENTICAL to a from-scratch
+    recount over the day's CURRENT text — per-doc stores via the
+    surgical anti-join swap, the NB count store via delta (retraction)
+    merge. A first-admission-style plain SUM would double-count: the
+    'docs' class row alone would inflate by the re-fetched doc count,
+    which this test measures explicitly so the invariant has teeth."""
+    from flink_cep_task_spark.operators.text import nb_count_rows
+    from flink_cep_task_spark.plans.datapipe import (
+        RECRAWL_SUFFIX,
+        _recrawl_pred,
+        _recrawl_stores,
+        daily_crawl_recrawl,
+        daily_crawl_stream_recrawl,
+    )
+
+    got = sorted(
+        tuple(str(x) for x in r)
+        for r in daily_crawl_stream_recrawl(spark, SF_DIR).collect()
+    )
+    D.release_caches()
+
+    docs = load_table(spark, SF_DIR, "documents")
+    rp = _recrawl_pred()
+    docs2_day1 = docs.filter(
+        F.col("source") == D.INCREMENTAL_INCOMING_SOURCE
+    ).withColumn(
+        "text",
+        F.when(rp, F.concat(F.col("text"), F.lit(RECRAWL_SUFFIX))).otherwise(
+            F.col("text")
+        ),
+    )
+    n_refetched = docs2_day1.filter(rp).count()
+    assert n_refetched > 0, "fixture must re-fetch at least one doc"
+
+    st = _recrawl_stores(spark, SF_DIR)
+
+    # per-doc stores: the day-1 partition IS the v2 recount's rows
+    stored_sig = spark.read.parquet(st["signatures"]).filter(
+        F.col("source") == D.INCREMENTAL_INCOMING_SOURCE
+    )
+    assert _sig_key(stored_sig.collect()) == _sig_key(
+        D.minhash_signature_rows(docs2_day1).collect()
+    )
+    stored_fp = sorted(
+        (r["doc_id"], r["fp"], r["source"])
+        for r in spark.read.parquet(st["fingerprints"])
+        .filter(F.col("source") == D.INCREMENTAL_INCOMING_SOURCE)
+        .collect()
+    )
+    assert stored_fp == sorted(
+        (r["doc_id"], r["fp"], r["source"])
+        for r in D.winnow_fingerprint_rows(docs2_day1).collect()
+    )
+
+    # NB: the replaced batch partition == from-scratch v2 recount …
+    def _counts(df):
+        return {
+            (r["kind"], r["tok"]): (r["c_pos"], r["c_neg"])
+            for r in df.groupBy("kind", "tok")
+            .agg(
+                F.sum("c_pos").cast("long").alias("c_pos"),
+                F.sum("c_neg").cast("long").alias("c_neg"),
+            )
+            .collect()
+        }
+
+    stored_nb = _counts(
+        spark.read.parquet(st["nb_counts"]).filter(
+            F.col("batch") == D.INCREMENTAL_INCOMING_SOURCE
+        )
+    )
+    recount = _counts(nb_count_rows(docs2_day1))
+    assert stored_nb == recount and len(stored_nb) > 1
+    # … and measurably NOT the no-retraction merge: the class doc-count
+    # row sums to the day's doc count, where a plain SUM of stored-v1 +
+    # streamed-v2 assertions would read n_day1 + n_refetched (> n_day1,
+    # since n_refetched > 0 above)
+    n_day1 = docs2_day1.count()
+    assert sum(stored_nb[("docs", None)]) == n_day1
+
+    # stream-close ≡ batch-close: the day-3 probe answers bit-for-bit
+    # what the all-batch recrawl cycle answers for its day 3
+    exp = sorted(
+        tuple(str(x) for x in r)
+        for r in daily_crawl_recrawl(spark, SF_DIR)
+        .filter("day = 3")
+        .drop("day")
+        .collect()
+    )
+    assert got and got == exp
+    D.release_caches()

@@ -1131,3 +1131,45 @@ def test_recrawl_and_stream_day2_plans_are_bounded(spark):
     for name in ("daily_crawl_recrawl", "daily_crawl_stream_day2"):
         plan = _plan(spark, name)
         assert "CartesianProduct" not in plan, name
+
+
+def test_label_maintenance_and_stream_recrawl_plans_are_bounded(spark, tmp_path):
+    # round-13 composed cycles hold the same plan contract as their
+    # r12 siblings: no cartesian products anywhere in the composition.
+    # (The label/signature store FileScans live inside the eager CC
+    # fixpoint jobs, not the returned frame's plan — the epoch pin is
+    # asserted at the reader below instead.)
+    plan = _plan(spark, "cluster_label_maintenance")
+    assert "CartesianProduct" not in plan
+
+    plan = _plan(spark, "daily_crawl_stream_recrawl")
+    assert "CartesianProduct" not in plan
+
+    # the label-store reader — the ONE consumer-side read every probe
+    # in the lifecycle uses — pins exactly one epoch as a PARTITION
+    # filter: retired epochs were never in a pinned listing, which is
+    # what makes retire_label_epochs safe by construction
+    from flink_cep_task_spark.operators.dedup import (
+        read_cluster_label_store,
+        write_cluster_label_store,
+    )
+
+    lab_path = str(tmp_path / "labels")
+    labels = spark.createDataFrame(
+        [(2, 1)], "doc_id LONG, cluster_id LONG"
+    )
+    for ep in ("base", "rebuilt"):
+        write_cluster_label_store(labels, lab_path, epoch=ep, dynamic=True)
+    spark.conf.set("spark.sql.maxMetadataStringLength", "4000")
+    rplan = (
+        read_cluster_label_store(spark, lab_path, "rebuilt")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    scans = [ln for ln in rplan.splitlines() if "FileScan parquet" in ln]
+    assert scans and all(
+        "PartitionFilters" in ln
+        and "epoch" in ln.split("PartitionFilters")[1].split("]")[0]
+        for ln in scans
+    ), "the label store read must prune to its epoch partition"
