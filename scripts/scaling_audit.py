@@ -117,6 +117,9 @@ QUERIES = [
     # round-12 additions
     "daily_crawl_stream_day2",
     "daily_crawl_recrawl",
+    # round-13 additions
+    "cluster_label_maintenance",
+    "daily_crawl_stream_recrawl",
 ]
 BASE = "/root/testdata/sf0.1"
 
@@ -309,22 +312,41 @@ def main() -> None:
         dirs[k] = build_scaled(spark, k)
         print(f"# built {k}x in {time.perf_counter()-t:.1f}s -> {dirs[k]}", flush=True)
 
+    # per-cell CPU attribution via benchutil's meter (VERDICT r12 task
+    # #3): ext_cpu_s = host CPU minus this process tree's over the
+    # cell's interval — the mechanical tenant-pressure signal that
+    # makes a scaling cell adjudicable the way bench numbers are
+    from flink_cep_task_spark.benchutil import QueryMeter
+
+    meter = QueryMeter()
     results = {}
     for name in QUERIES:
         row = {}
+        loads = {}
         for k in SCALES:
-            best = float("inf")
+            best = None
             for _rep in range(2):
-                t = time.perf_counter()
-                qs[name](spark, dirs[k]).write.format("noop").mode("overwrite").save()
-                best = min(best, time.perf_counter() - t)
-            row[k] = round(best, 2)
+                rec = meter.measure(
+                    lambda: qs[name](spark, dirs[k])
+                    .write.format("noop")
+                    .mode("overwrite")
+                    .save()
+                )
+                if best is None or rec["wall"] < best["wall"]:
+                    best = rec
+            row[k] = round(best["wall"], 2)
+            loads[k] = {
+                c: best[c]
+                for c in ("cpu_total_s", "ext_cpu_s", "load_pre", "load_post")
+                if c in best
+            }
         hi, lo = max(SCALES), min(SCALES)
         ratio_key = f"ratio_{hi}x"
         row[ratio_key] = round(row[hi] / row[lo], 1) if row[lo] else None
         results[name] = row
         print(json.dumps({"query": name, **{f"t{k}": row[k] for k in SCALES},
-                          ratio_key: row[ratio_key]}), flush=True)
+                          ratio_key: row[ratio_key],
+                          "loads": loads}), flush=True)
 
     hi, lo = max(SCALES), min(SCALES)
     print("\n| query | " + " | ".join(f"{k}x (s)" for k in SCALES)
