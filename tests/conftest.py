@@ -130,6 +130,24 @@ _SLOW_TESTS = {
     "test_kafka_ingest.py::test_kafka_ingest_end_to_end_matches_batch",  # 10.4
     "test_live_rules.py::test_output_invariant_to_state_bucket_count",  # 10.2
     "test_cep_e2e.py::test_cep_query_matches_oracle[cep_late_data_policy]",  # 10.0
+    # second measured batch (fast-tier durations, same round): everything
+    # still >= 10 s after the first cut; each family keeps a faster
+    # in-tier representative (streaming parity via the session/global/gap
+    # variants, live CRUD via test_new_tag_key/test_rule_midstream, the
+    # rolling stores via the sub-10s chain tests)
+    "test_queries.py::test_query_matches_oracle[daily_crawl_stream_day2]",  # 24.2 (fresh-process full replay)
+    "test_streaming.py::test_streaming_matches_batch",  # 18.3
+    "test_cep_e2e.py::test_cep_query_matches_oracle[cep_not_followed_by_stream]",  # 18.1
+    "test_store_compaction.py::test_three_day_cadence_then_compaction",  # 16.1
+    "test_live_rules.py::test_live_cep_matches_batch",  # 14.2
+    "test_streaming_ops.py::test_rocksdb_state_store_matches_default_provider",  # 12.5
+    "test_jsonline_fuzz.py::test_parser_matches_model_and_never_crashes",  # 11.7
+    "test_live_rules.py::test_watermark_drops_late_rows_keeps_out_of_order",  # 11.3
+    "test_live_rules.py::test_live_global_rules_update_mode",  # 11.2
+    "test_live_rules.py::test_dual_socket_rules_and_metrics",  # 10.8
+    "test_asof_null.py::test_snapshot_diff_null_value_parity",  # 10.7 setup (fresh proc)
+    "test_live_rules.py::test_gap_rule_survives_gap_only_micro_batch",  # 10.5
+    "test_fb_stream_gate.py::test_fb_workdir_empty_event_types",  # 10.1
 }
 
 
