@@ -2400,6 +2400,18 @@ def write_cluster_label_store(
     if dynamic:
         w = w.option("partitionOverwriteMode", "dynamic")
     w.parquet(path)
+    # materialize the epoch's partition DIRECTORY even when it has zero
+    # star edges (a duplicate-free clustering): a 0-row partitionBy
+    # write creates no directory, which would make "epoch admitted"
+    # unobservable — the schema-pinned reader would correctly return an
+    # empty mapping, but retire_label_epochs' existence-based retain
+    # sets (and its newest-epoch guard) could not see the epoch at all,
+    # so a legitimate GC down to an empty rebuild would refuse to run.
+    # mkdirs is idempotent and goes through the same Hadoop FS the GC
+    # lists, so the invariant holds on any store URI.
+    sc = labels.sparkSession.sparkContext
+    p = sc._jvm.org.apache.hadoop.fs.Path(path, f"epoch={epoch}")
+    p.getFileSystem(sc._jsc.hadoopConfiguration()).mkdirs(p)
 
 
 def retire_label_epochs(spark, path: str, keep: list[str] | None = None,
@@ -2427,18 +2439,24 @@ def retire_label_epochs(spark, path: str, keep: list[str] | None = None,
     directories, never a data job.)
 
     `keep` names the epochs to retain explicitly; `keep_last=N` instead
-    retains the N lexicographically-latest epochs (daily epochs sort by
-    date — callers using non-sorting epoch names must pass `keep`).
-    The most-recently-WRITTEN epoch is always retained, judged by the
-    partition directory's modification time (name as a deterministic
-    tiebreak), NOT by name order — so a rebuild epoch named 'rebuilt'
-    alongside daily 'src*' epochs is recognized as the store's newest
-    advance even though it sorts first (ADVICE r12: the earlier
-    lexicographic guard mis-ranked exactly that case). An explicit
-    `keep` that omits the newest advance raises rather than GCing it
-    out from under the next incremental probe (rolling back a bad epoch
-    is a different operation — delete it explicitly, don't reach for
-    the GC). Deletion is per-partition directory (hive
+    retains the N most-recently-WRITTEN epochs. Recency is the newest
+    FILE modification time inside each epoch partition (directory mtime
+    as the floor, epoch name as a deterministic tiebreak) — file mtimes
+    because object stores report synthetic (often zero) times for
+    directory prefixes, and the whole point of the Hadoop-FS port is
+    that this job runs against s3a://gs:// stores; one extra listStatus
+    per epoch is control-plane cost on a job that is all control plane.
+    The same recency ranking drives the safety guard: the newest epoch
+    is always retained, NOT the lexicographically-last one — so a
+    rebuild epoch named 'rebuilt' alongside daily 'src*' epochs is
+    recognized as the store's newest advance even though it sorts first
+    (ADVICE r12: the earlier lexicographic guard mis-ranked exactly
+    that case), and an idempotent re-land of an OLD epoch makes that
+    epoch newest for both the guard and keep_last consistently. An
+    explicit `keep` that omits the newest advance raises rather than
+    GCing it out from under the next incremental probe (rolling back a
+    bad epoch is a different operation — delete it explicitly, don't
+    reach for the GC). Deletion is per-partition directory (hive
     layout `epoch=<v>/`): partition-granular, atomic per epoch at the
     directory level, and invisible to pinned readers of surviving
     epochs — their file listings never contained the retired
@@ -2456,11 +2474,15 @@ def retire_label_epochs(spark, path: str, keep: list[str] | None = None,
             if st.isDirectory() and name.startswith("epoch="):
                 ep = name.split("=", 1)[1]
                 dirs[ep] = st.getPath()
-                mtimes[ep] = st.getModificationTime()
+                m = st.getModificationTime()
+                for child in fs.listStatus(st.getPath()):
+                    m = max(m, child.getModificationTime())
+                mtimes[ep] = m
+    recency = sorted(dirs, key=lambda ep: (mtimes[ep], ep))
     if keep is None:
         if keep_last is None:
             raise ValueError("pass keep=[...] or keep_last=N")
-        keep = sorted(dirs)[-keep_last:] if keep_last > 0 else []
+        keep = recency[-keep_last:] if keep_last > 0 else []
     if dirs:
         if not set(keep) & set(dirs):
             # an empty retain set would delete the store's only readable
@@ -2468,7 +2490,7 @@ def retire_label_epochs(spark, path: str, keep: list[str] | None = None,
             raise ValueError(
                 f"keep={keep!r} retains no existing epoch of {sorted(dirs)}"
             )
-        latest = max(dirs, key=lambda ep: (mtimes[ep], ep))
+        latest = recency[-1]
         if latest not in set(keep):
             raise ValueError(
                 f"keep={keep!r} would retire the newest epoch {latest!r} — "

@@ -116,9 +116,15 @@ def write_model_parquet(path: str, table) -> None:
         dst = jvm.org.apache.hadoop.fs.Path(path)
         fs = dst.getFileSystem(conf)
         fs.delete(dst, True)  # overwrite semantics, atomic at dir level
-        src = jvm.org.apache.hadoop.fs.Path(os.path.dirname(staged))
+        # the staged source is driver-local BY CONSTRUCTION, so pin its
+        # scheme: a bare path would resolve through fs.defaultFS, which
+        # on a real cluster is the remote store — FileUtil.copy would
+        # then look for the staged bytes on HDFS/S3 (after the delete
+        # above already ran) instead of on this machine's disk
+        src = jvm.org.apache.hadoop.fs.Path("file:" + os.path.dirname(staged))
         jvm.org.apache.hadoop.fs.FileUtil.copy(
-            src.getFileSystem(conf), src, fs, dst, False, conf
+            jvm.org.apache.hadoop.fs.FileSystem.getLocal(conf),
+            src, fs, dst, False, conf,
         )
 
 

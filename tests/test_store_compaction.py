@@ -427,3 +427,62 @@ def test_newest_epoch_guard_tracks_write_recency_not_name_order(spark, tmp_path)
     assert stats == {"retired": ["base", "src0"], "kept": ["rebuilt"]}
     dirs = {os.path.basename(d) for d in glob.glob(os.path.join(lab_path, "epoch=*"))}
     assert dirs == {"epoch=rebuilt"}
+
+
+def test_keep_last_and_guard_share_the_recency_ranking(spark, tmp_path):
+    """keep_last and the newest-epoch guard now use ONE recency
+    definition — newest file mtime inside the epoch partition — so an
+    idempotent re-land of an OLD epoch (the store discipline every
+    recrawl flow celebrates) cannot wedge the GC: before this fix,
+    keep_last selected by name while the guard demanded the
+    mtime-newest epoch, and a rewritten d1 made keep_last=2 raise."""
+    import time as _time
+
+    from flink_cep_task_spark.operators.dedup import (
+        retire_label_epochs,
+        write_cluster_label_store,
+    )
+
+    lab_path = str(tmp_path / "labels")
+    labels = spark.createDataFrame([(2, 1)], "doc_id LONG, cluster_id LONG")
+    for ep in ("d1", "d2", "d3"):
+        write_cluster_label_store(labels, lab_path, epoch=ep, dynamic=True)
+    _time.sleep(1.1)
+    # the re-land: d1's partition is rewritten, making it newest
+    write_cluster_label_store(labels, lab_path, epoch="d1", dynamic=True)
+
+    stats = retire_label_epochs(spark, lab_path, keep_last=2)
+    assert stats == {"retired": ["d2"], "kept": ["d1", "d3"]}
+
+
+def test_empty_epoch_partitions_are_materialized_and_gc_visible(spark, tmp_path):
+    """A duplicate-free clustering admits ZERO star edges; the writer
+    still materializes the epoch's partition directory so 'epoch
+    admitted' stays observable — the schema-pinned read returns an
+    empty mapping (correct: every doc is its own cluster) and the GC
+    can retain/retire the epoch like any other. Without the directory,
+    cluster_label_maintenance's GC-down-to-the-rebuild would refuse to
+    run on a corpus whose v2 graph has no clusters."""
+    from flink_cep_task_spark.operators.dedup import (
+        read_cluster_label_store,
+        retire_label_epochs,
+        write_cluster_label_store,
+    )
+
+    lab_path = str(tmp_path / "labels")
+    full = spark.createDataFrame([(2, 1)], "doc_id LONG, cluster_id LONG")
+    # only-singletons mapping: the star-edge filter drops every row
+    singletons = spark.createDataFrame(
+        [(1, 1), (2, 2)], "doc_id LONG, cluster_id LONG"
+    )
+    write_cluster_label_store(full, lab_path, epoch="base", dynamic=True)
+    write_cluster_label_store(singletons, lab_path, epoch="rebuilt", dynamic=True)
+
+    dirs = {os.path.basename(d) for d in glob.glob(os.path.join(lab_path, "epoch=*"))}
+    assert dirs == {"epoch=base", "epoch=rebuilt"}
+    assert read_cluster_label_store(spark, lab_path, "rebuilt").count() == 0
+
+    stats = retire_label_epochs(spark, lab_path, keep=["rebuilt"])
+    assert stats == {"retired": ["base"], "kept": ["rebuilt"]}
+    # the surviving empty epoch still reads back as the empty mapping
+    assert read_cluster_label_store(spark, lab_path, "rebuilt").count() == 0
