@@ -309,7 +309,15 @@ def main() -> None:
                     "on the shared surface and the total 407.4 s "
                     "matches r12's wall while carrying two more "
                     "composed cycles; the largest shared increase is "
-                    "1.57x on a 0.7 s query (noise band).",
+                    "1.57x on a 0.7 s query (noise band). A post-"
+                    "campaign confirmation run on the final tree (after "
+                    "the review-fix commit: local-FS scheme pinning, "
+                    "file-mtime epoch recency, empty-epoch mkdirs — all "
+                    "control-plane) read cpu_total_s 3791, inside the "
+                    "campaign's 3735-3884 CPU band; its 528.6 s wall "
+                    "fired under a tenant wave (n_retried 2), which is "
+                    "exactly the wall-vs-CPU split the drift table "
+                    "exists to adjudicate.",
                     "Round-12 surface (162 queries): two new "
                     "composed-cycle entries — daily_crawl_stream_day2 "
                     "(5.2 s: compacts the cached stream replay's "
