@@ -297,27 +297,24 @@ def main() -> None:
                     "day-close anti-join row swap + NB delta/retraction "
                     "merge, then the day-3 batch probe; 42.8 s "
                     "isolated, re-paying the recrawl store fork). "
-                    "Campaign: FOUR final-code runs, walls "
-                    "407.4/411.2/438.6/470.2 (committed = best), "
-                    "cpu_total_s 3735/3834/3780/3884, n_retried "
-                    "1/1/1/3 — the cpu series is flat (4% band) while "
-                    "walls swing 15%, exactly the drift-metric split "
-                    "the round-12 meter was built for; see BASELINE.md "
+                    "Campaign: SEVEN runs — four on the feature tree "
+                    "(walls 407.4/411.2/438.6/470.2, cpu_total_s "
+                    "3735/3834/3780/3884, n_retried 1/1/1/3) and three "
+                    "on the final tree after the review-fix commit "
+                    "(local-FS scheme pinning, file-mtime epoch "
+                    "recency, empty-epoch mkdirs — all control-plane): "
+                    "397.3 (cpu 3528, n_retried 1; COMMITTED best), "
+                    "401.7 (cpu 3794), and 528.6 fired into a tenant "
+                    "wave (cpu 3791, n_retried 2) — the cpu series "
+                    "sits in a 10% band (3528-3884) while walls swing "
+                    "33%, exactly the drift-metric split the round-12 "
+                    "meter was built for; see BASELINE.md "
                     "'Round-over-round drift'. Shared-162 sum vs the "
-                    "driver's r12 run: 373.6 vs 407.3 (ratio 0.92, "
-                    "median per-query 0.91) — the r13 code is FASTER "
-                    "on the shared surface and the total 407.4 s "
-                    "matches r12's wall while carrying two more "
-                    "composed cycles; the largest shared increase is "
-                    "1.57x on a 0.7 s query (noise band). A post-"
-                    "campaign confirmation run on the final tree (after "
-                    "the review-fix commit: local-FS scheme pinning, "
-                    "file-mtime epoch recency, empty-epoch mkdirs — all "
-                    "control-plane) read cpu_total_s 3791, inside the "
-                    "campaign's 3735-3884 CPU band; its 528.6 s wall "
-                    "fired under a tenant wave (n_retried 2), which is "
-                    "exactly the wall-vs-CPU split the drift table "
-                    "exists to adjudicate.",
+                    "driver's r12 run: 358.3 vs 407.3 (ratio 0.88, "
+                    "median per-query 0.90) — the r13 code is FASTER "
+                    "on the shared surface and the total 397.3 s beats "
+                    "r12's 407.3 wall while carrying two more composed "
+                    "cycles.",
                     "Round-12 surface (162 queries): two new "
                     "composed-cycle entries — daily_crawl_stream_day2 "
                     "(5.2 s: compacts the cached stream replay's "
