@@ -804,9 +804,19 @@ def write_minhash_signature_store(
     dynamic partition overwrite rewrites only the source partitions
     present in `documents`, leaving the rest of the store untouched —
     ONE writer, so the built and admitted partitions can never diverge
-    in row shape."""
+    in row shape.
+
+    The REBALANCE-by-partition-column hint before the write is the
+    guide-§6 "coalesce on write": without it every upstream task writes
+    its own sliver into every source directory (measured: 1282 files
+    for 6 MB of store at sf0.1 — and every fork, listing and probe of
+    the store pays per file). AQE's rebalance coalesces each source's
+    output to advisory-size chunks AND splits oversized partitions, so
+    the same writer produces right-sized files at 100 TB instead of a
+    skew bomb — content is untouched, only file layout changes."""
     w = (
         minhash_signature_rows(documents)
+        .hint("rebalance", "source")
         .write.mode("overwrite")
         .partitionBy("source")
     )
@@ -1566,9 +1576,13 @@ def write_winnow_fingerprint_store(
     `dynamic=True` is the ADMISSION mode (the daily increment): dynamic
     partition overwrite rewrites only the source partitions present in
     `documents` — idempotent per source, existing partitions untouched,
-    ONE writer for built and admitted partitions."""
+    ONE writer for built and admitted partitions. REBALANCE-by-source
+    before the write for the same guide-§6 file-sizing reason as
+    write_minhash_signature_store (this store measured the same
+    1282-file sprawl at sf0.1 without it)."""
     w = (
         winnow_fingerprint_rows(documents)
+        .hint("rebalance", "source")
         .write.mode("overwrite")
         .partitionBy("source")
     )
@@ -2390,10 +2404,15 @@ def write_cluster_label_store(
                     "would persist edges the full frame drops"
                 )
         labels = src.select("doc_id", F.col("label").alias("cluster_id"))
+    # REBALANCE before the partitioned write (guide §6): one epoch's
+    # star edges otherwise land as one sliver per upstream task; AQE
+    # coalesces them to advisory-size files (and would split an
+    # oversized epoch at scale)
     w = (
         labels.filter(F.col("doc_id") != F.col("cluster_id"))
         .select("doc_id", "cluster_id")
         .withColumn("epoch", F.lit(epoch))
+        .hint("rebalance", "epoch")
         .write.mode("overwrite")
         .partitionBy("epoch")
     )
@@ -2621,11 +2640,19 @@ def dedup_clusters_rolling(
         # writer) and the merged labels (the day's own epoch) — both
         # idempotent dynamic overwrites; the label write lands r's
         # checkpointed CC mapping (star edges only), so the next day's
-        # probe genuinely reads stored state
-        append_minhash_signatures(
-            documents.filter(F.col("source") == day), sig_store_path
+        # probe genuinely reads stored state. Two DISTINCT stores →
+        # overlapped writes (guide §2.6); the barrier precedes the next
+        # day's store reads.
+        from flink_cep_task_spark.functions.jobs import run_parallel
+
+        run_parallel(
+            lambda: append_minhash_signatures(
+                documents.filter(F.col("source") == day), sig_store_path
+            ),
+            lambda: write_cluster_label_store(
+                r, label_store_path, epoch=day, dynamic=True
+            ),
         )
-        write_cluster_label_store(r, label_store_path, epoch=day, dynamic=True)
         prev_epoch = day
     from flink_cep_task_spark.functions.rolling import day_union
 

@@ -875,6 +875,11 @@ def write_ivf_index_store(
         .filter(F.col("rank") == 0)
         .drop("rank")
         .withColumn("batch", F.lit("base"))
+        # REBALANCE before the two-level partitioned write (guide §6):
+        # without it each upstream task writes a sliver into every
+        # (cell, batch) directory; AQE coalesces to advisory-size files
+        # and would split an oversized cell at scale
+        .hint("rebalance", "cell", "batch")
     )
     inv.write.partitionBy("cell", "batch").mode("overwrite").parquet(
         f"{path}/inv_file"
@@ -908,6 +913,8 @@ def append_ivf_assignments(
         .filter(F.col("rank") == 0)
         .select("vec_id", "cell")
         .withColumn("batch", F.lit(batch))
+        # same guide-§6 file sizing as the base build's inv_file write
+        .hint("rebalance", "cell", "batch")
     )
     (
         inv.write.partitionBy("cell", "batch")

@@ -748,13 +748,18 @@ def daily_crawl_cycles(
     )
     # day-1 admissions (signatures carry the exact keys — one write
     # advances both whole-doc dedup tiers; the fingerprint write
-    # advances the substring tier)
+    # advances the substring tier). The group's writes touch FOUR
+    # distinct stores, so they overlap from a driver thread pool
+    # (guide §2.6); run_parallel barriers before day 2 reads anything.
+    from flink_cep_task_spark.functions.jobs import run_parallel
+
     batch1 = docs.filter(F.col("source") == day1)
-    D.append_minhash_signatures(batch1, sig_path)
-    D.append_winnow_fingerprints(batch1, fp_path)
-    write_nb_count_store(batch1, nb_path, batch=day1, dynamic=True)
-    if admit_day1 is not None:
-        admit_day1()
+    run_parallel(
+        lambda: D.append_minhash_signatures(batch1, sig_path),
+        lambda: D.append_winnow_fingerprints(batch1, fp_path),
+        lambda: write_nb_count_store(batch1, nb_path, batch=day1, dynamic=True),
+        admit_day1,
+    )
 
     m2 = persisted(
         nb_model_from_counts(
@@ -769,11 +774,12 @@ def daily_crawl_cycles(
     # pinned to the partitions its day expects, so the extra partitions
     # are invisible until a day-3 asks for them
     batch2 = docs.filter(F.col("source") == day2)
-    D.append_minhash_signatures(batch2, sig_path)
-    D.append_winnow_fingerprints(batch2, fp_path)
-    write_nb_count_store(batch2, nb_path, batch=day2, dynamic=True)
-    if admit_day2 is not None:
-        admit_day2()
+    run_parallel(
+        lambda: D.append_minhash_signatures(batch2, sig_path),
+        lambda: D.append_winnow_fingerprints(batch2, fp_path),
+        lambda: write_nb_count_store(batch2, nb_path, batch=day2, dynamic=True),
+        admit_day2,
+    )
     from flink_cep_task_spark.functions.rolling import day_union
 
     return day_union([r1, r2])
@@ -918,15 +924,23 @@ def _recrawl_stores(spark: SparkSession, sf_dir: str) -> dict:
     t0 = time.perf_counter()
     parent = tempfile.mkdtemp(prefix="recrawl_stores_")
     atexit.register(shutil.rmtree, parent, ignore_errors=True)
-    paths = {}
-    for name, src in (
-        ("signatures", _rolling_sig_store(spark, sf_dir)),
-        ("fingerprints", _rolling_fp_store(spark, sf_dir)),
-        ("nb_counts", _rolling_nb_count_store(spark, sf_dir)),
-    ):
-        dst = os.path.join(parent, name)
-        _fork_store(spark, src, dst)
-        paths[name] = dst
+    # resolve (and if needed build) the source stores SEQUENTIALLY —
+    # _store_path's build step calls release_caches(), which must never
+    # run concurrently with a sibling build's live caches — then run
+    # the three independent directory copies from a thread pool
+    # (guide §2.6; each fork is a distinct destination)
+    from flink_cep_task_spark.functions.jobs import run_parallel
+
+    srcs = {
+        "signatures": _rolling_sig_store(spark, sf_dir),
+        "fingerprints": _rolling_fp_store(spark, sf_dir),
+        "nb_counts": _rolling_nb_count_store(spark, sf_dir),
+    }
+    paths = {name: os.path.join(parent, name) for name in srcs}
+    run_parallel(*[
+        (lambda s=src, d=paths[name]: _fork_store(spark, s, d))
+        for name, src in srcs.items()
+    ])
     _record_store_build("recrawl_stores_" + sf_dir, time.perf_counter() - t0)
     _RECRAWL_STORE_CACHE[sf_dir] = paths
     return paths
@@ -982,21 +996,29 @@ def daily_crawl_recrawl(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
 
+    # each day's admission group touches three DISTINCT stores → the
+    # writes overlap from a thread pool (guide §2.6); the groups
+    # themselves stay strictly ordered (run_parallel barriers), because
+    # the v2 re-admission overwrites the very partitions the v1 group
+    # wrote
+    from flink_cep_task_spark.functions.jobs import run_parallel
+
+    def admit(batch, day):
+        run_parallel(
+            lambda: D.append_minhash_signatures(batch, sig_path),
+            lambda: D.append_winnow_fingerprints(batch, fp_path),
+            lambda: write_nb_count_store(batch, nb_path, batch=day, dynamic=True),
+        )
+
     # --- day 1 (v1 text) ---
     r1 = _daily_cycle(
         spark, docs, day1, sig_path,
         ~F.col("source").isin(*D.ROLLING_DAYS), model(["base"]), fp_path,
     )
-    b1 = docs.filter(F.col("source") == day1)
-    D.append_minhash_signatures(b1, sig_path)
-    D.append_winnow_fingerprints(b1, fp_path)
-    write_nb_count_store(b1, nb_path, batch=day1, dynamic=True)
+    admit(docs.filter(F.col("source") == day1), day1)
 
     # --- day-2 ingest: the recrawl overwrite (v2 text) ---
-    b1v2 = docs2.filter(F.col("source") == day1)
-    D.append_minhash_signatures(b1v2, sig_path)
-    D.append_winnow_fingerprints(b1v2, fp_path)
-    write_nb_count_store(b1v2, nb_path, batch=day1, dynamic=True)
+    admit(docs2.filter(F.col("source") == day1), day1)
 
     # --- day-2 probe + admission ---
     inc2 = (F.col("source") == day2) | rp
@@ -1004,10 +1026,7 @@ def daily_crawl_recrawl(spark: SparkSession, sf_dir: str) -> DataFrame:
     r2 = _daily_cycle(
         spark, docs2, inc2, sig_path, corpus2, model(["base", day1]), fp_path,
     )
-    b2 = docs2.filter(F.col("source") == day2)
-    D.append_minhash_signatures(b2, sig_path)
-    D.append_winnow_fingerprints(b2, fp_path)
-    write_nb_count_store(b2, nb_path, batch=day2, dynamic=True)
+    admit(docs2.filter(F.col("source") == day2), day2)
 
     # --- day 3: the recrawl is settled corpus ---
     r3 = _daily_cycle(
@@ -1154,8 +1173,16 @@ def cluster_label_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     atexit.register(shutil.rmtree, parent, ignore_errors=True)
     sig_path = os.path.join(parent, "signatures")
     lab_path = os.path.join(parent, "labels")
-    _fork_store(spark, _rolling_sig_store(spark, sf_dir), sig_path)
-    _fork_store(spark, _rolling_cluster_label_store(spark, sf_dir), lab_path)
+    # resolve/build the sources sequentially (builds release caches),
+    # then overlap the two independent directory copies (guide §2.6)
+    from flink_cep_task_spark.functions.jobs import run_parallel
+
+    sig_src = _rolling_sig_store(spark, sf_dir)
+    lab_src = _rolling_cluster_label_store(spark, sf_dir)
+    run_parallel(
+        lambda: _fork_store(spark, sig_src, sig_path),
+        lambda: _fork_store(spark, lab_src, lab_path),
+    )
     _record_store_build("label_maint_fork_" + sf_dir, time.perf_counter() - t0)
 
     docs = widen_small_scan(load_table(spark, sf_dir, "documents"))
@@ -1192,8 +1219,17 @@ def cluster_label_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     uni1 = docs.filter(~F.col("source").isin(day2, day3))
     r1 = D.dedup_clusters_from_store(uni1, lab0, sig1, day1)
     p1 = retention_tagged(uni1, r1)
-    D.append_minhash_signatures(docs.filter(F.col("source") == day1), sig_path)
-    D.write_cluster_label_store(r1, lab_path, epoch=day1, dynamic=True)
+    # two independent stores (signatures / labels) → overlapped writes;
+    # the barrier precedes the recrawl re-admission that rewrites the
+    # just-written day-1 signature partition
+    run_parallel(
+        lambda: D.append_minhash_signatures(
+            docs.filter(F.col("source") == day1), sig_path
+        ),
+        lambda: D.write_cluster_label_store(
+            r1, lab_path, epoch=day1, dynamic=True
+        ),
+    )
 
     # --- the recrawl: changed text overwrites the day-1 signatures ---
     D.append_minhash_signatures(docs2.filter(F.col("source") == day1), sig_path)
@@ -1404,19 +1440,30 @@ def daily_crawl_stream_run(spark: SparkSession, sf_dir: str, n_files: int = 4):
     )
     sink = os.path.join(work, "decisions")
 
+    from flink_cep_task_spark.functions.jobs import run_parallel
+
     def crawl_batch(bdf: DataFrame, bid: int) -> None:
-        _daily_cycle(
-            spark, bdf, day1, sig_path, pred, m1, fp_path,
-            nb_consts=consts, nb_weights=weights, nb_n_weights=n_weights,
-        ).write.mode("overwrite").parquet(os.path.join(sink, f"bid={bid}"))
-        for sub, rows in (
-            ("adm_sig", D.minhash_signature_rows(bdf)),
-            ("adm_fp", D.winnow_fingerprint_rows(bdf)),
-            ("adm_nb", nb_count_rows(bdf)),
-        ):
-            rows.write.mode("overwrite").parquet(
-                os.path.join(work, sub, f"bid={bid}")
-            )
+        # the decision probe and the three admission derivations are
+        # independent (all read only bdf + non-advancing stores) and
+        # land in four distinct bid=N areas → overlap them (guide
+        # §2.6); the foreachBatch call returns only after the barrier,
+        # so the micro-batch commits with every area written
+        def _w(rows, dest):
+            return lambda: rows.write.mode("overwrite").parquet(dest)
+
+        run_parallel(
+            _w(
+                _daily_cycle(
+                    spark, bdf, day1, sig_path, pred, m1, fp_path,
+                    nb_consts=consts, nb_weights=weights,
+                    nb_n_weights=n_weights,
+                ),
+                os.path.join(sink, f"bid={bid}"),
+            ),
+            _w(D.minhash_signature_rows(bdf), os.path.join(work, "adm_sig", f"bid={bid}")),
+            _w(D.winnow_fingerprint_rows(bdf), os.path.join(work, "adm_fp", f"bid={bid}")),
+            _w(nb_count_rows(bdf), os.path.join(work, "adm_nb", f"bid={bid}")),
+        )
 
     with _shuffle_partitions(spark, 8):
         q = (
@@ -1470,27 +1517,42 @@ def compact_stream_admissions(
     vocabulary); the stores' existing partitions are never read."""
     import os
 
-    for sub, path in (("adm_sig", sig_path), ("adm_fp", fp_path)):
-        (
+    from flink_cep_task_spark.functions.jobs import run_parallel
+
+    def _fold_perdoc(sub, path):
+        # REBALANCE before the write (guide §6): this is the compaction
+        # whose whole point is "N micro-batch files become one
+        # right-sized partition"
+        return lambda: (
             spark.read.parquet(os.path.join(work, sub))
             .drop("bid")
+            .hint("rebalance", "source")
             .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("source")
             .parquet(path)
         )
-    nb_day = (
-        spark.read.parquet(os.path.join(work, "adm_nb"))
-        .groupBy("tok", "kind")
-        .agg(F.sum("c_pos").alias("c_pos"), F.sum("c_neg").alias("c_neg"))
-        .select("tok", "c_pos", "c_neg", "kind")
-        .withColumn("batch", F.lit(day))
-    )
-    (
-        nb_day.write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("batch")
-        .parquet(nb_path)
+
+    def _fold_nb():
+        nb_day = (
+            spark.read.parquet(os.path.join(work, "adm_nb"))
+            .groupBy("tok", "kind")
+            .agg(F.sum("c_pos").alias("c_pos"), F.sum("c_neg").alias("c_neg"))
+            .select("tok", "c_pos", "c_neg", "kind")
+            .withColumn("batch", F.lit(day))
+        )
+        (
+            nb_day.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch")
+            .parquet(nb_path)
+        )
+
+    # three distinct stores → the folds overlap (guide §2.6)
+    run_parallel(
+        _fold_perdoc("adm_sig", sig_path),
+        _fold_perdoc("adm_fp", fp_path),
+        _fold_nb,
     )
 
 
@@ -1590,55 +1652,76 @@ def compact_stream_readmissions(
 
     from flink_cep_task_spark.operators.cache import track_checkpoint
 
+    from flink_cep_task_spark.functions.jobs import run_parallel
+
     ids = (
         spark.read.parquet(os.path.join(work, "adm_sig"))
         .select("doc_id")
         .distinct()
     )
-    for sub, path in (("adm_sig", sig_path), ("adm_fp", fp_path)):
-        new_rows = spark.read.parquet(os.path.join(work, sub)).drop("bid")
-        kept = (
-            spark.read.parquet(path)
-            .filter(F.col("source") == day)
-            .join(ids, "doc_id", "left_anti")
+
+    def _swap_perdoc(sub, path):
+        def job():
+            new_rows = spark.read.parquet(os.path.join(work, sub)).drop("bid")
+            kept = (
+                spark.read.parquet(path)
+                .filter(F.col("source") == day)
+                .join(ids, "doc_id", "left_anti")
+            )
+            merged = track_checkpoint(
+                kept.unionByName(new_rows).localCheckpoint(eager=True)
+            )
+            (
+                # REBALANCE: the swapped day partition comes out
+                # right-sized instead of one sliver per checkpoint
+                # partition (guide §6)
+                merged.hint("rebalance", "source")
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("source")
+                .parquet(path)
+            )
+
+        return job
+
+    def _replace_nb():
+        stored = (
+            spark.read.parquet(nb_path)
+            .filter(F.col("batch") == day)
+            .select("tok", "kind", "c_pos", "c_neg")
         )
-        merged = track_checkpoint(
-            kept.unionByName(new_rows).localCheckpoint(eager=True)
+        deltas = (
+            spark.read.parquet(os.path.join(work, "adm_nb_delta"))
+            .select("tok", "kind", "c_pos", "c_neg")
         )
+        nb_day = (
+            stored.unionByName(deltas)
+            # one group per (tok, kind) — groupBy treats the docs row's
+            # NULL tok as a single key, unlike a join condition would
+            .groupBy("tok", "kind")
+            .agg(F.sum("c_pos").alias("c_pos"), F.sum("c_neg").alias("c_neg"))
+            # a token living only in retracted v1 text nets to (0, 0); a
+            # from-scratch recount has no such row, and keeping it would
+            # inflate the model's vocabulary size
+            .filter((F.col("c_pos") != 0) | (F.col("c_neg") != 0))
+            .select("tok", "c_pos", "c_neg", "kind")
+            .withColumn("batch", F.lit(day))
+        )
+        nb_day2 = track_checkpoint(nb_day.localCheckpoint(eager=True))
         (
-            merged.write.mode("overwrite")
+            nb_day2.write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("source")
-            .parquet(path)
+            .partitionBy("batch")
+            .parquet(nb_path)
         )
-    stored = (
-        spark.read.parquet(nb_path)
-        .filter(F.col("batch") == day)
-        .select("tok", "kind", "c_pos", "c_neg")
-    )
-    deltas = (
-        spark.read.parquet(os.path.join(work, "adm_nb_delta"))
-        .select("tok", "kind", "c_pos", "c_neg")
-    )
-    nb_day = (
-        stored.unionByName(deltas)
-        # one group per (tok, kind) — groupBy treats the docs row's
-        # NULL tok as a single key, unlike a join condition would
-        .groupBy("tok", "kind")
-        .agg(F.sum("c_pos").alias("c_pos"), F.sum("c_neg").alias("c_neg"))
-        # a token living only in retracted v1 text nets to (0, 0); a
-        # from-scratch recount has no such row, and keeping it would
-        # inflate the model's vocabulary size
-        .filter((F.col("c_pos") != 0) | (F.col("c_neg") != 0))
-        .select("tok", "c_pos", "c_neg", "kind")
-        .withColumn("batch", F.lit(day))
-    )
-    nb_day = track_checkpoint(nb_day.localCheckpoint(eager=True))
-    (
-        nb_day.write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("batch")
-        .parquet(nb_path)
+
+    # three distinct stores; each thunk reads ONLY the partition it then
+    # overwrites (its checkpoint materializes before its write starts),
+    # so the rewrites overlap safely (guide §2.6)
+    run_parallel(
+        _swap_perdoc("adm_sig", sig_path),
+        _swap_perdoc("adm_fp", fp_path),
+        _replace_nb,
     )
 
 
@@ -1698,11 +1781,18 @@ def daily_crawl_stream_recrawl(spark: SparkSession, sf_dir: str) -> DataFrame:
     rp = _recrawl_pred()
     docs2 = _recrawl_docs2(docs)
 
+    from flink_cep_task_spark.functions.jobs import run_parallel
+
+    def admit(batch, day):
+        # three distinct stores → overlapped writes (guide §2.6)
+        run_parallel(
+            lambda: D.append_minhash_signatures(batch, sig_path),
+            lambda: D.append_winnow_fingerprints(batch, fp_path),
+            lambda: write_nb_count_store(batch, nb_path, batch=day, dynamic=True),
+        )
+
     # --- day 1 closes via the batch path (v1 text) ---
-    b1 = docs.filter(F.col("source") == day1)
-    D.append_minhash_signatures(b1, sig_path)
-    D.append_winnow_fingerprints(b1, fp_path)
-    write_nb_count_store(b1, nb_path, batch=day1, dynamic=True)
+    admit(docs.filter(F.col("source") == day1), day1)
 
     # --- the re-fetch replays as a micro-batch stream (v2 text) ---
     work = _crawl_stream_work("recrawl")
@@ -1741,14 +1831,19 @@ def daily_crawl_stream_recrawl(spark: SparkSession, sf_dir: str) -> DataFrame:
         delta = nb_count_rows(bdf).select(
             "tok", "c_pos", "c_neg", "kind"
         ).unionByName(neg)
-        for sub, rows in (
-            ("adm_sig", D.minhash_signature_rows(bdf)),
-            ("adm_fp", D.winnow_fingerprint_rows(bdf)),
-            ("adm_nb_delta", delta),
-        ):
-            rows.write.mode("overwrite").parquet(
+
+        # three independent derivations over bdf into three distinct
+        # bid=N areas → overlapped writes (guide §2.6)
+        def _w(rows, sub):
+            return lambda: rows.write.mode("overwrite").parquet(
                 os.path.join(work, sub, f"bid={bid}")
             )
+
+        run_parallel(
+            _w(D.minhash_signature_rows(bdf), "adm_sig"),
+            _w(D.winnow_fingerprint_rows(bdf), "adm_fp"),
+            _w(delta, "adm_nb_delta"),
+        )
 
     if n_src_files:
         with _shuffle_partitions(spark, 8):
@@ -1780,10 +1875,7 @@ def daily_crawl_stream_recrawl(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     # --- day 2's own (unchanged-text) batch admissions ---
-    b2 = docs2.filter(F.col("source") == day2)
-    D.append_minhash_signatures(b2, sig_path)
-    D.append_winnow_fingerprints(b2, fp_path)
-    write_nb_count_store(b2, nb_path, batch=day2, dynamic=True)
+    admit(docs2.filter(F.col("source") == day2), day2)
 
     # --- day 3 against the settled stores ---
     m3 = persisted(
