@@ -298,17 +298,18 @@ def main() -> None:
                     "passes, before-tree vs after-tree): 188.8 -> "
                     "142.2 s wall, cpu_total 1488 -> 1121 (0.75) — "
                     "REMOVED work, not just overlap. Full-run campaign "
-                    "on the optimized tree, SIX runs (a night of "
-                    "sustained tenant waves — five of six caught one "
+                    "on the optimized tree, SEVEN runs (a night of "
+                    "sustained tenant waves — five of seven caught one "
                     "mid-run): walls 454.6/419.1/328.7/390.2/431.4/"
-                    "518.2, cpu_total_s 3095/3083/2775/2990/3065/3030 "
-                    "(a 10% band while walls swing 58%), n_retried "
-                    "3/2/1/2/6/14. COMMITTED: the 328.7 trough run "
-                    "(cpu 2775, n_retried 1; its embedded notes "
-                    "predate this note's final text — runs 4-6 were "
-                    "post-note confirmation runs that all hit waves, "
-                    "and every run's CPU sits 12-21% below the "
-                    "pre-optimization band either way). "
+                    "518.2/314.1, cpu_total_s 3095/3083/2775/2990/"
+                    "3065/3030/2720 (a 13% band while walls swing "
+                    "65%), n_retried 3/2/1/2/6/14/0. COMMITTED: the "
+                    "314.1 trough run (cpu 2720, n_retried 0; its "
+                    "embedded notes lag this text by one edit — the "
+                    "campaign description is inherently one step "
+                    "behind the run that carries it — and every run's "
+                    "CPU sits 12-23% below the pre-optimization band "
+                    "either way). "
                     "Vs the pre-optimization campaign best (397.3 / "
                     "cpu 3528): shared-164 sum ratio 0.827 with "
                     "median untouched per-query 0.993 — the whole win "
