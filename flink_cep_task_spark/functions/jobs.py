@@ -23,10 +23,14 @@ Safety contract (every call site must hold it):
   release_caches(), which would unpersist a sibling thread's live
   caches mid-job.
 
-Plain threads suffice here (the guide notes the same): Spark session
-objects are thread-safe for submitting jobs, the default FIFO scheduler
-back-fills naturally, and nothing below changes session conf from a
-thread."""
+Threads are wrapped with pyspark's inheritable_thread_target when a
+context is live (ADVICE r13): under pinned-thread mode a plain pool
+thread does NOT inherit the submitting thread's JVM local properties, so
+jobs submitted from the pool would detach from the caller's job group /
+description — a streaming query's foreachBatch writes could then outlive
+query.stop(), and UI/event-log attribution would lose the label. The
+wrapper copies the properties in and cleans them up; nothing below
+changes session conf from a thread."""
 
 from __future__ import annotations
 
@@ -38,27 +42,51 @@ from concurrent.futures import ThreadPoolExecutor
 MAX_PARALLEL_ACTIONS = 4
 
 
+def _inheritable(fn):
+    """Wrap a thunk so the pool thread inherits the caller's JVM-side
+    local properties (job group, job description, scheduler pool) and —
+    when an active session exists — its tags. Falls back to the bare
+    thunk when no SparkContext is live (pure-python callers, tests)."""
+    try:
+        from pyspark import SparkContext
+        from pyspark.sql import SparkSession
+        from pyspark.util import inheritable_thread_target
+
+        if SparkContext._active_spark_context is None:
+            return fn
+        session = SparkSession.getActiveSession()
+        if session is not None:
+            return inheritable_thread_target(session)(fn)
+        return inheritable_thread_target(fn)
+    except Exception:
+        return fn
+
+
 def run_parallel(*thunks):
     """Run independent no-arg Spark actions concurrently; barrier until
     ALL have settled (no write is ever left mid-flight), then return
-    their results in call order. The first exception (in call order)
-    propagates after the barrier. None entries are skipped-in-place so
-    call sites can splice optional admissions without branching."""
-    live = [t for t in thunks if t is not None]
+    their results in call order. A None entry contributes a None result
+    in its position (so positional unpacking against the argument list
+    stays aligned — ADVICE r13) and runs nothing; call sites can splice
+    optional admissions without branching. The first exception (in call
+    order) propagates after the barrier."""
+    live = [(i, t) for i, t in enumerate(thunks) if t is not None]
+    results: list = [None] * len(thunks)
     if len(live) <= 1:
-        return [t() for t in live]
+        for i, t in live:
+            results[i] = t()
+        return results
     with ThreadPoolExecutor(
         max_workers=min(MAX_PARALLEL_ACTIONS, len(live))
     ) as pool:
-        futures = [pool.submit(t) for t in live]
-        results, first_err = [], None
-        for f in futures:
+        futures = [(i, pool.submit(_inheritable(t))) for i, t in live]
+        first_err = None
+        for i, f in futures:
             try:
-                results.append(f.result())
+                results[i] = f.result()
             except BaseException as exc:  # noqa: BLE001 — re-raised below
                 if first_err is None:
                     first_err = exc
-                results.append(None)
         if first_err is not None:
             raise first_err
         return results

@@ -228,3 +228,60 @@ def test_stream_recrawl_readmission_replaces_not_merges(spark):
     )
     assert got and got == exp
     D.release_caches()
+
+
+def test_daily_cycle_probe_ctx_is_result_identical_and_leaf_planned(spark):
+    """Round-14 optimization pin: the materialized store-side probe
+    frames (_daily_cycle_probe_ctx) change the per-micro-batch probe's
+    PLAN — every signature/fingerprint store subtree becomes a
+    checkpointed leaf — but not one row of its RESULT. Also pins the
+    optimization's claim itself: the ctx plan carries no store parquet
+    scans (they were re-analyzed and re-executed once per micro-batch
+    before)."""
+    from flink_cep_task_spark.operators.cache import release_caches
+    from flink_cep_task_spark.operators.text import (
+        nb_model_from_counts,
+    )
+    from flink_cep_task_spark.plans.datapipe import (
+        _daily_cycle,
+        _daily_cycle_probe_ctx,
+        _rolling_fp_store,
+        _rolling_nb_count_store,
+        _rolling_sig_store,
+    )
+    from flink_cep_task_spark.sources.tables import load_table, widen_small_scan
+
+    release_caches()
+    day1 = D.INCREMENTAL_INCOMING_SOURCE
+    sig_path = _rolling_sig_store(spark, SF_DIR)
+    fp_path = _rolling_fp_store(spark, SF_DIR)
+    nb_path = _rolling_nb_count_store(spark, SF_DIR)
+    model = nb_model_from_counts(
+        spark.read.parquet(nb_path).filter(F.col("batch") == "base")
+    )
+    pred = ~F.col("source").isin(*D.ROLLING_DAYS)
+    docs = widen_small_scan(load_table(spark, SF_DIR, "documents"))
+
+    plain = _daily_cycle(spark, docs, day1, sig_path, pred, model, fp_path)
+    ctx = _daily_cycle_probe_ctx(spark, day1, sig_path, pred, fp_path)
+    assert set(ctx) == {
+        "exact_keys", "near_banded", "near_sets", "sub_ok", "sub_counts",
+    }
+    with_ctx = _daily_cycle(
+        spark, docs, day1, sig_path, pred, model, fp_path, probe_ctx=ctx
+    )
+
+    rows = lambda df: sorted(tuple(str(x) for x in r) for r in df.collect())
+    got, exp = rows(with_ctx), rows(plain)
+    assert got and got == exp
+
+    # the optimization claim: no store FileScan survives in the ctx plan
+    plan = with_ctx._jdf.queryExecution().executedPlan().toString()
+    store_scans = [
+        ln for ln in plan.splitlines()
+        if "FileScan parquet" in ln
+        and ("signatures" in ln or "fingerprints" in ln)
+    ]
+    assert not store_scans, store_scans
+    assert "ExistingRDD" in plan
+    release_caches()
