@@ -152,6 +152,47 @@ def test_full_cycle_reruns_identically(spark, tmp_path):
     }
 
 
+def test_nb_model_prep_feeds_cycle_identically(spark, tmp_path):
+    """Round-14 optimization pin (_nb_model_prep): pre-paying the NB
+    model's driver-synced scalars inside an admission barrier must be
+    pure SCHEDULING — the prep-fed cycle's decisions are row-identical
+    to the self-deriving cycle's, and the prep's weight frame is the
+    very derivation quality_nb_score_from_store performs on demand
+    (same analyzed plan), so nothing about the computation changed,
+    only when the driver round-trips run."""
+    from flink_cep_task_spark.operators.text import nb_model_from_counts
+    from flink_cep_task_spark.plans.datapipe import _nb_model_prep
+
+    docs, sig_path, nb_path, fp_path = _setup(spark, tmp_path)
+    corpus_pred = ~F.col("source").isin("d1", "d2")
+
+    prep = _nb_model_prep(spark, nb_path, ["base"])
+    assert set(prep) == {"model", "consts", "weights", "n_weights"}
+    assert {"prior", "unseen"} <= set(prep["consts"])
+    assert prep["n_weights"] == prep["weights"].count() > 0
+
+    # the weight frame IS the on-demand derivation — identical analyzed
+    # plan, not merely equal rows
+    on_demand = prep["model"].filter(F.col("kind") == "w").select("tok", "w")
+    assert (
+        prep["weights"]._jdf.queryExecution().analyzed().toString()
+        == on_demand._jdf.queryExecution().analyzed().toString()
+    )
+
+    plain = _daily_cycle(
+        spark, docs, "d1", sig_path, corpus_pred, prep["model"], fp_path
+    )
+    fed = _daily_cycle(
+        spark, docs, "d1", sig_path, corpus_pred, prep["model"], fp_path,
+        nb_consts=prep["consts"], nb_weights=prep["weights"],
+        nb_n_weights=prep["n_weights"],
+    )
+    rows = lambda df: sorted(tuple(str(x) for x in r) for r in df.collect())
+    got, exp = rows(fed), rows(plain)
+    assert got and got == exp
+    release_caches()
+
+
 def test_registered_pipeline_advances_rollup_store_without_breaking_peers(
     spark, ddb
 ):
