@@ -863,22 +863,23 @@ def daily_crawl_cycles(
     from flink_cep_task_spark.functions.jobs import run_parallel
 
     batch1 = docs.filter(F.col("source") == day1)
-    prep2: dict = {}
-
-    def _nb_write_then_model():
-        # the day-2 model reads only the count store, so its fit +
-        # consts collect chains after THIS store's write and overlaps
-        # the sibling sig/fp admissions — off the day boundary's
-        # critical path (guide §2.6, VERDICT r13 #4)
-        write_nb_count_store(batch1, nb_path, batch=day1, dynamic=True)
-        prep2.update(_nb_model_prep(spark, nb_path, ["base", day1]))
-
     run_parallel(
         lambda: D.append_minhash_signatures(batch1, sig_path),
         lambda: D.append_winnow_fingerprints(batch1, fp_path),
-        _nb_write_then_model,
+        lambda: write_nb_count_store(batch1, nb_path, batch=day1, dynamic=True),
         admit_day1,
     )
+    # The day-2 model prep runs AFTER this barrier, not chained inside
+    # it like the three-write admission groups elsewhere: this is the
+    # engine's only FOUR-write day-close (the caller's admit_day1 lands
+    # the day's events rollup too), and it saturates the executors on
+    # its own — chaining the fit into it was MEASURED to regress the
+    # 64x scaling cell 27.1 -> 37.3/40.3 s (+35% cpu: the fit's cache
+    # blocks land while four shuffling writes hold execution memory),
+    # while prep-after-barrier reads 23.8 s / cpu 492.6 at the same
+    # cell. Guide §2.6's caution, applied as measured
+    # (OPTIMIZATION_r14.md §6a).
+    prep2 = _nb_model_prep(spark, nb_path, ["base", day1])
 
     r2 = _daily_cycle(
         spark, docs, day2, sig_path,
